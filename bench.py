@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is timed end-to-end including the action (count on the final
+plan — forces the full scan/join/agg but avoids driver-side result
+transfer dominating the measurement for wide outputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries that represent the engine's hot paths; the full registry runs in
+# the driver's correctness pass — bench keeps to a stable headline set.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_segment_year",
+    "multi_join_revenue",
+    "filter_family",
+    "add_columns_revenue",
+    "window_rank",
+    "running_sum",
+    "extract_year",
+    "upsert_merge",
+    "left_join_nulls",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from data_pipeline_platform_spark.session import get_spark
+    from data_pipeline_platform_spark.queries import all_queries
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # warm the JVM + parquet footer caches so timings measure query cost,
+    # not session startup
+    spark.range(1).count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey").limit(1).count()
+
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

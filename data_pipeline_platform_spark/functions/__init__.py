@@ -1,0 +1,32 @@
+"""Beyond-reference extension operators (SURVEY.md §2.11 / M8):
+dedup, similarity search, text analysis, multimodal plumbing.
+
+Each module registers its queries/oracles here; queries.py merges them
+into the driver-facing registry.
+"""
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+EXTENSION_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTENSION_ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: str = None):
+    EXTENSION_QUERIES[name] = fn
+    if oracle is not None:
+        EXTENSION_ORACLES[name] = oracle
+
+
+def _load_all() -> None:
+    from data_pipeline_platform_spark.functions import text  # noqa: F401
+    from data_pipeline_platform_spark.functions import dedup  # noqa: F401
+    from data_pipeline_platform_spark.functions import similarity  # noqa: F401
+    from data_pipeline_platform_spark.functions import events  # noqa: F401
+
+
+try:
+    _load_all()
+except ImportError:
+    pass  # extension modules land incrementally

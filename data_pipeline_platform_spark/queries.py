@@ -1,0 +1,772 @@
+"""Query suite: every operator from SURVEY.md §2 as a (spark, sf_dir) ->
+DataFrame callable with a DuckDB oracle twin (ANSI SQL string).
+
+Driver contract (TESTDATA.md / __spark_entry__.py): the driver runs each
+Spark query AND its oracle at sf=0.01 and compares row-count + schema +
+order-insensitive value-hash. Conventions used to make the two engines
+bit-identical:
+
+- Money aggregates: cast operands to DECIMAL(12,2) *before* aggregating
+  (decimal arithmetic is exact, so aggregation order cannot change the
+  result), then cast the final value to DOUBLE (a deterministic
+  conversion in both engines). Plain double sums would differ in the last
+  bits between engines because addition order differs.
+- Computed integer columns are cast to BIGINT on both sides (Spark
+  year() yields INT, DuckDB yields BIGINT).
+- Every computed column is aliased identically on both sides.
+- LIMIT/top-k queries always order with a unique tie-breaker.
+
+Queries are grouped: relational core (the reference's surface re-expressed
+on the driver tables per FIXTURES.md §3), then engine-exercising queries
+(config/SQL/code transformer paths, schema validation, upsert semantics),
+then beyond-reference extensions (dedup, similarity, text analysis,
+windows over events) — registered by the extension modules.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(12,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# Relational core
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the reference's A1 group-agg vocabulary at full
+    width (SUM/AVG/COUNT/MIN/MAX) with exact decimal arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.min(_dec("l_quantity")).cast("double").alias("min_qty"),
+            F.max(_dec("l_quantity")).cast("double").alias("max_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS min_qty,
+       CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS max_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (entry()): orders ⋈ customer, EXTRACT(YEAR), group-agg.
+
+    Scale notes: customer is the small side at every SF ratio — broadcast
+    hint avoids shuffling orders; the aggregate then needs only the
+    broadcast-join output (partial aggregation is map-side)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_SEGMENT_YEAR = """
+SELECT c_mktsegment,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, CAST(year(o_orderdate) AS BIGINT)
+"""
+
+
+def q_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P7 filter vocabulary through the ConfigTransformer itself."""
+    from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
+
+    li = _t(spark, sf_dir, "lineitem")
+    config = {
+        "select": ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"],
+        "filter": {
+            "l_quantity": {">": 30, "<=": 49},
+            "l_returnflag": {"in": ["A", "N"]},
+            "l_shipdate": {"is_not_null": True},
+        },
+    }
+    return ConfigTransformer().transform(li, config)
+
+
+ORACLE_FILTER_FAMILY = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem
+WHERE l_quantity > 30 AND l_quantity <= 49
+  AND l_returnflag IN ('A', 'N')
+  AND l_shipdate IS NOT NULL
+"""
+
+
+def q_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 literal-substring contains + P5 not_in via ConfigTransformer."""
+    from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
+
+    part = _t(spark, sf_dir, "part")
+    config = {
+        "filter": {
+            "p_name": {"contains": "ol"},
+            "p_brand": {"not_in": ["Brand#55"]},
+        },
+        "select": ["p_partkey", "p_name", "p_brand"],
+    }
+    # select listed first in config op order; put filter cols in select
+    config = {
+        "select": ["p_partkey", "p_name", "p_brand"],
+        "filter": {"p_name": {"contains": "ol"}, "p_brand": {"not_in": ["Brand#55"]}},
+    }
+    return ConfigTransformer().transform(part, config)
+
+
+ORACLE_FILTER_CONTAINS = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_name LIKE '%ol%' AND p_brand NOT IN ('Brand#55')
+"""
+
+
+def q_map_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 map recode (unmapped -> NULL) + P11 apply upper, via config."""
+    from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
+
+    orders = _t(spark, sf_dir, "orders")
+    config = {
+        "select": ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        "transformations": [
+            {"type": "map", "column": "o_orderstatus",
+             "mapping": {"O": "Open", "F": "Filled", "P": "Partial"}},
+            {"type": "apply", "column": "o_orderpriority", "function": "lower"},
+        ],
+    }
+    return ConfigTransformer().transform(orders, config)
+
+
+ORACLE_MAP_APPLY = """
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Filled'
+            WHEN 'P' THEN 'Partial' ELSE NULL END AS o_orderstatus,
+       lower(o_orderpriority) AS o_orderpriority
+FROM orders
+"""
+
+
+def q_add_columns_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 add_columns expression compile (F.expr path) — per-row double
+    arithmetic is IEEE-deterministic so no decimal dance is needed."""
+    from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
+
+    li = _t(spark, sf_dir, "lineitem")
+    config = {
+        "select": ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+        "add_columns": {"revenue": "l_extendedprice * (1 - l_discount)"},
+        "drop_columns": ["l_extendedprice", "l_discount"],
+    }
+    return ConfigTransformer().transform(li, config)
+
+
+ORACLE_ADD_COLUMNS_REVENUE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+"""
+
+
+def q_rename_select_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 select (incl. silent drop of a missing name) + P2 rename + P9."""
+    from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
+
+    cust = _t(spark, sf_dir, "customer")
+    config = {
+        "select": ["c_custkey", "c_name", "c_mktsegment", "no_such_column"],
+        "rename": {"c_name": "customer_name", "c_mktsegment": "segment"},
+        "drop_columns": ["never_there"],
+    }
+    return ConfigTransformer().transform(cust, config)
+
+
+ORACLE_RENAME_SELECT_DROP = """
+SELECT c_custkey, c_name AS customer_name, c_mktsegment AS segment FROM customer
+"""
+
+
+def q_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: global COUNT(*) via the config path (1-row frame)."""
+    from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
+
+    li = _t(spark, sf_dir, "lineitem")
+    config = {"aggregations": {"aggregations": {"total_rows": "COUNT(*)"}}}
+    return ConfigTransformer().transform(li, config)
+
+
+ORACLE_GLOBAL_COUNT = "SELECT COUNT(*) AS total_rows FROM lineitem"
+
+
+def q_group_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 size fallback: group_by with no parsable agg spec -> counts."""
+    from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
+
+    ev = _t(spark, sf_dir, "events")
+    config = {"aggregations": {"group_by": ["event_type"]}}
+    return ConfigTransformer().transform(ev, config)
+
+
+ORACLE_GROUP_SIZE = "SELECT event_type, COUNT(*) AS count FROM events GROUP BY event_type"
+
+
+def q_group_agg_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 with the reference's {col}_{func} output naming quirk."""
+    from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
+
+    ev = _t(spark, sf_dir, "events")
+    # value is a plain double; make it exact for the oracle by pre-casting
+    ev = ev.withColumn("value", F.col("value").cast(DEC))
+    config = {
+        "aggregations": {
+            "group_by": ["event_type"],
+            "aggregations": {
+                "total_value": "SUM(value)",
+                "max_value": "MAX(value)",
+                "n": "COUNT(event_id)",
+            },
+        }
+    }
+    out = ConfigTransformer().transform(ev, config)
+    return out.select(
+        "event_type",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        F.col("value_max").cast("double").alias("value_max"),
+        "event_id_count",
+    )
+
+
+ORACLE_GROUP_AGG_NAMING = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+       CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_max,
+       COUNT(event_id) AS event_id_count
+FROM events GROUP BY event_type
+"""
+
+
+def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: lineitem⋈orders⋈customer⋈nation⋈region.
+
+    Scale: dims (region/nation/customer) broadcast; the only shuffle is
+    lineitem⋈orders on orderkey + the final group-by. At 100 TB, orders and
+    lineitem would be bucketed on orderkey to eliminate that shuffle too."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+ORACLE_MULTI_JOIN_REVENUE = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 ranking window: top-3 spenders per nation, unique tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spent = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("total_spent").desc(), F.col("c_custkey")
+    )
+    return (
+        spent.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "total_spent", "rnk")
+    )
+
+
+ORACLE_WINDOW_RANK = """
+WITH spent AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT c_nationkey, c_custkey, total_spent,
+         CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY total_spent DESC, c_custkey) AS BIGINT) AS rnk
+  FROM spent JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_nationkey, c_custkey, total_spent, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_count_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one declared window: COUNT(*) OVER ()
+    (sql_transformer.py:85)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy()
+    return orders.select(
+        "o_orderkey", F.count(F.lit(1)).over(w).alias("total")
+    )
+
+
+ORACLE_COUNT_OVER = "SELECT o_orderkey, COUNT(*) OVER () AS total FROM orders"
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame window: per-customer running spend (exact decimal
+    inside the frame, cast after)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+ORACLE_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 sort + limit with deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )
+
+
+ORACLE_ORDERBY_LIMIT = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 union/intersect/except on nation keys of customers/suppliers."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).withColumn("side", F.lit("both"))
+    cust_only = cust.distinct().exceptAll(supp.distinct()).withColumn("side", F.lit("customer_only"))
+    return both.unionByName(cust_only)
+
+
+ORACLE_SET_OPS = """
+SELECT nationkey, 'both' AS side FROM
+  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS side FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+   EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers with no orders (NOT EXISTS parity)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: suppliers that ship any lineitem (EXISTS parity)."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+"""
+
+
+def q_left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join null semantics: every customer with order count (0s kept)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+ORACLE_LEFT_JOIN_NULLS = """
+SELECT c_custkey, COUNT(o_orderkey) AS order_count
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_sql_transform_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 flagship SQLTransformer path: UPPER + arithmetic golden test
+    re-expressed on customer (reference tests expect UPPER->'ALICE',
+    age*2 — tests/unit/test_sql_transformer.py:18-42)."""
+    from data_pipeline_platform_spark.operators.sql_transformer import SQLTransformer
+
+    cust = _t(spark, sf_dir, "customer")
+    return SQLTransformer(spark).transform(
+        cust,
+        "SELECT c_custkey, UPPER(c_name) AS name_upper, c_acctbal * 2 AS bal_doubled "
+        "FROM :table_name",
+        table_name="customer_input",
+    )
+
+
+ORACLE_SQL_TRANSFORM_UPPER = """
+SELECT c_custkey, UPPER(c_name) AS name_upper, c_acctbal * 2 AS bal_doubled FROM customer
+"""
+
+
+def q_param_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 named-parameter ingestion query via BatchIngestor."""
+    from data_pipeline_platform_spark.sources.readers import BatchIngestor
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    ing = BatchIngestor(spark)
+    return ing.ingest(
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+        "WHERE o_orderdate >= :start_date AND o_totalprice > :min_total",
+        parameters={"start_date": "1997-06-01", "min_total": 50000.0},
+    )
+
+
+ORACLE_PARAM_FILTER = """
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+WHERE o_orderdate >= '1997-06-01' AND o_totalprice > 50000.0
+"""
+
+
+def q_extract_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT(YEAR ...) parity (reference pipeline_config.json:13)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            "o_totalprice",
+        )
+        .groupBy("order_year", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("monthly_revenue"),
+        )
+    )
+
+
+ORACLE_EXTRACT_YEAR = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monthly_revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def q_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.4 validation as a lazy rewrite: missing column -> default, type
+    coercion, schema ordering."""
+    from data_pipeline_platform_spark.operators.schema import (
+        ColumnSchema,
+        SchemaDefinition,
+        SchemaValidator,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    schema = SchemaDefinition(
+        name="customer_v2",
+        version=2,
+        columns=[
+            ColumnSchema(name="c_custkey", dtype="long"),
+            ColumnSchema(name="c_name", dtype="string"),
+            ColumnSchema(name="c_nationkey", dtype="long"),  # int32 -> int64 coercion
+            ColumnSchema(name="c_acctbal", dtype="double"),
+            ColumnSchema(name="status", dtype="string", default="active"),  # missing -> default
+        ],
+    )
+    return SchemaValidator().validate(cust, schema)
+
+
+ORACLE_SCHEMA_VALIDATE = """
+SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       c_acctbal, 'active' AS status
+FROM customer
+"""
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 UPSERT join-rewrite semantics as a pure plan: merge a modified
+    subset of orders (keys o_orderkey % 10 == 0, totalprice doubled) into
+    the full table — ON CONFLICT DO UPDATE parity."""
+    orders = _t(spark, sf_dir, "orders")
+    src = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    kept = orders.join(src.select("o_orderkey"), on="o_orderkey", how="left_anti")
+    return kept.unionByName(src).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+ORACLE_UPSERT_MERGE = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = orders.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM src
+"""
+
+
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + COUNT(DISTINCT) (expressible-through-SQL surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+ORACLE_DISTINCT_COUNT = """
+SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+       COUNT(*) AS total_rows
+FROM lineitem
+"""
+
+
+def q_case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + conditional aggregation (common ETL shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.withColumn("price_bucket", bucket)
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_filled"),
+        )
+    )
+
+
+ORACLE_CASE_WHEN_BUCKETING = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS price_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+FROM orders GROUP BY 1
+"""
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (A4 SQL-aggregate surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") > 100)
+    )
+
+
+ORACLE_HAVING = """
+SELECT l_suppkey, COUNT(*) AS n_items FROM lineitem
+GROUP BY l_suppkey HAVING COUNT(*) > 100
+"""
+
+
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (decorrelated by Catalyst into a semi join)."""
+    from data_pipeline_platform_spark.operators.sql_transformer import SQLTransformer
+
+    t = SQLTransformer(spark)
+    return t.transform_multi(
+        {
+            "orders_v": _t(spark, sf_dir, "orders"),
+            "customer_v": _t(spark, sf_dir, "customer"),
+        },
+        """
+        SELECT o_orderkey, o_totalprice FROM orders_v
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > 100000
+        """,
+    )
+
+
+ORACLE_SUBQUERY_IN = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o_totalprice > 100000
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_segment_year": q_revenue_by_segment_year,
+    "filter_family": q_filter_family,
+    "filter_contains": q_filter_contains,
+    "map_apply": q_map_apply,
+    "add_columns_revenue": q_add_columns_revenue,
+    "rename_select_drop": q_rename_select_drop,
+    "global_count": q_global_count,
+    "group_size": q_group_size,
+    "group_agg_naming": q_group_agg_naming,
+    "multi_join_revenue": q_multi_join_revenue,
+    "window_rank": q_window_rank,
+    "count_over": q_count_over,
+    "running_sum": q_running_sum,
+    "orderby_limit": q_orderby_limit,
+    "set_ops": q_set_ops,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "left_join_nulls": q_left_join_nulls,
+    "sql_transform_upper": q_sql_transform_upper,
+    "param_filter": q_param_filter,
+    "extract_year": q_extract_year,
+    "schema_validate": q_schema_validate,
+    "upsert_merge": q_upsert_merge,
+    "distinct_count": q_distinct_count,
+    "case_when_bucketing": q_case_when_bucketing,
+    "having": q_having,
+    "subquery_in": q_subquery_in,
+}
+
+RELATIONAL_ORACLES: Dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "revenue_by_segment_year": ORACLE_REVENUE_BY_SEGMENT_YEAR,
+    "filter_family": ORACLE_FILTER_FAMILY,
+    "filter_contains": ORACLE_FILTER_CONTAINS,
+    "map_apply": ORACLE_MAP_APPLY,
+    "add_columns_revenue": ORACLE_ADD_COLUMNS_REVENUE,
+    "rename_select_drop": ORACLE_RENAME_SELECT_DROP,
+    "global_count": ORACLE_GLOBAL_COUNT,
+    "group_size": ORACLE_GROUP_SIZE,
+    "group_agg_naming": ORACLE_GROUP_AGG_NAMING,
+    "multi_join_revenue": ORACLE_MULTI_JOIN_REVENUE,
+    "window_rank": ORACLE_WINDOW_RANK,
+    "count_over": ORACLE_COUNT_OVER,
+    "running_sum": ORACLE_RUNNING_SUM,
+    "orderby_limit": ORACLE_ORDERBY_LIMIT,
+    "set_ops": ORACLE_SET_OPS,
+    "anti_join": ORACLE_ANTI_JOIN,
+    "semi_join": ORACLE_SEMI_JOIN,
+    "left_join_nulls": ORACLE_LEFT_JOIN_NULLS,
+    "sql_transform_upper": ORACLE_SQL_TRANSFORM_UPPER,
+    "param_filter": ORACLE_PARAM_FILTER,
+    "extract_year": ORACLE_EXTRACT_YEAR,
+    "schema_validate": ORACLE_SCHEMA_VALIDATE,
+    "upsert_merge": ORACLE_UPSERT_MERGE,
+    "distinct_count": ORACLE_DISTINCT_COUNT,
+    "case_when_bucketing": ORACLE_CASE_WHEN_BUCKETING,
+    "having": ORACLE_HAVING,
+    "subquery_in": ORACLE_SUBQUERY_IN,
+}
+
+
+def all_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Full registry: relational core + extensions."""
+    out = dict(RELATIONAL_QUERIES)
+    from data_pipeline_platform_spark.functions import EXTENSION_QUERIES
+
+    out.update(EXTENSION_QUERIES)
+    return out
+
+
+def all_oracles() -> Dict[str, str]:
+    out = dict(RELATIONAL_ORACLES)
+    from data_pipeline_platform_spark.functions import EXTENSION_ORACLES
+
+    out.update(EXTENSION_ORACLES)
+    return out

@@ -1,0 +1,230 @@
+"""Persistence: the four write strategies (SURVEY.md §2.1 K1-K9).
+
+Reference (src/pipeline/persistence/batch_writer.py:26-524) writes pandas
+DataFrames to PostgreSQL with INSERT / UPSERT / REPLACE / APPEND. Spark
+restatement over lake tables (parquet directories; Delta MERGE would slot
+in where available — delta-spark is not in this environment, so UPSERT is
+the documented join-rewrite):
+
+- INSERT  (K1, :144-160) -> append; optional duplicate-key pre-check (the
+  RDBMS PK violation has no lake-table equivalent, so the check is an
+  explicit anti-join validation, off by default at scale).
+- APPEND  (K5, :306-327) -> ``mode("append")``.
+- REPLACE (K4, :278-304) -> ``mode("overwrite")`` (TRUNCATE+insert parity).
+- UPSERT  (K3, :230-276) -> join-rewrite: keep target rows that do NOT
+  match a source key (left_anti), union the source, overwrite atomically
+  via a staged write. On a real cluster this is Delta ``MERGE INTO``; the
+  semantics here mirror ON CONFLICT DO UPDATE (all non-key columns take
+  the source's values; source rows with no match are inserted).
+
+Scale notes: the anti-join shuffles on the upsert keys — with bucketed or
+partitioned targets only matching partitions need rewriting (dynamic
+partition overwrite). K2 COPY / K8 outer chunking are deleted: Spark's
+writers are already parallel and bulk.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import shutil
+import time
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_platform_spark.utils.retry import retry_call
+
+
+class WriteStrategy(enum.Enum):
+    INSERT = "insert"
+    UPSERT = "upsert"
+    REPLACE = "replace"
+    APPEND = "append"
+
+    @classmethod
+    def from_string(cls, s: str) -> "WriteStrategy":
+        """Unknown strategy string -> INSERT (reference tasks.py:318 parity)."""
+        try:
+            return cls(s.lower())
+        except ValueError:
+            return cls.INSERT
+
+
+class DuplicateKeyError(ValueError):
+    pass
+
+
+class BatchWriter:
+    """Write DataFrames to parquet lake tables under a base path."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str = "/tmp/dpps-warehouse",
+        fmt: str = "parquet",
+        max_retries: int = 3,
+    ):
+        self.spark = spark
+        self.base_path = base_path
+        self.fmt = fmt
+        self.max_retries = max_retries
+        self._stats: List[Dict[str, Any]] = []
+        os.makedirs(base_path, exist_ok=True)
+
+    def _table_path(self, table: str, schema: Optional[str] = None) -> str:
+        return os.path.join(self.base_path, schema or "default", table)
+
+    def table_exists(self, table: str, schema: Optional[str] = None) -> bool:
+        path = self._table_path(table, schema)
+        return os.path.isdir(path) and any(
+            f.endswith(self.fmt) or f.startswith("part-") for f in os.listdir(path)
+        )
+
+    def read_table(self, table: str, schema: Optional[str] = None) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self._table_path(table, schema))
+
+    # -- main entry (reference batch_writer.py:81-179) --------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        strategy: WriteStrategy = WriteStrategy.INSERT,
+        schema: Optional[str] = None,
+        upsert_keys: Optional[List[str]] = None,
+        output_schema=None,
+        check_duplicates: bool = False,
+        partition_by: Optional[List[str]] = None,
+    ) -> Dict[str, Any]:
+        """Dispatch on strategy; returns write stats (K9 parity)."""
+        if output_schema is not None:
+            from data_pipeline_platform_spark.operators.schema import SchemaValidator
+
+            df = SchemaValidator().validate(df, output_schema)
+
+        start = time.time()
+        path = self._table_path(table, schema)
+
+        def _do() -> int:
+            if strategy == WriteStrategy.UPSERT:
+                if not upsert_keys:
+                    raise ValueError("UPSERT requires upsert_keys")  # (:240-241)
+                return self._write_upsert(df, path, upsert_keys, partition_by)
+            if strategy == WriteStrategy.REPLACE:
+                return self._write_mode(df, path, "overwrite", partition_by)
+            if strategy == WriteStrategy.INSERT and check_duplicates and upsert_keys:
+                self._check_duplicate_keys(df, path, upsert_keys)
+            return self._write_mode(df, path, "append", partition_by)
+
+        rows = retry_call(_do, max_retries=self.max_retries)
+        duration = time.time() - start
+        stat = {
+            "table": table,
+            "rows_written": rows,
+            "duration": duration,
+            "strategy": strategy.value,
+            "timestamp": start,
+        }
+        self._stats.append(stat)
+        return stat
+
+    def _write_mode(
+        self, df: DataFrame, path: str, mode: str, partition_by: Optional[List[str]]
+    ) -> int:
+        # count via the written files, not a second job over the input
+        writer = df.write.format(self.fmt).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        return df.sparkSession.read.format(self.fmt).load(path).count() if mode == "overwrite" else df.count()
+
+    def _check_duplicate_keys(self, df: DataFrame, path: str, keys: List[str]) -> None:
+        """INSERT duplicate-PK failure parity (reference K1): explicit
+        semi-join check against the existing table. O(shuffle) — off by
+        default; enable only when PK semantics are required."""
+        if not os.path.isdir(path):
+            return
+        existing = self.spark.read.format(self.fmt).load(path)
+        dup = df.join(existing.select(*keys), on=keys, how="left_semi").limit(1)
+        if dup.count() > 0:
+            raise DuplicateKeyError(f"duplicate key(s) {keys} already present in {path}")
+
+    # -- K3 UPSERT join-rewrite (reference :230-276) ----------------------
+    def _write_upsert(
+        self, df: DataFrame, path: str, keys: List[str], partition_by: Optional[List[str]]
+    ) -> int:
+        """ON CONFLICT (keys) DO UPDATE SET non-keys = EXCLUDED.* parity.
+
+        Duplicate keys *within one source batch* collapse to the last
+        occurrence — mirrors sequential INSERT..ON CONFLICT row order
+        (reference :258-270 iterates chunk rows in order). We implement
+        "last wins" deterministically with a row_number over a
+        monotonically-increasing id.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        src = df
+        # dedup source on keys: last occurrence wins
+        w = Window.partitionBy(*keys).orderBy(F.col("__dpps_seq").desc())
+        src = (
+            src.withColumn("__dpps_seq", F.monotonically_increasing_id())
+            .withColumn("__dpps_rn", F.row_number().over(w))
+            .filter(F.col("__dpps_rn") == 1)
+            .drop("__dpps_seq", "__dpps_rn")
+        )
+
+        if not os.path.isdir(path) or not os.listdir(path):
+            return self._write_mode(src, path, "overwrite", partition_by)
+
+        target = self.spark.read.format(self.fmt).load(path)
+        kept = target.join(src.select(*keys), on=keys, how="left_anti")
+        merged = kept.unionByName(src.select(*target.columns))
+
+        # stage-then-swap: reading and overwriting the same path in one
+        # job is unsafe (Spark would delete inputs mid-scan)
+        staging = path + ".__staging__"
+        writer = merged.write.format(self.fmt).mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(staging)
+        rows = self.spark.read.format(self.fmt).load(staging).count()
+        backup = path + ".__old__"
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+        os.rename(path, backup)
+        os.rename(staging, path)
+        shutil.rmtree(backup)
+        return rows
+
+    # -- K9 stats (reference :170-177, 507-524) ---------------------------
+    def get_write_stats(self, table: Optional[str] = None) -> List[Dict[str, Any]]:
+        if table is None:
+            return list(self._stats)
+        return [s for s in self._stats if s["table"] == table]
+
+    def clear_stats(self) -> None:
+        self._stats.clear()
+
+    # -- JDBC sink (K1/K5 for RDBMS targets) ------------------------------
+    def write_jdbc(
+        self,
+        df: DataFrame,
+        url: str,
+        table: str,
+        mode: str = "append",
+        batchsize: int = 10_000,
+        properties: Optional[Dict[str, str]] = None,
+    ) -> None:
+        """JDBC bulk write; batchsize mirrors the reference's 10k chunking
+        (batch_writer.py:42) and replaces the COPY fast path (K2)."""
+        writer = (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", batchsize)
+            .mode(mode)
+        )
+        for k, v in (properties or {}).items():
+            writer = writer.option(k, v)
+        writer.save()

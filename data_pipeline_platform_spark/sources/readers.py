@@ -1,0 +1,210 @@
+"""Sources: file readers, SQL ingestion, table introspection.
+
+Reference parity map (SURVEY.md §2.1):
+
+- S1 SQL source scan  (reference src/pipeline/ingestion/batch_ingestor.py:67-100)
+  -> ``BatchIngestor.ingest(query, parameters)``: the query runs against
+  registered views/tables via ``spark.sql`` and returns a *lazy* DataFrame.
+  Nothing is materialized — the SQL becomes part of the Catalyst plan, so
+  filters/projections in the query reach the parquet scan (pushdown) for free.
+- S2/S3 chunked + paginated scans (batch_ingestor.py:102-199) -> unnecessary:
+  Spark scans are distributed and lazy. ``ingest_batches`` is kept as a thin
+  compatibility iterator built on ``toLocalIterator`` for callers that truly
+  need driver-side chunks; it never does LIMIT/OFFSET re-scans.
+- S4 parameterized query (batch_ingestor.py:278-281) -> ``spark.sql(q, args=...)``
+  (named-parameter SQL, Spark >= 3.4).
+- S5 table introspection (batch_ingestor.py:375-433) -> catalog + df.schema.
+- S6 connection health check (batch_ingestor.py:356-373) -> ``SELECT 1`` probe.
+- JDBC sources: the reference reads RDBMS via SQLAlchemy; here
+  ``read_jdbc`` ships the query to the source DB through Spark's JDBC source
+  with optional partitioned parallel reads (the scalable replacement for the
+  reference's LIMIT/OFFSET pagination, which is O(n^2) on most databases).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-provided star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table from a scale-factor directory.
+
+    Normalization: nanosecond parquet timestamps (events.ts) arrive as
+    long nanos (spark.sql.legacy.parquet.nanosAsLong); convert to a
+    microsecond timestamp by integer division — the same truncation DuckDB
+    applies when it reads TIMESTAMP(NANOS) into its us-resolution type.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
+        if ts_field is not None and isinstance(ts_field.dataType, T.LongType):
+            # integer div, not /: epoch nanos (~1.7e18) exceed double's
+            # 2^53 integer range, so float division would corrupt low bits
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple = TABLES) -> None:
+    """Register each parquet table as a temp view named after the table.
+
+    Lazy: registering is metadata-only; scans happen (with pushdown and
+    column pruning) only when an action runs a query that touches the view.
+    """
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class BatchIngestor:
+    """SQL-first ingestion facade over a SparkSession.
+
+    The reference materializes every query into a pandas DataFrame on one
+    box (batch_ingestor.py:67-100). Here ``ingest`` returns a lazy Spark
+    DataFrame: the "ingest" stage contributes a subtree to the final plan
+    and costs nothing until an action runs — which is the core reason the
+    rebuild scales where the reference cannot.
+    """
+
+    def __init__(self, spark: SparkSession, batch_size: int = 10_000):
+        self.spark = spark
+        self.batch_size = batch_size
+
+    # -- S1 + S4 ---------------------------------------------------------
+    def ingest(
+        self,
+        query: str,
+        parameters: Optional[Dict[str, Any]] = None,
+    ) -> DataFrame:
+        """Execute SQL against registered views/tables; lazy result.
+
+        ``parameters`` binds named ``:name`` markers (reference
+        batch_ingestor.py:278-281) via Spark's native named-parameter
+        support.
+        """
+        if parameters:
+            return self.spark.sql(query, args=parameters)
+        return self.spark.sql(query)
+
+    # -- S3 compatibility iterator --------------------------------------
+    def ingest_batches(
+        self,
+        query: str,
+        parameters: Optional[Dict[str, Any]] = None,
+        batch_size: Optional[int] = None,
+    ) -> Iterator[pd.DataFrame]:
+        """Yield pandas chunks of ~batch_size rows on the driver.
+
+        Only for callers that need driver-side iteration (exports, model
+        feeding). Uses ``toLocalIterator`` — one partition in flight at a
+        time, no LIMIT/OFFSET re-scan pathology (reference
+        batch_ingestor.py:323-354 re-runs the query per page).
+        """
+        size = batch_size or self.batch_size
+        df = self.ingest(query, parameters)
+        cols = df.columns
+        buf: list = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(row)
+            if len(buf) >= size:
+                yield pd.DataFrame(buf, columns=cols)
+                buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
+
+    # -- file readers ----------------------------------------------------
+    def read_parquet(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def read_csv(self, path: str, header: bool = True, infer_schema: bool = True, **opts) -> DataFrame:
+        return self.spark.read.options(header=header, inferSchema=infer_schema, **opts).csv(path)
+
+    def read_json(self, path: str, multiline: bool = False, **opts) -> DataFrame:
+        return self.spark.read.options(multiLine=multiline, **opts).json(path)
+
+    # -- JDBC ------------------------------------------------------------
+    def read_jdbc(
+        self,
+        url: str,
+        query: Optional[str] = None,
+        table: Optional[str] = None,
+        partition_column: Optional[str] = None,
+        lower_bound: Optional[int] = None,
+        upper_bound: Optional[int] = None,
+        num_partitions: Optional[int] = None,
+        properties: Optional[Dict[str, str]] = None,
+        fetchsize: int = 10_000,
+    ) -> DataFrame:
+        """Read from an RDBMS through Spark's JDBC source.
+
+        With ``partition_column`` + bounds the read is split across
+        executors — the scalable replacement for the reference's paginated
+        single-connection reads. ``fetchsize`` mirrors the reference's
+        10k-row batches (settings.py:43).
+        """
+        reader = self.spark.read.format("jdbc").option("url", url).option("fetchsize", fetchsize)
+        if query is not None:
+            reader = reader.option("query", query)
+        elif table is not None:
+            reader = reader.option("dbtable", table)
+        else:
+            raise ValueError("read_jdbc requires query or table")
+        if partition_column is not None:
+            if table is None:
+                raise ValueError("partitioned JDBC reads require table (dbtable), not query")
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("lowerBound", lower_bound)
+                .option("upperBound", upper_bound)
+                .option("numPartitions", num_partitions or 8)
+            )
+        for k, v in (properties or {}).items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    # -- S5 introspection ------------------------------------------------
+    def get_table_info(self, table_name: str) -> Dict[str, Any]:
+        """Columns, types, nullability, row count for a view/table.
+
+        Parity with reference get_table_info (batch_ingestor.py:375-433)
+        which reads information_schema + COUNT(*).
+        """
+        df = self.spark.table(table_name)
+        return {
+            "table_name": table_name,
+            "columns": [
+                {
+                    "name": f.name,
+                    "type": f.dataType.simpleString(),
+                    "nullable": f.nullable,
+                }
+                for f in df.schema.fields
+            ],
+            "row_count": df.count(),
+        }
+
+    # -- S6 health -------------------------------------------------------
+    def test_connection(self) -> bool:
+        """``SELECT 1`` probe (reference batch_ingestor.py:356-373)."""
+        try:
+            return self.spark.sql("SELECT 1 AS ok").collect()[0][0] == 1
+        except Exception:
+            return False

@@ -1,0 +1,128 @@
+"""Schema validation/evolution/registry tests (reference
+tests/unit/test_schema_validator.py:86-228 behaviors)."""
+
+import pytest
+
+from data_pipeline_platform_spark.operators.schema import (
+    ColumnSchema,
+    SchemaDefinition,
+    SchemaRegistry,
+    SchemaValidationError,
+    SchemaValidator,
+)
+
+
+@pytest.fixture()
+def v():
+    return SchemaValidator()
+
+
+def _schema(*cols):
+    return SchemaDefinition(name="s", version=1, columns=list(cols))
+
+
+def test_missing_column_gets_default(v, users_df):
+    schema = _schema(
+        ColumnSchema(name="id", dtype="long"),
+        ColumnSchema(name="status", dtype="string", default="active"),
+    )
+    out = v.validate(users_df, schema)
+    assert out.columns == ["id", "status"]
+    assert out.limit(1).collect()[0]["status"] == "active"
+
+
+def test_missing_column_null_without_default(v, users_df):
+    schema = _schema(
+        ColumnSchema(name="id", dtype="long"),
+        ColumnSchema(name="missing_col", dtype="string"),
+    )
+    out = v.validate(users_df, schema)
+    assert out.limit(1).collect()[0]["missing_col"] is None
+
+
+def test_strict_missing_raises(v, users_df):
+    schema = _schema(ColumnSchema(name="ghost", dtype="string"))
+    with pytest.raises(SchemaValidationError):
+        v.validate(users_df, schema, strict=True)
+
+
+def test_extra_columns_dropped_by_default(v, users_df):
+    schema = _schema(ColumnSchema(name="id", dtype="long"))
+    assert v.validate(users_df, schema).columns == ["id"]
+
+
+def test_extra_columns_kept_when_allowed(v, users_df):
+    schema = _schema(ColumnSchema(name="id", dtype="long"))
+    out = v.validate(users_df, schema, allow_extra_columns=True)
+    assert out.columns[0] == "id" and "name" in out.columns
+
+
+def test_lossy_coercion_to_null(v, spark):
+    df = spark.createDataFrame([("1",), ("abc",), ("3",)], "x string")
+    schema = _schema(ColumnSchema(name="x", dtype="int"))
+    vals = [r["x"] for r in v.validate(df, schema).collect()]
+    assert vals == [1, None, 3]  # pd.to_numeric(errors='coerce') parity
+
+
+def test_default_fills_coercion_nulls(v, spark):
+    df = spark.createDataFrame([("1",), ("abc",)], "x string")
+    schema = _schema(ColumnSchema(name="x", dtype="int", default=0))
+    vals = [r["x"] for r in v.validate(df, schema).collect()]
+    assert vals == [1, 0]
+
+
+def test_column_reorder(v, users_df):
+    schema = _schema(
+        ColumnSchema(name="name", dtype="string"),
+        ColumnSchema(name="id", dtype="long"),
+    )
+    assert v.validate(users_df, schema).columns == ["name", "id"]
+
+
+def test_evolve_schema_add_and_drop(v, users_df):
+    new = _schema(
+        ColumnSchema(name="id", dtype="long"),
+        ColumnSchema(name="name", dtype="string"),
+        ColumnSchema(name="tier", dtype="string", default="basic"),
+    )
+    out = v.evolve_schema(users_df, new, deprecated_columns=["email"])
+    assert out.columns == ["id", "name", "tier"]
+    assert out.limit(1).collect()[0]["tier"] == "basic"
+
+
+def test_compare_schemas():
+    old = _schema(
+        ColumnSchema(name="a", dtype="int"),
+        ColumnSchema(name="b", dtype="string"),
+    )
+    new = _schema(
+        ColumnSchema(name="a", dtype="double"),
+        ColumnSchema(name="c", dtype="string", nullable=False),
+    )
+    diff = SchemaValidator.compare_schemas(old, new)
+    assert diff["added_columns"] == ["c"]
+    assert diff["removed_columns"] == ["b"]
+    assert diff["type_changes"]["a"] == {"from": "int", "to": "double"}
+    assert not diff["compatible"]
+
+
+def test_registry_upsert_latest(tmp_path):
+    reg = SchemaRegistry(str(tmp_path))
+    s1 = _schema(ColumnSchema(name="a", dtype="int"))
+    s1.version = 1
+    reg.register(s1)
+    s2 = s1.model_copy(update={"version": 2})
+    reg.register(s2)
+    assert reg.load("s").version == 2  # latest by default
+    assert reg.load("s", version=1).version == 1
+    assert [h["version"] for h in reg.history("s")] == [1, 2]
+
+
+def test_struct_type_bridge():
+    schema = _schema(
+        ColumnSchema(name="v", dtype="array<float>"),
+        ColumnSchema(name="t", dtype="timestamp"),
+    )
+    st = schema.to_struct_type()
+    assert st.fields[0].dataType.simpleString() == "array<float>"
+    assert st.fields[1].dataType.simpleString() == "timestamp"

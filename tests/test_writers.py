@@ -1,0 +1,89 @@
+"""Write-strategy tests (reference tests/unit/test_batch_writer.py:44-120:
+strategy count checks + batched writes)."""
+
+import pytest
+
+from data_pipeline_platform_spark.sinks.writers import (
+    BatchWriter,
+    DuplicateKeyError,
+    WriteStrategy,
+)
+
+
+@pytest.fixture()
+def writer(spark, tmp_warehouse):
+    return BatchWriter(spark, base_path=tmp_warehouse)
+
+
+def test_insert_then_append_accumulates(writer, users_df):
+    writer.write(users_df, "users", WriteStrategy.INSERT)
+    writer.write(users_df, "users", WriteStrategy.APPEND)
+    assert writer.read_table("users").count() == 10
+
+
+def test_replace_truncates(writer, users_df):
+    writer.write(users_df, "users", WriteStrategy.INSERT)
+    writer.write(users_df.limit(2), "users", WriteStrategy.REPLACE)
+    assert writer.read_table("users").count() == 2
+
+
+def test_upsert_updates_and_inserts(writer, spark, users_df):
+    writer.write(users_df, "users", WriteStrategy.INSERT)
+    updates = spark.createDataFrame(
+        [
+            (1, "Alicia", "alicia@example.com", 26, None),  # update
+            (99, "Zed", "zed@example.com", 50, None),  # insert
+        ],
+        "id long, name string, email string, age long, created_at timestamp",
+    )
+    stat = writer.write(updates, "users", WriteStrategy.UPSERT, upsert_keys=["id"])
+    out = writer.read_table("users")
+    assert stat["rows_written"] == 6
+    rows = {r["id"]: r["name"] for r in out.collect()}
+    assert rows[1] == "Alicia" and rows[99] == "Zed" and rows[2] == "Bob"
+
+
+def test_upsert_duplicate_keys_in_batch_last_wins(writer, spark):
+    base = spark.createDataFrame([(1, "old")], "id long, v string")
+    writer.write(base, "t", WriteStrategy.INSERT)
+    dup = spark.createDataFrame([(1, "first"), (1, "second")], "id long, v string")
+    writer.write(dup, "t", WriteStrategy.UPSERT, upsert_keys=["id"])
+    assert writer.read_table("t").collect()[0]["v"] == "second"
+
+
+def test_upsert_requires_keys(writer, users_df):
+    from data_pipeline_platform_spark.utils.retry import RetryError
+
+    with pytest.raises((ValueError, RetryError)):
+        writer.write(users_df, "users", WriteStrategy.UPSERT)
+
+
+def test_insert_duplicate_check(writer, users_df):
+    from data_pipeline_platform_spark.utils.retry import RetryError
+
+    writer.write(users_df, "users", WriteStrategy.INSERT)
+    with pytest.raises((DuplicateKeyError, RetryError)):
+        writer.write(
+            users_df, "users", WriteStrategy.INSERT, upsert_keys=["id"], check_duplicates=True
+        )
+
+
+def test_unknown_strategy_maps_to_insert():
+    assert WriteStrategy.from_string("nonsense") == WriteStrategy.INSERT
+    assert WriteStrategy.from_string("UPSERT") == WriteStrategy.UPSERT
+
+
+def test_write_stats(writer, users_df):
+    writer.write(users_df, "users", WriteStrategy.INSERT)
+    stats = writer.get_write_stats("users")
+    assert len(stats) == 1
+    assert stats[0]["rows_written"] == 5
+    assert stats[0]["strategy"] == "insert"
+    writer.clear_stats()
+    assert writer.get_write_stats() == []
+
+
+def test_partitioned_write(writer, users_df, spark):
+    writer.write(users_df, "by_age", WriteStrategy.REPLACE, partition_by=["age"])
+    out = writer.read_table("by_age")
+    assert out.count() == 5 and "age" in out.columns
