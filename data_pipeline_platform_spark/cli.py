@@ -1,0 +1,169 @@
+"""CLI (SURVEY.md §2.12 O13; reference src/cli/main.py:294-397).
+
+``pipeline-cli run|ingest|transform|persist|status|health`` with
+``--config`` JSON/YAML or inline flags. The Celery submit/poll pair
+collapses into synchronous execution on the runner ( --wait semantics are
+therefore the default and only mode; the flag is accepted for CLI
+compatibility).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any, Dict, Optional
+
+
+def load_config_file(path: str) -> Dict[str, Any]:
+    """JSON or YAML by extension (reference cli/main.py:24-43)."""
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        with open(path) as f:
+            return yaml.safe_load(f)
+    with open(path) as f:
+        return json.load(f)
+
+
+def _build_runner(base_path: Optional[str] = None):
+    from data_pipeline_platform_spark.plans.runner import PipelineRunner
+    from data_pipeline_platform_spark.session import get_spark
+    from data_pipeline_platform_spark.sinks.writers import BatchWriter
+
+    spark = get_spark("pipeline-cli")
+    writer = BatchWriter(spark, base_path=base_path) if base_path else BatchWriter(spark)
+    return PipelineRunner(spark, writer=writer)
+
+
+def run_command(args: argparse.Namespace) -> int:
+    if args.config:
+        try:
+            config = load_config_file(args.config)
+        except (OSError, ValueError) as exc:
+            print(f"error: cannot load config {args.config}: {exc}", file=sys.stderr)
+            return 2
+    else:
+        config = {}
+        if args.query:
+            config["ingestion"] = {"query": args.query}
+        elif args.path:
+            config["ingestion"] = {"path": args.path, "format": args.format}
+        if args.transform_sql:
+            config["transformation"] = {"type": "sql", "query": args.transform_sql}
+        if args.table:
+            config["persistence"] = {"table": args.table, "strategy": args.strategy}
+    runner = _build_runner(args.warehouse)
+    result = runner.run(config)
+    print(json.dumps(_brief(result), indent=2, default=str))
+    return 0 if result["status"] == "success" else 1
+
+
+def _brief(result: Dict[str, Any]) -> Dict[str, Any]:
+    out = {k: v for k, v in result.items() if k != "traceback"}
+    return out
+
+
+def ingest_command(args: argparse.Namespace) -> int:
+    runner = _build_runner(args.warehouse)
+    cfg = {"query": args.query} if args.query else {"path": args.path, "format": args.format}
+    df = runner.ingest_stage(cfg)
+    n = args.limit or 10
+    for row in df.limit(n).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def transform_command(args: argparse.Namespace) -> int:
+    runner = _build_runner(args.warehouse)
+    df = runner.ingest_stage(
+        {"query": args.query} if args.query else {"path": args.path, "format": args.format}
+    )
+    if args.transform_sql:
+        tcfg: Dict[str, Any] = {"type": "sql", "query": args.transform_sql}
+    elif args.transform_config:
+        tcfg = {"type": "config", "config_path": args.transform_config}
+    else:
+        print("transform requires --transform-sql or --transform-config", file=sys.stderr)
+        return 2
+    out = runner.transform_stage(df, tcfg)
+    for row in out.limit(args.limit or 10).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def persist_command(args: argparse.Namespace) -> int:
+    runner = _build_runner(args.warehouse)
+    df = runner.ingest_stage(
+        {"query": args.query} if args.query else {"path": args.path, "format": args.format}
+    )
+    stat = runner.persist_stage(
+        df,
+        {
+            "table": args.table,
+            "strategy": args.strategy,
+            "upsert_keys": args.upsert_keys.split(",") if args.upsert_keys else None,
+        },
+    )
+    print(json.dumps(stat, default=str))
+    return 0
+
+
+def health_command(args: argparse.Namespace) -> int:
+    runner = _build_runner(args.warehouse)
+    print(json.dumps(runner.health(), default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pipeline-cli", description="Spark pipeline CLI")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", help="JSON/YAML pipeline config file")
+        sp.add_argument("--query", help="ingestion SQL")
+        sp.add_argument("--path", help="ingestion file path")
+        sp.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "jdbc"])
+        sp.add_argument("--warehouse", help="writer base path")
+        sp.add_argument("--limit", type=int, help="rows to print")
+        sp.add_argument("--wait", action="store_true", help="accepted for compatibility (always synchronous)")
+        sp.add_argument("--timeout", type=float, help="accepted for compatibility")
+
+    sp_run = sub.add_parser("run", help="full ingest->transform->persist pipeline")
+    common(sp_run)
+    sp_run.add_argument("--transform-sql")
+    sp_run.add_argument("--table")
+    sp_run.add_argument("--strategy", default="insert")
+    sp_run.set_defaults(func=run_command)
+
+    sp_ing = sub.add_parser("ingest", help="run ingestion, print sample rows")
+    common(sp_ing)
+    sp_ing.set_defaults(func=ingest_command)
+
+    sp_tr = sub.add_parser("transform", help="ingest + transform, print sample rows")
+    common(sp_tr)
+    sp_tr.add_argument("--transform-sql")
+    sp_tr.add_argument("--transform-config")
+    sp_tr.set_defaults(func=transform_command)
+
+    sp_pe = sub.add_parser("persist", help="ingest + persist")
+    common(sp_pe)
+    sp_pe.add_argument("--table", required=True)
+    sp_pe.add_argument("--strategy", default="insert")
+    sp_pe.add_argument("--upsert-keys")
+    sp_pe.set_defaults(func=persist_command)
+
+    sp_he = sub.add_parser("health", help="runner/session health")
+    common(sp_he)
+    sp_he.set_defaults(func=health_command)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

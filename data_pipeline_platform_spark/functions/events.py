@@ -1,0 +1,217 @@
+"""Event-stream analytics over `events` (M8 extension): the batch twins
+of the streaming operators in streaming/windows.py — identical window
+semantics, verifiable against the DuckDB oracle (a streaming sink can't
+be oracle-compared, so the batch forms carry the correctness evidence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+
+DEC = "decimal(12,2)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def q_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch twin of the streaming
+    version; date_trunc == window(ts, '1 hour').start)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_EVENTS_TUMBLING_HOUR = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a >30-min silence starts a new session. Classic
+    gaps-and-islands via lag + running sum — one shuffle on user_id."""
+    ev = _events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    with_sid = with_gap.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sid AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sid GROUP BY user_id, session_seq
+"""
+
+
+def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile: counts by type via pivot-style conditional aggs
+    + first/last seen (the shape of a feature-extraction job)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+ORACLE_EVENTS_USER_ACTIVITY = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column (semi-structured path)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON_PROPS = """
+WITH t AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS k_sum,
+       MIN(k) AS k_min, MAX(k) AS k_max
+FROM t GROUP BY event_type
+"""
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond-reference operator the platform lacks): for
+    each purchase, the user's most recent prior signup/click. Expressed
+    as a union + window trick: one shuffle on user_id, no range
+    explosion — the scalable as-of pattern (vs. an inequality join).
+    """
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    # union-tag approach: sort by time within user, carry last click forward
+    tagged = purchases.select(
+        "user_id",
+        F.col("pts").alias("ts"),
+        F.col("purchase_id").alias("pid"),
+        F.lit(None).cast("long").alias("cid"),
+        F.col("purchase_id").alias("tiebreak"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            F.col("cts").alias("ts"),
+            F.lit(None).cast("long").alias("pid"),
+            F.col("click_id").alias("cid"),
+            F.col("click_id").alias("tiebreak"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tiebreak")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("last_click_id", F.last("cid", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("pid").isNotNull())
+        .select(
+            "user_id",
+            F.col("pid").alias("purchase_id"),
+            "last_click_id",
+        )
+    )
+
+
+ORACLE_EVENTS_ASOF_JOIN = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id AS tiebreak,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS pid,
+         CASE WHEN event_type = 'click' THEN event_id END AS cid
+  FROM events WHERE event_type IN ('purchase', 'click')
+), carried AS (
+  SELECT user_id, pid,
+         last_value(cid IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, tiebreak
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+  FROM tagged
+)
+SELECT user_id, pid AS purchase_id, last_click_id
+FROM carried WHERE pid IS NOT NULL
+"""
+
+
+register("events_tumbling_hour", q_events_tumbling_hour, ORACLE_EVENTS_TUMBLING_HOUR)
+register("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE)
+register("events_user_activity", q_events_user_activity, ORACLE_EVENTS_USER_ACTIVITY)
+register("events_json_props", q_events_json_props, ORACLE_EVENTS_JSON_PROPS)
+register("events_asof_join", q_events_asof_join, ORACLE_EVENTS_ASOF_JOIN)

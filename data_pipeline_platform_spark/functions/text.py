@@ -1,0 +1,213 @@
+"""Text analysis operators over the `documents` table (M8 extension,
+beyond the reference's surface — BASELINE.json north_star).
+
+All hot-path logic is built-in JVM functions (split/transform/filter/
+aggregate) — no Python UDFs — so the operators stay inside whole-stage
+codegen and scale linearly with executors. Oracles: DuckDB list lambdas
+mirror Spark's higher-order functions one-to-one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+
+# tiny embedded stopword list for quality scoring (language-agnostic demo)
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add token/char/quality statistics columns (pure Column exprs)."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.withColumn("char_count", F.length(text_col).cast("long"))
+        .withColumn("token_count", F.size(tokens).cast("long"))
+        .withColumn("distinct_tokens", F.size(F.array_distinct(tokens)).cast("long"))
+        .withColumn(
+            "stopword_count",
+            F.expr(
+                f"CAST(size(filter(split(trim({text_col}), '\\\\s+'), "
+                f"x -> x IN ({_STOP_SQL}))) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.col("stopword_count") * F.lit(1.0) / F.col("token_count"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.col("distinct_tokens") * F.lit(1.0) / F.col("token_count"),
+        )
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_text_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "char_count",
+        "token_count",
+        "distinct_tokens",
+        "stopword_count",
+        "stopword_ratio",
+        "type_token_ratio",
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS char_count,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, char_count,
+       CAST(len(toks) AS BIGINT) AS token_count,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens,
+       CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS BIGINT) AS stopword_count,
+       CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS BIGINT) * 1.0 / len(toks) AS stopword_ratio,
+       CAST(len(list_distinct(toks)) AS BIGINT) * 1.0 / len(toks) AS type_token_ratio
+FROM t
+"""
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (group-agg over derived stats)."""
+    stats = with_text_stats(_docs(spark, sf_dir))
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("char_count").alias("total_chars"),
+        F.sum("token_count").alias("total_tokens"),
+        (F.sum("token_count").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+ORACLE_LANG_PROFILE = """
+WITH t AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS char_count,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(char_count) AS BIGINT) AS total_chars,
+       CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+       CAST(SUM(token_count) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM t GROUP BY lang
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the normalized text (stable
+    content hash for exact-dup detection and incremental pipelines)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency via explode + group (the canonical
+    shuffle-then-aggregate text op; partial aggregation is map-side)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+ORACLE_TOKEN_FREQUENCY = """
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: score each doc against per-language marker
+    token sets and pick argmax (deterministic tie-break by language name).
+
+    A real n-gram model would be a broadcast-joined profile table; the
+    plumbing (per-language score columns -> greatest -> argmax) is the
+    same shape. The declared `lang` column is the ground truth the
+    heuristic is compared against downstream."""
+    markers = {
+        "en": ("the", "and", "of"),
+        "de": ("der", "und", "die"),
+        "fr": ("le", "et", "la"),
+        "es": ("el", "y", "de"),
+        "zh": ("shi", "de_", "le_"),
+    }
+    docs = _docs(spark, sf_dir)
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    df = docs.withColumn("__toks", tokens)
+    score_cols = []
+    for lang, words in sorted(markers.items()):
+        in_list = ", ".join(f"'{w}'" for w in words)
+        col_name = f"__score_{lang}"
+        df = df.withColumn(
+            col_name, F.expr(f"size(filter(__toks, x -> x IN ({in_list})))")
+        )
+        score_cols.append((lang, col_name))
+    # argmax with name tie-break: fold over (score, lang) structs
+    struct_arr = F.array(
+        *[F.struct(F.col(c).alias("s"), F.lit(lang).alias("l")) for lang, c in score_cols]
+    )
+    df = df.withColumn("__cands", struct_arr).withColumn(
+        "predicted_lang",
+        F.expr(
+            "aggregate(__cands, __cands[0], (acc, x) -> "
+            "CASE WHEN x.s > acc.s OR (x.s = acc.s AND x.l < acc.l) THEN x ELSE acc END).l"
+        ),
+    )
+    return df.select("doc_id", "lang", "predicted_lang")
+
+
+# language_id oracle: the same argmax is expressible in DuckDB but the
+# marker tokens don't occur in the synthetic corpus (all scores 0 -> ties
+# resolve to 'de' everywhere); keep the oracle to lock the tie-break
+# semantics.
+ORACLE_LANGUAGE_ID = """
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    [
+      {'s': len(list_filter(toks, x -> x IN ('der','und','die'))), 'l': 'de'},
+      {'s': len(list_filter(toks, x -> x IN ('the','and','of'))), 'l': 'en'},
+      {'s': len(list_filter(toks, x -> x IN ('el','y','de'))), 'l': 'es'},
+      {'s': len(list_filter(toks, x -> x IN ('le','et','la'))), 'l': 'fr'},
+      {'s': len(list_filter(toks, x -> x IN ('shi','de_','le_'))), 'l': 'zh'}
+    ] AS cands
+  FROM t
+)
+SELECT doc_id, lang,
+       list_reduce(cands, (acc, x) ->
+         CASE WHEN x.s > acc.s OR (x.s = acc.s AND x.l < acc.l) THEN x ELSE acc END).l
+       AS predicted_lang
+FROM scored
+"""
+
+
+register("text_stats", q_text_stats, ORACLE_TEXT_STATS)
+register("lang_profile", q_lang_profile, ORACLE_LANG_PROFILE)
+register("fingerprint", q_fingerprint, ORACLE_FINGERPRINT)
+register("token_frequency", q_token_frequency, ORACLE_TOKEN_FREQUENCY)
+register("language_id", q_language_id, ORACLE_LANGUAGE_ID)

@@ -1,0 +1,131 @@
+"""Structured Streaming operators over the events stream (M8 extension —
+clearly beyond-reference: SURVEY.md §2.11 records that the reference has
+no streaming at all; its "streaming" is chunked cursor reads).
+
+Design: every operator is a pure ``DataFrame -> DataFrame`` function that
+works on BOTH a batch frame and a streaming frame (Spark's unified API) —
+the batch twins in functions/events.py are the oracle-checked forms; these
+add watermarks and event-time windows for unbounded input.
+
+Late data policy: watermark = max event time seen minus ``late_threshold``;
+rows older than the watermark are dropped from open windows (standard
+Structured Streaming semantics); state for closed windows is evicted —
+this is what bounds state at 100 TB/day stream rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a directory of parquet event files.
+
+    In production this would be Kafka (`format("kafka")` + from_json);
+    the downstream operators are source-agnostic.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window with watermark; batch twin:
+    functions/events.py::q_events_tumbling_hour."""
+    return (
+        events.withWatermark("ts", late_threshold)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """Sliding event-time window (each row lands in window/slide panes)."""
+    return (
+        events.withWatermark("ts", late_threshold)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """Session windows via the built-in session_window (state-backed,
+    gap-based close; batch twin: q_events_sessionize)."""
+    return (
+        events.withWatermark("ts", late_threshold)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Drive a streaming frame into an in-memory sink until all currently
+    available input is processed (availableNow trigger) — the test/dev
+    execution mode; swap for kafka/delta sinks in production."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,90 @@
+"""CLI + API-service tests (reference tests/unit/test_cli.py and
+tests/integration/test_api.py shapes, minus HTTP transport)."""
+
+import json
+
+import pytest
+
+from data_pipeline_platform_spark.cli import build_parser, load_config_file, main
+
+
+def test_parser_subcommands():
+    p = build_parser()
+    args = p.parse_args(["run", "--query", "SELECT 1", "--table", "t"])
+    assert args.command == "run" and args.table == "t"
+    args = p.parse_args(["persist", "--path", "/x.parquet", "--table", "t", "--strategy", "upsert"])
+    assert args.strategy == "upsert"
+    with pytest.raises(SystemExit):
+        p.parse_args(["persist"])  # missing required --table
+
+
+def test_config_file_loading(tmp_path):
+    f = tmp_path / "p.json"
+    f.write_text(json.dumps({"ingestion": {"query": "SELECT 1"}}))
+    assert load_config_file(str(f))["ingestion"]["query"] == "SELECT 1"
+    y = tmp_path / "p.yaml"
+    y.write_text("ingestion:\n  query: SELECT 2\n")
+    assert load_config_file(str(y))["ingestion"]["query"] == "SELECT 2"
+
+
+def test_cli_run_end_to_end(spark, tmp_path, capsys):
+    cfg = {
+        "ingestion": {"path": "/root/testdata/sf0.001/region.parquet", "format": "parquet"},
+        "transformation": {"type": "sql", "query": "SELECT r_regionkey, UPPER(r_name) AS name FROM input_data"},
+        "persistence": {"table": "regions_out", "strategy": "replace"},
+    }
+    f = tmp_path / "cfg.json"
+    f.write_text(json.dumps(cfg))
+    rc = main(["run", "--config", str(f), "--warehouse", str(tmp_path / "wh")])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["status"] == "success" and out["row_count"] == 5
+
+
+def test_cli_run_error_exit_code(spark, tmp_path, capsys):
+    f = tmp_path / "bad.json"
+    f.write_text(json.dumps({"ingestion": {"query": "SELECT * FROM missing_tbl"}}))
+    rc = main(["run", "--config", str(f), "--warehouse", str(tmp_path / "wh")])
+    assert rc == 1
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "error"
+
+
+def test_api_service_submit_and_poll(spark, tmp_warehouse):
+    from data_pipeline_platform_spark.api import PipelineService
+    from data_pipeline_platform_spark.plans.runner import PipelineRunner
+    from data_pipeline_platform_spark.sinks.writers import BatchWriter
+
+    service = PipelineService(PipelineRunner(spark, writer=BatchWriter(spark, base_path=tmp_warehouse)))
+    sub = service.submit_pipeline(
+        {"ingestion": {"path": "/root/testdata/sf0.001/nation.parquet", "format": "parquet"}}
+    )
+    assert sub["status"] == "submitted"
+    import time
+
+    for _ in range(60):
+        st = service.pipeline_status(sub["pipeline_id"])
+        if st["status"] not in ("running", "submitted"):
+            break
+        time.sleep(0.5)
+    assert st["status"] == "success"
+    assert st["result"]["row_count"] == 25
+    assert service.workers()["completed"] >= 1
+    assert service.health()["status"] == "healthy"
+    service.shutdown()
+
+
+def test_api_unknown_pipeline(spark):
+    from data_pipeline_platform_spark.api import PipelineService
+    from data_pipeline_platform_spark.plans.runner import PipelineRunner
+
+    service = PipelineService(PipelineRunner(spark))
+    assert service.pipeline_status("nope")["status"] == "unknown"
+    service.shutdown()
+
+
+def test_create_app_without_fastapi_raises(spark):
+    from data_pipeline_platform_spark import api
+
+    if not api.HAS_FASTAPI:
+        with pytest.raises(ImportError):
+            api.create_app()

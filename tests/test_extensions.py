@@ -1,0 +1,233 @@
+"""Extension-operator tests: dedup, similarity, text, multimodal,
+streaming (M8). Golden-value style on tiny inline fixtures + the sf0.001
+driver tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- text -------------------------------------------------------------------
+
+def test_text_stats_golden(spark):
+    from data_pipeline_platform_spark.functions.text import with_text_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat the mat"), (2, "hello")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in with_text_stats(df).collect()}
+    assert out[1]["token_count"] == 5
+    assert out[1]["distinct_tokens"] == 4  # 'the' twice
+    assert out[1]["stopword_count"] == 2
+    assert out[2]["token_count"] == 1 and out[2]["stopword_count"] == 0
+
+
+def test_fingerprint_is_content_hash(spark):
+    from data_pipeline_platform_spark.functions.text import q_fingerprint
+
+    out = q_fingerprint(spark, SF)
+    import hashlib
+
+    row = out.filter("doc_id = 0").collect()[0]
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    text = load_table(spark, SF, "documents").filter("doc_id = 0").collect()[0]["text"]
+    assert row["fingerprint"] == hashlib.md5(text.lower().strip().encode()).hexdigest()
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_shingles(spark):
+    from data_pipeline_platform_spark.functions.dedup import with_shingles
+
+    df = spark.createDataFrame([(1, "a b c d"), (2, "x y")], "doc_id long, text string")
+    out = {r["doc_id"]: r["shingles"] for r in with_shingles(df).collect()}
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # fewer than k tokens
+
+
+def test_exact_dedup_finds_duplicates(spark):
+    from data_pipeline_platform_spark.functions.dedup import q_dedup_exact
+
+    # sf tables have no exact dups; craft one
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("t")
+    from pyspark.sql import functions as F
+
+    out = (
+        df.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    rows = {r["keep_doc_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[1] == 2 and rows[3] == 1
+
+
+def test_minhash_catches_planted_near_dups(spark):
+    from data_pipeline_platform_spark.functions.dedup import (
+        q_dedup_minhash_lsh,
+        q_dedup_ngram_jaccard,
+    )
+
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_ngram_jaccard(spark, SF).filter("jaccard >= 0.8").collect()
+    }
+    lsh = {(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash_lsh(spark, SF).collect()}
+    assert brute == lsh  # full recall at j>=0.8 with 32x2 bands
+    assert len(lsh) > 0  # the corpus has planted near-dups
+
+
+def test_simhash_similar_docs_low_hamming(spark):
+    from data_pipeline_platform_spark.functions.dedup import _simhash64
+
+    a = _simhash64("the quick brown fox jumps over the lazy dog".split())
+    b = _simhash64("the quick brown fox jumps over the lazy cat".split())
+    c = _simhash64("completely different words entirely unrelated".split())
+    ham_ab = bin((a ^ b) & (2**64 - 1)).count("1")
+    ham_ac = bin((a ^ c) & (2**64 - 1)).count("1")
+    assert ham_ab < ham_ac
+
+
+# -- similarity -------------------------------------------------------------
+
+def test_cosine_topk_self_similarity(spark):
+    from data_pipeline_platform_spark.functions.similarity import cosine_topk
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    out = cosine_topk(emb, query_vec_id=0, k=5).collect()
+    assert len(out) == 5
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in out)
+    # descending order
+    scores = [r["cosine"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_bucket_deterministic(spark):
+    from data_pipeline_platform_spark.functions.similarity import _as_double, with_lsh_bucket
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings").limit(50).withColumn(
+        "vec", _as_double("embedding")
+    )
+    b1 = {r["vec_id"]: r["lsh_bucket"] for r in with_lsh_bucket(emb).collect()}
+    b2 = {r["vec_id"]: r["lsh_bucket"] for r in with_lsh_bucket(emb).collect()}
+    assert b1 == b2
+    assert 0 <= min(b1.values()) and max(b1.values()) < 256
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_media_feature_extraction(spark):
+    from data_pipeline_platform_spark.functions.multimodal import (
+        extract_image_features,
+        make_fake_media_df,
+    )
+
+    media = make_fake_media_df(spark, n=9)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 9
+    r = rows[0]
+    assert r["n_bytes"] > 0 and 0.0 < r["byte_entropy"] <= 8.0
+    assert len(r["embedding"]) == 64
+    # unit-norm embedding
+    import math
+
+    norm = math.sqrt(sum(x * x for x in r["embedding"]))
+    assert abs(norm - 1.0) < 1e-5
+
+
+def test_video_frame_sampling(spark):
+    from data_pipeline_platform_spark.functions.multimodal import (
+        make_fake_media_df,
+        sample_video_frames,
+    )
+
+    media = make_fake_media_df(spark, n=9).filter("kind = 'video'")
+    frames = sample_video_frames(media, every_ms=1000)
+    per_media = (
+        frames.groupBy("media_id").count().collect()
+    )
+    durations = {r["media_id"]: r["duration_ms"] for r in media.collect()}
+    for row in per_media:
+        assert row["count"] == durations[row["media_id"]] // 1000 + (
+            1 if durations[row["media_id"]] % 1000 else 0
+        )
+
+
+def test_media_metadata_stats(spark):
+    from data_pipeline_platform_spark.functions.multimodal import (
+        make_fake_media_df,
+        media_metadata_stats,
+    )
+
+    out = {r["kind"]: r for r in media_metadata_stats(make_fake_media_df(spark, 9)).collect()}
+    assert set(out) == {"image", "audio", "video"}
+    assert out["image"]["max_width"] is not None
+
+
+# -- streaming --------------------------------------------------------------
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    """Streaming tumbling agg over a finite directory == batch groupBy."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_window_agg,
+    )
+
+    events = load_table(spark, SF, "events")
+    stream_dir = str(tmp_path / "events_stream")
+    events.repartition(4).write.parquet(stream_dir)
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    q = run_to_memory(tumbling_window_agg(stream), "t_tumbling")
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT window_start, event_type, n_events FROM t_tumbling"
+    ).collect()
+    expected = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    got_map = {(r["window_start"], r["event_type"]): r["n_events"] for r in got}
+    exp_map = {(r["window_start"], r["event_type"]): r["n_events"] for r in expected}
+    # append-mode semantics: windows still open when input ends (those the
+    # final watermark = max_ts - 30min hasn't passed) are never emitted —
+    # every emitted window must match batch exactly, and the only missing
+    # windows must be at the tail of event time
+    assert set(got_map) <= set(exp_map)
+    for k, v in got_map.items():
+        assert v == exp_map[k], f"window {k}: streaming {v} != batch {exp_map[k]}"
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    for ws, _etype in set(exp_map) - set(got_map):
+        assert ws >= max_ts - datetime.timedelta(hours=1, minutes=30)
+
+
+def test_streaming_session_window_runs(spark, tmp_path):
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stream_sessionize,
+    )
+
+    events = load_table(spark, SF, "events").limit(200)
+    stream_dir = str(tmp_path / "ev2")
+    events.write.parquet(stream_dir)
+    stream = read_events_stream(spark, stream_dir)
+    q = run_to_memory(stream_sessionize(stream), "t_sessions")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
