@@ -153,20 +153,22 @@ N_BANDS = 32  # 32 bands x 2 rows: P(candidate | j) = 1-(1-j^2)^32
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
-def with_minhash(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """64 min-hashes, all JVM-side: xxhash64(shingle, seed) min-reduced
-    per seed via higher-order functions — no Python in the loop."""
-    mins = F.array(
-        *[
-            F.expr(
-                f"CASE WHEN size(shingles) > 0 THEN "
-                f"array_min(transform(shingles, s -> xxhash64(s, {seed}))) "
-                f"ELSE {seed}L END"
-            )
-            for seed in range(n_hashes)
-        ]
-    )
-    return df.withColumn("minhash", mins)
+def minhash_signatures(
+    shingled: DataFrame, n_hashes: int = N_HASHES, id_col: str = "doc_id"
+) -> DataFrame:
+    """Min-hash signatures as columns h0..h{n-1}: explode shingles once,
+    hash each (shingle, seed) with xxhash64, min-aggregate per doc.
+
+    Shaped for scale: the mins are partial-aggregated map-side (the
+    shuffle carries n_hashes longs per doc, never the shingles), and the
+    flat agg codegen stays small — unlike a 64-way nested-lambda
+    projection, which costs more to JIT than to run at test SF."""
+    exploded = shingled.select(id_col, F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,8 +178,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified output equals brute force (the oracle) w.p. ~1. Scale path:
     candidates ~ colliding pairs only — never the n^2 cross join."""
     docs = _docs(spark, sf_dir)
-    sh = with_shingles(docs).select("doc_id", "shingles").filter(F.size("shingles") > 0)
-    mh = with_minhash(sh)
+    # persist: the shingle set feeds (a) both sides of the band self-join
+    # and (b) the verification join — without a persist the text-split +
+    # hash subtree executes four times (Spark self-joins don't share
+    # uncached subplans). At cluster scale this is a materialized
+    # signatures table.
+    sh = (
+        with_shingles(docs)
+        .select("doc_id", "shingles")
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    mh = minhash_signatures(sh)
 
     bands = mh.select(
         "doc_id",
@@ -188,7 +200,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[
-                                F.col("minhash")[b * ROWS_PER_BAND + r]
+                                F.col(f"h{b * ROWS_PER_BAND + r}")
                                 for r in range(ROWS_PER_BAND)
                             ]
                         ).alias("sig"),
@@ -197,7 +209,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")).persist()
 
     a = bands.alias("a")
     b = bands.alias("b")
