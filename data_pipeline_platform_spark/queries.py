@@ -756,8 +756,11 @@ RELATIONAL_ORACLES: Dict[str, str] = {
 
 
 def all_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Full registry: relational core + extensions."""
+    """Full registry: relational core + batch-2 + extensions."""
     out = dict(RELATIONAL_QUERIES)
+    from data_pipeline_platform_spark.queries2 import BATCH2_QUERIES
+
+    out.update(BATCH2_QUERIES)
     from data_pipeline_platform_spark.functions import EXTENSION_QUERIES
 
     out.update(EXTENSION_QUERIES)
@@ -766,6 +769,9 @@ def all_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> Dict[str, str]:
     out = dict(RELATIONAL_ORACLES)
+    from data_pipeline_platform_spark.queries2 import BATCH2_ORACLES
+
+    out.update(BATCH2_ORACLES)
     from data_pipeline_platform_spark.functions import EXTENSION_ORACLES
 
     out.update(EXTENSION_ORACLES)

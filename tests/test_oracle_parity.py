@@ -1,0 +1,74 @@
+"""Oracle-parity smoke inside pytest: a representative subset of the
+driver contract compared against DuckDB at sf0.001 (the full suite runs
+via tools/parity.py; this keeps `pytest tests/` guarding the contract)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as se
+from tests.conftest import SF_DIR
+
+SUBSET = [
+    "pricing_summary",
+    "revenue_by_segment_year",
+    "multi_join_revenue",
+    "window_rank",
+    "upsert_merge",
+    "rollup_revenue",
+    "dedup_exact",
+    "events_sessionize",
+    "text_stats",
+    "cosine_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    qs, oracles = se.queries(), se.oracle_sql()
+    spark_pdf = qs[name](spark, SF_DIR).toPandas()
+    oracle_pdf = duck.execute(oracles[name]).df()
+    assert len(spark_pdf) == len(oracle_pdf)
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
+    a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if av.dtype.kind == "f":
+            assert (av.fillna(-1e308) == bv.fillna(-1e308)).all(), f"float col {col}"
+        else:
+            assert av.equals(bv), f"col {col}"
+
+
+def test_entry_smoke(spark):
+    df = se.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"c_mktsegment", "order_year", "total_revenue", "order_count"}
+
+
+def test_every_query_has_callable_signature(spark):
+    qs = se.queries()
+    oracles = se.oracle_sql()
+    assert len(qs) >= 55
+    assert set(oracles) <= set(qs)
+    for name, fn in qs.items():
+        assert callable(fn), name
