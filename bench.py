@@ -58,7 +58,9 @@ def main() -> None:
             continue
         t0 = time.time()
         df = fn(spark, sf_dir)
-        df.count()
+        # noop sink forces every output column to be computed; a bare
+        # count() would let Catalyst prune projected expressions away
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt

@@ -43,6 +43,17 @@ def _dec(col: str):
     return F.col(col).cast(DEC)
 
 
+def _cents(col: str):
+    """Money column -> exact integer cents (long).
+
+    Faster exactness than the decimal cast: a long-backed sum stays in
+    whole-stage codegen's primitive path (decimal sums above precision 18
+    fall back to BigDecimal). round() half-up on the doubles matches
+    DuckDB's round() for these values (2-decimal-generated data is never
+    at a .5 ulp boundary)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Relational core
 # ---------------------------------------------------------------------------
@@ -51,34 +62,47 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the reference's A1 group-agg vocabulary at full
     width (SUM/AVG/COUNT/MIN/MAX) with exact decimal arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    # exact integer arithmetic in cents/basis points: disc and tax are
+    # 2-decimal rates, so (100 - disc_bp) and (100 + tax_bp) are exact
+    # integers; products fit comfortably in long (< 1e11/row, < 1e17 sum)
+    qty_c = _cents("l_quantity")
+    price_c = _cents("l_extendedprice")
+    disc_bp = _cents("l_discount")
+    tax_bp = _cents("l_tax")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            F.min(_dec("l_quantity")).cast("double").alias("min_qty"),
-            F.max(_dec("l_quantity")).cast("double").alias("max_qty"),
+            (F.sum(qty_c) / 100.0).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (F.lit(100) - disc_bp)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * (F.lit(100) - disc_bp) * (F.lit(100) + tax_bp)) / 1000000.0).alias("sum_charge"),
+            (F.sum(qty_c) / 100.0 / F.count(F.lit(1))).alias("avg_qty"),
+            (F.min(qty_c) / 100.0).alias("min_qty"),
+            (F.max(qty_c) / 100.0).alias("max_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
 ORACLE_PRICING_SUMMARY = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_bp,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_bp
+  FROM lineitem
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS min_qty,
-       CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS max_qty,
+       SUM(qty_c) / 100.0 AS sum_qty,
+       SUM(price_c) / 100.0 AS sum_base_price,
+       SUM(price_c * (100 - disc_bp)) / 10000.0 AS sum_disc_price,
+       SUM(price_c * (100 - disc_bp) * (100 + tax_bp)) / 1000000.0 AS sum_charge,
+       SUM(qty_c) / 100.0 / COUNT(*) AS avg_qty,
+       MIN(qty_c) / 100.0 AS min_qty,
+       MAX(qty_c) / 100.0 AS max_qty,
        COUNT(*) AS count_order
-FROM lineitem
+FROM c
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -95,7 +119,7 @@ def q_revenue_by_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment", F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("total_revenue"),
             F.count(F.lit(1)).alias("order_count"),
         )
     )
@@ -104,7 +128,7 @@ def q_revenue_by_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_REVENUE_BY_SEGMENT_YEAR = """
 SELECT c_mktsegment,
        CAST(year(o_orderdate) AS BIGINT) AS order_year,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_revenue,
        COUNT(*) AS order_count
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, CAST(year(o_orderdate) AS BIGINT)
@@ -297,21 +321,21 @@ def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    revenue_c = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"),
+        .agg((F.sum(revenue_c) / 10000.0).alias("revenue"),
              F.count(F.lit(1)).alias("n_lineitems"))
     )
 
 
 ORACLE_MULTI_JOIN_REVENUE = """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis): the config-op compiler, schema
+coercion, and upsert semantics checked against independent Python-side
+models on randomized inputs. Beyond the reference's test strategy
+(SURVEY.md §5 notes it has no property tests) — guards the quirk
+semantics we promised to preserve."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.one_of(st.none(), st.text(alphabet="abcXYZ ", max_size=8)),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=100)),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, s string, v long")
+
+
+@given(rows=ROWS, threshold=st.integers(min_value=-5, max_value=105))
+@SETTINGS
+def test_filter_gt_matches_python(spark, rows, threshold):
+    out = ConfigTransformer().transform(
+        _df(spark, rows), {"filter": {"v": {">": threshold}}}
+    )
+    expected = [r for r in rows if r[2] is not None and r[2] > threshold]
+    assert out.count() == len(expected)
+
+
+@given(rows=ROWS, needle=st.text(alphabet="abcXYZ", min_size=1, max_size=3))
+@SETTINGS
+def test_filter_contains_matches_python(spark, rows, needle):
+    """contains: literal substring, NULLs fail the filter (pandas
+    str.contains(na=False) parity)."""
+    out = ConfigTransformer().transform(
+        _df(spark, rows), {"filter": {"s": {"contains": needle}}}
+    )
+    expected = [r for r in rows if r[1] is not None and needle in r[1]]
+    assert out.count() == len(expected)
+
+
+@given(rows=ROWS, vals=st.lists(st.integers(-1000, 1000), max_size=4))
+@SETTINGS
+def test_filter_in_matches_python(spark, rows, vals):
+    out = ConfigTransformer().transform(
+        _df(spark, rows), {"filter": {"id": {"in": vals}}}
+    )
+    expected = [r for r in rows if r[0] in vals]
+    assert out.count() == len(expected)
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_map_recode_unmapped_null(spark, rows):
+    mapping = {"abc": "M1", "XYZ": "M2"}
+    out = ConfigTransformer().transform(
+        _df(spark, rows),
+        {"transformations": [{"type": "map", "column": "s", "mapping": mapping}]},
+    )
+    got = [r["s"] for r in out.orderBy("id", "v").collect()]
+    expected = [
+        mapping.get(r[1]) for r in sorted(rows, key=lambda r: (r[0], r[2] if r[2] is not None else -1))
+    ]
+    assert sorted(x or "" for x in got) == sorted(x or "" for x in expected)
+
+
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(alphabet="0123456789abc.-", max_size=8)),
+        min_size=0,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_schema_coercion_matches_python_float_parse(spark, texts):
+    """CAST string->double with ANSI off == lenient float parse."""
+    from data_pipeline_platform_spark.operators.schema import (
+        ColumnSchema,
+        SchemaDefinition,
+        SchemaValidator,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "x string")
+    schema = SchemaDefinition(
+        name="s", columns=[ColumnSchema(name="x", dtype="double")]
+    )
+    got = [r["x"] for r in SchemaValidator().validate(df, schema).collect()]
+
+    def pyparse(t):
+        if t is None:
+            return None
+        try:
+            v = float(t)
+            return None if math.isinf(v) or math.isnan(v) else v
+        except ValueError:
+            return None
+
+    expected = [pyparse(t) for t in texts]
+    assert sorted((x is None, x) for x in got) == sorted((x is None, x) for x in expected)
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), max_size=15),
+    updates=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), min_size=1, max_size=15),
+)
+@SETTINGS
+def test_upsert_matches_dict_replay(spark, tmp_path_factory, base, updates):
+    """Join-rewrite UPSERT == sequential dict replay (last wins)."""
+    from data_pipeline_platform_spark.sinks.writers import BatchWriter, WriteStrategy
+
+    wh = str(tmp_path_factory.mktemp("wh"))
+    writer = BatchWriter(spark, base_path=wh)
+    base_unique = {}
+    for k, v in base:
+        base_unique[k] = v
+    model = dict(base_unique)
+    for k, v in updates:
+        model[k] = v
+
+    if base_unique:
+        writer.write(
+            spark.createDataFrame(list(base_unique.items()), "k long, v long"),
+            "t",
+            WriteStrategy.REPLACE,
+        )
+    writer.write(
+        spark.createDataFrame(updates, "k long, v long"),
+        "t",
+        WriteStrategy.UPSERT,
+        upsert_keys=["k"],
+    )
+    got = {r["k"]: r["v"] for r in writer.read_table("t").collect()}
+    assert got == model

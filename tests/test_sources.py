@@ -1,0 +1,86 @@
+"""Source reader tests (SURVEY.md §2.1 S1-S6): file formats, batch
+iteration, introspection, health."""
+
+import pytest
+
+from data_pipeline_platform_spark.sources.readers import BatchIngestor, register_views
+
+
+@pytest.fixture()
+def ing(spark):
+    return BatchIngestor(spark, batch_size=100)
+
+
+def test_ingest_sql_lazy(ing, users_df):
+    users_df.createOrReplaceTempView("u_src")
+    df = ing.ingest("SELECT id, name FROM u_src WHERE age >= :min_age", {"min_age": 35})
+    assert df.count() == 3  # S1 + S4
+
+
+def test_ingest_batches_chunking(ing, spark):
+    """S3 parity: 250 rows / batch 100 -> [100, 100, 50] (reference
+    batching arithmetic test shape: 3 rows / size 2 -> [2, 1])."""
+    spark.range(250).createOrReplaceTempView("r250")
+    sizes = [len(b) for b in ing.ingest_batches("SELECT * FROM r250")]
+    assert sizes == [100, 100, 50]
+    assert sum(sizes) == 250
+
+
+def test_read_csv_roundtrip(ing, users_df, tmp_path):
+    p = str(tmp_path / "users_csv")
+    users_df.write.option("header", True).csv(p)
+    back = ing.read_csv(p)
+    assert back.count() == 5
+    assert set(back.columns) == set(users_df.columns)
+    # inferSchema recovers numerics
+    assert dict(back.dtypes)["age"] in ("int", "bigint")
+
+
+def test_read_json_roundtrip(ing, users_df, tmp_path):
+    p = str(tmp_path / "users_json")
+    users_df.write.json(p)
+    back = ing.read_json(p)
+    assert back.count() == 5
+    assert "email" in back.columns
+
+
+def test_jdbc_requires_query_or_table(ing):
+    with pytest.raises(ValueError):
+        ing.read_jdbc(url="jdbc:postgresql://x/db")
+    with pytest.raises(ValueError):
+        # partitioned read requires dbtable, not query
+        ing.read_jdbc(
+            url="jdbc:x",
+            query="SELECT 1",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=10,
+        )
+
+
+def test_get_table_info(ing, users_df):
+    users_df.createOrReplaceTempView("info_t")
+    info = ing.get_table_info("info_t")
+    assert info["row_count"] == 5
+    cols = {c["name"]: c["type"] for c in info["columns"]}
+    assert cols["id"] == "bigint" and cols["name"] == "string"
+
+
+def test_connection_probe(ing):
+    assert ing.test_connection() is True
+
+
+def test_register_views(spark):
+    register_views(spark, "/root/testdata/sf0.001", tables=("region", "nation"))
+    assert spark.table("region").count() == 5
+    assert spark.table("nation").count() == 25
+
+
+def test_events_ts_normalized(spark):
+    """The nanos->timestamp conversion must survive both load paths."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    row = ev.orderBy("event_id").limit(1).collect()[0]
+    assert row["ts"].year == 2024
