@@ -178,6 +178,18 @@ class PipelineRunner:
         self._runs[pid] = result
         return result
 
+    # -- O5 optional checkpoint (the reference pickles every stage; here
+    # checkpointing is opt-in and goes to parquet, not the driver) -------
+    def checkpoint(self, df: DataFrame, name: Optional[str] = None) -> DataFrame:
+        """Materialize an intermediate frame to parquet and return the
+        re-read (cuts lineage for iterative pipelines; the Spark-native
+        replacement for the reference's pickle-through-Redis hand-off,
+        tasks.py:478-502)."""
+        name = name or f"__checkpoint_{uuid.uuid4().hex[:8]}"
+        path = f"{self.writer.base_path}/checkpoints/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
     # -- O10 health/status ------------------------------------------------
     def get_status(self, pipeline_id: str) -> Optional[Dict[str, Any]]:
         return self._runs.get(pipeline_id)

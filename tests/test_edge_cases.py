@@ -1,0 +1,112 @@
+"""Edge cases: empty inputs, unicode, nulls in group keys, extreme
+values — the places lenient-semantics engines usually diverge."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
+from data_pipeline_platform_spark.operators.sql_transformer import SQLTransformer
+
+
+def _empty(spark):
+    return spark.createDataFrame([], "id long, name string, v double")
+
+
+def test_config_ops_on_empty_input(spark):
+    t = ConfigTransformer()
+    cfg = {
+        "select": ["id", "name"],
+        "filter": {"id": {">": 0}},
+        "add_columns": {"v2": "id * 2"},
+        "rename": {"name": "n"},
+    }
+    out = t.transform(_empty(spark), cfg)
+    assert out.count() == 0
+    assert out.columns == ["id", "n", "v2"]
+
+
+def test_sql_transform_on_empty_input(spark):
+    t = SQLTransformer(spark)
+    out = t.transform(_empty(spark), "SELECT id, UPPER(name) AS nm FROM input_data")
+    assert out.count() == 0 and out.columns == ["id", "nm"]
+
+
+def test_group_agg_on_empty_input(spark):
+    t = ConfigTransformer()
+    out = t.transform(
+        _empty(spark),
+        {"aggregations": {"group_by": ["name"], "aggregations": {"s": "SUM(v)"}}},
+    )
+    assert out.count() == 0
+
+
+def test_global_count_on_empty_is_zero(spark):
+    t = ConfigTransformer()
+    out = t.transform(_empty(spark), {"aggregations": {"aggregations": {"n": "COUNT(*)"}}})
+    assert out.collect()[0]["n"] == 0
+
+
+def test_unicode_strings_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "héllo wörld"), (2, "日本語テキスト"), (3, "emoji 🎉 test"), (4, "Ω≈ç√∫")],
+        "id long, text string",
+    )
+    t = ConfigTransformer()
+    out = t.transform(
+        df,
+        {"transformations": [{"type": "apply", "column": "text", "function": "upper"}]},
+    )
+    vals = {r["id"]: r["text"] for r in out.collect()}
+    assert vals[1] == "HÉLLO WÖRLD"
+    assert vals[2] == "日本語テキスト"  # no-case script unchanged
+    assert "🎉" in vals[3]
+    # contains with unicode needle
+    assert t.transform(df, {"filter": {"text": {"contains": "日本"}}}).count() == 1
+
+
+def test_nulls_in_group_keys(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0), (None, 3.0), ("b", 4.0)], "k string, v double"
+    )
+    out = {
+        r["k"]: r["v_sum"]
+        for r in ConfigTransformer()
+        .transform(df, {"aggregations": {"group_by": ["k"], "aggregations": {"s": "SUM(v)"}}})
+        .collect()
+    }
+    assert out[None] == 4.0  # NULL is one group (SQL semantics)
+    assert out["a"] == 2.0 and out["b"] == 4.0
+
+
+def test_filter_on_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, s string")
+    t = ConfigTransformer()
+    assert t.transform(df, {"filter": {"s": {"contains": "x"}}}).count() == 0
+    assert t.transform(df, {"filter": {"s": {"is_null": True}}}).count() == 2
+
+
+def test_extreme_numeric_values(spark):
+    df = spark.createDataFrame(
+        [(1, 2**62), (2, -(2**62)), (3, 0)], "id long, big long"
+    )
+    out = df.agg(F.sum("big").alias("s")).collect()[0]["s"]
+    assert out == 0
+
+
+def test_map_recode_with_non_string_values(spark):
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "id long, s string")
+    out = ConfigTransformer().transform(
+        df,
+        {"transformations": [{"type": "map", "column": "s", "mapping": {"A": 10, "B": 20}}]},
+    )
+    assert {r["s"] for r in out.collect()} == {10, 20}
+
+
+def test_upsert_on_empty_target_dir(spark, tmp_path):
+    from data_pipeline_platform_spark.sinks.writers import BatchWriter, WriteStrategy
+
+    writer = BatchWriter(spark, base_path=str(tmp_path))
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    stat = writer.write(df, "fresh", WriteStrategy.UPSERT, upsert_keys=["k"])
+    assert stat["rows_written"] == 1
+    assert writer.read_table("fresh").count() == 1
