@@ -40,7 +40,22 @@ class PipelineService:
     # POST /pipelines (reference api/main.py:169-198)
     def submit_pipeline(self, pipeline_config: Dict[str, Any]) -> Dict[str, Any]:
         pipeline_id = uuid.uuid4().hex[:12]
-        future = self._pool.submit(self.runner.run, pipeline_config, pipeline_id)
+
+        def _run() -> Dict[str, Any]:
+            # each pipeline gets its own FAIR pool so one long pipeline
+            # can't starve the others (set spark.scheduler.mode=FAIR to
+            # activate; local properties are per-thread, matching the
+            # thread-per-pipeline model here)
+            sc = getattr(self.runner.spark, "sparkContext", None)
+            if sc is not None:
+                sc.setLocalProperty("spark.scheduler.pool", f"pipeline_{pipeline_id}")
+            try:
+                return self.runner.run(pipeline_config, pipeline_id)
+            finally:
+                if sc is not None:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
+
+        future = self._pool.submit(_run)
         with self._lock:
             self._futures[pipeline_id] = future
         return {"pipeline_id": pipeline_id, "status": "submitted"}

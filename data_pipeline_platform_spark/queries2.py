@@ -416,6 +416,126 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# batch 3: statistics, argmin joins, array functions
+# ---------------------------------------------------------------------------
+
+def q_value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/stddev with *engineered determinism*: accumulate
+    exact integer sums (cents and squared cents), then evaluate the
+    closed-form variance in double with an expression both engines
+    compute identically. Plain stddev() would differ in final bits
+    between engines because float accumulation order differs."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("ss"),
+    )
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    n_d = F.col("n").cast("double")
+    var_cents = (ss_d - s_d * s_d / n_d) / n_d
+    return agg.select(
+        "event_type",
+        "n",
+        (s_d / 100.0 / n_d).alias("mean_value"),
+        F.round(var_cents / 10000.0, 6).alias("var_pop"),
+        F.round(F.sqrt(var_cents) / 100.0, 6).alias("stddev_pop"),
+    )
+
+
+ORACLE_VALUE_STATISTICS = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(vc) AS BIGINT) AS s, CAST(SUM(vc * vc) AS BIGINT) AS ss
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_value,
+       round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 10000.0, 6) AS var_pop,
+       round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0, 6) AS stddev_pop
+FROM agg
+"""
+
+
+def q_argmin_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the lowest-balance supplier per nation (argmin via
+    row_number — one shuffle, no self-join; ties broken by suppkey)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        supp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+ORACLE_ARGMIN_SUPPLIER = """
+WITH ranked AS (
+  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS rn
+  FROM supplier
+)
+SELECT n_name, s_suppkey, s_name, s_acctbal
+FROM ranked JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over the embedding column: element access, slicing,
+    size, min/max — first-class array<float> handling (the reference has
+    no array types at all; SURVEY §1.1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_component"),
+        F.element_at("embedding", -1).alias("last_component"),
+        F.array_min("embedding").alias("min_component"),
+        F.array_max("embedding").alias("max_component"),
+        F.size(F.slice("embedding", 1, 8)).cast("long").alias("head_len"),
+    )
+
+
+ORACLE_ARRAY_FUNCTIONS = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       embedding[1] AS first_component,
+       embedding[-1] AS last_component,
+       list_min(embedding) AS min_component,
+       list_max(embedding) AS max_component,
+       CAST(len(embedding[1:8]) AS BIGINT) AS head_len
+FROM embeddings
+"""
+
+
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: (doc, position, token) rows for a doc subset —
+    the UDTF-shaped operation (generator in the select list)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+ORACLE_POSEXPLODE_TOKENS = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+"""
+
+
 BATCH2_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_functions": q_string_functions,
     "date_functions": q_date_functions,
@@ -431,6 +551,10 @@ BATCH2_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exists_correlated": q_exists_correlated,
     "small_quantity_parts": q_small_quantity_parts,
     "conditional_distinct": q_conditional_distinct,
+    "value_statistics": q_value_statistics,
+    "argmin_supplier": q_argmin_supplier,
+    "array_functions": q_array_functions,
+    "posexplode_tokens": q_posexplode_tokens,
 }
 
 BATCH2_ORACLES: Dict[str, str] = {
@@ -448,4 +572,8 @@ BATCH2_ORACLES: Dict[str, str] = {
     "exists_correlated": ORACLE_EXISTS_CORRELATED,
     "small_quantity_parts": ORACLE_SMALL_QUANTITY_PARTS,
     "conditional_distinct": ORACLE_CONDITIONAL_DISTINCT,
+    "value_statistics": ORACLE_VALUE_STATISTICS,
+    "argmin_supplier": ORACLE_ARGMIN_SUPPLIER,
+    "array_functions": ORACLE_ARRAY_FUNCTIONS,
+    "posexplode_tokens": ORACLE_POSEXPLODE_TOKENS,
 }

@@ -206,6 +206,32 @@ class BatchWriter:
     def clear_stats(self) -> None:
         self._stats.clear()
 
+    # -- bucketed tables (the 100 TB co-located-join path) ----------------
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: List[str],
+        num_buckets: int = 32,
+        sort_cols: Optional[List[str]] = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write a bucketed (and optionally sorted) catalog table.
+
+        Two tables bucketed on the same keys with the same bucket count
+        join WITHOUT a shuffle (Spark matches bucket ids side to side) —
+        this is how the orders⋈lineitem shuffle disappears at 100 TB.
+        Requires saveAsTable (bucket metadata lives in the catalog).
+        """
+        writer = (
+            df.write.format(self.fmt)
+            .mode(mode)
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.option("path", self._table_path(table)).saveAsTable(table)
+
     # -- JDBC sink (K1/K5 for RDBMS targets) ------------------------------
     def write_jdbc(
         self,

@@ -1,0 +1,96 @@
+"""Plan-quality assertions: these tests pin the *physical* properties the
+100 TB design depends on — pushdown reaching the scan, small dims
+broadcast, partial aggregation before the exchange, no Python in the hot
+path. A regression here is a performance bug even when results stay
+correct."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """filter_family: quantity/returnflag predicates must appear as
+    PushedFilters on the parquet scan, and the scan must prune columns."""
+    from data_pipeline_platform_spark.queries import q_filter_family
+
+    plan = _physical_plan(q_filter_family(spark, SF))
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # column pruning: the 11-column table reads only the 5 selected
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_broadcast_joins_in_flagship(spark):
+    from data_pipeline_platform_spark.queries import q_revenue_by_segment_year
+
+    plan = _physical_plan(q_revenue_by_segment_year(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dim join must not shuffle orders
+
+
+def test_multi_join_broadcasts_all_dims(spark):
+    from data_pipeline_platform_spark.queries import q_multi_join_revenue
+
+    plan = _physical_plan(q_multi_join_revenue(spark, SF))
+    # customer, nation, region all broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_partial_aggregation_before_exchange(spark):
+    from data_pipeline_platform_spark.queries import q_pricing_summary
+
+    plan = _physical_plan(q_pricing_summary(spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan
+    # exactly one exchange: the final group-by
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_no_python_eval_in_relational_queries(spark):
+    """The relational + text suite must stay JVM-side (no BatchEvalPython
+    / ArrowEvalPython nodes). mapInPandas appears only in the explicitly
+    pandas-carried operators (SimHash, multimodal)."""
+    from data_pipeline_platform_spark.queries import RELATIONAL_QUERIES
+    from data_pipeline_platform_spark.queries2 import BATCH2_QUERIES
+
+    for name, fn in {**RELATIONAL_QUERIES, **BATCH2_QUERIES}.items():
+        plan = _physical_plan(fn(spark, SF))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    from data_pipeline_platform_spark.queries import q_pricing_summary
+
+    df = q_pricing_summary(spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _physical_plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen stages in the final plan;
+    # both the partial and final aggregates must carry one
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_upsert_anti_join_not_cartesian(spark):
+    from data_pipeline_platform_spark.queries import q_upsert_merge
+
+    plan = _optimized(q_upsert_merge(spark, SF))
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+
+
+def test_lsh_join_is_equi_join(spark):
+    """The MinHash band join must be an equi-join on (band, sig) — a
+    nested-loop here would be the n^2 explosion LSH exists to avoid."""
+    from data_pipeline_platform_spark.functions.dedup import q_dedup_minhash_lsh
+
+    df = q_dedup_minhash_lsh(spark, SF)
+    plan = _physical_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
