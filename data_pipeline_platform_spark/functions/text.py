@@ -206,7 +206,50 @@ FROM scored
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (the LLM-data flagship): compute
+    quality signals, filter to the keep-set, attach a dedup fingerprint,
+    and emit the curated slice. One pass, no Python, fully pushed down —
+    the shape of a 100 TB pretraining-data filter job."""
+    docs = _docs(spark, sf_dir)
+    scored = with_text_stats(docs)
+    kept = scored.filter(
+        (F.col("token_count") >= 20)
+        & (F.col("type_token_ratio") >= 0.15)
+        & (F.col("stopword_ratio") <= 0.5)
+        & (F.col("char_count") >= 100)
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        "token_count",
+        F.round("type_token_ratio", 6).alias("ttr"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    )
+
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CAST(length(text) AS BIGINT) AS char_count,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, text, char_count,
+         CAST(len(toks) AS BIGINT) AS token_count,
+         CAST(len(list_distinct(toks)) AS BIGINT) * 1.0 / len(toks) AS ttr_raw,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS BIGINT) * 1.0 / len(toks) AS swr
+  FROM t
+)
+SELECT doc_id, lang, token_count, round(ttr_raw, 6) AS ttr,
+       md5(lower(trim(text))) AS fingerprint
+FROM scored
+WHERE token_count >= 20 AND ttr_raw >= 0.15 AND swr <= 0.5 AND char_count >= 100
+"""
+
+
 register("text_stats", q_text_stats, ORACLE_TEXT_STATS)
+register("curation_pipeline", q_curation_pipeline, ORACLE_CURATION_PIPELINE)
 register("lang_profile", q_lang_profile, ORACLE_LANG_PROFILE)
 register("fingerprint", q_fingerprint, ORACLE_FINGERPRINT)
 register("token_frequency", q_token_frequency, ORACLE_TOKEN_FREQUENCY)
