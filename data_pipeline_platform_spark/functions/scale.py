@@ -1,0 +1,96 @@
+"""Scale techniques as first-class utilities: skew-salted joins,
+partition-pruned layouts, approximate aggregates.
+
+These are the knobs a 100 TB deployment turns when the defaults (AQE
+skew handling, static partitioning) aren't enough. Each is exact-
+semantics-preserving except the approx_* aggregates, which trade bounded
+error for a sketch-sized shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+    right_on: Optional[str] = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the (small) right side into
+    ``salt_buckets`` copies, salt the left side randomly, join on
+    (key, salt).
+
+    A hot key that would land 10% of the table on one reducer spreads
+    across ``salt_buckets`` tasks instead. Exact same join semantics —
+    every left row still matches every right row with its key exactly
+    once (the right row is replicated per salt, the left row carries one
+    salt). AQE's skew-join splitting handles moderate skew without this;
+    salting is for the pathological keys AQE can't split (single-key
+    partitions).
+
+    ``right`` is replicated ``salt_buckets``x — use with a dimension-
+    sized right side, not another fact table.
+    """
+    rk = right_on or on
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    if right_on is None:
+        joined = salted_left.join(salted_right, on=[on, "__salt"], how=how)
+    else:
+        joined = salted_left.join(
+            salted_right,
+            (salted_left[on] == salted_right[rk])
+            & (salted_left["__salt"] == salted_right["__salt"]),
+            how=how,
+        )
+    return joined.drop("__salt")
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Write with a derived event_date partition column — the layout that
+    makes time-range queries prune to the touched days (PartitionFilters
+    in the scan instead of reading 100 TB to filter 1 day)."""
+    (
+        df.withColumn("event_date", F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def approx_profile(
+    df: DataFrame,
+    group_cols: List[str],
+    distinct_col: str,
+    percentile_col: str,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Sketch-based profile: HLL distinct + approximate percentiles.
+
+    At 100 TB an exact COUNT(DISTINCT) shuffles every distinct value;
+    the HyperLogLog sketch shuffles ~1.5 KB per group at rsd=5%.
+    Approximate by contract — callers needing exactness use the exact
+    operators and pay the shuffle."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias(f"approx_distinct_{distinct_col}"),
+        F.percentile_approx(percentile_col, [0.5, 0.95, 0.99], 10_000).alias(
+            f"{percentile_col}_p50_p95_p99"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

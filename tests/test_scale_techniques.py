@@ -1,0 +1,74 @@
+"""Tests for the scale utilities: salted join semantics, partition
+pruning visible in the plan, approx aggregates within bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions.scale import (
+    approx_profile,
+    salted_join,
+    write_date_partitioned,
+)
+from data_pipeline_platform_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics — row-for-row identical."""
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, on="o_custkey").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+    )
+    salted = salted_join(orders, cust, on="o_custkey", salt_buckets=4).groupBy(
+        "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+    )
+    p = {r["c_mktsegment"]: (r["n"], r["s"]) for r in plain.collect()}
+    s = {r["c_mktsegment"]: (r["n"], r["s"]) for r in salted.collect()}
+    assert p == s
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    right = spark.createDataFrame([(1, "X")], "k long, tag string")
+    out = salted_join(left, right, on="k", how="left", salt_buckets=4)
+    rows = {r["k"]: r["tag"] for r in out.collect()}
+    assert rows == {1: "X", 2: None, 3: None}
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "by_date")
+    write_date_partitioned(events, path)
+
+    one_day = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    # correctness: matches the unpartitioned filter
+    expected = events.filter(F.to_date("ts") == "2024-01-05").count()
+    assert one_day.count() == expected
+
+
+def test_approx_profile_bounds(spark):
+    events = load_table(spark, SF, "events")
+    prof = {r["event_type"]: r for r in approx_profile(
+        events, ["event_type"], distinct_col="user_id", percentile_col="value"
+    ).collect()}
+    exact = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for etype, row in prof.items():
+        approx = row["approx_distinct_user_id"]
+        # rsd=5%: allow generous 20% band at tiny cardinalities
+        assert abs(approx - exact[etype]) <= max(2, 0.2 * exact[etype])
+        p50, p95, p99 = row["value_p50_p95_p99"]
+        assert p50 <= p95 <= p99
