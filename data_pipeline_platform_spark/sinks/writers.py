@@ -131,12 +131,19 @@ class BatchWriter:
     def _write_mode(
         self, df: DataFrame, path: str, mode: str, partition_by: Optional[List[str]]
     ) -> int:
-        # count via the written files, not a second job over the input
-        writer = df.write.format(self.fmt).mode(mode)
+        # rows_written via the Observation API: the count is computed as a
+        # metric of the write job itself — no second pass over the input
+        # (a naive df.count() would re-execute the full upstream plan)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = observed.write.format(self.fmt).mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(path)
-        return df.sparkSession.read.format(self.fmt).load(path).count() if mode == "overwrite" else df.count()
+        return obs.get["rows"]
 
     def _check_duplicate_keys(self, df: DataFrame, path: str, keys: List[str]) -> None:
         """INSERT duplicate-PK failure parity (reference K1): explicit
@@ -184,11 +191,16 @@ class BatchWriter:
         # stage-then-swap: reading and overwriting the same path in one
         # job is unsafe (Spark would delete inputs mid-scan)
         staging = path + ".__staging__"
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F2
+
+        obs = Observation()
+        merged = merged.observe(obs, F2.count(F2.lit(1)).alias("rows"))
         writer = merged.write.format(self.fmt).mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(staging)
-        rows = self.spark.read.format(self.fmt).load(staging).count()
+        rows = obs.get["rows"]
         backup = path + ".__old__"
         if os.path.isdir(backup):
             shutil.rmtree(backup)
