@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Queries that represent the engine's hot paths; the full registry runs in
 # the driver's correctness pass — bench keeps to a stable headline set.
 HEADLINE = [
+    # relational core
     "pricing_summary",
     "revenue_by_segment_year",
     "multi_join_revenue",
@@ -31,6 +32,11 @@ HEADLINE = [
     "extract_year",
     "upsert_merge",
     "left_join_nulls",
+    # extensions (training-data pipeline ops)
+    "curation_pipeline",
+    "dedup_minhash_lsh",
+    "events_sessionize",
+    "cosine_topk",
 ]
 
 

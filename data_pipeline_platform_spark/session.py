@@ -11,11 +11,26 @@ session when one exists).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import SparkSession
 
 from data_pipeline_platform_spark.config.settings import Settings
+
+# Python workers import functions pickled by reference (mapInPandas /
+# applyInPandasWithState kernels live in this package) — they spawn with
+# the driver's PYTHONPATH env, not its sys.path, so the package root must
+# be on the env or any driver running outside the repo dir breaks.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _export_pkg_to_workers() -> None:
+    current = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{current}" if current else _PKG_ROOT
+        )
 
 
 def get_spark(
@@ -35,6 +50,7 @@ def get_spark(
     - Arrow on: pandas interchange and pandas UDFs use Arrow batches.
     """
     settings = settings or Settings()
+    _export_pkg_to_workers()
     builder = SparkSession.builder.appName(app_name).master(master or settings.spark_master)
     for k, v in settings.spark_conf().items():
         builder = builder.config(k, v)

@@ -134,11 +134,38 @@ class BatchIngestor:
     def read_parquet(self, path: str) -> DataFrame:
         return self.spark.read.parquet(path)
 
-    def read_csv(self, path: str, header: bool = True, infer_schema: bool = True, **opts) -> DataFrame:
-        return self.spark.read.options(header=header, inferSchema=infer_schema, **opts).csv(path)
+    def read_csv(
+        self,
+        path: str,
+        header: bool = True,
+        infer_schema: bool = True,
+        mode: str = "PERMISSIVE",
+        schema=None,
+        **opts,
+    ) -> DataFrame:
+        """CSV reader. ``mode`` mirrors the reference's lenient-coercion
+        philosophy (SURVEY §1.2): PERMISSIVE nulls out malformed fields
+        (add ``columnNameOfCorruptRecord`` to keep the raw line),
+        DROPMALFORMED skips bad rows, FAILFAST raises."""
+        reader = self.spark.read.options(
+            header=header, inferSchema=infer_schema, mode=mode, **opts
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.csv(path)
 
-    def read_json(self, path: str, multiline: bool = False, **opts) -> DataFrame:
-        return self.spark.read.options(multiLine=multiline, **opts).json(path)
+    def read_json(
+        self,
+        path: str,
+        multiline: bool = False,
+        mode: str = "PERMISSIVE",
+        schema=None,
+        **opts,
+    ) -> DataFrame:
+        reader = self.spark.read.options(multiLine=multiline, mode=mode, **opts)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(path)
 
     # -- JDBC ------------------------------------------------------------
     def read_jdbc(

@@ -84,3 +84,41 @@ def test_events_ts_normalized(spark):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     row = ev.orderBy("event_id").limit(1).collect()[0]
     assert row["ts"].year == 2024
+
+
+def test_csv_corrupt_record_handling(ing, spark, tmp_path):
+    """PERMISSIVE nulls malformed fields; DROPMALFORMED skips the row;
+    FAILFAST raises (reference lenient-coercion parity, SURVEY §1.2)."""
+    p = tmp_path / "bad.csv"
+    p.write_text("id,age\n1,25\n2,not_a_number\n3,35\n")
+    schema = "id INT, age INT"
+
+    permissive = ing.read_csv(str(p), infer_schema=False, schema=schema).collect()
+    by_id = {r["id"]: r["age"] for r in permissive}
+    assert by_id[1] == 25 and by_id[2] is None and by_id[3] == 35
+
+    # DROPMALFORMED applies to structurally malformed rows (wrong token
+    # count); type-cast failures are field-level and null out instead
+    p2 = tmp_path / "bad2.csv"
+    p2.write_text("id,age\n1,25\n2,30,extra,fields,here\n3,35\n")
+    dropped = ing.read_csv(str(p2), infer_schema=False, schema=schema, mode="DROPMALFORMED")
+    # len(collect()), not count(): count() prunes every column, so the
+    # parser never sees the malformed fields (SPARK-21610)
+    assert len(dropped.collect()) == 2
+
+    with __import__("pytest").raises(Exception):
+        ing.read_csv(str(p), infer_schema=False, schema=schema, mode="FAILFAST").collect()
+
+
+def test_json_corrupt_record_column(ing, spark, tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text('{"id": 1, "v": 10}\n{broken json line\n{"id": 2, "v": 20}\n')
+    df = ing.read_json(
+        str(p),
+        schema="id LONG, v LONG, _corrupt_record STRING",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["id"] is not None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 2 and len(bad) == 1
