@@ -9,6 +9,8 @@ error for a sketch-sized shuffle.
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import List, Optional
 
 from pyspark.sql import DataFrame
@@ -72,6 +74,52 @@ def write_date_partitioned(
         .partitionBy("event_date")
         .parquet(path)
     )
+
+
+def diagnose_skew(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Key-frequency report: the operational first step before choosing
+    AQE-skew-join vs salting vs key-splitting. Returns top keys with
+    their share of total rows."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.round(F.col("n") / F.lit(total), 4))
+        .orderBy(F.col("n").desc(), F.col(key))
+        .limit(top_n)
+    )
+
+
+def compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a table directory into
+    ceil(bytes/target) files. Streaming sinks and incremental appends
+    accumulate small files that poison scan parallelism (one task per
+    tiny file) — compaction restores the intended partition geometry.
+    Returns the new file count."""
+    import math
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    staging = path + ".__compact__"
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(staging)
+    backup = path + ".__old__"
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_files
 
 
 def approx_profile(

@@ -178,6 +178,23 @@ class PipelineRunner:
         self._runs[pid] = result
         return result
 
+    # -- dry-run: show the composed plan without executing ---------------
+    def explain(self, config: Dict[str, Any], mode: str = "formatted") -> str:
+        """Build ingest+transform as ONE lazy plan and return Catalyst's
+        explanation — no data moves. Only possible because stages
+        compose lazily (the reference executes eagerly at every stage,
+        so it has nothing comparable)."""
+        import contextlib
+        import io
+
+        df = self.ingest_stage(config.get("ingestion", {}))
+        if "transformation" in config:
+            df = self.transform_stage(df, config["transformation"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
+
     # -- O5 optional checkpoint (the reference pickles every stage; here
     # checkpointing is opt-in and goes to parquet, not the driver) -------
     def checkpoint(self, df: DataFrame, name: Optional[str] = None) -> DataFrame:
