@@ -290,12 +290,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained kernel: everything defined inside the closure so
+        # cloudpickle ships it by VALUE — workers need no import of this
+        # package (external harnesses run drivers whose workers don't
+        # have it on PYTHONPATH)
+        import hashlib
+
+        def simhash64(tokens):
+            votes = [0] * 64
+            for tok in tokens:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for bit in range(64):
+                    votes[bit] += 1 if (h >> bit) & 1 else -1
+            sig = 0
+            for bit in range(64):
+                if votes[bit] > 0:
+                    sig |= 1 << bit
+            return sig - (1 << 63)
+
         for pdf in batches:
             toks = pdf["text"].map(lambda t: t.split())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "simhash": toks.map(_simhash64).astype("int64"),
+                    "simhash": toks.map(simhash64).astype("int64"),
                 }
             )
 

@@ -54,6 +54,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "events":
+        # runtime-settable SQL conf: required even when the session was
+        # built by an external harness without our session factory
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
