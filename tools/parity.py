@@ -8,6 +8,9 @@ must match to the last bit — the queries are designed for bitwise parity
 via exact decimal arithmetic).
 
 Usage: python tools/parity.py [sf_dir] [query_name ...]
+       DPPS_VANILLA=1 python tools/parity.py ...   # driver-simulation
+                                                   # session (default
+                                                   # confs, ANSI on)
 """
 
 from __future__ import annotations
@@ -89,9 +92,19 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as se
-    from data_pipeline_platform_spark.session import get_spark
 
-    spark = get_spark("parity")
+    if os.environ.get("DPPS_VANILLA"):
+        # simulate the grading driver: default confs (ANSI on in Spark 4),
+        # no factory help
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]").appName("parity-vanilla").getOrCreate()
+        )
+    else:
+        from data_pipeline_platform_spark.session import get_spark
+
+        spark = get_spark("parity")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
 
