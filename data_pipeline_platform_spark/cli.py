@@ -115,6 +115,39 @@ def health_command(args: argparse.Namespace) -> int:
     return 0
 
 
+def status_command(args: argparse.Namespace) -> int:
+    """Cross-process run status from the warehouse run log (reference
+    cli/main.py:213-237 polled the Celery result backend)."""
+    runner = _build_runner(args.warehouse)
+    result = runner.load_run(args.pipeline_id)
+    if result is None:
+        print(json.dumps({"pipeline_id": args.pipeline_id, "status": "unknown"}))
+        return 1
+    print(json.dumps(result, indent=2, default=str))
+    return 0
+
+
+def workers_command(args: argparse.Namespace) -> int:
+    """Execution-resource report (reference `workers` listed Celery
+    workers; here: the Spark session's scheduler geometry)."""
+    from data_pipeline_platform_spark.session import get_spark
+
+    spark = get_spark("pipeline-cli")
+    sc = spark.sparkContext
+    print(
+        json.dumps(
+            {
+                "master": sc.master,
+                "default_parallelism": sc.defaultParallelism,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                "spark_version": spark.version,
+                "scheduler_mode": spark.conf.get("spark.scheduler.mode", "FIFO"),
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pipeline-cli", description="Spark pipeline CLI")
     sub = p.add_subparsers(dest="command", required=True)
@@ -156,6 +189,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp_he = sub.add_parser("health", help="runner/session health")
     common(sp_he)
     sp_he.set_defaults(func=health_command)
+
+    sp_st = sub.add_parser("status", help="status of a past run by pipeline id")
+    common(sp_st)
+    sp_st.add_argument("pipeline_id")
+    sp_st.set_defaults(func=status_command)
+
+    sp_wk = sub.add_parser("workers", help="execution resources report")
+    common(sp_wk)
+    sp_wk.set_defaults(func=workers_command)
 
     return p
 

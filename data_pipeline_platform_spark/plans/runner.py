@@ -171,12 +171,40 @@ class PipelineRunner:
                 if self.idempotency is not None:
                     self.idempotency.clear(key)
                 self._runs[pid] = result
+                self._log_run(result)
                 return result
 
         if self.idempotency is not None:
             self.idempotency.store_result(key, result)
         self._runs[pid] = result
+        self._log_run(result)
         return result
+
+    # -- durable run log (lets `pipeline-cli status` work cross-process,
+    # like the reference's Celery result backend did) --------------------
+    def _log_run(self, result: Dict[str, Any]) -> None:
+        import json
+        import os
+
+        try:
+            runs_dir = os.path.join(self.writer.base_path, "_runs")
+            os.makedirs(runs_dir, exist_ok=True)
+            with open(os.path.join(runs_dir, f"{result['pipeline_id']}.json"), "w") as f:
+                json.dump({k: v for k, v in result.items() if k != "traceback"}, f, default=str)
+        except OSError:
+            pass  # the run log is advisory; never fail the pipeline for it
+
+    def load_run(self, pipeline_id: str) -> Optional[Dict[str, Any]]:
+        """Cross-process status lookup from the run log."""
+        import json
+        import os
+
+        path = os.path.join(self.writer.base_path, "_runs", f"{pipeline_id}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
 
     # -- dry-run: show the composed plan without executing ---------------
     def explain(self, config: Dict[str, Any], mode: str = "formatted") -> str:

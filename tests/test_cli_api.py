@@ -88,3 +88,27 @@ def test_create_app_without_fastapi_raises(spark):
     if not api.HAS_FASTAPI:
         with pytest.raises(ImportError):
             api.create_app()
+
+
+def test_cli_status_cross_process(spark, tmp_path, capsys):
+    cfg = {"ingestion": {"path": "/root/testdata/sf0.001/region.parquet", "format": "parquet"},
+           "persistence": {"table": "r_out", "strategy": "replace"}}
+    f = tmp_path / "c.json"
+    f.write_text(json.dumps(cfg))
+    wh = str(tmp_path / "wh")
+    rc = main(["run", "--config", str(f), "--warehouse", wh])
+    out = json.loads(capsys.readouterr().out)
+    pid = out["pipeline_id"]
+    # a NEW runner instance (fresh process analog) finds the run
+    rc = main(["status", "--warehouse", wh, pid])
+    st = json.loads(capsys.readouterr().out)
+    assert rc == 0 and st["status"] == "success" and st["row_count"] == 5
+    rc = main(["status", "--warehouse", wh, "nonexistent"])
+    assert rc == 1
+    assert json.loads(capsys.readouterr().out)["status"] == "unknown"
+
+
+def test_cli_workers(spark, capsys):
+    rc = main(["workers"])
+    info = json.loads(capsys.readouterr().out)
+    assert rc == 0 and info["default_parallelism"] >= 1 and "spark_version" in info
