@@ -180,6 +180,81 @@ WHERE list_dot_product(a.vec, b.vec) / (a.n * b.n) >= 0.95
 """
 
 
+def build_ivf_index(
+    emb: DataFrame, n_cells: int = 16, vec_col: str = "vec", seed: int = 42
+):
+    """IVF coarse quantizer: k-means centroids over the corpus; each
+    vector is assigned to its nearest cell. Returns (indexed_df,
+    centroids) where indexed_df has an ``ivf_cell`` column.
+
+    At 100 TB the index build is one ML fit (sampled) + one assignment
+    pass, and the assignment column becomes the partition key — query
+    cost is proportional to the probed cells, not the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    ml_df = emb.withColumn("features", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="ivf_cell").fit(
+        ml_df
+    )
+    indexed = model.transform(ml_df).drop("features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF ANN search: rank cells by centroid distance to the query,
+    exact-cosine re-rank inside the ``n_probe`` closest cells."""
+    base = emb.withColumn("vec", _as_double("embedding"))
+    indexed, centroids = build_ivf_index(base, n_cells=n_cells)
+    indexed = indexed.persist()
+
+    q_rows = indexed.filter(F.col("vec_id") == query_vec_id).select("vec").collect()
+    qvec = list(q_rows[0]["vec"])
+
+    # rank cells by centroid distance (driver-side: n_cells floats)
+    def dist2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, qvec))
+
+    probe_cells = [
+        cell for cell, _ in sorted(
+            ((i, dist2(c)) for i, c in enumerate(centroids)), key=lambda t: t[1]
+        )[:n_probe]
+    ]
+
+    qdf = indexed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("qvec")
+    )
+    cand = (
+        indexed.filter(F.col("ivf_cell").isin(probe_cells))
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qdf))
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            _dot("vec", "qvec")
+            / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qvec", "qvec"))),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        .limit(k)
+    )
+
+
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN twin of cosine_topk (approximate -> rows-only check; the
+    recall test lives in tests/test_extensions.py)."""
+    return ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
 register("cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK)
+register("cosine_topk_ivf", q_cosine_topk_ivf)  # approximate -> rows-only
 register("cosine_topk_lsh", q_cosine_topk_lsh)  # approximate -> rows-only
 register("embedding_near_dup", q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP)

@@ -231,3 +231,19 @@ def test_streaming_session_window_runs(spark, tmp_path):
     rows = spark.sql("SELECT * FROM t_sessions").collect()
     assert len(rows) > 0
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with 4-of-16 probed cells should recover most of the exact
+    top-10 (recall floor 0.5 on this small corpus, typically ~1.0)."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {r["vec_id"] for r in cosine_topk(emb, 0, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(emb, 0, k=10).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5
