@@ -360,7 +360,94 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# near-dup clustering (iterative connected components)
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list
+    (``src``/``dst`` long columns) until fixpoint.
+
+    The iterative-algorithm pattern: each round is one join+aggregate
+    plan; convergence is checked with a cheap count. Rounds needed =
+    graph diameter (near-dup clusters are tiny, so 2-4 in practice).
+    Labels are min doc ids — fully deterministic."""
+    from pyspark.sql import functions as F
+
+    bidir = edges.selectExpr("src AS a", "dst AS b").unionByName(
+        edges.selectExpr("dst AS a", "src AS b")
+    ).distinct().persist()
+    labels = bidir.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).persist()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            bidir.join(labels, bidir.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster near-duplicate documents: Jaccard >= 0.2 pairs -> connected
+    components -> (doc_id, cluster) with cluster = min doc_id reachable."""
+    pairs = _jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.2
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a
+"""
+
+
 register("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT)
+register("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS)
 register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD)
 register("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH)
 register("dedup_simhash", q_dedup_simhash)  # rows-only

@@ -785,6 +785,9 @@ def all_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_pipeline_platform_spark.queries2 import BATCH2_QUERIES
 
     out.update(BATCH2_QUERIES)
+    from data_pipeline_platform_spark.queries3 import BATCH4_QUERIES
+
+    out.update(BATCH4_QUERIES)
     from data_pipeline_platform_spark.functions import EXTENSION_QUERIES
 
     out.update(EXTENSION_QUERIES)
@@ -796,6 +799,9 @@ def all_oracles() -> Dict[str, str]:
     from data_pipeline_platform_spark.queries2 import BATCH2_ORACLES
 
     out.update(BATCH2_ORACLES)
+    from data_pipeline_platform_spark.queries3 import BATCH4_ORACLES
+
+    out.update(BATCH4_ORACLES)
     from data_pipeline_platform_spark.functions import EXTENSION_ORACLES
 
     out.update(EXTENSION_ORACLES)
