@@ -192,12 +192,100 @@ GROUP BY 1
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregate: per-label centroid components (posexplode +
+    group-by, exact decimal sums so the float accumulation order can't
+    produce engine-divergent results). The long (label, dim, value)
+    output format is itself the scale-friendly layout — reassembling
+    arrays is a downstream collect_list away."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "component")
+    )
+    return (
+        exploded.withColumn("dim", F.col("dim").cast("long"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                # widen float->double BEFORE the decimal cast: a direct
+                # float->decimal uses the float's shortest decimal repr in
+                # Spark but the widened binary expansion in DuckDB —
+                # 1-ulp-at-9-decimals divergence
+                F.sum(F.col("component").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid_component"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .filter(F.col("dim") < 8)  # keep the oracle comparison compact
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH ex AS (
+  SELECT label, i - 1 AS dim, embedding[i] AS component
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(CAST(component AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_component,
+       COUNT(*) AS n_vectors
+FROM ex WHERE dim < 8
+GROUP BY label, dim
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup -> click -> purchase per user, ordered by
+    event time (first-touch per stage via conditional min). One shuffle
+    on user_id; the canonical product-analytics shape."""
+    ev = _t(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("first_click") > F.col("first_signup"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_clicked_after_signup"),
+        F.sum(
+            F.when(
+                (F.col("first_purchase") > F.col("first_signup"))
+                & (F.col("first_click") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_full_funnel"),
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(first_signup) AS n_signed_up,
+       CAST(SUM(CASE WHEN first_click > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_signup,
+       CAST(SUM(CASE WHEN first_purchase > first_signup AND first_click > first_signup
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM stages
+"""
+
+
 BATCH4_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_volume": q_nation_volume,
     "returned_items": q_returned_items,
     "promo_revenue_share": q_promo_revenue_share,
     "bracket_predicates": q_bracket_predicates,
     "balance_cohorts": q_balance_cohorts,
+    "label_centroids": q_label_centroids,
+    "funnel_conversion": q_funnel_conversion,
 }
 
 BATCH4_ORACLES: Dict[str, str] = {
@@ -206,4 +294,6 @@ BATCH4_ORACLES: Dict[str, str] = {
     "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
     "bracket_predicates": ORACLE_BRACKET_PREDICATES,
     "balance_cohorts": ORACLE_BALANCE_COHORTS,
+    "label_centroids": ORACLE_LABEL_CENTROIDS,
+    "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
 }
