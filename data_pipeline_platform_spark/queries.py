@@ -166,14 +166,6 @@ def q_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part")
     config = {
-        "filter": {
-            "p_name": {"contains": "ol"},
-            "p_brand": {"not_in": ["Brand#55"]},
-        },
-        "select": ["p_partkey", "p_name", "p_brand"],
-    }
-    # select listed first in config op order; put filter cols in select
-    config = {
         "select": ["p_partkey", "p_name", "p_brand"],
         "filter": {"p_name": {"contains": "ol"}, "p_brand": {"not_in": ["Brand#55"]}},
     }

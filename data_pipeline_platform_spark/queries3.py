@@ -278,6 +278,59 @@ FROM stages
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping_id: per-status, per-priority,
+    and grand-total aggregates in one pass (generalizes rollup/cube)."""
+    from data_pipeline_platform_spark.operators.sql_transformer import SQLTransformer
+
+    t = SQLTransformer(spark)
+    return t.transform(
+        _t(spark, sf_dir, "orders"),
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               -- 100.0 in Spark SQL text is a DECIMAL literal (unlike
+               -- F.lit(100.0) or DuckDB, where it's double) — cast it
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total
+        FROM input_data
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Determinism note: the
+    input values are exact 2-decimal doubles and both engines use the
+    (n-1)*q linear interpolation over the sorted values, so the
+    arithmetic is bitwise-reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value"),
+        F.expr("percentile(value, 0.9)").alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_MEDIAN_BY_TYPE = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS median_value,
+       quantile_cont(value, 0.9) AS p90_value,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 BATCH4_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_volume": q_nation_volume,
     "returned_items": q_returned_items,
@@ -286,6 +339,8 @@ BATCH4_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "balance_cohorts": q_balance_cohorts,
     "label_centroids": q_label_centroids,
     "funnel_conversion": q_funnel_conversion,
+    "grouping_sets": q_grouping_sets,
+    "median_by_type": q_median_by_type,
 }
 
 BATCH4_ORACLES: Dict[str, str] = {
@@ -296,4 +351,6 @@ BATCH4_ORACLES: Dict[str, str] = {
     "balance_cohorts": ORACLE_BALANCE_COHORTS,
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
+    "grouping_sets": ORACLE_GROUPING_SETS,
+    "median_by_type": ORACLE_MEDIAN_BY_TYPE,
 }

@@ -87,3 +87,18 @@ def test_partitioned_write(writer, users_df, spark):
     writer.write(users_df, "by_age", WriteStrategy.REPLACE, partition_by=["age"])
     out = writer.read_table("by_age")
     assert out.count() == 5 and "age" in out.columns
+
+
+def test_upsert_partitioned_target(writer, spark):
+    # partition values that type-inference leaves as strings (date-like
+    # directory names would read back as DateType)
+    base = spark.createDataFrame(
+        [(1, "a", "us"), (2, "b", "eu")], "k long, v string, region string"
+    )
+    writer.write(base, "pt", WriteStrategy.REPLACE, partition_by=["region"])
+    updates = spark.createDataFrame(
+        [(2, "B", "eu"), (3, "c", "ap")], "k long, v string, region string"
+    )
+    writer.write(updates, "pt", WriteStrategy.UPSERT, upsert_keys=["k"], partition_by=["region"])
+    rows = {r["k"]: (r["v"], r["region"]) for r in writer.read_table("pt").collect()}
+    assert rows == {1: ("a", "us"), 2: ("B", "eu"), 3: ("c", "ap")}
