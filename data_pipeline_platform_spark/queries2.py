@@ -398,20 +398,29 @@ WHERE l_quantity < 0.5 * avg_qty
 
 
 def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count_if + distinct-on-expression + filtered aggregates."""
+    """count_if + distinct-on-expression + filtered aggregates.
+
+    Every output is pinned to an unambiguous representation: all three
+    counters cast to BIGINT and the conditional MAX coalesced to -1, so
+    groups with no qualifying row hash identically in both engines
+    (r01's one hash mismatch was representational, not semantic)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.count_if(F.col("value") > 100).alias("n_high"),
-        F.countDistinct(F.col("user_id") % 10).alias("user_buckets"),
-        F.max(F.when(F.col("value") > 100, F.col("user_id"))).alias("max_high_user"),
+        F.count_if(F.col("value") > 100).cast("long").alias("n_high"),
+        F.countDistinct(F.col("user_id") % 10).cast("long").alias("user_buckets"),
+        F.coalesce(
+            F.max(F.when(F.col("value") > 100, F.col("user_id"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("max_high_user"),
     )
 
 
 ORACLE_CONDITIONAL_DISTINCT = """
 SELECT event_type,
-       count_if(value > 100) AS n_high,
-       COUNT(DISTINCT user_id % 10) AS user_buckets,
-       MAX(CASE WHEN value > 100 THEN user_id END) AS max_high_user
+       CAST(count_if(value > 100) AS BIGINT) AS n_high,
+       CAST(COUNT(DISTINCT user_id % 10) AS BIGINT) AS user_buckets,
+       CAST(COALESCE(MAX(CASE WHEN value > 100 THEN user_id END), -1) AS BIGINT) AS max_high_user
 FROM events GROUP BY event_type
 """
 
