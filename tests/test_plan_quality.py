@@ -94,3 +94,24 @@ def test_lsh_join_is_equi_join(spark):
     df = q_dedup_minhash_lsh(spark, SF)
     plan = _physical_plan(df)
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_is_equi_join(spark):
+    """The banded hyperplane LSH join must plan as an equi-join on
+    (band_idx, band_val) — r01's all-pairs theta join planned as a
+    BroadcastNestedLoopJoin, O(n^2) in the corpus."""
+    from data_pipeline_platform_spark.functions.similarity import q_embedding_near_dup
+
+    plan = _physical_plan(q_embedding_near_dup(spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_batch_single_scan(spark):
+    """Batch top-k must scan embeddings once for the corpus side (the
+    query side is a broadcast of a tiny filtered subset)."""
+    from data_pipeline_platform_spark.functions.similarity import q_cosine_topk_batch
+
+    plan = _physical_plan(q_cosine_topk_batch(spark, SF))
+    assert "BroadcastExchange" in plan  # query set broadcast
+    # exactly one window shuffle on query_id
+    assert plan.count("Exchange hashpartitioning(query_id") == 1
