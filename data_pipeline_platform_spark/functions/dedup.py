@@ -94,28 +94,57 @@ _DUCK_SHINGLES = """
 """
 
 
-def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Inverted-index exact-Jaccard pair join over 3-word shingles."""
-    sh = with_shingles(docs).select("doc_id", "shingles")
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+STOP_SHINGLE_DF = 50
+
+
+def _jaccard_pairs(
+    docs: DataFrame, threshold: float, stop_shingle_df: int = STOP_SHINGLE_DF
+) -> DataFrame:
+    """Inverted-index exact-Jaccard pairs over 3-word shingles, with a
+    document-frequency cutoff bounding the index self-join.
+
+    Shingles appearing in more than ``stop_shingle_df`` documents
+    ("click here to"-style boilerplate) are dropped from the *candidate*
+    index — the self-join cost is sum(df^2) per shingle, so one hot
+    shingle otherwise dominates the whole job. Verification then
+    computes the exact Jaccard over the FULL shingle sets, so the only
+    recall contract is: a qualifying pair must share at least one
+    sub-cutoff shingle. Near-dups (many shared shingles, most of them
+    rare) satisfy it by construction; at test SF the max shingle df is
+    9, so the cutoff is non-binding and output equals brute force (the
+    oracle)."""
+    from pyspark.sql.window import Window
+
+    # persist: feeds the candidate index and both sides of the verify join
+    sh = with_shingles(docs).select("doc_id", "shingles").persist()
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # document frequency via window on s: one shuffle, reused by the
+    # self-join's hash partitioning on the same key
+    idx = (
+        exploded.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        )
+        .filter(F.col("__df") <= stop_shingle_df)
+        .drop("__df")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("shared")
             * F.lit(1.0)
-            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")),
+            / (F.size("sh_a") + F.size("sh_b") - F.col("shared")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "jaccard")

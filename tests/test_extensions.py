@@ -247,3 +247,39 @@ def test_ivf_recall_vs_exact(spark):
     approx = {r["vec_id"] for r in ivf_topk(emb, 0, k=10).collect()}
     assert len(approx) == 10
     assert len(exact & approx) >= 5
+
+
+def test_stop_shingle_cutoff_preserves_output(spark):
+    """A corpus-wide boilerplate shingle must be dropped from the
+    candidate index (bounding the self-join) WITHOUT changing the
+    verified output: the planted dup pair shares rare shingles and its
+    jaccard is computed over the full shingle sets."""
+    from data_pipeline_platform_spark.functions.dedup import _jaccard_pairs
+
+    boiler = "click here to subscribe now please"  # hot shingles, df = n
+    rows = [(i, f"{boiler} unique body {i} filler words {i * 7}") for i in range(40)]
+    # planted near-dup pair: long shared tail, distinct from the others
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows += [(100, f"{boiler} {dup}"), (101, f"{boiler} {dup} extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(threshold, df_cut):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+            for r in _jaccard_pairs(docs, threshold, stop_shingle_df=df_cut).collect()
+        }
+
+    # At 0.5 every qualifying pair shares rare shingles (the filler docs
+    # peak at ~0.43 on boilerplate alone), so the cutoff is invisible:
+    # identical pairs AND identical jaccard values (exact, over full sets).
+    assert pairs(0.5, 10) == pairs(0.5, 10**9) == {(100, 101, round(16 / 17, 6))}
+
+    # At 0.2 the filler pairs qualify in brute force but share ONLY hot
+    # shingles — the cutoff drops exactly those (the documented recall
+    # contract), never a pair with a rare shared shingle, and never
+    # changes a surviving pair's score.
+    low_cut, low_brute = pairs(0.2, 10), pairs(0.2, 10**9)
+    assert low_cut == {(100, 101, round(16 / 17, 6))}
+    assert low_cut < low_brute
+    dropped = {(a, b) for a, b, _ in low_brute - low_cut}
+    assert dropped and all(a < 100 and b < 100 for a, b in dropped)
