@@ -30,16 +30,32 @@ def salted_join(
     (key, salt).
 
     A hot key that would land 10% of the table on one reducer spreads
-    across ``salt_buckets`` tasks instead. Exact same join semantics —
-    every left row still matches every right row with its key exactly
-    once (the right row is replicated per salt, the left row carries one
-    salt). AQE's skew-join splitting handles moderate skew without this;
-    salting is for the pathological keys AQE can't split (single-key
-    partitions).
+    across ``salt_buckets`` tasks instead. For the supported join types
+    the semantics are exact: every left row carries one salt and meets
+    every right row with its key exactly once (the right row is
+    replicated per salt). AQE's skew-join splitting handles moderate
+    skew without this; salting is for the pathological keys AQE can't
+    split (single-key partitions).
+
+    Only left-preserving ``how`` values are accepted (inner, left,
+    left_semi, left_anti). right/full outer are rejected: the exploded
+    right side would surface every UNMATCHED right row ``salt_buckets``
+    times (one null-extended copy per salt) — salt the other side
+    instead (swap the operands and use ``left``).
 
     ``right`` is replicated ``salt_buckets``x — use with a dimension-
     sized right side, not another fact table.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe — unmatched right "
+            f"rows would be duplicated {salt_buckets}x. Use one of "
+            f"{sorted(allowed)}, or swap operands for a right-outer."
+        )
     rk = right_on or on
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
@@ -100,8 +116,14 @@ def compact(
     ceil(bytes/target) files. Streaming sinks and incremental appends
     accumulate small files that poison scan parallelism (one task per
     tiny file) — compaction restores the intended partition geometry.
-    Returns the new file count."""
+    Returns the new file count. Crash-safe via the same staged-swap
+    healing as the upsert writer (a crash mid-swap leaves the backup as
+    the only copy; recovery restores it before re-compacting)."""
     import math
+
+    from data_pipeline_platform_spark.sinks.writers import recover_staged_swap
+
+    recover_staged_swap(path)
 
     size = sum(
         os.path.getsize(os.path.join(dp, f))

@@ -65,13 +65,59 @@ class IncrementalIngestor:
             return df
         return df.filter(F.col(watermark_col) > F.lit(last))
 
-    def commit_watermark(
-        self, df: DataFrame, source_id: str, watermark_col: str
-    ) -> Optional[Any]:
-        """Record max(watermark_col) of the just-processed increment.
+    def observe_watermark(self, df: DataFrame, watermark_col: str):
+        """Attach a max-watermark observation to the increment.
+
+        Returns ``(observed_df, handle)``: persist the RETURNED frame,
+        then pass the handle to :meth:`commit_observed`. The max is
+        computed by the SAME job that writes the rows — a separate
+        post-persist aggregation would re-execute the plan, and on a
+        live source (JDBC) that second scan can include rows that
+        arrived after the persisted read, advancing the watermark past
+        rows that were never written (silently skipped forever on the
+        next increment).
+        """
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return df.observe(obs, F.max(F.col(watermark_col)).alias("hwm")), obs
+
+    def commit_observed(self, obs, source_id: str) -> Optional[Any]:
+        """Commit the watermark captured by the persist job itself.
         Call AFTER the persist succeeds — crash between persist and
         commit re-processes the increment (at-least-once; pair with
         UPSERT or idempotency keys for effective exactly-once)."""
+        hwm = obs.get["hwm"]
+        if hwm is not None:
+            self.store.set(source_id, hwm)
+        return hwm
+
+    def ingest(
+        self,
+        df: DataFrame,
+        source_id: str,
+        watermark_col: str,
+        persist,
+    ) -> Optional[Any]:
+        """read-beyond-watermark -> persist -> advance, in one call.
+        ``persist`` is a callable receiving the (observed) increment
+        DataFrame; it must trigger exactly one action that writes it.
+        Returns the committed watermark (None if the increment was
+        empty)."""
+        increment = self.read_increment(df, source_id, watermark_col)
+        observed, obs = self.observe_watermark(increment, watermark_col)
+        persist(observed)
+        return self.commit_observed(obs, source_id)
+
+    def commit_watermark(
+        self, df: DataFrame, source_id: str, watermark_col: str
+    ) -> Optional[Any]:
+        """Record max(watermark_col) by RE-SCANNING ``df``. Only sound
+        for frozen sources (an immutable parquet snapshot) — on a live
+        source the re-scan can see rows the persist did not, breaking
+        at-least-once. Prefer :meth:`ingest` / :meth:`observe_watermark`
+        + :meth:`commit_observed`, which read the watermark out of the
+        persist job itself."""
         row = df.agg(F.max(watermark_col).alias("hwm")).collect()[0]
         if row["hwm"] is not None:
             self.store.set(source_id, row["hwm"])

@@ -36,6 +36,34 @@ from pyspark.sql import DataFrame, SparkSession
 from data_pipeline_platform_spark.utils.retry import retry_call
 
 
+def recover_staged_swap(path: str) -> None:
+    """Heal a crashed stage-then-swap before re-attempting it.
+
+    The swap sequence is: write ``path.__staging__``, rename ``path`` ->
+    ``path.__old__``, rename staging -> ``path``, delete backup. A crash
+    between the two renames leaves the backup as the ONLY copy of the
+    table — a naive re-run would then see "no target" and write just the
+    source batch, silently dropping every pre-existing row. Recovery
+    rules (each observable state has exactly one owner):
+
+    - backup exists, table missing  -> crashed mid-swap: the backup IS
+      the table; restore it.
+    - backup exists, table present  -> crashed after the swap completed
+      but before cleanup: the table is current; discard the backup.
+    - staging exists                -> always stale (it is rewritten from
+      scratch each attempt); discard.
+    """
+    backup = path + ".__old__"
+    staging = path + ".__staging__"
+    if os.path.isdir(backup):
+        if os.path.isdir(path):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, path)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+
+
 class WriteStrategy(enum.Enum):
     INSERT = "insert"
     UPSERT = "upsert"
@@ -167,9 +195,18 @@ class BatchWriter:
         (reference :258-270 iterates chunk rows in order). We implement
         "last wins" deterministically with a row_number over a
         monotonically-increasing id.
+
+        Retry-safe: a prior attempt may have died anywhere in the swap
+        sequence, so every entry first heals leftover swap state (see
+        recover_staged_swap). Readers racing the two renames can still
+        observe a missing directory for a moment — a catalog/Delta
+        commit is the fix on a real deployment; for lake-path tables the
+        window is two directory renames.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
+
+        recover_staged_swap(path)
 
         src = df
         # dedup source on keys: last occurrence wins

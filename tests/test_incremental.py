@@ -93,3 +93,45 @@ def test_diagnose_skew(spark):
     top = diagnose_skew(df, "k", top_n=2).collect()
     assert top[0]["k"] == 1 and top[0]["share"] == 0.8
     assert top[1]["k"] == 2
+
+
+def test_observed_watermark_reflects_persisted_rows_only(spark, tmp_path):
+    """The watermark must come out of the persist job itself (Observation),
+    not a second scan: on a live source the re-scan can see rows the
+    persist didn't, advancing the mark past never-written rows."""
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    inc = IncrementalIngestor(store)
+    out = str(tmp_path / "sink")
+
+    src = spark.createDataFrame([(i, float(i)) for i in range(50)], "event_id long, v double")
+    hwm = inc.ingest(src, "live", "event_id", lambda d: d.write.mode("append").parquet(out))
+    assert hwm == 49 and store.get("live") == 49
+    assert spark.read.parquet(out).count() == 50
+
+    # empty increment: no action on the store
+    assert (
+        inc.ingest(src, "live", "event_id", lambda d: d.write.mode("append").parquet(out))
+        is None
+    )
+    assert store.get("live") == 49
+
+    # delta: only rows past the mark are persisted and committed
+    more = src.union(spark.createDataFrame([(60, 60.0)], "event_id long, v double"))
+    hwm = inc.ingest(more, "live", "event_id", lambda d: d.write.mode("append").parquet(out))
+    assert hwm == 60 and store.get("live") == 60
+    assert spark.read.parquet(out).count() == 51
+
+
+def test_observed_watermark_single_job(spark, tmp_path):
+    """observe_watermark computes max in the SAME action as the write —
+    committing must not trigger any further job over the source."""
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    inc = IncrementalIngestor(store)
+    df = spark.createDataFrame([(7, 1.0), (3, 2.0)], "event_id long, v double")
+    observed, obs = inc.observe_watermark(df, "event_id")
+    observed.write.parquet(str(tmp_path / "o"))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert inc.commit_observed(obs, "s") == 7
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # no re-scan

@@ -72,3 +72,23 @@ def test_approx_profile_bounds(spark):
         assert abs(approx - exact[etype]) <= max(2, 0.2 * exact[etype])
         p50, p95, p99 = row["value_p50_p95_p99"]
         assert p50 <= p95 <= p99
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Exploding the right side duplicates unmatched right rows once per
+    salt under right/full outer — salted_join must refuse, not silently
+    corrupt."""
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, tag string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="not salt-safe"):
+            salted_join(left, right, on="k", how=how, salt_buckets=4)
+
+
+def test_salted_join_semi_anti(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    right = spark.createDataFrame([(1, "X"), (1, "Z")], "k long, tag string")
+    semi = salted_join(left, right, on="k", how="left_semi", salt_buckets=4)
+    anti = salted_join(left, right, on="k", how="left_anti", salt_buckets=4)
+    assert sorted(r["k"] for r in semi.collect()) == [1]
+    assert sorted(r["k"] for r in anti.collect()) == [2, 3]

@@ -102,3 +102,43 @@ def test_upsert_partitioned_target(writer, spark):
     writer.write(updates, "pt", WriteStrategy.UPSERT, upsert_keys=["k"], partition_by=["region"])
     rows = {r["k"]: (r["v"], r["region"]) for r in writer.read_table("pt").collect()}
     assert rows == {1: ("a", "us"), 2: ("B", "eu"), 3: ("c", "ap")}
+
+
+def test_upsert_recovers_from_crash_mid_swap(writer, spark):
+    """A crash between `path -> .__old__` and `.__staging__ -> path`
+    leaves the backup as the ONLY copy of the table. The retried upsert
+    must restore it and merge against the full pre-crash target, not
+    treat the table as empty (which would drop every existing row)."""
+    import os
+
+    base = spark.createDataFrame([(i, "orig") for i in range(10)], "id long, name string")
+    writer.write(base, "t", WriteStrategy.INSERT)
+    path = writer._table_path("t")
+    os.rename(path, path + ".__old__")  # simulate crash after 1st rename
+    updates = spark.createDataFrame([(0, "updated"), (500, "new")], "id long, name string")
+    writer.write(updates, "t", WriteStrategy.UPSERT, upsert_keys=["id"])
+    out = {r["id"]: r["name"] for r in writer.read_table("t").collect()}
+    assert len(out) == 11  # 10 originals (1 updated) + 1 insert
+    assert out[0] == "updated" and out[500] == "new" and out[5] == "orig"
+    assert not os.path.isdir(path + ".__old__")
+    assert not os.path.isdir(path + ".__staging__")
+
+
+def test_upsert_discards_stale_backup_and_staging(writer, spark):
+    """Backup beside a live table (crash after swap, before cleanup) and
+    leftover staging are both stale — discarded, table treated as
+    current."""
+    import os
+
+    base = spark.createDataFrame([(i, "orig") for i in range(10)], "id long, name string")
+    writer.write(base, "t", WriteStrategy.INSERT)
+    path = writer._table_path("t")
+    # fake stale state: bogus backup + bogus staging
+    os.makedirs(path + ".__old__")
+    spark.range(3).write.parquet(path + ".__staging__")
+    updates = spark.createDataFrame([(1, "u")], "id long, name string")
+    writer.write(updates, "t", WriteStrategy.UPSERT, upsert_keys=["id"])
+    out = {r["id"]: r["name"] for r in writer.read_table("t").collect()}
+    assert len(out) == 10 and out[1] == "u"
+    assert not os.path.isdir(path + ".__old__")
+    assert not os.path.isdir(path + ".__staging__")
