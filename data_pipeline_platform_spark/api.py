@@ -35,6 +35,13 @@ class PipelineService:
         self.runner = runner
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
         self._futures: Dict[str, Any] = {}
+        self._tasks: Dict[str, Any] = {}
+        # data_id -> lazy DataFrame: the per-stage hand-off. The
+        # reference pickles the full frame through Redis at each task
+        # boundary (workers/tasks.py:478-502); here the registry holds a
+        # PLAN — handing a 100 TB frame between stages costs nothing,
+        # and Catalyst still optimizes across the eventual persist.
+        self._data: Dict[str, Any] = {}
         self._lock = threading.Lock()
 
     # POST /pipelines (reference api/main.py:169-198)
@@ -71,6 +78,88 @@ class PipelineService:
         result = future.result()
         return {"pipeline_id": pipeline_id, "status": result["status"], "result": result}
 
+    # -- per-stage tasks (reference api/main.py:267-401) ------------------
+    def _submit_task(self, kind: str, work) -> Dict[str, Any]:
+        task_id = uuid.uuid4().hex[:12]
+        future = self._pool.submit(work)
+        with self._lock:
+            self._tasks[task_id] = future
+        # PipelineResponse shape (api/main.py: status/pipeline_id/task_id)
+        return {
+            "status": "submitted",
+            "pipeline_id": f"{kind}_task",
+            "task_id": task_id,
+            "message": f"{kind.capitalize()} task submitted successfully",
+        }
+
+    def _register_data(self, df) -> str:
+        from data_pipeline_platform_spark.plans.runner import compute_data_id
+
+        data_id = f"data_{compute_data_id(df)}"
+        with self._lock:
+            self._data[data_id] = df
+        return data_id
+
+    def _get_data(self, data_id: str):
+        with self._lock:
+            df = self._data.get(data_id)
+        if df is None:
+            # message parity: workers/tasks.py:202, :307
+            raise ValueError(f"Data not found for data_id: {data_id}")
+        return df
+
+    # POST /tasks/ingest (api/main.py:267-301; result: tasks.py:113-146)
+    def submit_ingest(self, config: Dict[str, Any]) -> Dict[str, Any]:
+        if not config.get("query") and not config.get("path"):
+            raise ValueError("Query is required for ingestion")  # :275-279
+
+        def _work() -> Dict[str, Any]:
+            df = self.runner.ingest_stage(config)
+            data_id = self._register_data(df)
+            return {
+                "status": "success",
+                "data_id": data_id,
+                "row_count": df.count(),
+                "columns": df.columns,
+            }
+
+        return self._submit_task("ingest", _work)
+
+    # POST /tasks/transform (api/main.py:304-334; result: tasks.py:229-246)
+    def submit_transform(self, data_id: str, config: Dict[str, Any]) -> Dict[str, Any]:
+        def _work() -> Dict[str, Any]:
+            df = self.runner.transform_stage(self._get_data(data_id), config)
+            new_data_id = self._register_data(df)
+            return {
+                "status": "success",
+                "data_id": new_data_id,
+                "row_count": df.count(),
+                "columns": df.columns,
+            }
+
+        return self._submit_task("transform", _work)
+
+    # POST /tasks/persist (api/main.py:337-368; result: writer stat K9)
+    def submit_persist(self, data_id: str, config: Dict[str, Any]) -> Dict[str, Any]:
+        def _work() -> Dict[str, Any]:
+            stat = self.runner.persist_stage(self._get_data(data_id), config)
+            return {"status": "success", **stat}
+
+        return self._submit_task("persist", _work)
+
+    # GET /tasks/{task_id} (api/main.py:371-401 TaskStatusResponse)
+    def task_status(self, task_id: str) -> Dict[str, Any]:
+        with self._lock:
+            future = self._tasks.get(task_id)
+        if future is None:
+            return {"task_id": task_id, "status": "unknown"}
+        if not future.done():
+            return {"task_id": task_id, "status": "pending"}
+        exc = future.exception()
+        if exc is not None:
+            return {"task_id": task_id, "status": "failed", "error": str(exc)}
+        return {"task_id": task_id, "status": "completed", "result": future.result()}
+
     # GET /health (reference api/main.py:~140)
     def health(self) -> Dict[str, Any]:
         return {"status": "healthy", **self.runner.health()}
@@ -81,6 +170,23 @@ class PipelineService:
             running = sum(1 for f in self._futures.values() if not f.done())
             done = sum(1 for f in self._futures.values() if f.done())
         return {"max_workers": self._pool._max_workers, "running": running, "completed": done}
+
+    # GET /workers/health (reference api/main.py:404-455: dispatches a
+    # health_check_task through the worker and waits ≤ timeout)
+    def workers_health(self, timeout: float = 10.0) -> Dict[str, Any]:
+        def _probe() -> Dict[str, Any]:
+            health = self.runner.health()
+            # exercise the execution path end-to-end, not just the dict
+            spark = getattr(self.runner, "spark", None)
+            if spark is not None:
+                health["probe_rows"] = spark.range(1).count()
+            return health
+
+        future = self._pool.submit(_probe)
+        try:
+            return {"status": "healthy", "result": future.result(timeout=timeout)}
+        except Exception as exc:  # timeout or probe failure (:451-455)
+            return {"status": "unhealthy", "error": str(exc)}
 
     def shutdown(self) -> None:
         self._pool.shutdown(wait=False)
@@ -120,8 +226,37 @@ def create_app(runner=None):
     def pipeline_status(pipeline_id: str):
         return service.pipeline_status(pipeline_id)
 
+    @app.post("/tasks/ingest")
+    def task_ingest(body: Dict[str, Any]):
+        try:
+            return service.submit_ingest(body)
+        except ValueError as exc:
+            raise HTTPException(status_code=400, detail=str(exc))
+
+    @app.post("/tasks/transform")
+    def task_transform(body: Dict[str, Any]):
+        data_id = body.get("data_id")
+        if not data_id:
+            raise HTTPException(status_code=422, detail="data_id required")
+        return service.submit_transform(data_id, body.get("transformation_config") or body)
+
+    @app.post("/tasks/persist")
+    def task_persist(body: Dict[str, Any]):
+        data_id = body.get("data_id")
+        if not data_id:
+            raise HTTPException(status_code=422, detail="data_id required")
+        return service.submit_persist(data_id, body)
+
+    @app.get("/tasks/{task_id}")
+    def task_status(task_id: str):
+        return service.task_status(task_id)
+
     @app.get("/workers")
     def workers():
         return service.workers()
+
+    @app.get("/workers/health")
+    def workers_health():
+        return service.workers_health()
 
     return app

@@ -98,6 +98,7 @@ class BatchWriter:
         self.fmt = fmt
         self.max_retries = max_retries
         self._stats: List[Dict[str, Any]] = []
+        self._savepoints: List[Dict[str, Any]] = []
         os.makedirs(base_path, exist_ok=True)
 
     def _table_path(self, table: str, schema: Optional[str] = None) -> str:
@@ -144,6 +145,7 @@ class BatchWriter:
                 self._check_duplicate_keys(df, path, upsert_keys)
             return self._write_mode(df, path, "append", partition_by)
 
+        self._snapshot_for_savepoint(path)
         rows = retry_call(_do, max_retries=self.max_retries)
         duration = time.time() - start
         stat = {
@@ -245,6 +247,64 @@ class BatchWriter:
         os.rename(staging, path)
         shutil.rmtree(backup)
         return rows
+
+    # -- savepoints (reference batch_writer.py:427-454 nested SAVEPOINT) --
+    def _snapshot_for_savepoint(self, path: str) -> None:
+        """Before the first write to ``path`` inside each active
+        savepoint scope, capture its pre-write state (a directory copy;
+        None if the table doesn't exist yet). Rollback restores exactly
+        these states, innermost scope first."""
+        for depth, frame in enumerate(self._savepoints):
+            if path in frame["snapshots"]:
+                continue
+            if os.path.isdir(path):
+                snap = f"{path}.__sp_{frame['name']}_{depth}__"
+                if os.path.isdir(snap):
+                    shutil.rmtree(snap)
+                shutil.copytree(path, snap)
+                frame["snapshots"][path] = snap
+            else:
+                frame["snapshots"][path] = None
+
+    def savepoint(self, name: str = "sp"):
+        """Nested-rollback scope over lake tables (the SAVEPOINT analog;
+        reference batch_writer.py:427-454).
+
+        Inside ``with writer.savepoint("cp"):`` every table is
+        snapshotted (copy-on-first-write) before its first mutation; an
+        exception restores each touched table to its pre-scope state —
+        tables created inside the scope are removed — and re-raises.
+        Success discards the snapshots. Scopes nest: rolling back an
+        inner savepoint leaves the outer scope's snapshots (and thus its
+        rollback point) intact, mirroring ROLLBACK TO SAVEPOINT.
+
+        Directory-copy snapshots suit test/dev scale; on a production
+        lakehouse this maps to Delta/Iceberg time travel (RESTORE TO
+        VERSION), where the snapshot is a metadata pointer, not a copy.
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def _scope():
+            frame: Dict[str, Any] = {"name": name, "snapshots": {}}
+            self._savepoints.append(frame)
+            try:
+                yield self
+            except BaseException:
+                for path, snap in frame["snapshots"].items():
+                    if os.path.isdir(path):
+                        shutil.rmtree(path)
+                    if snap is not None:
+                        os.rename(snap, path)
+                raise
+            else:
+                for snap in frame["snapshots"].values():
+                    if snap is not None and os.path.isdir(snap):
+                        shutil.rmtree(snap)
+            finally:
+                self._savepoints.remove(frame)
+
+        return _scope()
 
     # -- K9 stats (reference :170-177, 507-524) ---------------------------
     def get_write_stats(self, table: Optional[str] = None) -> List[Dict[str, Any]]:

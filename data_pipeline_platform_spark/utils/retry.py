@@ -85,6 +85,59 @@ def retry(
     return decorator
 
 
+def retry_async(
+    max_retries: int = 3,
+    base_delay: float = 1.0,
+    max_delay: float = 60.0,
+    exponential_base: float = 2.0,
+    retry_on: Tuple[Type[BaseException], ...] = (Exception,),
+    on_retry: Callable[[int, Exception], None] | None = None,
+):
+    """Async decorator form (reference retry.py:135-238): same backoff
+    schedule as :func:`retry`, awaiting ``asyncio.sleep`` so the event
+    loop stays free between attempts — the variant async API handlers
+    (FastAPI) need, where a blocking ``time.sleep`` would stall every
+    in-flight request. Exceptions outside ``retry_on`` propagate
+    immediately; ``on_retry(attempt, exc)`` fires after each failed
+    attempt (callback errors are logged, never raised)."""
+    import asyncio
+
+    def decorator(func: Callable) -> Callable:
+        @functools.wraps(func)
+        async def wrapper(*args: Any, **kwargs: Any) -> Any:
+            last_exc: Exception = RuntimeError("no attempts made")
+            for attempt in range(1, max_retries + 1):
+                try:
+                    return await func(*args, **kwargs)
+                except retry_on as exc:
+                    last_exc = exc
+                    if on_retry is not None:
+                        try:
+                            on_retry(attempt, exc)
+                        except Exception as cb_exc:  # advisory only
+                            logger.warning("on_retry callback failed: %s", cb_exc)
+                    if attempt == max_retries:
+                        break
+                    delay = min(
+                        base_delay * exponential_base ** (attempt - 1), max_delay
+                    )
+                    logger.warning(
+                        "attempt %d/%d failed (%s); retrying in %.2fs",
+                        attempt,
+                        max_retries,
+                        exc,
+                        delay,
+                    )
+                    await asyncio.sleep(delay)
+            raise RetryError(
+                f"failed after {max_retries} attempts: {last_exc}", last_exc
+            )
+
+        return wrapper
+
+    return decorator
+
+
 class RetryContext:
     """Context-manager form (reference retry.py:241-302): loop over
     ``attempts()``, breaking on success."""

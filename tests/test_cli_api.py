@@ -112,3 +112,80 @@ def test_cli_workers(spark, capsys):
     rc = main(["workers"])
     info = json.loads(capsys.readouterr().out)
     assert rc == 0 and info["default_parallelism"] >= 1 and "spark_version" in info
+
+
+def _wait_task(service, task_id, timeout=30.0):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        st = service.task_status(task_id)
+        if st["status"] not in ("pending",):
+            return st
+        time.sleep(0.25)
+    raise TimeoutError(f"task {task_id} still pending")
+
+
+def test_api_per_stage_task_chain(spark, tmp_warehouse):
+    """POST /tasks/ingest -> /tasks/transform -> /tasks/persist with
+    data_id hand-off, GET /tasks/{id} polling between stages (reference
+    api/main.py:267-401)."""
+    from data_pipeline_platform_spark.api import PipelineService
+    from data_pipeline_platform_spark.plans.runner import PipelineRunner
+    from data_pipeline_platform_spark.sinks.writers import BatchWriter
+
+    writer = BatchWriter(spark, base_path=tmp_warehouse)
+    service = PipelineService(PipelineRunner(spark, writer=writer))
+
+    sub = service.submit_ingest(
+        {"path": "/root/testdata/sf0.001/nation.parquet", "format": "parquet"}
+    )
+    assert sub["status"] == "submitted" and sub["pipeline_id"] == "ingest_task"
+    ing = _wait_task(service, sub["task_id"])
+    assert ing["status"] == "completed"
+    assert ing["result"]["row_count"] == 25
+    data_id = ing["result"]["data_id"]
+    assert data_id.startswith("data_")
+
+    sub = service.submit_transform(
+        data_id,
+        {"type": "sql", "query": "SELECT n_regionkey, COUNT(*) AS n FROM input_data GROUP BY n_regionkey"},
+    )
+    tr = _wait_task(service, sub["task_id"])
+    assert tr["status"] == "completed" and tr["result"]["row_count"] == 5
+    assert tr["result"]["data_id"] != data_id
+
+    sub = service.submit_persist(tr["result"]["data_id"], {"table": "per_region"})
+    pe = _wait_task(service, sub["task_id"])
+    assert pe["status"] == "completed" and pe["result"]["rows_written"] == 5
+    assert writer.read_table("per_region").count() == 5
+    service.shutdown()
+
+
+def test_api_task_failures_and_unknown(spark):
+    from data_pipeline_platform_spark.api import PipelineService
+    from data_pipeline_platform_spark.plans.runner import PipelineRunner
+
+    service = PipelineService(PipelineRunner(spark))
+    # missing query/path rejected synchronously (api/main.py:275-279)
+    with pytest.raises(ValueError, match="Query is required"):
+        service.submit_ingest({})
+    # unknown data_id fails the task with the reference's message
+    sub = service.submit_transform("data_nope", {"type": "sql", "query": "SELECT 1"})
+    st = _wait_task(service, sub["task_id"])
+    assert st["status"] == "failed"
+    assert "Data not found for data_id: data_nope" in st["error"]
+    assert service.task_status("missing")["status"] == "unknown"
+    service.shutdown()
+
+
+def test_api_workers_health(spark):
+    from data_pipeline_platform_spark.api import PipelineService
+    from data_pipeline_platform_spark.plans.runner import PipelineRunner
+
+    service = PipelineService(PipelineRunner(spark))
+    out = service.workers_health(timeout=60.0)
+    assert out["status"] == "healthy"
+    assert out["result"]["is_healthy"] is True
+    assert out["result"]["probe_rows"] == 1
+    service.shutdown()

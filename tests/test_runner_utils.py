@@ -161,3 +161,42 @@ def test_idempotent_decorator_caches(tmp_path):
     assert job(21) == {"result": 42}
     assert job(21) == {"result": 42}  # cached, not re-run
     assert calls["n"] == 1
+
+
+def test_retry_async_succeeds_after_failures():
+    import asyncio
+
+    from data_pipeline_platform_spark.utils.retry import retry_async
+
+    calls = {"n": 0}
+    seen = []
+
+    @retry_async(max_retries=3, base_delay=0.01, on_retry=lambda a, e: seen.append(a))
+    async def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+        return "ok"
+
+    assert asyncio.run(flaky()) == "ok"
+    assert calls["n"] == 3 and seen == [1, 2]
+
+
+def test_retry_async_exhaustion_and_filter():
+    import asyncio
+
+    from data_pipeline_platform_spark.utils.retry import retry_async
+
+    @retry_async(max_retries=2, base_delay=0.01)
+    async def always_fails():
+        raise ValueError("nope")
+
+    with pytest.raises(RetryError, match="failed after 2 attempts"):
+        asyncio.run(always_fails())
+
+    @retry_async(max_retries=5, base_delay=0.01, retry_on=(IOError,))
+    async def wrong_type():
+        raise KeyError("not retried")
+
+    with pytest.raises(KeyError):  # outside retry_on -> immediate
+        asyncio.run(wrong_type())

@@ -142,3 +142,49 @@ def test_upsert_discards_stale_backup_and_staging(writer, spark):
     assert len(out) == 10 and out[1] == "u"
     assert not os.path.isdir(path + ".__old__")
     assert not os.path.isdir(path + ".__staging__")
+
+
+def test_savepoint_rollback_restores_and_drops(writer, spark):
+    """Savepoint analog (reference batch_writer.py:427-454): an exception
+    inside the scope restores every touched table to its pre-scope state
+    and removes tables created inside the scope."""
+    base = spark.createDataFrame([(i, "orig") for i in range(5)], "id long, name string")
+    writer.write(base, "t", WriteStrategy.INSERT)
+    with pytest.raises(RuntimeError, match="boom"):
+        with writer.savepoint("cp1"):
+            writer.write(
+                spark.createDataFrame([(1, "mut")], "id long, name string"),
+                "t", WriteStrategy.UPSERT, upsert_keys=["id"],
+            )
+            writer.write(base, "created_inside", WriteStrategy.INSERT)
+            raise RuntimeError("boom")
+    out = {r["id"]: r["name"] for r in writer.read_table("t").collect()}
+    assert out == {i: "orig" for i in range(5)}  # mutation rolled back
+    assert not writer.table_exists("created_inside")
+
+
+def test_savepoint_commit_and_nesting(writer, spark):
+    """Success discards snapshots; an inner rollback must not disturb
+    the outer scope's committed writes (ROLLBACK TO SAVEPOINT parity)."""
+    import os
+
+    base = spark.createDataFrame([(i, "v0") for i in range(3)], "id long, name string")
+    writer.write(base, "t", WriteStrategy.INSERT)
+    with writer.savepoint("outer"):
+        writer.write(
+            spark.createDataFrame([(0, "v1")], "id long, name string"),
+            "t", WriteStrategy.UPSERT, upsert_keys=["id"],
+        )
+        with pytest.raises(ValueError):
+            with writer.savepoint("inner"):
+                writer.write(
+                    spark.createDataFrame([(1, "v2")], "id long, name string"),
+                    "t", WriteStrategy.UPSERT, upsert_keys=["id"],
+                )
+                raise ValueError("inner fails")
+    out = {r["id"]: r["name"] for r in writer.read_table("t").collect()}
+    # outer write survived, inner write rolled back
+    assert out == {0: "v1", 1: "v0", 2: "v0"}
+    # no snapshot litter
+    table_dir = os.path.dirname(writer._table_path("t"))
+    assert not [f for f in os.listdir(table_dir) if "__sp_" in f]
