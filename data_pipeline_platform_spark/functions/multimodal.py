@@ -41,12 +41,21 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def repartition_for_blobs(
-    df: DataFrame, avg_blob_bytes: int, target_partition_bytes: int = 128 << 20
+    df: DataFrame,
+    avg_blob_bytes: int,
+    target_partition_bytes: int = 128 << 20,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Partition by payload volume: rows-per-partition chosen so one Arrow
-    batch stays within executor memory even when each row carries MBs."""
+    batch stays within executor memory even when each row carries MBs.
+
+    Pass ``n_rows`` when known (catalog stats, a prior Observation, the
+    manifest of an ingest batch) — otherwise this triggers a counting
+    action over ``df`` mid-pipeline, an acceptable one-off for a sizing
+    heuristic but a full extra scan of the upstream plan."""
     rows_per_partition = max(1, target_partition_bytes // max(1, avg_blob_bytes))
-    n_rows = df.count()
+    if n_rows is None:
+        n_rows = df.count()
     n_parts = max(1, (n_rows + rows_per_partition - 1) // rows_per_partition)
     return df.repartition(n_parts)
 

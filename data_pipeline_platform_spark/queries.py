@@ -798,6 +798,14 @@ GRADE_PRIORITY: list = [
     "language_id",
     "fingerprint",
     "token_frequency",
+    # corpus-curation family
+    "deterministic_sample",
+    "pii_scrub",
+    "pack_sequences",
+    "bigram_stats",
+    "contamination_check",
+    "length_buckets",
+    "corpus_mixture",
     # events family
     "events_tumbling_hour",
     "events_sessionize",
@@ -824,18 +832,20 @@ GRADE_PRIORITY: list = [
     "global_count",               # A3
     "window_rank",                # §2.5 windows
     "running_sum",                # window frames
-    "orderby_limit",              # §2.6
-    "set_ops",                    # §2.6 set ops
-    "anti_join",                  # upsert-style anti join
-    "left_join_nulls",            # outer join nulls
     "sql_transform_upper",        # §2.8 SQL transform
     "param_filter",               # S4 parameterized query
     "schema_validate",            # schema operator
     "upsert_merge",               # K3 upsert
-    "rollup_revenue",             # grouping sets/rollup
-    "pivot_segments",             # pivot
     "value_statistics",           # engineered stddev
     "exists_correlated",          # correlated subquery
+    # below here = past the 50-entry grading window (all green in
+    # CORRECTNESS_r01; still covered by tools/parity.py + pytest)
+    "orderby_limit",              # §2.6
+    "set_ops",                    # §2.6 set ops
+    "anti_join",                  # upsert-style anti join
+    "left_join_nulls",            # outer join nulls
+    "rollup_revenue",             # grouping sets/rollup (grouping_sets in-window)
+    "pivot_segments",             # pivot
 ]
 
 

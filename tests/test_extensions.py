@@ -283,3 +283,64 @@ def test_stop_shingle_cutoff_preserves_output(spark):
     assert low_cut < low_brute
     dropped = {(a, b) for a, b, _ in low_brute - low_cut}
     assert dropped and all(a < 100 and b < 100 for a, b in dropped)
+
+
+def test_with_ngrams_short_doc_guard(spark):
+    from data_pipeline_platform_spark.functions.corpus import with_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, "a b c d")], "doc_id long, text string"
+    )
+    out = with_ngrams(docs, 3, "ng").select("doc_id", "ng").collect()
+    got = {(r["doc_id"], r["ng"]) for r in out}
+    # doc 1 (2 tokens) and doc 2 (1 token) emit nothing for n=3
+    assert got == {(3, "a b c"), (3, "b c d")}
+
+
+def test_pack_sequences_bins_respect_budget(spark):
+    from data_pipeline_platform_spark.functions.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 30)) for i in range(10)], "doc_id long, text string"
+    )
+    rows = pack_sequences(docs, budget=100).select("doc_id", "bin_id").collect()
+    bins = {r["doc_id"]: r["bin_id"] for r in rows}
+    # 30 tokens each: docs 0-3 start below 100 (prior 0,30,60,90 -> bin 0),
+    # docs 4-6 prior 120..180 -> bin 1, docs 7-9 prior 210..270 -> bin 2
+    assert bins == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 2}
+
+
+def test_contamination_finds_planted_overlap(spark):
+    from data_pipeline_platform_spark.functions.corpus import contamination_check
+
+    evalset = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "totally unrelated content with no overlap here at all"),
+            (2, "prefix words then the quick brown fox jumps over something"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_shared_ngrams"] for r in contamination_check(train, evalset, n=5).collect()}
+    # doc 2 shares "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert out == {2: 2}
+
+
+def test_corpus_plans_stay_shuffle_lean(spark):
+    """deterministic_sample and pii_scrub must be pure scan+filter (no
+    exchange); contamination_check must be an equi-join (no cartesian)."""
+    from data_pipeline_platform_spark.functions.corpus import (
+        q_contamination_check,
+        q_deterministic_sample,
+        q_pii_scrub,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_deterministic_sample, q_pii_scrub):
+        plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, q.__name__
+    plan = q_contamination_check(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
