@@ -113,25 +113,29 @@ def _jaccard_pairs(
     rare) satisfy it by construction; at test SF the max shingle df is
     9, so the cutoff is non-binding and output equals brute force (the
     oracle)."""
-    from pyspark.sql.window import Window
-
     # persist: feeds the candidate index and both sides of the verify join
     sh = with_shingles(docs).select("doc_id", "shingles").persist()
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    # document frequency via window on s: one shuffle, reused by the
-    # self-join's hash partitioning on the same key
-    idx = (
-        exploded.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("s"))
-        )
-        .filter(F.col("__df") <= stop_shingle_df)
-        .drop("__df")
-    )
-    a = idx.alias("a")
-    b = idx.alias("b")
+    # ONE shuffle does everything: group the inverted index per shingle,
+    # measure document frequency as the posting-list size (distinct
+    # docs), apply the stop-shingle cutoff, and expand in-bucket pairs
+    # with a higher-order expression. The former shape (window df count
+    # + exploded self-join) shuffled the index three times for the same
+    # result; the cutoff bounds the m(m-1)/2 expansion at cutoff².
     cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        exploded.groupBy("s")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= stop_shingle_df))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -243,18 +247,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")).persist()
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # candidates via ONE shuffle: group docs per (band, sig) bucket and
+    # expand in-bucket pairs with a higher-order expression. A self-join
+    # would shuffle the bands frame on both sides (and force a persist to
+    # avoid recomputing the signature subtree); the groupBy moves the
+    # same bytes once. Bucket sizes are the LSH collision sets — small by
+    # construction — so the m(m-1)/2 expansion stays tiny; a pathological
+    # hot bucket means the banding parameters are wrong, not the plan.
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
