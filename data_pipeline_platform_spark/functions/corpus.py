@@ -328,7 +328,136 @@ FROM g
 """
 
 
+# -- the flagship: full training-data pipeline -------------------------------
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-data job, composed from the operator
+    family as ONE lazy plan: benchmark split -> quality filter -> exact
+    dedup -> near-dedup (candidates->verify) -> 5-gram decontamination
+    -> sequence packing.
+
+    Catalyst sees the whole chain, so the quality predicates push into
+    the scan and every later stage works on the shrinking survivor set
+    — the quality filter runs once, not per stage. The only heavy
+    exchanges are the three the semantics require (fingerprint groupBy,
+    shingle posting lists, pack window), each keyed differently because
+    each answers a different question. Stage order is the cheap-first
+    order a 100 TB run wants: row-local quality scoring prunes before
+    anything shuffles.
+    """
+    from data_pipeline_platform_spark.functions.dedup import _jaccard_pairs
+    from data_pipeline_platform_spark.functions.text import with_text_stats
+
+    docs = _docs(spark, sf_dir)
+    # src0 is the held-out benchmark: never trained on, used raw as the
+    # decontamination reference
+    evalset = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+
+    kept = with_text_stats(train).filter(
+        (F.col("token_count") >= 20)
+        & (F.col("type_token_ratio") >= 0.15)
+        & (F.col("stopword_ratio") <= 0.5)
+        & (F.col("char_count") >= 100)
+    )
+
+    # exact dedup: keep the lowest doc_id per content fingerprint
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    uniq = (
+        kept.withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fp")
+    )
+
+    # near-dedup at jaccard >= 0.8: drop the higher id of each pair
+    pairs = _jaccard_pairs(uniq.select("doc_id", "text"), threshold=0.8)
+    dup_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    deduped = uniq.join(dup_b, "doc_id", "left_anti")
+
+    # decontamination against the raw benchmark
+    dirty = contamination_check(
+        deduped.select("doc_id", "text"), evalset.select("text"), n=CONTAM_NGRAM
+    )
+    clean = deduped.join(dirty.select("doc_id"), "doc_id", "left_anti")
+
+    # pack survivors into token-budget bins
+    w_pack = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        clean.withColumn(
+            "prior", F.coalesce(F.sum("token_count").over(w_pack), F.lit(0))
+        )
+        .withColumn("bin_id", (F.col("prior") / PACK_BUDGET).cast("long"))
+        .select("doc_id", "lang", "source", "token_count", "bin_id")
+    )
+
+
+ORACLE_TRAINING_DATA_PIPELINE = f"""
+WITH train AS (
+  SELECT doc_id, lang, source, text,
+         CAST(length(text) AS BIGINT) AS char_count,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE source <> 'src0'
+), scored AS (
+  SELECT doc_id, lang, source, text, char_count, toks,
+         CAST(len(toks) AS BIGINT) AS token_count,
+         CAST(len(list_distinct(toks)) AS BIGINT) * 1.0 / len(toks) AS ttr,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+           * 1.0 / len(toks) AS swr
+  FROM train
+), kept AS (
+  SELECT * FROM scored
+  WHERE token_count >= 20 AND ttr >= 0.15 AND swr <= 0.5 AND char_count >= 100
+), uniq AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+), sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END) AS shingles
+  FROM uniq
+), dup_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+         len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+), deduped AS (
+  SELECT * FROM uniq
+  WHERE doc_id NOT IN (SELECT doc_b FROM dup_pairs WHERE jaccard >= 0.8)
+), train_ng AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - {CONTAM_NGRAM - 2}), i ->
+           list_aggregate(toks[i:i + {CONTAM_NGRAM - 1}], 'string_agg', ' '))) AS ng
+  FROM deduped WHERE len(toks) >= {CONTAM_NGRAM}
+), eval_ng AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(1, len(toks) - {CONTAM_NGRAM - 2}), i ->
+           list_aggregate(toks[i:i + {CONTAM_NGRAM - 1}], 'string_agg', ' '))) AS ng
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE source = 'src0')
+  WHERE len(toks) >= {CONTAM_NGRAM}
+), clean AS (
+  SELECT * FROM deduped WHERE doc_id NOT IN (
+    SELECT DISTINCT t.doc_id FROM train_ng t JOIN eval_ng e ON t.ng = e.ng)
+), packed AS (
+  SELECT doc_id, lang, source, token_count,
+         COALESCE(SUM(token_count) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prior
+  FROM clean
+)
+SELECT doc_id, lang, source, token_count,
+       CAST(prior // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM packed
+"""
+
+
 register("deterministic_sample", q_deterministic_sample, ORACLE_DETERMINISTIC_SAMPLE)
+register("training_data_pipeline", q_training_data_pipeline, ORACLE_TRAINING_DATA_PIPELINE)
 register("pii_scrub", q_pii_scrub, ORACLE_PII_SCRUB)
 register("pack_sequences", q_pack_sequences, ORACLE_PACK_SEQUENCES)
 register("bigram_stats", q_bigram_stats, ORACLE_BIGRAM_STATS)

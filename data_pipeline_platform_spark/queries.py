@@ -799,6 +799,7 @@ GRADE_PRIORITY: list = [
     "fingerprint",
     "token_frequency",
     # corpus-curation family
+    "training_data_pipeline",
     "deterministic_sample",
     "pii_scrub",
     "pack_sequences",
