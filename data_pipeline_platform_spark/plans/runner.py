@@ -82,6 +82,10 @@ class PipelineRunner:
             return self.ingestor.read_json(path, **config.get("options", {}))
         if fmt == "jdbc":
             return self.ingestor.read_jdbc(**config.get("options", {}))
+        if fmt == "orc":
+            return self.ingestor.read_orc(path, **config.get("options", {}))
+        if fmt == "text":
+            return self.ingestor.read_text(path, **config.get("options", {}))
         raise ValueError(f"unsupported ingestion format: {fmt!r}")
 
     # -- O2 transform stage (dispatch parity: tasks.py:205-225) ----------

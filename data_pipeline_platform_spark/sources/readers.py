@@ -171,6 +171,22 @@ class BatchIngestor:
             reader = reader.schema(schema)
         return reader.json(path)
 
+    def read_orc(self, path: str, **opts) -> DataFrame:
+        """ORC reader (native vectorized scan, predicate pushdown and
+        column pruning like parquet)."""
+        return self.spark.read.options(**opts).orc(path)
+
+    def read_text(
+        self, path: str, whole_text: bool = False, line_sep: str = None, **opts
+    ) -> DataFrame:
+        """Raw text reader -> one `value` column per line (or per file
+        with ``whole_text`` — the document-ingest shape for corpus
+        pipelines: pair with `functions/corpus.py` operators)."""
+        reader = self.spark.read.options(**opts)
+        if line_sep is not None:
+            reader = reader.option("lineSep", line_sep)
+        return reader.text(path, wholetext=whole_text)
+
     # -- JDBC ------------------------------------------------------------
     def read_jdbc(
         self,

@@ -129,3 +129,30 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys=("event_id",),
+    ts_col: str = "ts",
+    late_threshold: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state — the streaming
+    twin of ``df.dropDuplicates(keys)`` (and of the batch
+    `functions/dedup.py::q_dedup_exact` family).
+
+    Plain ``dropDuplicates`` on a stream keeps every key ever seen in
+    state — unbounded growth, an eventual OOM at stream scale.
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    event-time watermark passes it: duplicates arriving within
+    ``late_threshold`` of the original are suppressed, state for older
+    keys is evicted, and rows behind the watermark are dropped as late
+    (standard Structured Streaming policy). Works on batch frames too
+    (falls back to dropDuplicates) so pipelines stay engine-agnostic.
+    """
+    cols = list(keys)
+    if events.isStreaming:
+        return events.withWatermark(ts_col, late_threshold).dropDuplicatesWithinWatermark(
+            cols
+        )
+    return events.dropDuplicates(cols)

@@ -122,3 +122,51 @@ def test_json_corrupt_record_column(ing, spark, tmp_path):
     good = [r for r in rows if r["id"] is not None]
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(good) == 2 and len(bad) == 1
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from data_pipeline_platform_spark.sources.readers import BatchIngestor, load_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.orc(path)
+    ing = BatchIngestor(spark)
+    out = ing.read_orc(path).filter("n_regionkey = 2").select("n_name")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() == nation.filter("n_regionkey = 2").count()
+    # predicate reaches the ORC scan
+    assert "PushedFilters" in plan and "n_regionkey" in plan
+
+
+def test_text_reader_lines_and_whole(spark, tmp_path):
+    from data_pipeline_platform_spark.sources.readers import BatchIngestor
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("single doc body")
+    ing = BatchIngestor(spark)
+    lines = ing.read_text(str(p))
+    assert lines.count() == 3 and lines.columns == ["value"]
+    whole = ing.read_text(str(p), whole_text=True)
+    assert whole.count() == 2
+    texts = {r["value"] for r in whole.collect()}
+    assert "single doc body" in texts
+
+
+def test_runner_ingests_orc_and_text(spark, tmp_path):
+    from data_pipeline_platform_spark.plans.runner import PipelineRunner
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    region = load_table(spark, "/root/testdata/sf0.001", "region")
+    orc_path = str(tmp_path / "region_orc")
+    region.write.orc(orc_path)
+    runner = PipelineRunner(spark)
+    df = runner.ingest_stage({"path": orc_path, "format": "orc"})
+    assert df.count() == 5
+
+    txt = tmp_path / "t"
+    txt.mkdir()
+    (txt / "x.txt").write_text("hello\nworld\n")
+    df = runner.ingest_stage({"path": str(txt), "format": "text"})
+    assert df.count() == 2

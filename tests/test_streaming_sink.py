@@ -77,3 +77,35 @@ def test_stream_append_to_parquet_sink(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 100
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    """Duplicated input files -> stream_dedup output == batch
+    dropDuplicates (late_threshold chosen so no test event falls behind
+    the watermark; eviction semantics are the documented contract)."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stream_dedup,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    stream_dir = str(tmp_path / "dup_events")
+    # every event written twice, across different files
+    events.repartition(3).write.parquet(stream_dir)
+    events.repartition(2).write.mode("append").parquet(stream_dir)
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    q = run_to_memory(
+        stream_dedup(stream, late_threshold="3650 days"), "t_dedup"
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM t_dedup").collect()[0]
+    expected = events.select("event_id").distinct().count()
+    assert got["n"] == expected == got["d"]
+
+    # batch fall-through: same function, no stream
+    doubled = events.union(events)
+    assert stream_dedup(doubled).count() == expected
