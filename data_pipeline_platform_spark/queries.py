@@ -866,6 +866,9 @@ def all_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_pipeline_platform_spark.queries3 import BATCH4_QUERIES
 
     out.update(BATCH4_QUERIES)
+    from data_pipeline_platform_spark.queries4 import BATCH5_QUERIES
+
+    out.update(BATCH5_QUERIES)
     from data_pipeline_platform_spark.functions import EXTENSION_QUERIES
 
     out.update(EXTENSION_QUERIES)
@@ -880,6 +883,9 @@ def all_oracles() -> Dict[str, str]:
     from data_pipeline_platform_spark.queries3 import BATCH4_ORACLES
 
     out.update(BATCH4_ORACLES)
+    from data_pipeline_platform_spark.queries4 import BATCH5_ORACLES
+
+    out.update(BATCH5_ORACLES)
     from data_pipeline_platform_spark.functions import EXTENSION_ORACLES
 
     out.update(EXTENSION_ORACLES)
