@@ -215,3 +215,45 @@ register("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE)
 register("events_user_activity", q_events_user_activity, ORACLE_EVENTS_USER_ACTIVITY)
 register("events_json_props", q_events_json_props, ORACLE_EVENTS_JSON_PROPS)
 register("events_asof_join", q_events_asof_join, ORACLE_EVENTS_ASOF_JOIN)
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted as active per week offset — the standard growth-analytics
+    matrix. Two aggregations over one scan subtree (first-seen per user,
+    distinct active weeks per user) joined on user_id; the join input is
+    already user-grain, so it is orders of magnitude smaller than the
+    event stream at 100 TB."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT user_id) AS active_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+register("events_retention", q_events_retention, ORACLE_EVENTS_RETENTION)
