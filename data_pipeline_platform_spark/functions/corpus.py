@@ -464,3 +464,46 @@ register("bigram_stats", q_bigram_stats, ORACLE_BIGRAM_STATS)
 register("contamination_check", q_contamination_check, ORACLE_CONTAMINATION_CHECK)
 register("length_buckets", q_length_buckets, ORACLE_LENGTH_BUCKETS)
 register("corpus_mixture", q_corpus_mixture, ORACLE_CORPUS_MIXTURE)
+
+
+# -- stratified sampling -----------------------------------------------------
+STRATUM_K = 5
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str = "source", k: int = STRATUM_K, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each stratum
+    by md5(key) and keep the first k — a balanced cross-source slice
+    that is reproducible across engines and cluster sizes (``sampleBy``
+    is seeded RNG: different engines, different rows). One window
+    shuffle keyed on the stratum; the hash ranking needs no global
+    sort."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source, lang, n_chars
+FROM (
+  SELECT doc_id, source, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {STRATUM_K}
+"""
+
+register("stratified_sample", q_stratified_sample, ORACLE_STRATIFIED_SAMPLE)

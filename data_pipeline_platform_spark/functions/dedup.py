@@ -329,8 +329,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature computation is a mapInPandas batch job (bit-level votes are
     awkward as Column exprs); banding on 16-bit chunks turns the pair
     search into 4 equi-joins — the scalable alternative to an n^2 XOR
-    scan. Rows-only oracle: the md5-bit pipeline is not reasonably
-    SQL-expressible."""
+    scan. Fully oracle-graded: the DuckDB twin rebuilds the md5 bit
+    votes from hex nibbles (validated bit-identical to this kernel) and
+    replays the banded candidate restriction."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -398,10 +399,49 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
         .filter(F.col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# The md5-bit kernel IS SQL-expressible after all: per-token bits come out
+# of the md5 hex string nibble-by-nibble (validated bit-identical to the
+# Python kernel's int.from_bytes(md5[:8], 'big')), votes/banding/Hamming
+# follow in plain SQL. The banded candidate restriction (share >= 1 exact
+# 16-bit chunk) is replayed via EXISTS so the oracle grades exactly what
+# the Spark query computes, including its recall contract.
+ORACLE_DEDUP_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), bits AS (
+  SELECT doc_id, b,
+         ((strpos('0123456789abcdef', substr(md5(tok), 16 - b//4, 1)) - 1) >> (b % 4)) & 1 AS bit
+  FROM toks, range(0, 64) r(b)
+), votes AS (
+  SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END)
+              - (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), usig AS (
+  SELECT doc_id, simhash,
+         CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0 THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS u
+  FROM sig
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM usig a JOIN usig b ON a.doc_id < b.doc_id
+  WHERE EXISTS (SELECT 1 FROM range(0, 4) c(ci)
+                WHERE ((a.u >> (ci*16)) & 65535) = ((b.u >> (ci*16)) & 65535))
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -494,4 +534,4 @@ register("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT)
 register("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS)
 register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD)
 register("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH)
-register("dedup_simhash", q_dedup_simhash)  # rows-only
+register("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH)

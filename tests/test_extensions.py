@@ -344,3 +344,24 @@ def test_corpus_plans_stay_shuffle_lean(spark):
         assert "Exchange" not in plan, q.__name__
     plan = q_contamination_check(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_stratified_sample_balanced_and_deterministic(spark):
+    from data_pipeline_platform_spark.functions.corpus import stratified_sample
+
+    rows = [(i, f"src{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    s1 = stratified_sample(df, k=3).collect()
+    s2 = stratified_sample(df, k=3).collect()
+    per = {}
+    for r in s1:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 3 for v in per.values()) and len(per) == 4
+    # deterministic across runs
+    assert {(r["doc_id"], r["source"]) for r in s1} == {
+        (r["doc_id"], r["source"]) for r in s2
+    }
+    # strata smaller than k are kept whole
+    tiny = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
+    out = stratified_sample(tiny, k=5)
+    assert out.count() == 3
