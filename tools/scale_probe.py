@@ -30,6 +30,20 @@ HEADLINE = [
     "extract_year",
     "upsert_merge",
     "left_join_nulls",
+    "local_supplier_volume",
+    "large_orders",
+    "customer_order_distribution",
+    "events_sessionize",
+    "events_retention",
+    # corpus ops (documents inflated with a replica prefix token; the
+    # pairwise dedup ops are excluded — replicating a corpus makes every
+    # replica a near-dup of its source, which measures the replication
+    # artifact, not the operator)
+    "curation_pipeline",
+    "dedup_exact",
+    "pack_sequences",
+    "bigram_stats",
+    "corpus_mixture",
 ]
 
 
@@ -44,8 +58,9 @@ def inflate(spark):
         "orders": ["o_orderkey"],
         "lineitem": ["l_orderkey"],
         "events": ["event_id"],
+        "documents": ["doc_id"],
     }
-    for t in ("region", "nation", "customer", "supplier", "part", "documents", "embeddings"):
+    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
         dst = f"{OUT}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copyfile(f"{BASE}/{t}.parquet", dst)
@@ -58,6 +73,12 @@ def inflate(spark):
         rep = df.withColumn("__r", F.explode(F.array(*[F.lit(i) for i in range(FACTOR)])))
         for k in keys:
             rep = rep.withColumn(k, F.col(k) + F.col("__r").cast("long") * (n * 10))
+        if t == "documents":
+            # prefix a replica token so replicas are not byte-identical
+            # (dedup_exact should see 20x distinct groups, not 20-copy ones)
+            rep = rep.withColumn(
+                "text", F.concat(F.lit("r"), F.col("__r").cast("string"), F.lit(" "), F.col("text"))
+            )
         rep.drop("__r").repartition(32).write.mode("overwrite").parquet(dst)
         print(f"inflated {t}: {n} -> {n * FACTOR} rows", file=sys.stderr)
 
