@@ -349,3 +349,121 @@ BATCH5_ORACLES: Dict[str, str] = {
     "supplier_part_coverage": ORACLE_SUPPLIER_PART_COVERAGE,
     "large_orders": ORACLE_LARGE_ORDERS,
 }
+
+
+def q_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation: high-value customers (acctbal >
+    5000) vs customers holding urgent orders — either side may be
+    missing; COALESCE folds the key, null counts classify the side."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("hv_key"), "c_acctbal")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("ur_key"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    joined = cust.join(urgent, cust.hv_key == urgent.ur_key, "full_outer")
+    return joined.select(
+        F.coalesce("hv_key", "ur_key").alias("custkey"),
+        F.when(F.col("hv_key").isNotNull() & F.col("ur_key").isNotNull(), "both")
+        .when(F.col("hv_key").isNotNull(), "high_value_only")
+        .otherwise("urgent_only")
+        .alias("side"),
+        F.coalesce("n_urgent", F.lit(0)).cast("long").alias("n_urgent"),
+    )
+
+
+ORACLE_FULL_OUTER_RECON = """
+WITH cust AS (
+  SELECT c_custkey AS hv_key, c_acctbal FROM customer WHERE c_acctbal > 5000
+), urgent AS (
+  SELECT o_custkey AS ur_key, COUNT(*) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+)
+SELECT COALESCE(hv_key, ur_key) AS custkey,
+       CASE WHEN hv_key IS NOT NULL AND ur_key IS NOT NULL THEN 'both'
+            WHEN hv_key IS NOT NULL THEN 'high_value_only'
+            ELSE 'urgent_only' END AS side,
+       COALESCE(n_urgent, 0) AS n_urgent
+FROM cust FULL OUTER JOIN urgent ON hv_key = ur_key
+"""
+
+
+def q_unpivot_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): one wide conditional-agg row per year melted to
+    (year, priority, n) long form — the inverse of pivot_segments."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).cast("long").alias("urgent"),
+        F.sum(F.when(F.col("o_orderpriority") == "3-MEDIUM", 1).otherwise(0)).cast("long").alias("medium"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)).cast("long").alias("low"),
+    )
+    return wide.select(
+        "order_year",
+        F.expr(
+            "stack(3, 'urgent', urgent, 'medium', medium, 'low', low) AS (priority, n)"
+        ),
+    )
+
+
+ORACLE_UNPIVOT_PRIORITIES = """
+WITH wide AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+         CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+  FROM orders GROUP BY 1
+)
+SELECT order_year, priority, n
+FROM wide UNPIVOT (n FOR priority IN (urgent, medium, low))
+"""
+
+
+def q_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer order totals summed over a
+    30-day event-time window (RANGE BETWEEN 30 PRECEDING on
+    days-since-epoch) — the value-based frame ROWS frames can't express
+    when orders per day vary."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_day", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("order_day").cast("long").alias("order_day"),
+        F.sum(_cents("o_totalprice")).over(w).alias("rolling_30d_cents"),
+    )
+
+
+ORACLE_ROLLING_30D_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS order_day,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) AS rolling_30d_cents
+FROM orders
+"""
+
+BATCH5_QUERIES.update({
+    "full_outer_recon": q_full_outer_recon,
+    "unpivot_priorities": q_unpivot_priorities,
+    "rolling_30d_revenue": q_rolling_30d_revenue,
+})
+BATCH5_ORACLES.update({
+    "full_outer_recon": ORACLE_FULL_OUTER_RECON,
+    "unpivot_priorities": ORACLE_UNPIVOT_PRIORITIES,
+    "rolling_30d_revenue": ORACLE_ROLLING_30D_REVENUE,
+})

@@ -72,3 +72,20 @@ def test_every_query_has_callable_signature(spark):
     assert set(oracles) <= set(qs)
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_grade_priority_names_all_resolve():
+    """A typo in GRADE_PRIORITY would silently drop a query out of the
+    driver's 50-entry grading window — every name must exist, and the
+    window must be exactly full."""
+    from data_pipeline_platform_spark.queries import GRADE_PRIORITY, all_queries
+
+    registry = all_queries()
+    missing = [n for n in GRADE_PRIORITY if n not in registry]
+    assert missing == []
+    # no duplicates
+    assert len(GRADE_PRIORITY) == len(set(GRADE_PRIORITY))
+    # everything in the priority list lands in the graded window
+    window = list(registry)[:50]
+    in_priority_and_window = [n for n in GRADE_PRIORITY[:50] if n in window]
+    assert in_priority_and_window == GRADE_PRIORITY[:50]
