@@ -115,3 +115,23 @@ def test_cosine_topk_batch_single_scan(spark):
     assert "BroadcastExchange" in plan  # query set broadcast
     # exactly one window shuffle on query_id
     assert plan.count("Exchange hashpartitioning(query_id") == 1
+
+
+def test_batch5_plans(spark):
+    """Scale-critical properties of the batch-5 TPC-H shapes."""
+    from data_pipeline_platform_spark.queries4 import (
+        q_large_orders,
+        q_local_supplier_volume,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # Q5: dims broadcast; no cartesian anywhere
+    plan = q_local_supplier_volume(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    # Q18: lineitem is pre-aggregated (partial_sum before the exchange)
+    # and the quantity filter runs on the aggregate, not post-join
+    plan = q_large_orders(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial_" in plan
+    assert "CartesianProduct" not in plan
