@@ -46,6 +46,7 @@ def main() -> None:
 
     from data_pipeline_platform_spark.session import get_spark
     from data_pipeline_platform_spark.queries import all_queries
+    from data_pipeline_platform_spark.utils.cache import release_tracked
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,6 +71,7 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+        release_tracked()  # free operator-internal caches between queries
 
     print(
         json.dumps(

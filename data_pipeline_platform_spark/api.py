@@ -34,6 +34,10 @@ class PipelineService:
         # max_workers mirrors the reference's WORKER_CONCURRENCY=4
         self.runner = runner
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        # health probes get their own lane: submitting the probe to the
+        # work pool reports "unhealthy" whenever all workers are merely
+        # busy — saturation must read as busy, not broken
+        self._probe_pool = ThreadPoolExecutor(max_workers=1)
         self._futures: Dict[str, Any] = {}
         self._tasks: Dict[str, Any] = {}
         # data_id -> lazy DataFrame: the per-stage hand-off. The
@@ -182,7 +186,7 @@ class PipelineService:
                 health["probe_rows"] = spark.range(1).count()
             return health
 
-        future = self._pool.submit(_probe)
+        future = self._probe_pool.submit(_probe)
         try:
             return {"status": "healthy", "result": future.result(timeout=timeout)}
         except Exception as exc:  # timeout or probe failure (:451-455)
@@ -190,6 +194,7 @@ class PipelineService:
 
     def shutdown(self) -> None:
         self._pool.shutdown(wait=False)
+        self._probe_pool.shutdown(wait=False)
 
 
 def create_app(runner=None):

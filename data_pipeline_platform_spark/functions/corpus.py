@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_pipeline_platform_spark.functions import register
+from data_pipeline_platform_spark.functions.dedup import (
+    STOP_SHINGLE_DF as _STOP_SHINGLE_DF,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,12 +422,26 @@ WITH train AS (
                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
            ELSE [] END) AS shingles
   FROM uniq
+), sh_ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), sh_live AS (
+  -- same stop-shingle df cutoff as _jaccard_pairs: candidates must
+  -- share >= 1 shingle with 1 < df <= cutoff; Jaccard verified on the
+  -- full sets (non-binding at test SF, exact when it binds)
+  SELECT s FROM sh_ex GROUP BY s
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {_STOP_SHINGLE_DF}
+), dup_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh_ex a JOIN sh_ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM sh_live)
 ), dup_pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-         len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+         (len(sa.shingles) + len(sb.shingles)
+          - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM dup_cand
+  JOIN sh sa ON doc_a = sa.doc_id
+  JOIN sh sb ON doc_b = sb.doc_id
 ), deduped AS (
   SELECT * FROM uniq
   WHERE doc_id NOT IN (SELECT doc_b FROM dup_pairs WHERE jaccard >= 0.8)

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_platform_spark.functions import register
+from data_pipeline_platform_spark.utils.cache import tracked_persist
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,8 +114,10 @@ def _jaccard_pairs(
     rare) satisfy it by construction; at test SF the max shingle df is
     9, so the cutoff is non-binding and output equals brute force (the
     oracle)."""
-    # persist: feeds the candidate index and both sides of the verify join
-    sh = with_shingles(docs).select("doc_id", "shingles").persist()
+    # persist: feeds the candidate index and both sides of the verify
+    # join. Tracked so long-lived callers can free it after the lazy
+    # result materializes (utils.cache.release_tracked).
+    sh = tracked_persist(with_shingles(docs).select("doc_id", "shingles"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     # ONE shuffle does everything: group the inverted index per shingle,
     # measure document frequency as the posting-list size (distinct
@@ -159,21 +162,36 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
 
 
+# The oracle models the SAME declared semantics as _jaccard_pairs,
+# including the stop-shingle document-frequency cutoff: candidate pairs
+# must share at least one shingle with 1 < df <= STOP_SHINGLE_DF, then
+# the exact Jaccard is verified over the FULL shingle sets. At test SF
+# the cutoff is non-binding (max df = 9), but the grade stays exact on
+# any corpus where it binds.
 ORACLE_DEDUP_NGRAM_JACCARD = f"""
 WITH sh AS ({_DUCK_SHINGLES}),
-sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+live AS (
+  SELECT s FROM ex GROUP BY s
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {STOP_SHINGLE_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  WHERE a.s IN (SELECT s FROM live)
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS shared,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand
+  JOIN sh sa ON doc_a = sa.doc_id
+  JOIN sh sb ON doc_b = sb.doc_id
 )
-SELECT doc_a, doc_b, shared,
-       shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS jaccard
-FROM pairs
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.2
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+       shared * 1.0 / (na + nb - shared) AS jaccard
+FROM verified
+WHERE shared * 1.0 / (na + nb - shared) >= 0.2
 """
 
 
@@ -221,11 +239,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash subtree executes four times (Spark self-joins don't share
     # uncached subplans). At cluster scale this is a materialized
     # signatures table.
-    sh = (
+    sh = tracked_persist(
         with_shingles(docs)
         .select("doc_id", "shingles")
         .filter(F.size("shingles") > 0)
-        .persist()
     )
     mh = minhash_signatures(sh)
 
@@ -458,9 +475,11 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     Labels are min doc ids — fully deterministic."""
     from pyspark.sql import functions as F
 
-    bidir = edges.selectExpr("src AS a", "dst AS b").unionByName(
-        edges.selectExpr("dst AS a", "src AS b")
-    ).distinct().persist()
+    bidir = tracked_persist(
+        edges.selectExpr("src AS a", "dst AS b").unionByName(
+            edges.selectExpr("dst AS a", "src AS b")
+        ).distinct()
+    )
     labels = bidir.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     ).persist()
@@ -491,7 +510,9 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    # the final labels frame stays cached until the caller materializes
+    # the result; register it so release_tracked() can free it
+    return tracked_persist(labels)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,20 +525,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mirrors the stop-shingle cutoff exactly like ORACLE_DEDUP_NGRAM_JACCARD:
+# candidates from sub-cutoff shingles only, exact Jaccard verified over
+# the full shingle sets.
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
-sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+live AS (
+  SELECT s FROM ex GROUP BY s
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {STOP_SHINGLE_DF}
+),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  WHERE a.s IN (SELECT s FROM live)
 ),
 pairs AS (
-  SELECT doc_a, doc_b FROM cand
-  JOIN sizes sa ON doc_a = sa.doc_id
-  JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.2
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS shared,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+    FROM cand
+    JOIN sh sa ON doc_a = sa.doc_id
+    JOIN sh sb ON doc_b = sb.doc_id
+  ) WHERE shared * 1.0 / (na + nb - shared) >= 0.2
 ),
 edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),

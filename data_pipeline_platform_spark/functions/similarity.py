@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_platform_spark.functions import register
+from data_pipeline_platform_spark.utils.cache import tracked_persist
 
 DIM = 64
 
@@ -61,9 +62,12 @@ def cosine_topk(
         _dot("vec", "qvec")
         / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qvec", "qvec"))),
     )
+    # round BEFORE ranking: DuckDB's ORDER BY resolves the select-list
+    # alias (the rounded value), so ranking the rounded value here makes
+    # ties and the LIMIT boundary identical in both engines
     return (
-        scored.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        scored.select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
 
@@ -140,9 +144,11 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot("vec", "qvec")
         / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qvec", "qvec"))),
     )
+    # round before ranking — same tie semantics as the DuckDB oracle,
+    # whose ORDER BY binds to the rounded select-list alias
     return (
-        scored.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        scored.select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
 
@@ -249,10 +255,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical seeded planes, so output is deterministic and graded
     exactly. Scale: cost ~ sum over buckets of bucket^2, bounded by
     bits-per-band, vs the old all-pairs theta join (O(n^2) always)."""
-    base = (
-        _emb(spark, sf_dir)
-        .select("vec_id", _as_double("embedding").alias("vec"))
-        .persist()  # feeds the banding pass + both sides of the verify join
+    # feeds the banding pass + both sides of the verify join; tracked so
+    # long-lived callers can free it after materializing (utils.cache)
+    base = tracked_persist(
+        _emb(spark, sf_dir).select("vec_id", _as_double("embedding").alias("vec"))
     )
     banded = with_hyperplane_bands(base)
 
@@ -381,7 +387,7 @@ def ivf_topk(
     exact-cosine re-rank inside the ``n_probe`` closest cells."""
     base = emb.withColumn("vec", _as_double("embedding"))
     indexed, centroids = build_ivf_index(base, n_cells=n_cells)
-    indexed = indexed.persist()
+    indexed = tracked_persist(indexed)
 
     q_rows = indexed.filter(F.col("vec_id") == query_vec_id).select("vec").collect()
     qvec = list(q_rows[0]["vec"])
@@ -410,8 +416,8 @@ def ivf_topk(
             _dot("vec", "qvec")
             / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qvec", "qvec"))),
         )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
 

@@ -771,94 +771,14 @@ RELATIONAL_ORACLES: Dict[str, str] = {
 }
 
 
-# The driver grades the FIRST 50 registry entries per round (observed:
-# CORRECTNESS_r01 == first 50 of queries() in registration order). This
-# list pins the grading window: every LLM-extension family (dedup /
-# similarity / text / events), every query that was red or ungraded in
-# the previous round, and one representative per SURVEY §2 operator
-# family. Queries not listed follow in their natural order (positions
-# 51+) — all of them already carry a green CORRECTNESS_r01 row.
-GRADE_PRIORITY: list = [
-    # dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_simhash",
-    # similarity family
-    "cosine_topk",
-    "cosine_topk_batch",
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
-    "embedding_near_dup",
-    # text family
-    "text_stats",
-    "curation_pipeline",
-    "lang_profile",
-    "language_id",
-    "fingerprint",
-    "token_frequency",
-    # corpus-curation family
-    "training_data_pipeline",
-    "deterministic_sample",
-    "pii_scrub",
-    "pack_sequences",
-    "bigram_stats",
-    "contamination_check",
-    "length_buckets",
-    "corpus_mixture",
-    # events family
-    "events_tumbling_hour",
-    "events_sessionize",
-    "events_user_activity",
-    "events_json_props",
-    "events_asof_join",
-    "funnel_conversion",
-    "label_centroids",
-    # previously past the cutoff / previously red
-    "grouping_sets",
-    "median_by_type",
-    "balance_cohorts",
-    "conditional_distinct",
-    # one representative per §2 core family (the rotated-out variants
-    # are all green in CORRECTNESS_r01)
-    "pricing_summary",            # A4 SQL aggregates
-    "revenue_by_segment_year",    # flagship projection+agg
-    "multi_join_revenue",         # §2.3 joins
-    "filter_family",              # P3-P7 filters
-    "map_apply",                  # P10/P11
-    "add_columns_revenue",        # P8
-    "rename_select_drop",         # P1/P2/P9
-    "group_agg_naming",           # A1 naming contract
-    "global_count",               # A3
-    "window_rank",                # §2.5 windows
-    "running_sum",                # window frames
-    "sql_transform_upper",        # §2.8 SQL transform
-    "param_filter",               # S4 parameterized query
-    "schema_validate",            # schema operator
-    "upsert_merge",               # K3 upsert
-    "value_statistics",           # engineered stddev
-    "exists_correlated",          # correlated subquery
-    # below here = past the 50-entry grading window (all green in
-    # CORRECTNESS_r01; still covered by tools/parity.py + pytest)
-    "orderby_limit",              # §2.6
-    "set_ops",                    # §2.6 set ops
-    "anti_join",                  # upsert-style anti join
-    "left_join_nulls",            # outer join nulls
-    "rollup_revenue",             # grouping sets/rollup (grouping_sets in-window)
-    "pivot_segments",             # pivot
-]
-
-
-def _ordered(full: Dict) -> Dict:
-    out = {n: full[n] for n in GRADE_PRIORITY if n in full}
-    out.update({n: v for n, v in full.items() if n not in out})
-    return out
-
-
+# Registry order is plain registration order (relational core, then the
+# later batches, then the extension families) — fixed by module
+# structure and deliberately independent of how any external harness
+# samples it. The full registry is exercised end-to-end by
+# tools/parity.py and the pytest suite regardless of sampling.
 def all_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Full registry: relational core + batch-2 + extensions, in
-    grade-priority order (see GRADE_PRIORITY)."""
+    """Full registry: relational core + later batches + extensions, in
+    registration order."""
     out = dict(RELATIONAL_QUERIES)
     from data_pipeline_platform_spark.queries2 import BATCH2_QUERIES
 
@@ -872,7 +792,7 @@ def all_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_pipeline_platform_spark.functions import EXTENSION_QUERIES
 
     out.update(EXTENSION_QUERIES)
-    return _ordered(out)
+    return out
 
 
 def all_oracles() -> Dict[str, str]:
@@ -889,4 +809,4 @@ def all_oracles() -> Dict[str, str]:
     from data_pipeline_platform_spark.functions import EXTENSION_ORACLES
 
     out.update(EXTENSION_ORACLES)
-    return _ordered(out)
+    return out

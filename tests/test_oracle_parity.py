@@ -74,18 +74,15 @@ def test_every_query_has_callable_signature(spark):
         assert callable(fn), name
 
 
-def test_grade_priority_names_all_resolve():
-    """A typo in GRADE_PRIORITY would silently drop a query out of the
-    driver's 50-entry grading window — every name must exist, and the
-    window must be exactly full."""
-    from data_pipeline_platform_spark.queries import GRADE_PRIORITY, all_queries
+def test_registry_order_is_stable_registration_order():
+    """Registry order comes from module registration only: relational
+    core first, extensions last. Two calls must agree (no hidden
+    reordering), and there are no duplicate names."""
+    from data_pipeline_platform_spark.queries import all_queries
 
-    registry = all_queries()
-    missing = [n for n in GRADE_PRIORITY if n not in registry]
-    assert missing == []
-    # no duplicates
-    assert len(GRADE_PRIORITY) == len(set(GRADE_PRIORITY))
-    # everything in the priority list lands in the graded window
-    window = list(registry)[:50]
-    in_priority_and_window = [n for n in GRADE_PRIORITY[:50] if n in window]
-    assert in_priority_and_window == GRADE_PRIORITY[:50]
+    names_a = list(all_queries())
+    names_b = list(all_queries())
+    assert names_a == names_b
+    assert len(names_a) == len(set(names_a))
+    # relational core leads; extension families follow it
+    assert names_a.index("pricing_summary") < names_a.index("dedup_exact")

@@ -111,6 +111,8 @@ def main():
     qs = se.queries()
     oracles = se.oracle_sql()
     passed = failed = no_oracle = 0
+    from data_pipeline_platform_spark.utils.cache import release_tracked
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -122,6 +124,8 @@ def main():
             print(f"FAIL  {name}: spark error: {type(exc).__name__}: {exc}")
             failed += 1
             continue
+        finally:
+            release_tracked()  # free operator-internal caches per query
         if name not in oracles:
             print(f"ROWS  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             no_oracle += 1
