@@ -789,6 +789,9 @@ def all_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_pipeline_platform_spark.queries4 import BATCH5_QUERIES
 
     out.update(BATCH5_QUERIES)
+    from data_pipeline_platform_spark.queries5 import BATCH6_QUERIES
+
+    out.update(BATCH6_QUERIES)
     from data_pipeline_platform_spark.functions import EXTENSION_QUERIES
 
     out.update(EXTENSION_QUERIES)
@@ -806,6 +809,9 @@ def all_oracles() -> Dict[str, str]:
     from data_pipeline_platform_spark.queries4 import BATCH5_ORACLES
 
     out.update(BATCH5_ORACLES)
+    from data_pipeline_platform_spark.queries5 import BATCH6_ORACLES
+
+    out.update(BATCH6_ORACLES)
     from data_pipeline_platform_spark.functions import EXTENSION_ORACLES
 
     out.update(EXTENSION_ORACLES)

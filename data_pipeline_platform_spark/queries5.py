@@ -1,0 +1,376 @@
+"""Query suite, batch 6: the last TPC-H shapes (Q11/Q20/Q21/Q22, adapted
+to the driver schema — no partsupp, no commit/receipt dates; every
+adaptation is documented per query) plus a Gopher-style intra-document
+repetition metric for the corpus family.
+
+Parity conventions match queries.py: money stays in integer cents until
+the final division; threshold comparisons against aggregates are done in
+exact integer arithmetic (value*1000 > total, bal*n > sum) so both
+engines compare identical integers instead of engine-ordered float
+divisions.
+
+Q11 important_parts         Q20 promo_part_suppliers
+Q21 waiting_suppliers       Q22 idle_customers
+     repetition_stats (corpus quality)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_platform_spark.queries import _cents, _t
+
+
+# ---------------------------------------------------------------------------
+# Q11 (adapted): parts that concentrate a nation's traded value
+# ---------------------------------------------------------------------------
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp: lineitem revenue for suppliers of
+    one nation stands in for supplycost*availqty). Parts whose revenue
+    through NATION_5 suppliers exceeds 1/1000 of that nation's total.
+
+    Plan: dims broadcast into the fact scan, ONE agg exchange on
+    p_partkey, ONE scan of the fact table. The global total comes from
+    an unpartitioned window over the per-part aggregate — that funnels
+    the frame to a single partition, which is exactly right here: the
+    frame is bounded by |parts touched by one nation's suppliers| (a
+    dimension-sized set even at 100 TB), and the alternative
+    (re-aggregating into a scalar and joining back) re-executes the
+    whole fact subtree — Spark does not reuse uncached sibling plans.
+    The threshold is compared in exact integer cents (value*1000 >
+    total) so Spark and the oracle accept identical part sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    value_c = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value_c).alias("value_c"))
+    )
+    return (
+        per_part.withColumn("total_c", F.sum("value_c").over(Window.partitionBy()))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_c") / 10000.0).alias("part_value"),
+        )
+    )
+
+
+ORACLE_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS value_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value_c / 10000.0 AS part_value
+FROM per_part
+WHERE value_c * 1000 > (SELECT SUM(value_c) FROM per_part)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted): suppliers dominating a promoted part's volume
+# ---------------------------------------------------------------------------
+
+def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty: a supplier 'holds excess
+    share' when it shipped more than half of a part's 1997 volume).
+    Suppliers shipping > 50% of the total 1997 quantity of any part
+    whose name starts with 'red'.
+
+    Plan: part filter broadcast into the fact scan, one agg exchange on
+    (part, supplier), then a part-keyed window over the already-tiny agg
+    frame — the 2*qty > total comparison stays in exact BIGINT. The
+    supplier dim joins the final (small) survivor set."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supp = _t(spark, sf_dir, "supplier")
+
+    per_ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("part_total", F.sum("qty").over(w))
+        .filter(F.col("qty") * 2 > F.col("part_total"))
+    )
+    return (
+        dominant.join(F.broadcast(supp), dominant.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "qty",
+            "part_total",
+        )
+    )
+
+
+ORACLE_PROMO_PART_SUPPLIERS = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1997 AND p_name LIKE 'red%'
+  GROUP BY l_partkey, l_suppkey
+), dominant AS (
+  SELECT *, SUM(qty) OVER (PARTITION BY l_partkey) AS part_total FROM per_ps
+)
+SELECT s_suppkey, s_name, l_partkey AS p_partkey, qty, part_total
+FROM dominant JOIN supplier ON l_suppkey = s_suppkey
+WHERE qty * 2 > part_total
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted): suppliers who alone held up multi-supplier orders
+# ---------------------------------------------------------------------------
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no receipt/commit dates: 'late' means
+    l_shipdate > o_orderdate + 60 days; counts are per distinct
+    (order, supplier) rather than per lineitem row). For finished
+    orders ('F') involving >= 2 suppliers where EXACTLY ONE supplier
+    shipped late, count such orders per late supplier; top 20.
+
+    Plan: the textbook form is two correlated self-joins on the fact
+    table (EXISTS other-supplier, NOT EXISTS other-late-supplier) —
+    two extra fact shuffles. Reformulated as ONE aggregation keyed on
+    (order, supplier) followed by an order-keyed window: n_suppliers
+    and n_late_suppliers per order answer both correlated predicates
+    at once. The oracle runs the textbook EXISTS/NOT EXISTS spec,
+    proving the reformulation equivalent."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_late", F.sum("is_late").over(w)
+    )
+    waits = flagged.filter(
+        (F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    )
+    return (
+        waits.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+WITH l AS (
+  SELECT DISTINCT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END) OVER (PARTITION BY l_orderkey, l_suppkey) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.is_late = 1
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late = 1)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted): well-funded customers gone idle
+# ---------------------------------------------------------------------------
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (every customer has orders in this dataset:
+    'idle' means no order in 1998; the phone country code becomes
+    c_custkey % 10). Customers in codes {1,3,5,7} with an account
+    balance above the positive-balance average of that group and no
+    1998 order, grouped by code.
+
+    Plan: the average is compared in exact integer arithmetic
+    (bal_cents * n > sum_cents — no float division on either engine),
+    computed once over the code-filtered dim and broadcast; the 1998
+    orders are a broadcast-able anti-join side after aggregation
+    pushdown (distinct custkeys only)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("cntrycode", (F.col("c_custkey") % 10).cast("string"))
+        .filter(F.col("cntrycode").isin("1", "3", "5", "7"))
+    )
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_cents("c_acctbal")).alias("sum_c"),
+        F.count("*").alias("n_pos"),
+    )
+    ordered_1998 = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1998)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(_cents("c_acctbal") * F.col("n_pos") > F.col("sum_c"))
+        .join(ordered_1998, cust.c_custkey == ordered_1998.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(_cents("c_acctbal")) / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_IDLE_CUSTOMERS = """
+WITH coded AS (
+  SELECT *, CAST(c_custkey % 10 AS VARCHAR) AS cntrycode
+  FROM customer WHERE CAST(c_custkey % 10 AS VARCHAR) IN ('1','3','5','7')
+), stats AS (
+  SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_c, COUNT(*) AS n_pos
+  FROM coded WHERE c_acctbal > 0
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+FROM coded, stats
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
+GROUP BY cntrycode
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus quality: intra-document n-gram repetition (Gopher-style)
+# ---------------------------------------------------------------------------
+
+REP_THRESHOLD_PCT = 20  # duplicate-trigram share flagged as repetitive
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics over word 3-grams: total and
+    distinct trigram counts, the duplicate share, and the most frequent
+    trigram's share — the standard repetitive-document quality signals
+    for pretraining corpora (cf. the Gopher/MassiveText rules).
+
+    Plan: ONE explode of non-distinct trigrams, a two-level aggregation
+    ((doc, gram) counts -> per-doc sum/max/count), all JVM-side; at
+    100 TB this is a map-side-combinable shuffle on (doc_id, gram) —
+    no per-doc quadratic work, no Python. Ratios are single divisions
+    of exact BIGINTs, bitwise identical across engines. Docs with
+    fewer than 3 tokens have no trigrams and are excluded (documented
+    contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        docs.withColumn("__w", F.split(F.trim(F.col("text")), r"\s+"))
+        .filter(F.size("__w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__w) - 3), "
+                    "i -> concat_ws(' ', slice(__w, i + 1, 3)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("total_ngrams"),
+            F.count("*").alias("distinct_ngrams"),
+            F.max("n").alias("top_ngram_count"),
+        )
+        .select(
+            "doc_id",
+            "total_ngrams",
+            "distinct_ngrams",
+            (
+                (F.col("total_ngrams") - F.col("distinct_ngrams"))
+                * F.lit(1.0)
+                / F.col("total_ngrams")
+            ).alias("dup_ratio"),
+            (F.col("top_ngram_count") * F.lit(1.0) / F.col("total_ngrams")).alias(
+                "top_share"
+            ),
+            (
+                (F.col("total_ngrams") - F.col("distinct_ngrams")) * 100
+                > F.col("total_ngrams") * REP_THRESHOLD_PCT
+            ).alias("is_repetitive"),
+        )
+    )
+
+
+ORACLE_REPETITION_STATS = f"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+), per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS n FROM grams GROUP BY doc_id, gram
+), per_doc AS (
+  SELECT doc_id, SUM(n) AS total_ngrams, COUNT(*) AS distinct_ngrams,
+         MAX(n) AS top_ngram_count
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id, total_ngrams, distinct_ngrams,
+       (total_ngrams - distinct_ngrams) * 1.0 / total_ngrams AS dup_ratio,
+       top_ngram_count * 1.0 / total_ngrams AS top_share,
+       (total_ngrams - distinct_ngrams) * 100
+         > total_ngrams * {REP_THRESHOLD_PCT} AS is_repetitive
+FROM per_doc
+"""
+
+
+BATCH6_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "important_parts": q_important_parts,
+    "promo_part_suppliers": q_promo_part_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_customers": q_idle_customers,
+    "repetition_stats": q_repetition_stats,
+}
+
+BATCH6_ORACLES: Dict[str, str] = {
+    "important_parts": ORACLE_IMPORTANT_PARTS,
+    "promo_part_suppliers": ORACLE_PROMO_PART_SUPPLIERS,
+    "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
+    "idle_customers": ORACLE_IDLE_CUSTOMERS,
+    "repetition_stats": ORACLE_REPETITION_STATS,
+}

@@ -135,3 +135,51 @@ def test_batch5_plans(spark):
     plan = q_large_orders(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan or "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_batch6_plans(spark):
+    """Scale-critical properties of the batch-6 shapes (Q11/Q20/Q21/Q22
+    adapted + repetition_stats)."""
+    from data_pipeline_platform_spark.queries5 import (
+        q_idle_customers,
+        q_important_parts,
+        q_promo_part_suppliers,
+        q_repetition_stats,
+        q_waiting_suppliers,
+    )
+
+    # Q11: the fact table is scanned and aggregated ONCE (the global
+    # total is a window over the per-part frame, not a second agg of the
+    # fact subtree), and the dims broadcast
+    plan = _physical_plan(q_important_parts(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # Q20: one agg exchange on (part, supplier); the window runs on the
+    # aggregated frame, not on raw lineitem
+    plan = _physical_plan(q_promo_part_suppliers(spark, SF))
+    assert "partial_sum" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    # Q21: the agg reformulation must NOT self-join the fact table —
+    # no more than the lineitem⋈orders join plus the broadcast supplier
+    # join (the textbook EXISTS/NOT EXISTS form would add two)
+    df = q_waiting_suppliers(spark, SF)
+    plan = _physical_plan(df)
+    n_joins = sum(plan.count(j) for j in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins <= 2, plan
+    assert "CartesianProduct" not in plan
+
+    # Q22: anti join (not a filter-after-outer-join), scalar stats
+    # broadcast, no cartesian on the customer side
+    plan = _optimized(q_idle_customers(spark, SF))
+    assert "LeftAnti" in plan
+
+    # repetition_stats: two-level agg, JVM-only, no Python eval
+    plan = _physical_plan(q_repetition_stats(spark, SF))
+    assert "EvalPython" not in plan
+    assert "partial_" in plan
