@@ -105,6 +105,47 @@ FROM t GROUP BY lang
 """
 
 
+# GPT-2-style pre-tokenizer alternation, restricted to constructs both
+# Java regex (Spark) and RE2 (DuckDB) implement identically: no
+# lookahead, explicit ASCII classes. Order matters — contraction
+# suffixes first, then space-prefixed word/number/punct runs, then
+# whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under BOTH tokenizer models a data pipeline needs:
+    whitespace tokens (cheap budget estimate) and a BPE-ish pre-token
+    count (what a subword tokenizer would see). Pure Column exprs —
+    regexp_count runs in codegen, one scan, no shuffle; the per-token
+    char rate is a single division of exact BIGINTs."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).cast("long").alias(
+            "bpe_tokens"
+        ),
+        F.length("text").cast("long").alias("char_count"),
+    ).withColumn(
+        "chars_per_bpe_token",
+        F.col("char_count") * F.lit(1.0) / F.col("bpe_tokens"),
+    )
+
+
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
+
+ORACLE_BPE_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS char_count,
+       CAST(length(text) AS BIGINT) * 1.0 /
+         len(regexp_extract_all(text, '{_BPE_SQL}')) AS chars_per_bpe_token
+FROM documents
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the normalized text (stable
     content hash for exact-dup detection and incremental pipelines)."""
@@ -254,3 +295,4 @@ register("lang_profile", q_lang_profile, ORACLE_LANG_PROFILE)
 register("fingerprint", q_fingerprint, ORACLE_FINGERPRINT)
 register("token_frequency", q_token_frequency, ORACLE_TOKEN_FREQUENCY)
 register("language_id", q_language_id, ORACLE_LANGUAGE_ID)
+register("bpe_token_stats", q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS)

@@ -44,6 +44,12 @@ HEADLINE = [
     "pack_sequences",
     "bigram_stats",
     "corpus_mixture",
+    "repetition_stats",
+    # batch-6 TPC-H shapes
+    "important_parts",
+    "promo_part_suppliers",
+    "waiting_suppliers",
+    "idle_customers",
 ]
 
 
