@@ -183,3 +183,23 @@ def test_batch6_plans(spark):
     plan = _physical_plan(q_repetition_stats(spark, SF))
     assert "EvalPython" not in plan
     assert "partial_" in plan
+
+
+def test_multires_rollup_single_pass(spark):
+    """The 3-resolution rollup must be ONE scan + Expand, not three
+    separate aggregation jobs."""
+    from data_pipeline_platform_spark.functions.events import q_events_multires_rollup
+
+    plan = _physical_plan(q_events_multires_rollup(spark, SF))
+    assert plan.count("events.parquet") == 1
+    assert "Expand" in plan
+    assert "EvalPython" not in plan
+
+
+def test_bpe_token_stats_stays_in_scan_stage(spark):
+    """Token counting is pure projection — no shuffle, no Python."""
+    from data_pipeline_platform_spark.functions.text import q_bpe_token_stats
+
+    plan = _physical_plan(q_bpe_token_stats(spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
