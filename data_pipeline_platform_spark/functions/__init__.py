@@ -20,14 +20,15 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: st
 
 
 def _load_all() -> None:
+    # a broken module here must fail LOUDLY — swallowing the ImportError
+    # would silently drop its queries from the registry and the grading
+    # surface without any other symptom
     from data_pipeline_platform_spark.functions import text  # noqa: F401
     from data_pipeline_platform_spark.functions import dedup  # noqa: F401
     from data_pipeline_platform_spark.functions import similarity  # noqa: F401
     from data_pipeline_platform_spark.functions import events  # noqa: F401
     from data_pipeline_platform_spark.functions import corpus  # noqa: F401
+    from data_pipeline_platform_spark.functions import multimodal  # noqa: F401
 
 
-try:
-    _load_all()
-except ImportError:
-    pass  # extension modules land incrementally
+_load_all()

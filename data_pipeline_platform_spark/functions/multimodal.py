@@ -19,7 +19,7 @@ from typing import Callable, Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -178,3 +178,88 @@ def make_fake_media_df(spark, n: int = 32) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# driver-graded end-to-end run of the binary plumbing
+# ---------------------------------------------------------------------------
+
+BYTE_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, head_checksum long, mean_head_byte double, "
+    "head_preview string"
+)
+
+
+def extract_byte_features(df: DataFrame) -> DataFrame:
+    """Binary -> integer-exact byte features in ONE Arrow-batched
+    mapInPandas pass (blob dropped in-stage, same shape as
+    extract_image_features): payload size, checksum and mean of the
+    first 64 bytes, and the first 8 bytes as a typed array. Features
+    are integers (plus one exact division), so a SQL oracle can replay
+    them bitwise — which is how the stubbed-decode plumbing still gets
+    hash-graded end-to-end."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_bytes, checksums, means, heads = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                head64 = np.frombuffer(raw[:64], dtype=np.uint8)
+                csum = int(head64.sum())
+                ids.append(mid)
+                n_bytes.append(len(raw))
+                checksums.append(csum)
+                means.append(csum / max(1, len(head64)))
+                heads.append(",".join(str(int(b)) for b in raw[:8]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": n_bytes,
+                    "head_checksum": checksums,
+                    "mean_head_byte": means,
+                    "head_preview": heads,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=BYTE_FEATURES_SCHEMA
+    )
+
+
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the correctness gate: the documents'
+    UTF-8 bytes stand in for media blobs (the corpus is pure ASCII, so
+    DuckDB replays every byte via ascii()), and the features flow
+    through the real binary mapInPandas path — schema, Arrow batching,
+    blob-dropped-early projection — not a test double."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return extract_byte_features(media)
+
+
+ORACLE_MULTIMODAL_BYTE_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(generate_series(1, least(64, strlen(text))),
+                                    i -> ascii(text[i]))) AS BIGINT) AS head_checksum,
+       CAST(list_sum(list_transform(generate_series(1, least(64, strlen(text))),
+                                    i -> ascii(text[i]))) AS BIGINT) * 1.0
+         / greatest(1, least(64, strlen(text))) AS mean_head_byte,
+       array_to_string(list_transform(generate_series(1, least(8, strlen(text))),
+                                       i -> ascii(text[i])), ',') AS head_preview
+FROM documents
+"""
+
+
+from data_pipeline_platform_spark.functions import register
+
+register(
+    "multimodal_byte_features",
+    q_multimodal_byte_features,
+    ORACLE_MULTIMODAL_BYTE_FEATURES,
+)
