@@ -148,6 +148,28 @@ def workers_command(args: argparse.Namespace) -> int:
     return 0
 
 
+def explain_command(args: argparse.Namespace) -> int:
+    """Print the optimized/physical plan of a registry query (or every
+    query with --all names only). The plan-first workflow: check
+    pushdown/broadcast/exchange shape before running anything big."""
+    from data_pipeline_platform_spark.queries import all_queries
+    from data_pipeline_platform_spark.session import get_spark
+
+    registry = all_queries()
+    if args.list:
+        for name in registry:
+            print(name)
+        return 0
+    if args.name not in registry:
+        print(f"unknown query: {args.name!r} (use --list)", file=sys.stderr)
+        return 2
+    spark = get_spark("pipeline-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = registry[args.name](spark, args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pipeline-cli", description="Spark pipeline CLI")
     sub = p.add_subparsers(dest="command", required=True)
@@ -198,6 +220,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp_wk = sub.add_parser("workers", help="execution resources report")
     common(sp_wk)
     sp_wk.set_defaults(func=workers_command)
+
+    sp_ex = sub.add_parser("explain", help="print a registry query's plan")
+    sp_ex.add_argument("name", nargs="?", default="")
+    sp_ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp_ex.add_argument(
+        "--mode", default="formatted", choices=["simple", "extended", "formatted", "cost"]
+    )
+    sp_ex.add_argument("--list", action="store_true", help="list query names")
+    sp_ex.set_defaults(func=explain_command)
 
     return p
 

@@ -189,3 +189,18 @@ def test_api_workers_health(spark):
     assert out["result"]["is_healthy"] is True
     assert out["result"]["probe_rows"] == 1
     service.shutdown()
+
+
+def test_cli_explain(spark, capsys):
+    from data_pipeline_platform_spark.cli import main
+
+    rc = main(["explain", "--list"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "pricing_summary" in out
+
+    rc = main(["explain", "pricing_summary"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Physical Plan" in out and "Exchange" in out
+
+    rc = main(["explain", "no_such_query"])
+    assert rc == 2
