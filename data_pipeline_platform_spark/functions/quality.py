@@ -1,0 +1,123 @@
+"""Data-quality expectations (M8 extension): declarative rule checks
+compiled to ONE conditional-aggregation pass — the expectations report
+an ETL platform runs before promoting a batch.
+
+Design: each rule is (name, boolean Column over a row); violations are
+``SUM(CASE WHEN NOT cond ...)`` so N rules cost one scan and one 1-row
+aggregate, not N jobs. NULL condition results count as violations
+(a rule that cannot evaluate did not pass). Referential-integrity rules
+need a join and are expressed separately (`orphan_count`), then unioned
+into the same report shape. At 100 TB the report is one map-side-
+combinable pass over the fact table plus one aggregation-pruned
+anti-join per FK rule.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+
+
+def check_expectations(
+    df: DataFrame, rules: List[Tuple[str, Column]]
+) -> DataFrame:
+    """Evaluate boolean row-level rules in one aggregation pass.
+
+    Returns (rule, checked, violations) per rule — `checked` is the
+    row count (same for all row-level rules), `violations` counts rows
+    where the rule is false OR null."""
+    aggs = [F.count(F.lit(1)).alias("__checked")]
+    for name, cond in rules:
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(cond.cast("boolean"), F.lit(False)), 0).otherwise(1)
+            ).alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs)
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__checked").alias("checked"),
+                F.col(f"__v_{name}").alias("violations"),
+            )
+            for name, _ in rules
+        ]
+    )
+    return (
+        row.select(F.explode(per_rule).alias("r"))
+        .select("r.rule", "r.checked", "r.violations")
+    )
+
+
+def orphan_count(
+    child: DataFrame, parent: DataFrame, keys: List[str], rule: str
+) -> DataFrame:
+    """Referential-integrity rule: child rows with no matching parent.
+    The anti-join side is pruned to the key columns (aggregation
+    pushdown: distinct parent keys), so the join moves keys, not rows."""
+    parent_keys = parent.select(*keys).distinct()
+    orphans = child.join(parent_keys, keys, "left_anti")
+    return child.agg(
+        F.lit(rule).alias("rule"),
+        F.count(F.lit(1)).alias("checked"),
+    ).crossJoin(
+        F.broadcast(orphans.agg(F.count(F.lit(1)).alias("violations")))
+    ).select("rule", "checked", "violations")
+
+
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The promotion gate for a lineitem batch: range, nullability, and
+    domain rules in one scan, plus an orders referential check — the
+    operator a pipeline runs between transform and persist."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        ("quantity_in_range", (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)),
+        ("discount_in_range", (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)),
+        ("shipdate_not_null", F.col("l_shipdate").isNotNull()),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("tax_in_range", (F.col("l_tax") >= 0) & (F.col("l_tax") <= 0.08)),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    report = check_expectations(li, rules)
+    fk = orphan_count(
+        li.select("l_orderkey"), orders.select("o_orderkey").withColumnRenamed(
+            "o_orderkey", "l_orderkey"
+        ), ["l_orderkey"], "orderkey_references_orders"
+    )
+    return report.unionByName(fk)
+
+
+ORACLE_DATA_QUALITY_REPORT = """
+WITH base AS (
+  SELECT COUNT(*) AS checked,
+    SUM(CASE WHEN COALESCE(l_quantity >= 1 AND l_quantity <= 50, false) THEN 0 ELSE 1 END) AS v_qty,
+    SUM(CASE WHEN COALESCE(l_discount >= 0 AND l_discount <= 0.1, false) THEN 0 ELSE 1 END) AS v_disc,
+    SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS v_ship,
+    SUM(CASE WHEN COALESCE(l_extendedprice > 0, false) THEN 0 ELSE 1 END) AS v_price,
+    SUM(CASE WHEN COALESCE(l_tax >= 0 AND l_tax <= 0.08, false) THEN 0 ELSE 1 END) AS v_tax,
+    SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), false) THEN 0 ELSE 1 END) AS v_flag
+  FROM lineitem
+)
+SELECT 'quantity_in_range' AS rule, checked, CAST(v_qty AS BIGINT) AS violations FROM base
+UNION ALL SELECT 'discount_in_range', checked, CAST(v_disc AS BIGINT) FROM base
+UNION ALL SELECT 'shipdate_not_null', checked, CAST(v_ship AS BIGINT) FROM base
+UNION ALL SELECT 'price_positive', checked, CAST(v_price AS BIGINT) FROM base
+UNION ALL SELECT 'tax_in_range', checked, CAST(v_tax AS BIGINT) FROM base
+UNION ALL SELECT 'returnflag_domain', checked, CAST(v_flag AS BIGINT) FROM base
+UNION ALL
+SELECT 'orderkey_references_orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+"""
+
+
+register("data_quality_report", q_data_quality_report, ORACLE_DATA_QUALITY_REPORT)
