@@ -164,3 +164,52 @@ def approx_profile(
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# driver-graded: salting preserves exact join semantics
+# ---------------------------------------------------------------------------
+
+def q_salted_skew_join(spark, sf_dir: str) -> DataFrame:
+    """The salted join under the correctness gate, on the most skewed
+    key the dataset has: event_type (5 values — each key is 20% of the
+    fact table, the single-key-partition case AQE cannot split). Events
+    are enriched with their type's exact average value via salted_join,
+    then re-aggregated; the oracle runs the PLAIN join, so the grade
+    proves salting changes the physical plan and nothing else.
+
+    The per-type average is computed as one division of exact integers
+    (sum-of-cents / (100*n)) so the float compare is bitwise identical
+    in both engines."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (F.lit(100.0) * F.count(F.lit(1)))
+        ).alias("avg_value")
+    )
+    enriched = salted_join(ev, dim, on="event_type", salt_buckets=8)
+    return enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value") > F.col("avg_value")).cast("long")).alias("n_above_avg"),
+    )
+
+
+ORACLE_SALTED_SKEW_JOIN = """
+WITH dim AS (
+  SELECT event_type,
+         SUM(CAST(round(value * 100) AS BIGINT)) / (100.0 * COUNT(*)) AS avg_value
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n_events,
+       SUM(CASE WHEN e.value > dim.avg_value THEN 1 ELSE 0 END) AS n_above_avg
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+from data_pipeline_platform_spark.functions import register as _register
+
+_register("salted_skew_join", q_salted_skew_join, ORACLE_SALTED_SKEW_JOIN)
