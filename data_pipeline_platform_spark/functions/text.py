@@ -163,6 +163,78 @@ FROM documents
 """
 
 
+# winnowing parameters: char k-grams, window of w consecutive hashes.
+# Guarantee (Schleimer/Wilkerson/Aiken): any shared substring of length
+# >= k + w - 1 produces at least one shared fingerprint.
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_MOD = 1_000_000_007
+WINNOW_BASE = 31
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash family): Rabin-Karp
+    polynomial hashes over char k-grams, one fingerprint per w-window
+    minimum, distinct per doc — the local-fingerprint scheme used for
+    substring-level duplicate detection (MOSS-style), vs the whole-doc
+    md5 of `fingerprint`.
+
+    All arithmetic is exact BIGINT mod a prime, expressed with
+    higher-order functions (no Python, no UDF), so the DuckDB oracle
+    replays every hash bitwise. Cost is O(len * k) per doc in one scan
+    stage; the output is doc-grain (id, counts, checksum) so nothing
+    heavy shuffles."""
+    docs = _docs(spark, sf_dir)
+    hashes = (
+        f"transform(sequence(1, greatest(0, length(text) - {WINNOW_K} + 1)), "
+        f"i -> aggregate(transform(sequence(0, {WINNOW_K - 1}), "
+        f"c -> ascii(substring(text, i + c, 1))), CAST(0 AS BIGINT), "
+        f"(acc, ch) -> (acc * {WINNOW_BASE} + ch) % {WINNOW_MOD}))"
+    )
+    return (
+        docs.withColumn("__h", F.expr(hashes))
+        .withColumn(
+            "__fps",
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(0, size(__h) - {WINNOW_W} + 1)), "
+                f"j -> array_min(slice(__h, j, {WINNOW_W}))))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("__h").cast("long").alias("n_grams"),
+            F.size("__fps").cast("long").alias("n_fingerprints"),
+            F.expr("aggregate(__fps, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+                "fp_checksum"
+            ),
+        )
+    )
+
+
+ORACLE_WINNOW_FINGERPRINTS = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(0, length(text) - {WINNOW_K} + 1)),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(0, {WINNOW_K - 1}),
+                                   c -> CAST(ascii(text[i+c]) AS BIGINT))),
+                  (acc, ch) -> (acc * {WINNOW_BASE} + ch) % {WINNOW_MOD})) AS hashes
+  FROM documents
+), f AS (
+  SELECT doc_id, len(hashes) AS n_grams,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, len(hashes) - {WINNOW_W} + 1)),
+           j -> list_min(hashes[j : j + {WINNOW_W} - 1]))) AS fps
+  FROM g
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       CAST(list_sum(fps) AS BIGINT) AS fp_checksum
+FROM f
+"""
+
+
 def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency via explode + group (the canonical
     shuffle-then-aggregate text op; partial aggregation is map-side)."""
@@ -296,3 +368,4 @@ register("fingerprint", q_fingerprint, ORACLE_FINGERPRINT)
 register("token_frequency", q_token_frequency, ORACLE_TOKEN_FREQUENCY)
 register("language_id", q_language_id, ORACLE_LANGUAGE_ID)
 register("bpe_token_stats", q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS)
+register("winnow_fingerprints", q_winnow_fingerprints, ORACLE_WINNOW_FINGERPRINTS)

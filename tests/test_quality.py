@@ -48,3 +48,46 @@ def test_quality_report_single_scan(spark):
     assert "EvalPython" not in plan
     # rule evaluation is partially aggregated before any exchange
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing contract: two docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; disjoint docs with no
+    common k-gram share none."""
+    from pyspark.sql import functions as F
+    from data_pipeline_platform_spark.functions.text import (
+        WINNOW_K,
+        WINNOW_MOD,
+        WINNOW_BASE,
+        WINNOW_W,
+    )
+
+    shared = "zq" * ((WINNOW_K + WINNOW_W - 1 + 1) // 2)  # >= k+w-1 chars
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc " + shared + " dddd eeee"),
+            (2, "ffff gggg " + shared + " hhhh iiii jjjj"),
+            (3, "kkkk llll mmmm nnnn oooo pppp qqqq rrrr"),
+        ],
+        "doc_id long, text string",
+    )
+    hashes = (
+        f"transform(sequence(1, greatest(0, length(text) - {WINNOW_K} + 1)), "
+        f"i -> aggregate(transform(sequence(0, {WINNOW_K - 1}), "
+        f"c -> ascii(substring(text, i + c, 1))), CAST(0 AS BIGINT), "
+        f"(acc, ch) -> (acc * {WINNOW_BASE} + ch) % {WINNOW_MOD}))"
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.withColumn("__h", F.expr(hashes))
+        .withColumn(
+            "fps",
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(0, size(__h) - {WINNOW_W} + 1)), "
+                f"j -> array_min(slice(__h, j, {WINNOW_W}))))"
+            ),
+        )
+        .collect()
+    }
+    assert fps[1] & fps[2], "shared long substring must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
