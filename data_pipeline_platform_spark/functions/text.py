@@ -181,18 +181,23 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All arithmetic is exact BIGINT mod a prime, expressed with
     higher-order functions (no Python, no UDF), so the DuckDB oracle
-    replays every hash bitwise. Cost is O(len * k) per doc in one scan
-    stage; the output is doc-grain (id, counts, checksum) so nothing
-    heavy shuffles."""
+    replays every hash bitwise. The text is split into a char-code
+    array ONCE (per-char `substring(text, i, 1)` would be an O(i) seek
+    each — O(len^2 k) per doc, measured 3.5x slower); gram hashing then
+    slices that array, O(len * k) total in one scan stage. The output
+    is doc-grain (id, counts, checksum) so nothing heavy shuffles."""
     docs = _docs(spark, sf_dir)
     hashes = (
-        f"transform(sequence(1, greatest(0, length(text) - {WINNOW_K} + 1)), "
-        f"i -> aggregate(transform(sequence(0, {WINNOW_K - 1}), "
-        f"c -> ascii(substring(text, i + c, 1))), CAST(0 AS BIGINT), "
+        f"transform(sequence(1, greatest(0, size(__codes) - {WINNOW_K} + 1)), "
+        f"i -> aggregate(slice(__codes, i, {WINNOW_K}), CAST(0 AS BIGINT), "
         f"(acc, ch) -> (acc * {WINNOW_BASE} + ch) % {WINNOW_MOD}))"
     )
     return (
-        docs.withColumn("__h", F.expr(hashes))
+        docs.withColumn(
+            "__codes",
+            F.expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"),
+        )
+        .withColumn("__h", F.expr(hashes))
         .withColumn(
             "__fps",
             F.expr(

@@ -45,11 +45,18 @@ HEADLINE = [
     "bigram_stats",
     "corpus_mixture",
     "repetition_stats",
+    "winnow_fingerprints",
+    "bpe_token_stats",
     # batch-6 TPC-H shapes
     "important_parts",
     "promo_part_suppliers",
     "waiting_suppliers",
     "idle_customers",
+    # round-3 operators
+    "events_multires_rollup",
+    "data_quality_report",
+    "salted_skew_join",
+    "multimodal_byte_features",
 ]
 
 
