@@ -204,3 +204,35 @@ def test_cli_explain(spark, capsys):
 
     rc = main(["explain", "no_such_query"])
     assert rc == 2
+
+
+def test_api_health_probe_unaffected_by_saturated_pool(spark):
+    """A busy pool must read as busy, not broken: with every worker
+    occupied by a slow task, workers_health still succeeds because the
+    probe runs on its own single-thread lane (r02 advisory: submitting
+    the probe to the work pool reported 'unhealthy' under saturation)."""
+    import threading
+
+    from data_pipeline_platform_spark.api import PipelineService
+    from data_pipeline_platform_spark.plans.runner import PipelineRunner
+
+    service = PipelineService(PipelineRunner(spark), max_workers=2)
+    gate = threading.Event()
+
+    def _block():
+        gate.wait(30)
+        return {"status": "success"}
+
+    # occupy both workers
+    ids = [service._submit_task("ingest", _block)["task_id"] for _ in range(2)]
+    try:
+        out = service.workers_health(timeout=30.0)
+        assert out["status"] == "healthy", out
+        w = service.workers()
+        assert w["running"] >= 0  # pool stats still served under load
+    finally:
+        gate.set()
+    for t in ids:
+        st = _wait_task(service, t)
+        assert st["status"] == "completed"
+    service.shutdown()
