@@ -524,3 +524,78 @@ FROM (
 """
 
 register("stratified_sample", q_stratified_sample, ORACLE_STRATIFIED_SAMPLE)
+
+
+# -- temperature rebalancing (multilingual corpus sampling) ------------------
+
+TEMP_SAMPLE_C = 8.0  # expected kept docs per lang ~ C * sqrt(n_lang)
+
+
+def temperature_sample(
+    df: DataFrame, group_col: str = "lang", key_col: str = "doc_id",
+    c: float = TEMP_SAMPLE_C,
+) -> DataFrame:
+    """sqrt-temperature corpus rebalancing: keep each group's rows with
+    probability min(1, c/sqrt(n_g)), so kept docs per group ~ c*sqrt(n_g)
+    — rare languages are oversampled relative to their share, the
+    standard alpha=0.5 temperature flattening for multilingual
+    pretraining mixes.
+
+    Determinism contract (same reasons as deterministic_sample): the
+    per-row uniform is 4 hex digits of md5(key) (u16 in [0, 65536)),
+    and the keep test `u16 * sqrt(n_g) < c * 65536` uses only IEEE
+    operations with exactly-rounded results (sqrt, mul) — no pow(), no
+    cross-group float sums — so every engine selects the identical doc
+    set. alpha=0.5 (sqrt) rather than the also-common 0.7 is chosen
+    BECAUSE pow(x, 0.7) is not bitwise-portable across engines.
+
+    Plan: one count aggregation (group-grain, broadcast back) + one
+    row-local predicate — no shuffle of the corpus itself."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
+    u16 = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .filter(u16 * F.sqrt(F.col("__n_g")) < F.lit(c * 65536.0))
+        .drop("__n_g")
+    )
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded as the per-lang balance report: input share vs kept share
+    shows the flattening (kept counts ~ sqrt of input counts)."""
+    docs = _docs(spark, sf_dir)
+    kept = temperature_sample(docs)
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+ORACLE_TEMPERATURE_SAMPLE = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang
+), kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN counts USING (lang)
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * sqrt(n_g)
+        < {TEMP_SAMPLE_C} * 65536.0
+  GROUP BY d.lang
+)
+SELECT lang, n_g AS n_docs, COALESCE(n_kept, 0) AS n_kept
+FROM counts LEFT JOIN kept USING (lang)
+"""
+
+
+register("temperature_sample", q_temperature_sample, ORACLE_TEMPERATURE_SAMPLE)
