@@ -502,3 +502,96 @@ register("cosine_topk_batch", q_cosine_topk_batch, ORACLE_COSINE_TOPK_BATCH)
 register("cosine_topk_ivf", q_cosine_topk_ivf)  # approximate -> rows-only
 register("cosine_topk_lsh", q_cosine_topk_lsh, ORACLE_COSINE_TOPK_LSH)
 register("embedding_near_dup", q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP)
+
+
+# ---------------------------------------------------------------------------
+# nearest-centroid classification (embedding -> label assignment)
+# ---------------------------------------------------------------------------
+
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every embedding by its nearest label centroid — the
+    domain/quality classification step of a training-data pipeline
+    (fit: per-label mean vectors; predict: argmin L2 distance).
+
+    Engine-exact by construction: centroid components are DECIMAL(18,9)
+    sums (accumulation order cannot change them — same technique as
+    label_centroids), distances are sequential folds over zipped
+    arrays, and the argmin tie-breaks on label — so the DuckDB oracle
+    reproduces every assignment bitwise.
+
+    Plan: one posexplode+agg pass fits the centroids (label-dim grain,
+    tiny), broadcast back; scoring is a single scan of embeddings with
+    a 5-row broadcast nested loop (the right shape: the model is small,
+    the data is not); one window shuffle on vec_id picks the argmin."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    ex = emb.select("label", F.posexplode("vec").alias("dim", "comp"))
+    cents = (
+        ex.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("comp").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    cent_arr = (
+        cents.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(dc, x -> x.c)").alias("cvec"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "dist",
+        F.expr(
+            "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (a, t) -> a + t)"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("predicted_label"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )
+
+
+ORACLE_CENTROID_CLASSIFY = """
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), ex AS (
+  SELECT label, i - 1 AS dim, vec[i] AS comp
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
+), cents AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, dim
+), carr AS (
+  SELECT label AS c_label, list(c ORDER BY dim) AS cvec FROM cents GROUP BY label
+), scored AS (
+  SELECT b.vec_id, b.label, ca.c_label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(b.vec, ca.cvec),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, t) -> a + t) AS dist
+  FROM base b CROSS JOIN carr ca
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+  FROM scored
+)
+SELECT vec_id, label, c_label AS predicted_label, round(dist, 6) AS dist
+FROM ranked WHERE rn = 1
+"""
+
+
+register("centroid_classify", q_centroid_classify, ORACLE_CENTROID_CLASSIFY)
