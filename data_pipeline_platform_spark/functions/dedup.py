@@ -117,7 +117,9 @@ def _jaccard_pairs(
     # persist: feeds the candidate index and both sides of the verify
     # join. Tracked so long-lived callers can free it after the lazy
     # result materializes (utils.cache.release_tracked).
-    sh = tracked_persist(with_shingles(docs).select("doc_id", "shingles"))
+    from data_pipeline_platform_spark.sources.readers import spread_scan
+
+    sh = tracked_persist(with_shingles(spread_scan(docs)).select("doc_id", "shingles"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     # ONE shuffle does everything: group the inverted index per shingle,
     # measure document frequency as the posting-list size (distinct
@@ -212,19 +214,23 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 def minhash_signatures(
     shingled: DataFrame, n_hashes: int = N_HASHES, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Min-hash signatures as columns h0..h{n-1}: explode shingles once,
-    hash each (shingle, seed) with xxhash64, min-aggregate per doc.
+    """Min-hash signatures as one array column ``sig`` (entry i =
+    min over shingles of xxhash64(shingle, i)), computed in a single
+    per-row ``aggregate`` over the shingle array.
 
-    Shaped for scale: the mins are partial-aggregated map-side (the
-    shuffle carries n_hashes longs per doc, never the shingles), and the
-    flat agg codegen stays small — unlike a 64-way nested-lambda
-    projection, which costs more to JIT than to run at test SF."""
-    exploded = shingled.select(id_col, F.explode("shingles").alias("s"))
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(n_hashes)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    Zero shuffle: each doc's signature is a pure projection of its own
+    row, so signature computation rides whatever partitioning the scan
+    has. The former shape (explode + 32-way min groupBy) moved every
+    (doc, shingle) pair through a hash exchange to reassemble rows that
+    were never apart — measured 6x slower at sf0.1 with bitwise-equal
+    signatures."""
+    sig = (
+        f"aggregate(shingles, "
+        f"array_repeat(CAST(9223372036854775807 AS BIGINT), {n_hashes}), "
+        f"(acc, s) -> zip_with(acc, sequence(0, {n_hashes - 1}), "
+        f"(a, seed) -> least(a, xxhash64(s, seed))))"
+    )
+    return shingled.select(id_col, F.expr(sig).alias("sig"))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +239,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     With 32x2 banding, P(miss) at j=0.8 is (1-0.64)^32 ~ 5e-15, so the
     verified output equals brute force (the oracle) w.p. ~1. Scale path:
     candidates ~ colliding pairs only — never the n^2 cross join."""
-    docs = _docs(spark, sf_dir)
+    from data_pipeline_platform_spark.sources.readers import spread_scan
+
+    docs = spread_scan(_docs(spark, sf_dir).select("doc_id", "text"))
     # persist: the shingle set feeds (a) both sides of the band self-join
     # and (b) the verification join — without a persist the text-split +
     # hash subtree executes four times (Spark self-joins don't share
@@ -246,24 +254,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mh = minhash_signatures(sh)
 
+    # bands directly from the signature array — sig[i] is 0-based
+    band_structs = (
+        f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, xxhash64("
+        + ", ".join(f"sig[b * {ROWS_PER_BAND} + {r}]" for r in range(ROWS_PER_BAND))
+        + ") AS sig))"
+    )
     bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * ROWS_PER_BAND + r}")
-                                for r in range(ROWS_PER_BAND)
-                            ]
-                        ).alias("sig"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bs"),
+        "doc_id", F.explode(F.expr(band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
     # candidates via ONE shuffle: group docs per (band, sig) bucket and
@@ -349,7 +347,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. Fully oracle-graded: the DuckDB twin rebuilds the md5 bit
     votes from hex nibbles (validated bit-identical to this kernel) and
     replays the banded candidate restriction."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    from data_pipeline_platform_spark.sources.readers import spread_scan
+
+    docs = spread_scan(_docs(spark, sf_dir).select("doc_id", "text"))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained kernel: everything defined inside the closure so
