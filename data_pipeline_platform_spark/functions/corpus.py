@@ -248,6 +248,91 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(train, evalset)
 
 
+FUZZY_CONTAM_THRESHOLD = 0.8
+
+
+def fuzzy_contamination(
+    train: DataFrame, benchmark: DataFrame, threshold: float = FUZZY_CONTAM_THRESHOLD
+) -> DataFrame:
+    """Near-duplicate decontamination: training docs whose shingle-set
+    Jaccard against any benchmark doc is >= ``threshold`` — the fuzzy
+    complement of `contamination_check`'s exact n-gram overlap (catches
+    paraphrased/reformatted benchmark leakage that shares few exact
+    5-grams).
+
+    Shape is the cross-corpus variant of MinHash LSH dedup: both sides
+    get banded signature keys, candidates come from a band equi-join
+    (cost ~ collisions, and the benchmark side is small, so the join
+    broadcasts at scale), and every candidate is verified with the
+    exact Jaccard — same 32x2 banding, so P(missing a pair at j >= 0.8)
+    ~ 5e-15 and the output equals the brute-force oracle."""
+    from data_pipeline_platform_spark.functions.dedup import (
+        lsh_band_keys,
+        with_shingles,
+    )
+    from data_pipeline_platform_spark.utils.cache import tracked_persist
+
+    t_sh = tracked_persist(
+        with_shingles(train)
+        .select("doc_id", "shingles")
+        .filter(F.size("shingles") > 0)
+    )
+    b_sh = tracked_persist(
+        with_shingles(benchmark)
+        .select(F.col("doc_id").alias("bench_id"), "shingles")
+        .filter(F.size("shingles") > 0)
+    )
+    cand = (
+        lsh_band_keys(t_sh)
+        .join(F.broadcast(lsh_band_keys(b_sh, id_col="bench_id")), ["band", "sig"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    return (
+        cand.join(t_sh, "doc_id")
+        .join(
+            b_sh.select("bench_id", F.col("shingles").alias("b_shingles")),
+            "bench_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("shingles", "b_shingles"))
+            * F.lit(1.0)
+            / F.size(F.array_union("shingles", "b_shingles")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "bench_id", "jaccard")
+    )
+
+
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return fuzzy_contamination(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+    )
+
+
+ORACLE_FUZZY_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+    list_transform(generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+  ELSE [] END) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+), ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+bench AS (SELECT * FROM ne WHERE doc_id % 7 = 0),
+corpus AS (SELECT * FROM ne WHERE doc_id % 7 != 0)
+SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+       len(list_intersect(c.shingles, b.shingles)) * 1.0 /
+       len(list_distinct(list_concat(c.shingles, b.shingles))) AS jaccard
+FROM corpus c JOIN bench b ON
+  len(list_intersect(c.shingles, b.shingles)) * 1.0 /
+  len(list_distinct(list_concat(c.shingles, b.shingles)))
+    >= {FUZZY_CONTAM_THRESHOLD}
+"""
+
+
 ORACLE_CONTAMINATION_CHECK = f"""
 WITH t AS (
   SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -483,6 +568,7 @@ register("pii_scrub", q_pii_scrub, ORACLE_PII_SCRUB)
 register("pack_sequences", q_pack_sequences, ORACLE_PACK_SEQUENCES)
 register("bigram_stats", q_bigram_stats, ORACLE_BIGRAM_STATS)
 register("contamination_check", q_contamination_check, ORACLE_CONTAMINATION_CHECK)
+register("fuzzy_contamination", q_fuzzy_contamination, ORACLE_FUZZY_CONTAMINATION)
 register("length_buckets", q_length_buckets, ORACLE_LENGTH_BUCKETS)
 register("corpus_mixture", q_corpus_mixture, ORACLE_CORPUS_MIXTURE)
 

@@ -233,6 +233,23 @@ def minhash_signatures(
     return shingled.select(id_col, F.expr(sig).alias("sig"))
 
 
+def lsh_band_keys(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, sig) LSH keys: one-pass minhash signature, then each
+    band's rows hash into a single 64-bit bucket key. Two docs collide
+    in a band iff their signature rows agree there — the equi-join key
+    both the self-dedup and the cross-corpus decontamination use."""
+    mh = minhash_signatures(shingled, id_col=id_col)
+    # bands directly from the signature array — sig[i] is 0-based
+    band_structs = (
+        f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, xxhash64("
+        + ", ".join(f"sig[b * {ROWS_PER_BAND} + {r}]" for r in range(ROWS_PER_BAND))
+        + ") AS sig))"
+    )
+    return mh.select(
+        id_col, F.explode(F.expr(band_structs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded MinHash candidates, exact-Jaccard verified at 0.8.
 
@@ -252,17 +269,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles")
         .filter(F.size("shingles") > 0)
     )
-    mh = minhash_signatures(sh)
-
-    # bands directly from the signature array — sig[i] is 0-based
-    band_structs = (
-        f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, xxhash64("
-        + ", ".join(f"sig[b * {ROWS_PER_BAND} + {r}]" for r in range(ROWS_PER_BAND))
-        + ") AS sig))"
-    )
-    bands = mh.select(
-        "doc_id", F.explode(F.expr(band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = lsh_band_keys(sh)
 
     # candidates via ONE shuffle: group docs per (band, sig) bucket and
     # expand in-bucket pairs with a higher-order expression. A self-join

@@ -370,6 +370,59 @@ WHERE token_count >= 20 AND ttr_raw >= 0.15 AND swr <= 0.5 AND char_count >= 100
 """
 
 
+# hashed linear classifier: D buckets, weights derived from the bucket
+# index by a Knuth multiplicative mix — a stand-in for trained fasttext
+# weights with the same inference shape (hash token -> bucket -> weight,
+# sum, threshold). All arithmetic is nonnegative BIGINT mod, so the
+# DuckDB oracle replays every score bitwise.
+CLS_BUCKETS = 1024
+CLS_HASH_MOD = 1_000_000_007
+CLS_MIX = 2654435761
+CLS_WRANGE = 2001  # weights in [-1000, 1000]
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style hashed linear classifier inference over documents.
+
+    Each token hashes (char-code polyhash) into one of CLS_BUCKETS
+    buckets; the bucket's integer weight is summed over the doc and the
+    sign is the keep/drop label. Pure projection: zero shuffle, no
+    Python — at 100 TB classifier scoring rides the scan exactly like
+    `curation_pipeline`'s heuristic filters. Swapping the derived
+    weights for trained ones changes one expression, not the plan."""
+    score = (
+        "aggregate(split(lower(trim(text)), '\\\\s+'), CAST(0 AS BIGINT), "
+        "(acc, tok) -> acc + ((aggregate(split(tok, ''), CAST(0 AS BIGINT), "
+        f"(a, ch) -> (a * 31 + ascii(ch)) % {CLS_HASH_MOD}) % {CLS_BUCKETS}) "
+        f"* {CLS_MIX}) % {CLS_WRANGE} - {(CLS_WRANGE - 1) // 2})"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.expr(score).cast("long").alias("score"),
+        (F.expr(score) > 0).alias("keep"),
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    list_sum(list_transform(toks, tok ->
+      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, length(tok)), i -> CAST(ascii(tok[i]) AS BIGINT))),
+        (acc, ch) -> (acc * 31 + ch) % {CLS_HASH_MOD}) % {CLS_BUCKETS}) * {CLS_MIX})
+      % {CLS_WRANGE} - {(CLS_WRANGE - 1) // 2}
+    )) AS score
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score AS BIGINT) AS score, score > 0 AS keep
+FROM s
+"""
+
+
 register("text_stats", q_text_stats, ORACLE_TEXT_STATS)
 register("curation_pipeline", q_curation_pipeline, ORACLE_CURATION_PIPELINE)
 register("lang_profile", q_lang_profile, ORACLE_LANG_PROFILE)
@@ -378,3 +431,4 @@ register("token_frequency", q_token_frequency, ORACLE_TOKEN_FREQUENCY)
 register("language_id", q_language_id, ORACLE_LANGUAGE_ID)
 register("bpe_token_stats", q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS)
 register("winnow_fingerprints", q_winnow_fingerprints, ORACLE_WINNOW_FINGERPRINTS)
+register("quality_classifier", q_quality_classifier, ORACLE_QUALITY_CLASSIFIER)

@@ -206,3 +206,27 @@ def test_bpe_token_stats_stays_in_scan_stage(spark):
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+def test_quality_classifier_rides_the_scan(spark):
+    """Classifier inference is pure projection: token hashing, bucket
+    weights, and the score sum all happen in the scan stage — no key
+    shuffle, no Python."""
+    from data_pipeline_platform_spark.functions.text import q_quality_classifier
+
+    plan = _physical_plan(q_quality_classifier(spark, SF))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_fuzzy_contamination_broadcasts_benchmark(spark):
+    """Cross-corpus decontamination: the benchmark side's band keys must
+    broadcast (benchmarks are tiny next to 100 TB of train), and the
+    candidate step must be an equi-join on (band, sig) — never a
+    cartesian against the corpus."""
+    from data_pipeline_platform_spark.functions.corpus import q_fuzzy_contamination
+
+    plan = _physical_plan(q_fuzzy_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
