@@ -1,0 +1,132 @@
+"""Graph operators over the relational schema (M8 extension).
+
+PageRank is the canonical link-graph quality signal for web-scale
+training corpora (CommonCrawl-style URL ranking feeding document
+quality scores). The reference engine has no graph surface; this module
+expresses the iterative shape Spark-first:
+
+- The graph is DERIVED relationally (customer<->supplier bipartite from
+  orders x lineitem) — at 100 TB the edge list is a first-class table
+  and everything below is unchanged.
+- Each iteration is one equi-join (ranks onto out-edges) + one
+  aggregation (sum contributions per destination): the standard
+  Pregel-as-joins encoding. The per-iteration shuffle keys on the node
+  id, so pre-partitioning the edge table by src (bucketing) makes every
+  iteration co-located except the contribution exchange.
+- All arithmetic is FIXED-POINT nonnegative BIGINT (rank scaled by 1e9,
+  damping 0.85 applied as *85 then div 100, contributions use integer
+  division by out-degree). Floor and truncating division agree on
+  nonnegative values, so the DuckDB oracle replays every iteration
+  bitwise — the same determinism trick `label_centroids` uses for
+  vector means (DECIMAL there, fixed-point here).
+
+Reference parity: none (new capability, SURVEY.md §6 extension list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+from data_pipeline_platform_spark.utils.cache import tracked_persist
+
+PR_SCALE = 1_000_000_000  # rank fixed-point scale
+PR_DAMP_NUM = 85  # damping 0.85 as a ratio
+PR_DAMP_DEN = 100
+PR_ITERATIONS = 3
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, iterations: int = PR_ITERATIONS
+) -> DataFrame:
+    """PageRank over a directed edge list (``src``, ``dst``) in exact
+    fixed-point arithmetic; returns (node, rank_fp).
+
+    Every node must appear as both a src and a dst (true for any
+    symmetrized/undirected graph); dangling-node mass redistribution is
+    deliberately out of scope for the bipartite use below.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # persist: the per-iteration join re-reads the edge+degree frame
+    # `iterations` times; at cluster scale this is the materialized
+    # (ideally src-bucketed) edge table.
+    edges_deg = tracked_persist(edges.join(deg, "src"))
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).alias("rank_fp"))
+    for _ in range(iterations):
+        contrib = edges_deg.join(
+            ranks, edges_deg["src"] == ranks["node"]
+        ).select("dst", F.expr("rank_fp div deg").alias("c"))
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(base) + F.expr(f"({PR_DAMP_NUM} * sum(c)) div {PR_DAMP_DEN}")).alias(
+                "rank_fp"
+            )
+        ).select(F.col("dst").alias("node"), "rank_fp")
+    return ranks
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier PageRank over the customer<->supplier purchase graph.
+
+    Edges: distinct (custkey, suppkey) pairs from orders x lineitem,
+    symmetrized (the random surfer walks both directions of the
+    bipartite graph). Output: supplier nodes with their fixed-point
+    rank after 3 iterations."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pair = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges)
+    return ranks.filter(F.col("node").startswith("s")).select("node", "rank_fp")
+
+
+ORACLE_PAGERANK = f"""
+WITH pair AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM pair
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pair
+), deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+r1 AS (
+  SELECT e.dst AS node,
+         {PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN}
+           + ({PR_DAMP_NUM} * SUM(r0.r // d.deg)) // {PR_DAMP_DEN} AS r
+  FROM e JOIN deg d ON e.src = d.src JOIN r0 ON e.src = r0.node
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         {PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN}
+           + ({PR_DAMP_NUM} * SUM(r1.r // d.deg)) // {PR_DAMP_DEN} AS r
+  FROM e JOIN deg d ON e.src = d.src JOIN r1 ON e.src = r1.node
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         {PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN}
+           + ({PR_DAMP_NUM} * SUM(r2.r // d.deg)) // {PR_DAMP_DEN} AS r
+  FROM e JOIN deg d ON e.src = d.src JOIN r2 ON e.src = r2.node
+  GROUP BY e.dst
+)
+SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3 WHERE node LIKE 's%'
+"""
+
+
+register("pagerank", q_pagerank, ORACLE_PAGERANK)
