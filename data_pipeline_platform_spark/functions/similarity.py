@@ -603,4 +603,96 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration, engine-exact: fit per-label seed
+    centroids (decimal means), reassign every vector to its nearest
+    seed, then recompute the centroids of the NEW clusters. This is the
+    k-means building block — iterating it is a driver loop over this
+    exact plan, the same Pregel-as-joins pattern `graph.py` uses for
+    PageRank.
+
+    Determinism: decimal(18,9) component sums (order-free), sequential
+    distance folds, argmin tie-broken on label — so the DuckDB oracle
+    replays the whole step bitwise, including the re-aggregation.
+    Output grain: (cluster, dim) with the new component and the
+    cluster's member count."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    ex = emb.select("label", F.posexplode("vec").alias("dim", "comp"))
+    cents = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("comp").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cent_arr = (
+        cents.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(dc, x -> x.c)").alias("cvec"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "dist",
+        F.expr(
+            "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (a, t) -> a + t)"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("c_label"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", F.col("c_label").alias("cluster"))
+    )
+    re_ex = assigned.select("cluster", F.posexplode("vec").alias("dim", "comp"))
+    return re_ex.groupBy("cluster", "dim").agg(
+        (
+            F.sum(F.col("comp").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c_new"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+ORACLE_KMEANS_LLOYD_STEP = """
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), ex AS (
+  SELECT label, i - 1 AS dim, vec[i] AS comp
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
+), cents AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, dim
+), carr AS (
+  SELECT label AS c_label, list(c ORDER BY dim) AS cvec FROM cents GROUP BY label
+), scored AS (
+  SELECT b.vec_id, b.vec, ca.c_label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(b.vec, ca.cvec),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, t) -> a + t) AS dist
+  FROM base b CROSS JOIN carr ca
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+  FROM scored
+), assigned AS (
+  SELECT vec_id, vec, c_label AS cluster FROM ranked WHERE rn = 1
+), re_ex AS (
+  SELECT cluster, i - 1 AS dim, vec[i] AS comp
+  FROM assigned, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
+)
+SELECT cluster, dim,
+       CAST(SUM(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c_new,
+       COUNT(*) AS n_members
+FROM re_ex GROUP BY cluster, dim
+"""
+
+
 register("centroid_classify", q_centroid_classify, ORACLE_CENTROID_CLASSIFY)
+register("kmeans_lloyd_step", q_kmeans_lloyd_step, ORACLE_KMEANS_LLOYD_STEP)

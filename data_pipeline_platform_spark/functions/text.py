@@ -423,6 +423,60 @@ FROM s
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by raw-ratio TF-IDF
+    (score = tf * N/df — no logarithm, so both engines compute the
+    identical double from exact integers and the grade stays bitwise;
+    the ranking is monotone in the log form anyway).
+
+    Shape at scale: token explode feeds ONE (doc, term) count shuffle;
+    document frequencies aggregate from that frame (map-side combine);
+    the corpus size N joins in as a broadcast scalar, never a driver
+    round-trip; top-k is a rank-pushed window per doc."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * (F.col("n_docs") * F.lit(1.0) / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (n.n_docs * 1.0 / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 3
+"""
+
+
 register("text_stats", q_text_stats, ORACLE_TEXT_STATS)
 register("curation_pipeline", q_curation_pipeline, ORACLE_CURATION_PIPELINE)
 register("lang_profile", q_lang_profile, ORACLE_LANG_PROFILE)
@@ -432,3 +486,4 @@ register("language_id", q_language_id, ORACLE_LANGUAGE_ID)
 register("bpe_token_stats", q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS)
 register("winnow_fingerprints", q_winnow_fingerprints, ORACLE_WINNOW_FINGERPRINTS)
 register("quality_classifier", q_quality_classifier, ORACLE_QUALITY_CLASSIFIER)
+register("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS)
