@@ -52,13 +52,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands via lag + running sum — one shuffle on user_id."""
     ev = _events(spark, sf_dir)
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_timestamp, not cast("long"): valid on both TIMESTAMP and
+    # TIMESTAMP_NTZ inputs (defense in depth on top of the load_table
+    # contract; CAST(ntz AS BIGINT) is an AnalysisException)
+    gap_secs = F.unix_timestamp(F.col("ts"))
     with_gap = ev.withColumn(
         "new_session",
-        F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
-            > 1800,
-            1,
-        )
+        F.when(gap_secs - F.lag(gap_secs).over(w_user) > 1800, 1)
         .otherwise(0)
         .cast("long"),
     )

@@ -44,27 +44,52 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one parquet table from a scale-factor directory.
+    """Read one parquet table from a scale-factor directory, normalized
+    to the FIXTURES.md schema contract.
 
-    Normalization: nanosecond parquet timestamps (events.ts) arrive as
-    long nanos (spark.sql.legacy.parquet.nanosAsLong); convert to a
-    microsecond timestamp by integer division — the same truncation DuckDB
-    applies when it reads TIMESTAMP(NANOS) into its us-resolution type.
+    The reader owns encoding drift so queries never see it. Timestamps
+    in particular have shipped under three parquet encodings across data
+    refreshes (nanos-as-long, TIMESTAMP(isAdjustedToUTC=true),
+    TIMESTAMP_NTZ); the contract is that every timestamp column comes
+    out as a session-TZ ``timestamp`` regardless. Session TZ is pinned
+    UTC (also here, for sessions built by external harnesses), so the
+    wall-clock values are identical under every encoding and match what
+    DuckDB's naive TIMESTAMP reads from the same files.
+    """
+    if name == "events":
+        # runtime-settable SQL confs: required even when the session was
+        # built by an external harness without our session factory
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_contract(df, name)
+
+
+def _normalize_contract(df: DataFrame, name: str) -> DataFrame:
+    """Coerce a raw scan to the FIXTURES.md contract column types.
+
+    Handled drifts (each observed in a shipped data refresh):
+    - events.ts as long nanos (legacy.parquet.nanosAsLong): integer-div
+      to micros — not float division, epoch nanos (~1.7e18) exceed
+      double's 2^53 integer range and low bits would corrupt.
+    - any TIMESTAMP_NTZ column (parquet isAdjustedToUTC=false, which
+      Spark 4 infers as TimestampNTZType): cast to session-TZ timestamp.
+      With session TZ = UTC the cast is value-preserving and restores
+      the type every downstream consumer (lag-gap arithmetic, window
+      ranges, the oracle comparison) is contracted to receive.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if name == "events":
-        # runtime-settable SQL conf: required even when the session was
-        # built by an external harness without our session factory
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
-        if ts_field is not None and isinstance(ts_field.dataType, T.LongType):
-            # integer div, not /: epoch nanos (~1.7e18) exceed double's
-            # 2^53 integer range, so float division would corrupt low bits
+    for field in df.schema.fields:
+        if (
+            name == "events"
+            and field.name == "ts"
+            and isinstance(field.dataType, T.LongType)
+        ):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
@@ -123,12 +148,19 @@ class BatchIngestor:
         self,
         query: str,
         parameters: Optional[Dict[str, Any]] = None,
+        index_col: Optional[str] = None,
     ) -> DataFrame:
         """Execute SQL against registered views/tables; lazy result.
 
         ``parameters`` binds named ``:name`` markers (reference
         batch_ingestor.py:278-281) via Spark's native named-parameter
         support.
+
+        ``index_col`` is accepted for signature compatibility with the
+        reference (batch_ingestor.py:67-73, pandas ``read_sql`` index
+        semantics) and is a documented no-op: Spark DataFrames have no
+        row index, and promoting a column to one has no meaning in a
+        distributed plan. The column stays a regular column.
         """
         if parameters:
             return self.spark.sql(query, args=parameters)

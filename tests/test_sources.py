@@ -86,6 +86,43 @@ def test_events_ts_normalized(spark):
     assert row["ts"].year == 2024
 
 
+# FIXTURES.md §2 contract: the dtype every query is entitled to assume,
+# per table, regardless of how the parquet files encode it. Data
+# refreshes have shipped timestamps as nanos-as-long, adjusted-to-UTC
+# TIMESTAMP, and TIMESTAMP_NTZ — load_table owns absorbing that drift.
+_CONTRACT = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {"c_custkey": "bigint", "c_acctbal": "double", "c_mktsegment": "string"},
+    "supplier": {"s_suppkey": "bigint", "s_acctbal": "double"},
+    "part": {"p_partkey": "bigint", "p_retailprice": "double", "p_size": "int"},
+    "orders": {"o_orderkey": "bigint", "o_totalprice": "double", "o_orderdate": "timestamp"},
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_shipdate": "timestamp",
+    },
+    "events": {"event_id": "bigint", "ts": "timestamp", "value": "double", "props": "string"},
+    "documents": {"doc_id": "bigint", "text": "string", "n_chars": "bigint"},
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+}
+
+
+@pytest.mark.parametrize("table", sorted(_CONTRACT))
+def test_schema_contract(spark, table):
+    """Every table comes out of load_table with contract dtypes and no
+    TIMESTAMP_NTZ leakage (NTZ arithmetic like CAST(ts AS BIGINT) is an
+    AnalysisException downstream, so a leak breaks queries at runtime)."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", table)
+    dtypes = dict(df.dtypes)
+    for col, want in _CONTRACT[table].items():
+        assert dtypes[col] == want, f"{table}.{col}: {dtypes[col]} != {want}"
+    assert not any("timestamp_ntz" in t for t in dtypes.values()), dtypes
+
+
 def test_csv_corrupt_record_handling(ing, spark, tmp_path):
     """PERMISSIVE nulls malformed fields; DROPMALFORMED skips the row;
     FAILFAST raises (reference lenient-coercion parity, SURVEY §1.2)."""
