@@ -37,6 +37,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "events_sessionize",
     "cosine_topk",
+    # heavy extension ops that dominate real pipeline cost (r5+)
+    "fuzzy_contamination",
+    "pagerank",
+    "training_data_pipeline",
+    "tfidf_top_terms",
+    "events_multires_rollup",
 ]
 
 
@@ -59,31 +65,39 @@ def main() -> None:
 
     timings = {}
     total = 0.0
+    errors = 0
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink forces every output column to be computed; a bare
-        # count() would let Catalyst prune projected expressions away
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        release_tracked()  # free operator-internal caches between queries
+        # per-query isolation: one broken query must not zero the whole
+        # round's perf signal (r4: an AnalysisException in query 13 of 14
+        # discarded 12 completed timings and crashed the driver's bench)
+        try:
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # noop sink forces every output column to be computed; a bare
+            # count() would let Catalyst prune projected expressions away
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            timings[name] = f"ERROR: {type(exc).__name__}: {str(exc)[:200]}"
+            errors += 1
+        finally:
+            release_tracked()  # free operator-internal caches between queries
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,32 @@
+"""Bench harness robustness: one broken query must not zero the round's
+perf signal (r4 post-mortem — an AnalysisException in query 13 of 14
+aborted the whole run and discarded 12 completed timings)."""
+
+import json
+
+import bench
+
+
+def test_bench_isolates_query_errors(spark, monkeypatch, capsys):
+    def boom(_spark, _sf_dir):
+        raise RuntimeError("deliberately broken")
+
+    def ok(spark_, _sf_dir):
+        return spark_.range(3)
+
+    monkeypatch.setattr(bench, "HEADLINE", ["good_q", "broken_q", "also_good_q"])
+    monkeypatch.setattr(
+        "data_pipeline_platform_spark.queries.all_queries",
+        lambda: {"good_q": ok, "broken_q": boom, "also_good_q": ok},
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    bench.main()
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert isinstance(out["queries"]["good_q"], float)
+    assert isinstance(out["queries"]["also_good_q"], float)
+    assert str(out["queries"]["broken_q"]).startswith("ERROR: RuntimeError")
+    assert out["errors"] == 1
+    assert out["value"] > 0
