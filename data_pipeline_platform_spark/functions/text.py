@@ -191,10 +191,24 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices that array, O(len * k) total in one scan stage. The output
     is doc-grain (id, counts, checksum) so nothing heavy shuffles."""
     docs = _docs(spark, sf_dir)
+    # Explicit size guards, not `sequence(1, greatest(0, ...))`: Spark's
+    # sequence(1, 0) is the DESCENDING range [1, 0] — not empty — so the
+    # ungated form feeds slice() a start of 0 on any doc shorter than
+    # k + w - 1 chars and crashes (INVALID_PARAMETER_VALUE.START). The
+    # DuckDB oracle's generate_series(1, 0) IS empty, so the guard also
+    # restores engine agreement on short docs: zero grams, zero prints.
     hashes = (
-        f"transform(sequence(1, greatest(0, size(__codes) - {WINNOW_K} + 1)), "
+        f"CASE WHEN size(__codes) >= {WINNOW_K} THEN "
+        f"transform(sequence(1, size(__codes) - {WINNOW_K} + 1), "
         f"i -> aggregate(slice(__codes, i, {WINNOW_K}), CAST(0 AS BIGINT), "
-        f"(acc, ch) -> (acc * {WINNOW_BASE} + ch) % {WINNOW_MOD}))"
+        f"(acc, ch) -> (acc * {WINNOW_BASE} + ch) % {WINNOW_MOD})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    fps = (
+        f"CASE WHEN size(__h) >= {WINNOW_W} THEN "
+        f"array_distinct(transform(sequence(1, size(__h) - {WINNOW_W} + 1), "
+        f"j -> array_min(slice(__h, j, {WINNOW_W})))) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
     return (
         docs.withColumn(
@@ -202,13 +216,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"),
         )
         .withColumn("__h", F.expr(hashes))
-        .withColumn(
-            "__fps",
-            F.expr(
-                f"array_distinct(transform(sequence(1, greatest(0, size(__h) - {WINNOW_W} + 1)), "
-                f"j -> array_min(slice(__h, j, {WINNOW_W}))))"
-            ),
-        )
+        .withColumn("__fps", F.expr(fps))
         .select(
             "doc_id",
             F.size("__h").cast("long").alias("n_grams"),
@@ -239,7 +247,9 @@ WITH g AS (
 )
 SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(len(fps) AS BIGINT) AS n_fingerprints,
-       CAST(list_sum(fps) AS BIGINT) AS fp_checksum
+       -- coalesce: list_sum([]) is NULL in DuckDB, but Spark's
+       -- aggregate() zero-seed yields 0 on a fingerprint-less short doc
+       CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_checksum
 FROM f
 """
 

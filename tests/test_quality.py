@@ -91,3 +91,53 @@ def test_winnowing_guarantee_shared_substring(spark):
     }
     assert fps[1] & fps[2], "shared long substring must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_short_docs_no_crash_and_oracle_agreement(spark, tmp_path):
+    """Docs shorter than k + w - 1 = 11 chars must yield (0 grams,
+    0 fingerprints, checksum 0) — not crash. Regression: Spark's
+    sequence(1, 0) is [1, 0] (descending, NOT empty), so the old
+    greatest(0, ...) bound fed slice() start=0 and raised
+    INVALID_PARAMETER_VALUE.START; DuckDB's generate_series(1, 0) IS
+    empty, so the engines also disagreed semantically. Both engines run
+    on the same parquet here and must agree row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from data_pipeline_platform_spark.functions.text import (
+        ORACLE_WINNOW_FINGERPRINTS,
+        q_winnow_fingerprints,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            # 5 chars (< k), exactly k=8 (1 gram < w), k+w-2=10 (3 grams
+            # < w windows), empty, and one comfortably long control doc
+            "text": ["hello", "exactly8", "ten chars!", "", "a long enough document to fingerprint normally"],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "unit"
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_fingerprints"], r["fp_checksum"])
+        for r in q_winnow_fingerprints(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (0, 0, 0)
+    assert got[4] == (0, 0, 0)
+    assert got[2] == (1, 0, 0)  # one gram, no full w-window
+    assert got[3] == (3, 0, 0)
+    assert got[5][0] > 0 and got[5][1] > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]))
+        for r in con.execute(ORACLE_WINNOW_FINGERPRINTS).fetchall()
+    }
+    assert oracle == got
