@@ -7,7 +7,7 @@ names, and values (rows sorted by all columns, compared exactly; floats
 must match to the last bit — the queries are designed for bitwise parity
 via exact decimal arithmetic).
 
-Usage: python tools/parity.py [sf_dir] [query_name ...]
+Usage: python tools/parity.py [--json out.json] [sf_dir] [query_name ...]
        DPPS_VANILLA=1 python tools/parity.py ...   # driver-simulation
                                                    # session (default
                                                    # confs, ANSI on)
@@ -88,8 +88,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as se
 
@@ -111,6 +117,7 @@ def main():
     qs = se.queries()
     oracles = se.oracle_sql()
     passed = failed = no_oracle = 0
+    results = {}
     from data_pipeline_platform_spark.utils.cache import release_tracked
 
     for name, fn in qs.items():
@@ -122,28 +129,44 @@ def main():
             spark_pdf = sdf.toPandas()
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {type(exc).__name__}: {exc}")
+            results[name] = {"status": "fail", "error": f"spark: {type(exc).__name__}: {str(exc)[:300]}"}
             failed += 1
             continue
         finally:
             release_tracked()  # free operator-internal caches per query
         if name not in oracles:
             print(f"ROWS  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(spark_pdf), "secs": round(time.time() - t0, 2)}
             no_oracle += 1
             continue
         try:
             oracle_pdf = con.execute(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL  {name}: oracle error: {type(exc).__name__}: {exc}")
+            results[name] = {"status": "fail", "error": f"oracle: {type(exc).__name__}: {str(exc)[:300]}"}
             failed += 1
             continue
         problems = compare(name, spark_pdf, oracle_pdf)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            results[name] = {"status": "fail", "rows": len(spark_pdf), "problems": problems}
             failed += 1
         else:
             print(f"OK    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "ok", "rows": len(spark_pdf), "secs": round(time.time() - t0, 2)}
             passed += 1
     print(f"\n{passed} passed, {failed} failed, {no_oracle} rows-only")
+    if json_out:
+        import json as _json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "summary": {"passed": passed, "failed": failed, "rows_only": no_oracle},
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
     return 1 if failed else 0
 
 
