@@ -689,3 +689,80 @@ FROM counts LEFT JOIN kept USING (lang)
 
 
 register("temperature_sample", q_temperature_sample, ORACLE_TEMPERATURE_SAMPLE)
+
+
+# -- token-window chunking (long doc -> training chunks) ---------------------
+
+CHUNK_SIZE = 64      # tokens per chunk
+CHUNK_OVERLAP = 16   # tokens shared with the previous chunk
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def chunk_documents(
+    df: DataFrame, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    long-document -> training-chunks op (context-window packing's
+    upstream): chunk i starts at token i*stride (stride = size-overlap),
+    spans up to `size` tokens, and shares `overlap` tokens with its
+    predecessor so no span of text loses cross-boundary context.
+
+    Tail rule: a candidate start is kept iff it is the first chunk or
+    extends at least one token past the previous chunk's overlap
+    (start + overlap <= n). Dropping a tail start never loses tokens:
+    the previous chunk ends at start + overlap - 1 >= n. Only the last
+    start can be dropped, so chunk_ids are gapless 0..k and derivable
+    arithmetically as (start-1) div stride — both engines compute them
+    without window functions.
+
+    Plan: one scan, one row-local explode — zero shuffles, zero Python.
+    At 100 TB chunking rides the ingest scan; output rows ~ n_tokens /
+    stride per doc, each chunk's text re-materialized from the token
+    array (array_join), so downstream ops see plain string columns."""
+    stride = size - overlap
+    starts = (
+        f"filter(sequence(1, __n, {stride}), "
+        f"s -> s = 1 OR s + {overlap} <= __n)"
+    )
+    return (
+        df.filter(F.trim(F.col("text")) != "")
+        .withColumn("__toks", _tokens())
+        .withColumn("__n", F.size("__toks"))
+        .withColumn("__start", F.explode(F.expr(starts)))
+        .select(
+            "doc_id",
+            F.expr(f"CAST((__start - 1) div {stride} AS INT)").alias("chunk_id"),
+            F.least(F.lit(size), F.col("__n") - F.col("__start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+            F.expr(f"array_join(slice(__toks, __start, {size}), ' ')").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+ORACLE_CHUNK_DOCUMENTS = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+  WHERE trim(text) <> ''
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(list_filter(generate_series(1, len(toks), {CHUNK_STRIDE}),
+                            s -> s = 1 OR s + {CHUNK_OVERLAP} <= len(toks))) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(least({CHUNK_SIZE}, n - start + 1) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start : start + {CHUNK_SIZE} - 1], ' ') AS chunk_text
+FROM s
+"""
+
+
+register("chunk_documents", q_chunk_documents, ORACLE_CHUNK_DOCUMENTS)

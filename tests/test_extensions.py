@@ -339,12 +339,15 @@ def test_corpus_plans_stay_shuffle_lean(spark):
     )
 
     sf = "/root/testdata/sf0.001"
-    for q in (q_deterministic_sample, q_pii_scrub):
+    from data_pipeline_platform_spark.functions.corpus import q_chunk_documents
+
+    for q in (q_deterministic_sample, q_pii_scrub, q_chunk_documents):
         plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
         # no KEY shuffle — the only allowed exchange is spread_scan's
         # deliberate round-robin fan-out of a single-split source
         assert "hashpartitioning" not in plan, q.__name__
         assert "rangepartitioning" not in plan, q.__name__
+        assert "EvalPython" not in plan, q.__name__
     plan = q_contamination_check(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
@@ -368,3 +371,65 @@ def test_stratified_sample_balanced_and_deterministic(spark):
     tiny = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
     out = stratified_sample(tiny, k=5)
     assert out.count() == 3
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    """Chunking invariants at the window-math boundaries: exact-size and
+    size+stride edges, tail-drop rule (a start within `overlap` of the
+    end is dropped and loses no tokens), overlap equality between
+    consecutive full chunks, and loss-free reconstruction."""
+    from data_pipeline_platform_spark.functions.corpus import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    def doc(n):
+        return " ".join(f"t{i}" for i in range(1, n + 1))
+
+    sizes = {1: 1, 2: CHUNK_SIZE, 3: CHUNK_SIZE + 1, 4: 112, 5: 113}
+    df = spark.createDataFrame(
+        [(k, doc(n)) for k, n in sizes.items()] + [(6, "   ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+
+    assert 6 not in by_doc  # whitespace-only doc yields nothing
+    # n=1 and n=64: a second start would add <= overlap new tokens -> 1 chunk
+    assert [r["n_tokens"] for r in by_doc[1]] == [1]
+    assert [r["n_tokens"] for r in by_doc[2]] == [CHUNK_SIZE]
+    # n=65: second chunk covers tokens 49..65 (overlap 16 + 1 new)
+    assert [r["n_tokens"] for r in by_doc[3]] == [CHUNK_SIZE, CHUNK_OVERLAP + 1]
+    # n=112: start 97 dropped (97+16 > 112), chunk 2 ends exactly at 112
+    assert [r["n_tokens"] for r in by_doc[4]] == [CHUNK_SIZE, CHUNK_SIZE]
+    # n=113: start 97 kept (97+16 <= 113)
+    assert [r["n_tokens"] for r in by_doc[5]] == [
+        CHUNK_SIZE,
+        CHUNK_SIZE,
+        CHUNK_OVERLAP + 1,
+    ]
+
+    for doc_id, n in sizes.items():
+        chunks = by_doc[doc_id]
+        assert [r["chunk_id"] for r in chunks] == list(range(len(chunks)))
+        toks = [c["chunk_text"].split(" ") for c in chunks]
+        # consecutive chunks share exactly `overlap` tokens
+        for a, b in zip(toks, toks[1:]):
+            assert a[CHUNK_STRIDE:] == b[: len(a) - CHUNK_STRIDE]
+        # reconstruction: first chunk + post-overlap suffixes == original
+        rebuilt = list(toks[0])
+        for b in toks[1:]:
+            rebuilt.extend(b[CHUNK_OVERLAP:])
+        assert rebuilt == doc(n).split(" ")
+        covered = set()
+        start = 1
+        for c in chunks:
+            covered.update(range(start, start + c["n_tokens"]))
+            start += CHUNK_STRIDE
+        assert covered == set(range(1, n + 1)), f"doc {doc_id} lost tokens"
