@@ -452,19 +452,31 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("char_count") >= 100)
     )
 
-    # exact dedup: keep the lowest doc_id per content fingerprint
+    # exact dedup: keep the lowest doc_id per content fingerprint.
+    # tracked_persist: `uniq` feeds FOUR sibling branches (shingle pair
+    # generation, the anti-join back, decontamination, final packing) and
+    # Spark re-executes an uncached subtree per branch — without the
+    # persist the scan + text-stats + fingerprint window run 4x
+    # (measured ~18-23s -> ~9s steady-state at sf0.1, together with the
+    # deduped persist below). The survivor set is the smallest frame in
+    # the chain, so this is the cheapest point to pin.
+    from data_pipeline_platform_spark.utils.cache import tracked_persist
+
     w_fp = Window.partitionBy("fp").orderBy("doc_id")
-    uniq = (
+    uniq = tracked_persist(
         kept.withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
         .withColumn("__rn", F.row_number().over(w_fp))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "fp")
     )
 
-    # near-dedup at jaccard >= 0.8: drop the higher id of each pair
+    # near-dedup at jaccard >= 0.8: drop the higher id of each pair.
+    # deduped is persisted too: its two consumers (decontamination and
+    # the final pack) would otherwise each re-run the shingle pair
+    # join behind dup_b
     pairs = _jaccard_pairs(uniq.select("doc_id", "text"), threshold=0.8)
     dup_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    deduped = uniq.join(dup_b, "doc_id", "left_anti")
+    deduped = tracked_persist(uniq.join(dup_b, "doc_id", "left_anti"))
 
     # decontamination against the raw benchmark
     dirty = contamination_check(
