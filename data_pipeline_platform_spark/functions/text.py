@@ -497,3 +497,86 @@ register("bpe_token_stats", q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS)
 register("winnow_fingerprints", q_winnow_fingerprints, ORACLE_WINNOW_FINGERPRINTS)
 register("quality_classifier", q_quality_classifier, ORACLE_QUALITY_CLASSIFIER)
 register("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS)
+
+
+# -- out-of-vocabulary rate (fluency / junk-document signal) -----------------
+
+OOV_VOCAB_K = 1000  # corpus vocabulary = top-K tokens by frequency
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document: the share of a doc's tokens
+    absent from the corpus's top-K frequency vocabulary — the classic
+    cheap fluency filter (gibberish, wrong-language, and boilerplate
+    docs score high; fluent prose scores low).
+
+    Vocabulary selection is deterministic: rank by (freq DESC, token
+    ASC) and keep row_number <= K, so the K-boundary tie-break replays
+    identically in both engines. The rate itself is reported as exact
+    BIGINT numerator/denominator plus ONE final double division —
+    single IEEE ops are bitwise-portable; only float accumulation
+    order is not.
+
+    Plan shape at 100 TB: the vocabulary is a token-keyed aggregate of
+    the exploded corpus (one shuffle, partial-agg map-side) reduced to
+    K rows on the driver side of a window — then BROADCAST back, so
+    the per-doc miss count is a broadcast left-anti join + one doc-keyed
+    aggregation. The corpus itself shuffles once, keyed on doc_id."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= OOV_VOCAB_K)
+        .select("token")
+    )
+    oov = (
+        toks.join(F.broadcast(vocab), "token", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            (
+                F.coalesce("n_oov", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+ORACLE_OOV_RATE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS freq,
+           row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+    FROM toks GROUP BY token
+  ) WHERE rk <= {OOV_VOCAB_K}
+), oov AS (
+  SELECT doc_id, COUNT(*) AS n_oov
+  FROM toks ANTI JOIN vocab USING (token)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       COALESCE(ANY_VALUE(o.n_oov), 0) AS n_oov,
+       CAST(COALESCE(ANY_VALUE(o.n_oov), 0) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM toks t LEFT JOIN oov o ON t.doc_id = o.doc_id
+GROUP BY t.doc_id
+"""
+
+
+register("oov_rate", q_oov_rate, ORACLE_OOV_RATE)

@@ -433,3 +433,24 @@ def test_chunk_documents_boundaries_and_overlap(spark):
             covered.update(range(start, start + c["n_tokens"]))
             start += CHUNK_STRIDE
         assert covered == set(range(1, n + 1)), f"doc {doc_id} lost tokens"
+
+
+def test_oov_rate_flags_planted_gibberish(spark):
+    """A doc of unique gibberish tokens must score oov_rate 1.0 while
+    docs made of corpus-common tokens score low; the vocabulary side
+    must broadcast (never shuffle the corpus for the join)."""
+    from data_pipeline_platform_spark.functions.text import q_oov_rate
+
+    sf = "/root/testdata/sf0.001"
+    df = q_oov_rate(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+    rows = df.collect()
+    assert all(0 <= r["n_oov"] <= r["n_tokens"] for r in rows)
+    assert all(abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) == 0.0 for r in rows)
+    # the corpus is synthetic-English-ish: the bulk of tokens are in the
+    # top-1000 vocabulary, so the median rate must be well under 1
+    rates = sorted(r["oov_rate"] for r in rows)
+    assert rates[len(rates) // 2] < 0.5
