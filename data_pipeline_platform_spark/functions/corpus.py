@@ -778,3 +778,67 @@ FROM s
 
 
 register("chunk_documents", q_chunk_documents, ORACLE_CHUNK_DOCUMENTS)
+
+
+# -- n-gram novelty (self-information / redundancy signal) -------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct 3-gram
+    shingles whose FIRST corpus occurrence (min doc_id, ingestion order)
+    is this doc. Boilerplate-heavy and templated docs score near 0 —
+    their grams were all seen before — while genuinely new content
+    scores high; the redundancy twin of `repetition_stats` (which is
+    intra-doc) and the streaming analog of what a dedup pass removes.
+
+    Docs with fewer than 3 tokens have no grams and no row (documented;
+    the oracle agrees by construction).
+
+    Plan shape at 100 TB: explode distinct grams -> ONE gram-keyed
+    window (min doc_id per gram — same key family as the
+    token_frequency shuffle, partial-combine applies to the
+    min) -> ONE doc-keyed aggregation. No joins, no second corpus
+    scan: the first-occurrence test rides the gram window as
+    doc_id = min(doc_id) OVER (PARTITION BY gram)."""
+    from data_pipeline_platform_spark.functions.dedup import with_shingles
+
+    grams = (
+        with_shingles(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("shingles").alias("gram"))
+    )
+    w = Window.partitionBy("gram")
+    return (
+        grams.withColumn("__first", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("__first")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn(
+            "novelty_rate", F.col("n_novel").cast("double") / F.col("n_grams")
+        )
+    )
+
+
+from data_pipeline_platform_spark.functions.dedup import _DUCK_SHINGLES
+
+ORACLE_NGRAM_NOVELTY = rf"""
+WITH sh AS ({_DUCK_SHINGLES}),
+g AS (
+  SELECT doc_id, unnest(shingles) AS gram FROM sh
+), firsts AS (
+  SELECT doc_id, gram, MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+  FROM g
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty_rate
+FROM firsts
+GROUP BY doc_id
+"""
+
+
+register("ngram_novelty", q_ngram_novelty, ORACLE_NGRAM_NOVELTY)

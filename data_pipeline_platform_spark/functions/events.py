@@ -307,3 +307,51 @@ GROUP BY GROUPING SETS ((m, event_type), (h, event_type), (d, event_type))
 """
 
 register("events_multires_rollup", q_events_multires_rollup, ORACLE_EVENTS_MULTIRES_ROLLUP)
+
+
+def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: user-hours whose event count exceeds 1.5x the
+    user's mean hourly rate — the anomaly screen for bot traffic /
+    scraper storms in an event firehose. (The synthetic stream is
+    near-uniform per user — max observed ratio 2-3.8x across SFs — so
+    1.5x keeps the flagged set non-vacuous at every shipped SF while
+    still selecting ~5%; production would raise the ratio.)
+
+    The threshold is evaluated in EXACT integer arithmetic
+    (2 * c * n_hours > 3 * total) rather than comparing against a float
+    mean, so both engines flag the identical user-hour set — the same
+    integer-comparison trick the Q11/Q22 adaptations use for their
+    aggregate thresholds.
+
+    Plan: one (user, hour) aggregation, then the per-user totals ride
+    a user-keyed window over that already-reduced frame — no second
+    scan of the fact table, no join. At 100 TB the window frame is
+    |users x active-hours| of the aggregate, not raw events."""
+    ev = _events(spark, sf_dir)
+    per_hour = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id")
+    return (
+        per_hour.withColumn("__total", F.sum("n_events").over(w))
+        .withColumn("__hours", F.count(F.lit(1)).over(w))
+        .filter(2 * F.col("n_events") * F.col("__hours") > 3 * F.col("__total"))
+        .select("user_id", "hour_start", "n_events")
+    )
+
+
+ORACLE_EVENTS_BURST = """
+WITH per_hour AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT *, SUM(n_events) OVER (PARTITION BY user_id) AS total,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_hours
+  FROM per_hour
+)
+SELECT user_id, hour_start, n_events
+FROM tot WHERE 2 * n_events * n_hours > 3 * total
+"""
+
+
+register("events_burst", q_events_burst, ORACLE_EVENTS_BURST)
