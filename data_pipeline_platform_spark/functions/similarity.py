@@ -696,3 +696,180 @@ FROM re_ex GROUP BY cluster, dim
 
 register("centroid_classify", q_centroid_classify, ORACLE_CENTROID_CLASSIFY)
 register("kmeans_lloyd_step", q_kmeans_lloyd_step, ORACLE_KMEANS_LLOYD_STEP)
+
+
+# ---------------------------------------------------------------------------
+# deterministic IVF: content-addressed seeds + one decimal-exact Lloyd
+# refinement -> every stage replayable by the oracle (the bitwise-graded
+# counterpart of the Spark-ML-backed cosine_topk_ivf above)
+# ---------------------------------------------------------------------------
+
+IVFX_CELLS = 16
+IVFX_PROBE = 4
+IVFX_K = 10
+
+_DIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+)
+
+
+def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search with a fully deterministic quantizer, so the
+    DuckDB oracle replays the ENTIRE index build and probe bitwise —
+    upgrading the IVF family from rows-only to hash-graded:
+
+    1. seeds: the 16 vectors with smallest md5(vec_id) (content-
+       addressed sample — reproducible across engines/cluster sizes,
+       the `deterministic_sample` trick; TakeOrdered, not a full sort).
+    2. one Lloyd refinement: assign to seeds (sequential-fold L2,
+       tie-break on seed id), recompute centroids as DECIMAL(18,9)
+       component means (accumulation-order-free — the
+       `kmeans_lloyd_step` technique).
+    3. final assignment to refined centroids = the inverted file.
+    4. probe: rank cells by centroid distance to the query vector, keep
+       the 4 closest; exact-cosine re-rank inside probed cells only.
+
+    Plan: the index build is two broadcast-scored scans + one
+    (cell, dim) aggregation; the search is a broadcast semi-join on the
+    probed cells + one top-k. The inverted file is tracked-persisted:
+    the query row and the candidate set both read it. At 100 TB the
+    probe touches ~n_probe/n_cells of the corpus — the IVF contract."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    seeds = (
+        emb.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(IVFX_CELLS)
+        .withColumn(
+            "seed_id", F.row_number().over(Window.orderBy("__h", "vec_id"))
+        )
+        .select("seed_id", F.col("vec").alias("svec"))
+    )
+    w_v0 = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("seed_id"))
+    a0 = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("dist", F.expr(_DIST.format(a="vec", b="svec")))
+        .withColumn("__rn", F.row_number().over(w_v0))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "vec", F.col("seed_id").alias("cell0"))
+    )
+    ex = a0.select("cell0", F.posexplode("vec").alias("dim", "comp"))
+    cents = ex.groupBy("cell0", "dim").agg(
+        (
+            F.sum(F.col("comp").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    # persist: the 16-row centroid frame feeds the final assignment AND
+    # the probe ranking — uncached, each consumer would re-execute the
+    # whole seed+assign+refine chain behind it; cached, the quantizer
+    # fits exactly once per search
+    cent_arr = tracked_persist(
+        cents.groupBy("cell0")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            F.col("cell0").alias("cell"), F.expr("transform(dc, x -> x.c)").alias("cvec")
+        )
+    )
+    w_v1 = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
+    ivf = tracked_persist(
+        emb.crossJoin(F.broadcast(cent_arr))
+        .withColumn("dist", F.expr(_DIST.format(a="vec", b="cvec")))
+        .withColumn("__rn", F.row_number().over(w_v1))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "label", "vec", "cell")
+    )
+    q = ivf.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    probed = (
+        cent_arr.crossJoin(F.broadcast(q))
+        .withColumn("qdist", F.expr(_DIST.format(a="cvec", b="qvec")))
+        .withColumn("__pn", F.row_number().over(Window.orderBy("qdist", "cell")))
+        .filter(F.col("__pn") <= IVFX_PROBE)
+        .select("cell")
+    )
+    cand = (
+        ivf.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            _dot("vec", "qvec")
+            / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qvec", "qvec"))),
+        )
+        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(IVFX_K)
+    )
+
+
+_DUCK_DIST = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+    "(acc, t) -> acc + t)"
+)
+
+ORACLE_COSINE_TOPK_IVF_EXACT = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS seed_id, vec AS svec
+  FROM (SELECT vec_id, vec, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM base ORDER BY h, vec_id LIMIT {IVFX_CELLS})
+), a0 AS (
+  SELECT vec_id, vec, seed_id AS cell0 FROM (
+    SELECT b.vec_id, b.vec, s.seed_id,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_DUCK_DIST.format(a='b.vec', b='s.svec')}, s.seed_id) AS rn
+    FROM base b CROSS JOIN seeds s
+  ) WHERE rn = 1
+), ex AS (
+  SELECT cell0, i - 1 AS dim, vec[i] AS comp
+  FROM a0, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
+), cents AS (
+  SELECT cell0, dim,
+         CAST(SUM(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY cell0, dim
+), carr AS (
+  SELECT cell0 AS cell, list(c ORDER BY dim) AS cvec FROM cents GROUP BY cell0
+), ivf AS (
+  SELECT vec_id, label, vec, cell FROM (
+    SELECT b.vec_id, b.label, b.vec, ca.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_DUCK_DIST.format(a='b.vec', b='ca.cvec')}, ca.cell) AS rn
+    FROM base b CROSS JOIN carr ca
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec AS qvec FROM ivf WHERE vec_id = 0
+), probed AS (
+  SELECT cell FROM (
+    SELECT ca.cell,
+           row_number() OVER (
+             ORDER BY {_DUCK_DIST.format(a='ca.cvec', b='q.qvec')}, ca.cell) AS pn
+    FROM carr ca CROSS JOIN q
+  ) WHERE pn <= {IVFX_PROBE}
+), scored AS (
+  SELECT i.vec_id, i.label,
+         round(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip(i.vec, q.qvec), p -> p[1] * p[2])),
+             (acc, t) -> acc + t)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(i.vec, x -> x * x)), (acc, t) -> acc + t))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(q.qvec, x -> x * x)), (acc, t) -> acc + t))),
+           6) AS cosine
+  FROM ivf i JOIN probed USING (cell) CROSS JOIN q
+  WHERE i.vec_id != 0
+)
+SELECT vec_id, label, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT {IVFX_K}
+"""
+
+
+register("cosine_topk_ivf_exact", q_cosine_topk_ivf_exact, ORACLE_COSINE_TOPK_IVF_EXACT)

@@ -249,6 +249,29 @@ def test_ivf_recall_vs_exact(spark):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_exact_deterministic_and_recall(spark):
+    """The deterministic IVF (content-addressed seeds + one Lloyd
+    refinement) must return identical rows across runs and recover a
+    reasonable share of the exact top-10 with 4/16 cells probed."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        cosine_topk,
+        q_cosine_topk_ivf_exact,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.utils.cache import release_tracked
+
+    r1 = [tuple(r) for r in q_cosine_topk_ivf_exact(spark, SF).collect()]
+    release_tracked()
+    r2 = [tuple(r) for r in q_cosine_topk_ivf_exact(spark, SF).collect()]
+    release_tracked()
+    assert r1 == r2
+    assert len(r1) == 10
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {r["vec_id"] for r in cosine_topk(emb, 0, k=10).collect()}
+    assert len(exact & {t[0] for t in r1}) >= 5
+
+
 def test_stop_shingle_cutoff_preserves_output(spark):
     """A corpus-wide boilerplate shingle must be dropped from the
     candidate index (bounding the self-join) WITHOUT changing the

@@ -57,6 +57,12 @@ HEADLINE = [
     "data_quality_report",
     "salted_skew_join",
     "multimodal_byte_features",
+    # round-5 operators (chunking/oov/novelty are per-doc or
+    # bounded-vocab — replication must scale them linearly)
+    "chunk_documents",
+    "oov_rate",
+    "ngram_novelty",
+    "events_burst",
 ]
 
 
