@@ -147,3 +147,54 @@ def test_upsert_matches_dict_replay(spark, tmp_path_factory, base, updates):
     )
     got = {r["k"]: r["v"] for r in writer.read_table("t").collect()}
     assert got == model
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=8)
+)
+@SETTINGS
+def test_chunk_documents_invariants(spark, lengths):
+    """For any token count: chunks cover every token exactly (no loss,
+    no phantom), consecutive chunks overlap by exactly CHUNK_OVERLAP
+    (when a successor exists), chunk ids are gapless from 0, and
+    re-concatenating first chunk + post-overlap suffixes rebuilds the
+    doc — checked against a pure-Python model of the window math."""
+    from data_pipeline_platform_spark.functions.corpus import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    rows = [
+        (i, " ".join(f"d{i}t{j}" for j in range(1, n + 1)))
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+
+    for doc_id, n in enumerate(lengths):
+        toks = rows[doc_id][1].split(" ") if n else []
+        # python model: starts 1, 1+stride, ... kept while first or
+        # adding tokens beyond the previous chunk's overlap
+        starts = [
+            s
+            for s in range(1, n + 1, CHUNK_STRIDE)
+            if s == 1 or s + CHUNK_OVERLAP <= n
+        ] if n else []
+        chunks = sorted(got.get(doc_id, []), key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(starts)))
+        rebuilt = []
+        for c, s in zip(chunks, starts):
+            text_toks = c["chunk_text"].split(" ")
+            assert text_toks == toks[s - 1 : s - 1 + CHUNK_SIZE]
+            assert c["n_tokens"] == len(text_toks)
+            rebuilt.extend(text_toks if not rebuilt else text_toks[CHUNK_OVERLAP:])
+        assert rebuilt == toks[: len(rebuilt)]
+        # total coverage: the union of chunk spans is exactly 1..n
+        covered = set()
+        for c, s in zip(chunks, starts):
+            covered.update(range(s, s + c["n_tokens"]))
+        assert covered == set(range(1, n + 1)) if n else not covered
