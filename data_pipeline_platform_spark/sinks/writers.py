@@ -363,3 +363,36 @@ class BatchWriter:
         for k, v in (properties or {}).items():
             writer = writer.option(k, v)
         writer.save()
+
+    # -- clustered layout (row-group pruning path) -------------------------
+    def write_clustered(
+        self,
+        df: DataFrame,
+        table: str,
+        cluster_cols: List[str],
+        num_files: int = 32,
+        mode: str = "overwrite",
+    ) -> str:
+        """Write globally clustered parquet: range-partition on
+        ``cluster_cols`` then sort within each partition, so every
+        output file owns a near-disjoint key range and each row group's
+        parquet min/max statistics become selective.
+
+        This is the layout half of scan pruning: partition directories
+        prune whole folders (``functions/scale.py`` date layout), and
+        clustering prunes ROW GROUPS inside files — a filter on the
+        cluster key skips the row groups whose [min, max] miss the
+        predicate, which is how a 100 TB time-range or key-range query
+        reads gigabytes instead of the full table. Range partitioning
+        also bounds file skew (each file gets ~1/num_files of the rows,
+        sampled), unlike hash-partitioned sorts.
+        """
+        path = self._table_path(table)
+        (
+            df.repartitionByRange(num_files, *cluster_cols)
+            .sortWithinPartitions(*cluster_cols)
+            .write.format(self.fmt)
+            .mode(mode)
+            .save(path)
+        )
+        return path

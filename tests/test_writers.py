@@ -188,3 +188,59 @@ def test_savepoint_commit_and_nesting(writer, spark):
     # no snapshot litter
     table_dir = os.path.dirname(writer._table_path("t"))
     assert not [f for f in os.listdir(table_dir) if "__sp_" in f]
+
+
+def test_write_clustered_rowgroup_stats_prunable(spark, tmp_path):
+    """Clustered layout contract, checked from the parquet footers: with
+    range-partition + sort on l_orderkey, per-file [min, max] key ranges
+    must be near-disjoint, so a key-range predicate can skip most row
+    groups via statistics. The same data written unclustered has every
+    file spanning ~the whole key range (nothing prunable). (The cluster
+    key is the bigint key, not the timestamp: Spark's INT96 timestamp
+    encoding carries no parquet min/max statistics to prune on.)"""
+    import pyarrow.parquet as pq
+    from data_pipeline_platform_spark.sinks.writers import BatchWriter
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    writer = BatchWriter(spark, base_path=str(tmp_path))
+    path = writer.write_clustered(li, "li_clustered", ["l_orderkey"], num_files=8)
+
+    def file_ranges(p):
+        import glob as g
+
+        ranges = []
+        for f in sorted(g.glob(f"{p}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(len(md.schema))]
+            col = names.index("l_orderkey")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                ranges.append((min(mins), max(maxs)))
+        return ranges
+
+    clustered = file_ranges(path)
+    assert len(clustered) >= 4
+    # near-disjoint: each file's range overlaps at most the boundary of
+    # the next (range partitioning splits at exact key boundaries)
+    for (a_min, a_max), (b_min, b_max) in zip(sorted(clustered), sorted(clustered)[1:]):
+        assert a_max <= b_min or a_max <= b_max  # ordered, minimal overlap
+
+    # selectivity: a 1-file-wide date slice must exclude most files
+    lo = sorted(clustered)[0][1]  # first file's max
+    excluded = sum(1 for mn, mx in clustered if mn > lo)
+    assert excluded >= len(clustered) - 2
+
+    # control: unclustered write -> every file spans ~the full range
+    li.repartition(8).write.mode("overwrite").parquet(str(tmp_path / "li_plain"))
+    plain = file_ranges(str(tmp_path / "li_plain"))
+    overall_min = min(mn for mn, _ in plain)
+    excluded_plain = sum(1 for mn, mx in plain if mn > lo)
+    assert excluded_plain == 0, "random layout should not be prunable"
+    assert overall_min == min(mn for mn, _ in clustered)
