@@ -573,3 +573,84 @@ register("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS)
 register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD)
 register("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH)
 register("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verification (character-level near-dup confirmation)
+# ---------------------------------------------------------------------------
+
+LEV_CAND_JACCARD = 0.2  # shingle-Jaccard candidate screen
+
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: for every candidate pair
+    from the shingle inverted index (Jaccard >= 0.2 screen — the cheap
+    set-level signal), compute the exact Levenshtein distance and the
+    normalized edit similarity 1 - lev/max(len). Token-set measures
+    (Jaccard, MinHash) are blind to within-token edits and reorderings;
+    edit distance is the character-level ground truth a dedup pipeline
+    verifies borderline pairs with.
+
+    Exactness: Levenshtein is integer dynamic programming with unit
+    costs — both engines return identical BIGINTs (verified against
+    DuckDB's levenshtein); the similarity is one integer division
+    rounded at 6 places.
+
+    Plan shape at 100 TB: candidates come from the bounded inverted
+    index (sum(df^2) with the stop-shingle cutoff), then the tiny pair
+    frame broadcasts INTO two corpus scans to fetch texts — the O(n*m)
+    per-pair DP runs only on screened pairs, never corpus x corpus."""
+    docs = _docs(spark, sf_dir)
+    pairs = _jaccard_pairs(docs, threshold=LEV_CAND_JACCARD).select("doc_a", "doc_b")
+    t_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
+    t_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    return (
+        t_a.join(F.broadcast(pairs), "doc_a")
+        .join(t_b, "doc_b")
+        .withColumn("lev", F.levenshtein("__ta", "__tb").cast("long"))
+        .withColumn(
+            "edit_sim",
+            F.round(
+                F.lit(1.0)
+                - F.col("lev")
+                / F.greatest(F.length("__ta"), F.length("__tb")),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "lev", "edit_sim")
+    )
+
+
+ORACLE_DEDUP_LEVENSHTEIN = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+live AS (
+  SELECT s FROM ex GROUP BY s
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {STOP_SHINGLE_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM live)
+),
+screened AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh sa ON doc_a = sa.doc_id
+  JOIN sh sb ON doc_b = sb.doc_id
+  WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles)))
+        >= {LEV_CAND_JACCARD}
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       round(1.0 - CAST(levenshtein(da.text, db.text) AS BIGINT)
+               * 1.0 / greatest(length(da.text), length(db.text)), 6) AS edit_sim
+FROM screened
+JOIN documents da ON doc_a = da.doc_id
+JOIN documents db ON doc_b = db.doc_id
+"""
+
+
+register("dedup_levenshtein", q_dedup_levenshtein, ORACLE_DEDUP_LEVENSHTEIN)
