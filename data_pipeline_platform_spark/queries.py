@@ -444,18 +444,28 @@ SELECT nationkey, 'customer_only' AS side FROM
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti: customers with no orders (NOT EXISTS parity)."""
+    """left_anti: customers with no URGENT order (NOT EXISTS parity).
+
+    The right side is filtered before the anti-join (pushdown reaches
+    the orders scan). The unfiltered form — customers with no orders at
+    all — is vacuous at every shipped SF (every customer has orders),
+    which proves only that both engines find nothing; the priority
+    filter keeps the result discriminating (18/203/1986 rows)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
 
 ORACLE_ANTI_JOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 
