@@ -45,6 +45,38 @@ def _dot(a: str, b: str):
     )
 
 
+# Fixed-point squared L2 distance at micro resolution: components are
+# quantized to round(x * 1e6) BIGINTs, so every difference, square, and
+# sum is exact integer arithmetic — bitwise-portable across engines by
+# construction. A pure double fold is NOT: both engines apply the same
+# IEEE ops in the same order, but C++ builds may contract mul+add into
+# FMA where the JVM cannot, and a 1-ulp distance difference at an argmin
+# near-tie flips a cluster assignment (observed once in 320k assignments
+# at sf0.1). Overflow-safe: |component| < 1.2 here, so squares are
+# < 1.5e12 and a 64-dim sum < 1e14 << 2^63. Used wherever a distance
+# ORDERS something (argmin assignment, probe ranking).
+FP_SCALE = 1_000_000
+
+
+def _dist_fp_sql(a: str, b: str) -> str:
+    q = f"CAST(round({{v}} * {FP_SCALE}) AS BIGINT)"
+    dx = f"({q.format(v='x')} - {q.format(v='y')})"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> {dx} * {dx}), "
+        f"CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+
+
+def _duck_dist_fp(a: str, b: str) -> str:
+    q = f"CAST(round({{v}} * {FP_SCALE}) AS BIGINT)"
+    dx = f"({q.format(v='p[1]')} - {q.format(v='p[2]')})"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_zip({a}, {b}), p -> {dx} * {dx})), "
+        f"(acc, t) -> acc + t)"
+    )
+
+
 def _as_double(col: str):
     return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
 
@@ -522,11 +554,13 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain/quality classification step of a training-data pipeline
     (fit: per-label mean vectors; predict: argmin L2 distance).
 
-    Engine-exact by construction: centroid components are DECIMAL(18,9)
-    sums (accumulation order cannot change them — same technique as
-    label_centroids), distances are sequential folds over zipped
-    arrays, and the argmin tie-breaks on label — so the DuckDB oracle
-    reproduces every assignment bitwise.
+    Engine-exact by construction: centroid components are fixed-point
+    BIGINT sums at 1e-9 resolution (order-free, and round() ties break
+    half-away in BOTH engines — unlike double->DECIMAL casts, where
+    Spark rounds HALF_UP but DuckDB half-even, so a dyadic component
+    like 0.1494140625 diverges by 1e-9), distances are fixed-point
+    BIGINT folds (FP_SCALE), and the argmin tie-breaks on label — so
+    the DuckDB oracle reproduces every assignment bitwise.
 
     Plan: one posexplode+agg pass fits the centroids (label-dim grain,
     tiny), broadcast back; scoring is a single scan of embeddings with
@@ -540,8 +574,9 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.groupBy("label", "dim")
         .agg(
             (
-                F.sum(F.col("comp").cast("decimal(18,9)")).cast("double")
+                F.sum(F.expr("CAST(round(comp * 1000000000) AS BIGINT)")).cast("double")
                 / F.count(F.lit(1))
+                / F.lit(1000000000.0)
             ).alias("c")
         )
     )
@@ -554,15 +589,11 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = emb.crossJoin(F.broadcast(cent_arr)).withColumn(
-        "dist",
-        F.expr(
-            "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0.0 AS DOUBLE), (a, t) -> a + t)"
-        ),
+        "dist_fp", F.expr(_dist_fp_sql("vec", "cvec"))
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("c_label"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist_fp"), F.col("c_label"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -570,12 +601,12 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.col("c_label").alias("predicted_label"),
-            F.round("dist", 6).alias("dist"),
+            "dist_fp",
         )
     )
 
 
-ORACLE_CENTROID_CLASSIFY = """
+ORACLE_CENTROID_CLASSIFY = f"""
 WITH base AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
 ), ex AS (
@@ -583,22 +614,19 @@ WITH base AS (
   FROM base, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
 ), cents AS (
   SELECT label, dim,
-         CAST(SUM(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+         CAST(SUM(CAST(round(comp * 1000000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000000.0 AS c
   FROM ex GROUP BY label, dim
 ), carr AS (
   SELECT label AS c_label, list(c ORDER BY dim) AS cvec FROM cents GROUP BY label
 ), scored AS (
   SELECT b.vec_id, b.label, ca.c_label,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(list_zip(b.vec, ca.cvec),
-                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
-           (a, t) -> a + t) AS dist
+         {_duck_dist_fp('b.vec', 'ca.cvec')} AS dist_fp
   FROM base b CROSS JOIN carr ca
 ), ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, c_label) AS rn
   FROM scored
 )
-SELECT vec_id, label, c_label AS predicted_label, round(dist, 6) AS dist
+SELECT vec_id, label, c_label AS predicted_label, dist_fp
 FROM ranked WHERE rn = 1
 """
 
@@ -611,9 +639,11 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact plan, the same Pregel-as-joins pattern `graph.py` uses for
     PageRank.
 
-    Determinism: decimal(18,9) component sums (order-free), sequential
-    distance folds, argmin tie-broken on label — so the DuckDB oracle
-    replays the whole step bitwise, including the re-aggregation.
+    Determinism: fixed-point BIGINT component sums at 1e-9 resolution
+    (order-free, tie-portable — see centroid_classify), fixed-point
+    BIGINT distance folds (FP_SCALE), argmin tie-broken on label — so
+    the DuckDB oracle replays the whole step bitwise, including the
+    re-aggregation.
     Output grain: (cluster, dim) with the new component and the
     cluster's member count."""
     emb = _emb(spark, sf_dir).select(
@@ -622,8 +652,9 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = emb.select("label", F.posexplode("vec").alias("dim", "comp"))
     cents = ex.groupBy("label", "dim").agg(
         (
-            F.sum(F.col("comp").cast("decimal(18,9)")).cast("double")
+            F.sum(F.expr("CAST(round(comp * 1000000000) AS BIGINT)")).cast("double")
             / F.count(F.lit(1))
+            / F.lit(1000000000.0)
         ).alias("c")
     )
     cent_arr = (
@@ -635,15 +666,11 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = emb.crossJoin(F.broadcast(cent_arr)).withColumn(
-        "dist",
-        F.expr(
-            "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0.0 AS DOUBLE), (a, t) -> a + t)"
-        ),
+        "dist_fp", F.expr(_dist_fp_sql("vec", "cvec"))
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("c_label"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist_fp"), F.col("c_label"))
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -652,14 +679,15 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     re_ex = assigned.select("cluster", F.posexplode("vec").alias("dim", "comp"))
     return re_ex.groupBy("cluster", "dim").agg(
         (
-            F.sum(F.col("comp").cast("decimal(18,9)")).cast("double")
+            F.sum(F.expr("CAST(round(comp * 1000000000) AS BIGINT)")).cast("double")
             / F.count(F.lit(1))
+            / F.lit(1000000000.0)
         ).alias("c_new"),
         F.count(F.lit(1)).alias("n_members"),
     )
 
 
-ORACLE_KMEANS_LLOYD_STEP = """
+ORACLE_KMEANS_LLOYD_STEP = f"""
 WITH base AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
 ), ex AS (
@@ -667,19 +695,16 @@ WITH base AS (
   FROM base, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
 ), cents AS (
   SELECT label, dim,
-         CAST(SUM(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+         CAST(SUM(CAST(round(comp * 1000000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000000.0 AS c
   FROM ex GROUP BY label, dim
 ), carr AS (
   SELECT label AS c_label, list(c ORDER BY dim) AS cvec FROM cents GROUP BY label
 ), scored AS (
   SELECT b.vec_id, b.vec, ca.c_label,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(list_zip(b.vec, ca.cvec),
-                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
-           (a, t) -> a + t) AS dist
+         {_duck_dist_fp('b.vec', 'ca.cvec')} AS dist_fp
   FROM base b CROSS JOIN carr ca
 ), ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, c_label) AS rn
   FROM scored
 ), assigned AS (
   SELECT vec_id, vec, c_label AS cluster FROM ranked WHERE rn = 1
@@ -688,7 +713,7 @@ WITH base AS (
   FROM assigned, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
 )
 SELECT cluster, dim,
-       CAST(SUM(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c_new,
+       CAST(SUM(CAST(round(comp * 1000000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000000.0 AS c_new,
        COUNT(*) AS n_members
 FROM re_ex GROUP BY cluster, dim
 """
@@ -708,10 +733,8 @@ IVFX_CELLS = 16
 IVFX_PROBE = 4
 IVFX_K = 10
 
-_DIST = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
-    "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
-)
+# assignment/probe distances use the fixed-point fold (_dist_fp_sql):
+# ordering on double folds is 1-ulp-fragile at near-ties (FP_SCALE note)
 
 
 def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,10 +745,10 @@ def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. seeds: the 16 vectors with smallest md5(vec_id) (content-
        addressed sample — reproducible across engines/cluster sizes,
        the `deterministic_sample` trick; TakeOrdered, not a full sort).
-    2. one Lloyd refinement: assign to seeds (sequential-fold L2,
-       tie-break on seed id), recompute centroids as DECIMAL(18,9)
-       component means (accumulation-order-free — the
-       `kmeans_lloyd_step` technique).
+    2. one Lloyd refinement: assign to seeds (fixed-point L2,
+       tie-break on seed id), recompute centroids as fixed-point
+       BIGINT component means (accumulation-order-free, tie-portable —
+       the `kmeans_lloyd_step` technique).
     3. final assignment to refined centroids = the inverted file.
     4. probe: rank cells by centroid distance to the query vector, keep
        the 4 closest; exact-cosine re-rank inside probed cells only.
@@ -752,7 +775,7 @@ def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_v0 = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("seed_id"))
     a0 = (
         emb.crossJoin(F.broadcast(seeds))
-        .withColumn("dist", F.expr(_DIST.format(a="vec", b="svec")))
+        .withColumn("dist", F.expr(_dist_fp_sql("vec", "svec")))
         .withColumn("__rn", F.row_number().over(w_v0))
         .filter(F.col("__rn") == 1)
         .select("vec_id", "vec", F.col("seed_id").alias("cell0"))
@@ -760,8 +783,9 @@ def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = a0.select("cell0", F.posexplode("vec").alias("dim", "comp"))
     cents = ex.groupBy("cell0", "dim").agg(
         (
-            F.sum(F.col("comp").cast("decimal(18,9)")).cast("double")
+            F.sum(F.expr("CAST(round(comp * 1000000000) AS BIGINT)")).cast("double")
             / F.count(F.lit(1))
+            / F.lit(1000000000.0)
         ).alias("c")
     )
     # persist: the 16-row centroid frame feeds the final assignment AND
@@ -778,7 +802,7 @@ def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_v1 = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
     ivf = tracked_persist(
         emb.crossJoin(F.broadcast(cent_arr))
-        .withColumn("dist", F.expr(_DIST.format(a="vec", b="cvec")))
+        .withColumn("dist", F.expr(_dist_fp_sql("vec", "cvec")))
         .withColumn("__rn", F.row_number().over(w_v1))
         .filter(F.col("__rn") == 1)
         .select("vec_id", "label", "vec", "cell")
@@ -786,7 +810,7 @@ def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ivf.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
     probed = (
         cent_arr.crossJoin(F.broadcast(q))
-        .withColumn("qdist", F.expr(_DIST.format(a="cvec", b="qvec")))
+        .withColumn("qdist", F.expr(_dist_fp_sql("cvec", "qvec")))
         .withColumn("__pn", F.row_number().over(Window.orderBy("qdist", "cell")))
         .filter(F.col("__pn") <= IVFX_PROBE)
         .select("cell")
@@ -808,12 +832,6 @@ def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_DIST = (
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
-    "(acc, t) -> acc + t)"
-)
-
 ORACLE_COSINE_TOPK_IVF_EXACT = f"""
 WITH base AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
@@ -825,7 +843,7 @@ WITH base AS (
   SELECT vec_id, vec, seed_id AS cell0 FROM (
     SELECT b.vec_id, b.vec, s.seed_id,
            row_number() OVER (PARTITION BY b.vec_id
-             ORDER BY {_DUCK_DIST.format(a='b.vec', b='s.svec')}, s.seed_id) AS rn
+             ORDER BY {_duck_dist_fp('b.vec', 's.svec')}, s.seed_id) AS rn
     FROM base b CROSS JOIN seeds s
   ) WHERE rn = 1
 ), ex AS (
@@ -833,7 +851,7 @@ WITH base AS (
   FROM a0, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
 ), cents AS (
   SELECT cell0, dim,
-         CAST(SUM(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+         CAST(SUM(CAST(round(comp * 1000000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000000.0 AS c
   FROM ex GROUP BY cell0, dim
 ), carr AS (
   SELECT cell0 AS cell, list(c ORDER BY dim) AS cvec FROM cents GROUP BY cell0
@@ -841,7 +859,7 @@ WITH base AS (
   SELECT vec_id, label, vec, cell FROM (
     SELECT b.vec_id, b.label, b.vec, ca.cell,
            row_number() OVER (PARTITION BY b.vec_id
-             ORDER BY {_DUCK_DIST.format(a='b.vec', b='ca.cvec')}, ca.cell) AS rn
+             ORDER BY {_duck_dist_fp('b.vec', 'ca.cvec')}, ca.cell) AS rn
     FROM base b CROSS JOIN carr ca
   ) WHERE rn = 1
 ), q AS (
@@ -850,7 +868,7 @@ WITH base AS (
   SELECT cell FROM (
     SELECT ca.cell,
            row_number() OVER (
-             ORDER BY {_DUCK_DIST.format(a='ca.cvec', b='q.qvec')}, ca.cell) AS pn
+             ORDER BY {_duck_dist_fp('ca.cvec', 'q.qvec')}, ca.cell) AS pn
     FROM carr ca CROSS JOIN q
   ) WHERE pn <= {IVFX_PROBE}
 ), scored AS (

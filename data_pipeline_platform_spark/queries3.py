@@ -207,12 +207,18 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(
             (
-                # widen float->double BEFORE the decimal cast: a direct
-                # float->decimal uses the float's shortest decimal repr in
-                # Spark but the widened binary expansion in DuckDB —
-                # 1-ulp-at-9-decimals divergence
-                F.sum(F.col("component").cast("double").cast("decimal(18,9)")).cast("double")
+                # fixed-point BIGINT sum, not a decimal cast: round() is
+                # half-away-from-zero in BOTH engines, while Spark's
+                # double->decimal cast is HALF_UP vs DuckDB's half-even —
+                # a dyadic component like 0.1494140625 is a TRUE tie at
+                # the 9th decimal and the casts disagree by 1e-9
+                F.sum(
+                    F.expr(
+                        "CAST(round(CAST(component AS DOUBLE) * 1000000000) AS BIGINT)"
+                    )
+                ).cast("double")
                 / F.count(F.lit(1))
+                / F.lit(1000000000.0)
             ).alias("centroid_component"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
@@ -226,7 +232,8 @@ WITH ex AS (
   FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
 )
 SELECT label, CAST(dim AS BIGINT) AS dim,
-       CAST(SUM(CAST(CAST(component AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_component,
+       CAST(SUM(CAST(round(CAST(component AS DOUBLE) * 1000000000) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1000000000.0 AS centroid_component,
        COUNT(*) AS n_vectors
 FROM ex WHERE dim < 8
 GROUP BY label, dim
