@@ -18,3 +18,6 @@ bench:
 
 scale-probe:
 	python tools/scale_probe.py 20
+
+drift-check:
+	python tools/drift_check.py
