@@ -842,3 +842,71 @@ GROUP BY doc_id
 
 
 register("ngram_novelty", q_ngram_novelty, ORACLE_NGRAM_NOVELTY)
+
+
+# -- deterministic train/val/test split --------------------------------------
+
+SPLIT_VAL_LO = 58982   # 0.90 * 65536 — [0.90, 0.95) -> val
+SPLIT_TEST_LO = 62259  # 0.95 * 65536 — [0.95, 1.00) -> test
+
+
+def with_split(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Label every row train/val/test (90/5/5) from a content-addressed
+    uniform: u16 = first 4 hex digits of md5(key). The split is a pure
+    row-local projection — reproducible across engines, runs, partition
+    layouts, and cluster sizes, and STABLE UNDER CORPUS GROWTH: a doc's
+    split never changes when other docs are added or removed, which is
+    the property that keeps eval sets uncontaminated across corpus
+    versions (a random split reshuffles membership every run; a
+    row_number split reshuffles on every insert). Stratification comes
+    free: any subpopulation keyed independently of md5 lands ~90/5/5
+    within itself."""
+    u16 = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return df.withColumn(
+        "split",
+        F.when(u16 >= SPLIT_TEST_LO, F.lit("test"))
+        .when(u16 >= SPLIT_VAL_LO, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded as the per-(source, split) census with token counts — the
+    report a pipeline checks before training: does every source
+    contribute to every band at ~90/5/5, and how many tokens land in
+    each. One scan + one group-agg shuffle."""
+    docs = with_split(_docs(spark, sf_dir))
+    return (
+        docs.withColumn("token_count", F.size(_tokens()).cast("long"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+ORACLE_TRAIN_VAL_TEST_SPLIT = f"""
+WITH labeled AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   >= {SPLIT_TEST_LO} THEN 'test'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   >= {SPLIT_VAL_LO} THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(SUM(token_count) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM labeled
+GROUP BY source, split
+"""
+
+
+register("train_val_test_split", q_train_val_test_split, ORACLE_TRAIN_VAL_TEST_SPLIT)

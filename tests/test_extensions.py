@@ -477,3 +477,23 @@ def test_oov_rate_flags_planted_gibberish(spark):
     # top-1000 vocabulary, so the median rate must be well under 1
     rates = sorted(r["oov_rate"] for r in rows)
     assert rates[len(rates) // 2] < 0.5
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """A doc's train/val/test label must not change when the corpus
+    grows or shrinks (the property that keeps eval sets uncontaminated
+    across corpus versions), and the bands must be ~90/5/5."""
+    from data_pipeline_platform_spark.functions.corpus import with_split
+
+    full = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    half = full.filter("doc_id % 2 = 0")
+    s_full = {r["doc_id"]: r["split"] for r in with_split(full).collect()}
+    s_half = {r["doc_id"]: r["split"] for r in with_split(half).collect()}
+    assert all(s_full[k] == v for k, v in s_half.items())
+
+    from collections import Counter
+
+    shares = Counter(s_full.values())
+    assert 0.85 < shares["train"] / 4000 < 0.95
+    assert 0.02 < shares["val"] / 4000 < 0.08
+    assert 0.02 < shares["test"] / 4000 < 0.08
