@@ -355,3 +355,59 @@ FROM tot WHERE 2 * n_events * n_hours > 3 * total
 
 
 register("events_burst", q_events_burst, ORACLE_EVENTS_BURST)
+
+
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness: for each day, distinct daily actives over
+    distinct trailing-7-day actives — the canonical engagement ratio.
+
+    Exact-by-construction: both counts are COUNT(DISTINCT) integers and
+    the ratio is one double division. The trailing-week count uses a
+    self-contained day x user frame joined over a 7-day range — at the
+    (day, user) aggregate grain, which is tiny relative to raw events
+    (the fact table reduces before anything joins). Two shuffles total:
+    the day-user reduction and the day-keyed final aggregation."""
+    ev = _events(spark, sf_dir)
+    day_user = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    daily = day_user.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = daily.select("day")
+    weekly = (
+        days.join(
+            day_user.select(F.col("day").alias("d2"), "user_id"),
+            (F.col("d2") <= F.col("day"))
+            & (F.col("d2") > F.date_sub(F.col("day"), 7)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        daily.join(weekly, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+ORACLE_EVENTS_STICKINESS = """
+WITH day_user AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), daily AS (
+  SELECT day, COUNT(*) AS dau FROM day_user GROUP BY day
+), weekly AS (
+  SELECT d.day, COUNT(DISTINCT du.user_id) AS wau
+  FROM (SELECT day FROM daily) d
+  JOIN day_user du
+    ON du.day <= d.day AND du.day > d.day - INTERVAL 7 DAY
+  GROUP BY d.day
+)
+SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
+FROM daily JOIN weekly USING (day)
+"""
+
+
+register("events_stickiness", q_events_stickiness, ORACLE_EVENTS_STICKINESS)
