@@ -654,3 +654,57 @@ JOIN documents db ON doc_b = db.doc_id
 
 
 register("dedup_levenshtein", q_dedup_levenshtein, ORACLE_DEDUP_LEVENSHTEIN)
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report: near-dup pair counts per (source_a,
+    source_b) — which sources duplicate INTO which. Cross-source
+    concentrations mean one feed is mirroring another (drop or
+    down-weight it); diagonal concentrations mean a feed self-duplicates
+    (template/boilerplate pages). The per-pair machinery is the verified
+    inverted-index Jaccard; this is its aggregate view, one extra
+    group-agg over the (tiny) pair frame after two broadcast joins back
+    to doc metadata."""
+    docs = _docs(spark, sf_dir)
+    pairs = _jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        sa.join(F.broadcast(pairs), "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+ORACLE_DEDUP_RATE_BY_SOURCE = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+live AS (
+  SELECT s FROM ex GROUP BY s
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {STOP_SHINGLE_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM live)
+),
+verified AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh sa ON doc_a = sa.doc_id
+  JOIN sh sb ON doc_b = sb.doc_id
+  WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
+)
+SELECT da.source AS source_a, db.source AS source_b, COUNT(*) AS n_pairs
+FROM verified
+JOIN documents da ON doc_a = da.doc_id
+JOIN documents db ON doc_b = db.doc_id
+GROUP BY da.source, db.source
+"""
+
+
+register("dedup_rate_by_source", q_dedup_rate_by_source, ORACLE_DEDUP_RATE_BY_SOURCE)
