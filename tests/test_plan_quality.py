@@ -234,3 +234,42 @@ def test_fuzzy_contamination_broadcasts_benchmark(spark):
     plan = _physical_plan(q_fuzzy_contamination(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_packing_family_has_no_single_partition_window(spark):
+    """The round-5 verdict's last 100×-scale-up defect: an
+    orderBy-without-partitionBy window collapses to ONE task. The whole
+    packing family is now sharded (pack by lang, NTILE by lang, the
+    flagship's pack stage by lang) — none of their plans may contain a
+    single-partition exchange."""
+    from data_pipeline_platform_spark.functions.corpus import (
+        q_length_buckets,
+        q_pack_sequences_sharded,
+        q_training_data_pipeline,
+    )
+
+    for name, fn in [
+        ("pack_sequences_sharded", q_pack_sequences_sharded),
+        ("length_buckets", q_length_buckets),
+        ("training_data_pipeline", q_training_data_pipeline),
+    ]:
+        plan = _physical_plan(fn(spark, SF))
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name} serializes through a single-partition exchange"
+        )
+        assert "EvalPython" not in plan, name
+
+
+def test_pack_sequences_shard_col_partitions_window(spark):
+    """pack_sequences(shard_col=...) must key-partition the running-sum
+    window (parallel at scale), and the unsharded default keeps its
+    documented total-order semantics."""
+    from data_pipeline_platform_spark.functions.corpus import pack_sequences
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sharded = _physical_plan(pack_sequences(docs, shard_col="lang"))
+    assert "Exchange SinglePartition" not in sharded
+    assert "hashpartitioning(lang" in sharded
+    global_ = _physical_plan(pack_sequences(docs))
+    assert "Exchange SinglePartition" in global_  # documented small-data form

@@ -86,6 +86,34 @@ def test_events_ts_normalized(spark):
     assert row["ts"].year == 2024
 
 
+def test_nanos_refresh_of_any_ts_table_normalizes(spark, tmp_path):
+    """r6 ADVICE regression: a nanos-encoded refresh of orders/lineitem
+    (not just events) must read through load_table as contract
+    timestamps with identical wall-clock values — drift_check accepts
+    ns/int64 for these columns, so the reader must actually absorb it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    t = pq.read_table(src)
+    idx = t.schema.get_field_index("o_orderdate")
+    t2 = t.set_column(idx, "o_orderdate", t.column("o_orderdate").cast(pa.timestamp("ns")))
+    # store_schema=False drops the arrow schema hint, so Spark sees the
+    # raw parquet TIMESTAMP(NANOS) type — the crashing encoding
+    pq.write_table(t2, str(tmp_path / "orders.parquet"), store_schema=False)
+
+    got = load_table(spark, str(tmp_path), "orders")
+    assert dict(got.dtypes)["o_orderdate"] == "timestamp"
+    want_rows = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderkey", "o_orderdate").orderBy("o_orderkey").limit(10).collect()
+    )
+    got_rows = got.select("o_orderkey", "o_orderdate").orderBy("o_orderkey").limit(10).collect()
+    assert got_rows == want_rows
+
+
 # FIXTURES.md §2 contract: the dtype every query is entitled to assume,
 # per table, regardless of how the parquet files encode it. Data
 # refreshes have shipped timestamps as nanos-as-long, adjusted-to-UTC

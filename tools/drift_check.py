@@ -22,7 +22,14 @@ import sys
 import pyarrow.parquet as pq
 
 # column -> acceptable parquet arrow types (str prefixes). Timestamp
-# columns accept every encoding load_table normalizes.
+# columns accept every encoding load_table normalizes: readers.py
+# _TS_CONTRACT lists exactly the columns below (events.ts,
+# orders.o_orderdate, lineitem.l_shipdate), and for each of them
+# load_table sets nanosAsLong + _normalize_contract folds long-nanos /
+# NTZ back to a microsecond timestamp — so accepting ns/int64 here is
+# backed by real normalization for every TS column, not just events.ts
+# (r6, closing the ADVICE gap where a nanos orders refresh would pass
+# this preflight yet crash at read time).
 TS = ("timestamp[us]", "timestamp[ns]", "timestamp[ms]", "int64")
 CONTRACT = {
     "region": {"r_regionkey": ("int32", "int64"), "r_name": ("string",)},
