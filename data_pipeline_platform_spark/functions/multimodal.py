@@ -2,9 +2,12 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (deterministic fakes clearly marked) — but everything Spark-side
-is real and tested: schemas, batch iteration, partition sizing, UDF
+Image decode is tiered (``_decode_image``): Pillow when importable, a
+pure-stdlib PNG decoder (real zlib inflate + scanline unfilter — works
+in this codec-less container) for PNG payloads, and a clearly-marked
+deterministic fake as the last resort. Audio/video decode remains
+STUBBED (no codec exists in-container), but everything Spark-side is
+real and tested: schemas, batch iteration, partition sizing, UDF
 signatures, and the metadata extraction that runs before any decode.
 
 Scale design: binary payloads dominate partition size, so operators that
@@ -60,16 +63,127 @@ def repartition_for_blobs(
     return df.repartition(n_parts)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) for
+    8-bit grayscale/RGB/RGBA non-interlaced images — the subset any
+    test/ingest fixture uses. Returns 2D float32 grayscale (H, W);
+    channels average to luma-ish gray. Raises on unsupported layouts so
+    the caller can fall back."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = []
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise ValueError("unsupported PNG layout")
+            channels = {0: 1, 2: 3, 6: 4}[color_type]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        cur = line.copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the left neighbour — sequential
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad filter {ftype}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur
+        prev = cur
+    pixels = out.reshape(height, width, channels).astype(np.float32)
+    # average color channels (alpha excluded) to grayscale
+    return pixels[:, :, : min(channels, 3)].mean(axis=2)
+
+
+def _decode_image(content: bytes) -> np.ndarray:
+    """Decode image bytes to grayscale pixels. Tiered:
+    1. Pillow when importable (any format) — not in this container, but
+       the path is real and tested wherever PIL exists;
+    2. pure-stdlib PNG decode (real inflate + unfilter, no deps);
+    3. deterministic byte-derived fake (STUB — clearly the fallback, it
+       exercises downstream plumbing when no codec can run).
+    Returns 2D (H, W) when genuinely decoded, 1D when stubbed — the
+    embedding step keys off that shape."""
+    try:
+        import io
+
+        from PIL import Image  # optional: absent in this container
+
+        img = Image.open(io.BytesIO(bytes(content))).convert("L")
+        return np.asarray(img, dtype=np.float32)
+    except ImportError:
+        pass
+    except Exception:
+        return _decode_image_stub(content)
+    if content[:8] == _PNG_MAGIC:
+        try:
+            return _decode_png(bytes(content))
+        except Exception:
+            pass
+    return _decode_image_stub(content)
+
+
 def _decode_image_stub(content: bytes) -> np.ndarray:
-    """STUB — real impl: PIL/opencv decode. Container lacks codecs, so:
-    deterministic fake 'pixels' derived from the bytes (stable across
-    runs/executors, good enough to exercise downstream plumbing)."""
+    """STUB fallback for undecodable payloads: deterministic fake
+    'pixels' derived from the bytes (stable across runs/executors, good
+    enough to exercise downstream plumbing)."""
     arr = np.frombuffer(content[:1024] if content else b"\x00", dtype=np.uint8)
     return arr.astype(np.float32)
 
 
-def _resize_stub(pixels: np.ndarray, size: int = 64) -> np.ndarray:
-    """STUB — real impl: interpolated resize; here: pad/trim to length."""
+def _embed_pixels(pixels: np.ndarray, grid: int = 8) -> np.ndarray:
+    """64-dim embedding. For genuinely decoded 2D pixels: grid×grid
+    block-mean pooling (a real, deterministic downsample — the classic
+    aHash layout). For 1D stub arrays: pad/trim to length."""
+    size = grid * grid
+    if pixels.ndim == 2:
+        h, w = pixels.shape
+        ys = (np.arange(grid + 1) * h) // grid
+        xs = (np.arange(grid + 1) * w) // grid
+        out = np.zeros((grid, grid), dtype=np.float32)
+        for i in range(grid):
+            for j in range(grid):
+                block = pixels[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+                out[i, j] = float(block.mean()) if block.size else 0.0
+        return out.reshape(size)
     out = np.zeros(size, dtype=np.float32)
     out[: min(size, len(pixels))] = pixels[:size]
     return out
@@ -89,8 +203,8 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 ) if raw else np.zeros(256)
                 p = counts / counts.sum() if counts.sum() else counts
                 ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
-                pixels = _decode_image_stub(raw)
-                emb = _resize_stub(pixels)
+                pixels = _decode_image(raw)
+                emb = _embed_pixels(pixels)
                 norm = np.linalg.norm(emb)
                 if norm > 0:
                     emb = emb / norm

@@ -142,6 +142,63 @@ def test_media_feature_extraction(spark):
     assert abs(norm - 1.0) < 1e-5
 
 
+def test_png_decode_end_to_end(spark):
+    """Real byte payload -> real decode through extract_image_features:
+    a stdlib-built 8-bit grayscale PNG decodes to its actual pixels (no
+    stub), and the embedding is the 8x8 block-mean of those pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+
+    g = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(16))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png", 16, 16, None)], MEDIA_SCHEMA
+    )
+    r = extract_image_features(media).collect()[0]
+    assert r["n_bytes"] == len(png)
+    # mean over DECODED pixels, not over file bytes: proves a real decode
+    assert abs(r["mean_byte"] - float(g.mean())) < 1e-4
+    want = np.array(
+        [[g[2 * i : 2 * i + 2, 2 * j : 2 * j + 2].mean() for j in range(8)] for i in range(8)]
+    ).reshape(64)
+    want = want / np.linalg.norm(want)
+    assert np.allclose(np.array(r["embedding"]), want, atol=1e-5)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A path graph longer than max_iterations cannot reach fixpoint —
+    the guard must raise rather than silently return split components."""
+    import pytest as _pytest
+
+    from data_pipeline_platform_spark.functions.dedup import connected_components
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path_edges, max_iterations=3)
+    # and with room to converge the same graph is one component
+    labels = connected_components(path_edges, max_iterations=15).collect()
+    assert {r["component"] for r in labels} == {0}
+
+
 def test_video_frame_sampling(spark):
     from data_pipeline_platform_spark.functions.multimodal import (
         make_fake_media_df,
