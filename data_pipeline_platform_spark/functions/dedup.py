@@ -730,3 +730,46 @@ GROUP BY da.source, db.source
 
 
 register("dedup_rate_by_source", q_dedup_rate_by_source, ORACLE_DEDUP_RATE_BY_SOURCE)
+
+
+def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: two documents with the same *vocabulary
+    support* (sorted distinct token set) are treated as duplicates even
+    when token ORDER differs — the permutation/shuffle near-dup class
+    that exact-hash dedup (`dedup_exact`) misses and MinHash only
+    catches probabilistically. Key = md5 of the sorted distinct tokens;
+    one row per group with the surviving (minimum) doc_id and the
+    duplicate multiplicity.
+
+    Scale: the key is a row-local array_sort + hash (codegen); the only
+    shuffle is the groupBy on a 128-bit uniformly distributed key — the
+    same one-shuffle shape as dedup_exact, skew-free by construction.
+    """
+    docs = _docs(spark, sf_dir)
+    keyed = docs.withColumn(
+        "bow_key",
+        F.md5(
+            F.expr(
+                "concat_ws(' ', array_sort(array_distinct(split(trim(text), '\\\\s+'))))"
+            )
+        ),
+    )
+    return keyed.groupBy("bow_key").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+ORACLE_DEDUP_BOW = r"""
+WITH k AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(trim(text), '\s+'))), ' ')) AS bow_key
+  FROM documents
+)
+SELECT bow_key, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM k GROUP BY bow_key
+"""
+
+
+register("dedup_bow", q_dedup_bow, ORACLE_DEDUP_BOW)

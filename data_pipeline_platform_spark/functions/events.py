@@ -411,3 +411,90 @@ FROM daily JOIN weekly USING (day)
 
 
 register("events_stickiness", q_events_stickiness, ORACLE_EVENTS_STICKINESS)
+
+
+# fixed-point scale for event values in the anomaly op: values are
+# dollars-ish doubles (two-decimal magnitude); 1e6 keeps the scaled
+# square within DECIMAL(38,0) at any realistic per-user volume
+_Z_SCALE = 1_000_000
+_Z_THRESHOLD = 2.5
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier detection over event values (the
+    monitoring primitive a pipeline runs on metric streams; batch twin
+    of a streaming applyInPandasWithState detector).
+
+    Determinism: per-user moments are exact integers — value is scaled
+    to a BIGINT at 1e-6 resolution, the first moment sums as BIGINT,
+    the second as DECIMAL(38,0) — so mean/variance are order-free and
+    the double z-score derives from identical exact inputs in both
+    engines (no accumulation-order drift, the same fixed-point trick as
+    kmeans_lloyd_step).
+
+    Plan: one shuffle for the per-user stats (map-side partial agg),
+    then the user-count-sized stats frame broadcasts back onto the
+    events scan — the flagging pass is shuffle-free. At 100 TB the
+    stats frame is |users| rows, far below the fact table.
+    """
+    ev = _events(spark, sf_dir).withColumn(
+        "v_fp", F.expr(f"CAST(round(value * {_Z_SCALE}) AS BIGINT)")
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_fp").alias("sum_fp"),
+        F.sum(
+            F.expr("CAST(v_fp AS DECIMAL(18,0)) * CAST(v_fp AS DECIMAL(18,0))")
+        ).alias("sumsq_fp"),
+    )
+    flagged = (
+        ev.join(F.broadcast(stats), "user_id")
+        .withColumn("mean_fp", F.col("sum_fp").cast("double") / F.col("n_events"))
+        .withColumn(
+            "var_fp",
+            F.col("sumsq_fp").cast("double") / F.col("n_events")
+            - F.col("mean_fp") * F.col("mean_fp"),
+        )
+        .filter(F.col("var_fp") > 0)
+        .withColumn(
+            "z",
+            (F.col("v_fp") - F.col("mean_fp")) / F.sqrt(F.col("var_fp")),
+        )
+        .filter(F.abs(F.col("z")) >= _Z_THRESHOLD)
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.round("z", 6).alias("z"),
+        "n_events",
+    )
+
+
+ORACLE_EVENTS_ANOMALY = f"""
+WITH e AS (
+  SELECT *, CAST(round(value * {_Z_SCALE}) AS BIGINT) AS v_fp FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(v_fp) AS sum_fp,
+         SUM(CAST(v_fp AS HUGEINT) * v_fp) AS sumsq_fp
+  FROM e GROUP BY user_id
+), z AS (
+  SELECT e.event_id, e.user_id, e.event_type, e.value, s.n_events,
+         CAST(s.sum_fp AS DOUBLE) / s.n_events AS mean_fp,
+         CAST(s.sumsq_fp AS DOUBLE) / s.n_events
+           - (CAST(s.sum_fp AS DOUBLE) / s.n_events)
+             * (CAST(s.sum_fp AS DOUBLE) / s.n_events) AS var_fp,
+         e.v_fp
+  FROM e JOIN s USING (user_id)
+)
+SELECT event_id, user_id, event_type, value,
+       round((v_fp - mean_fp) / sqrt(var_fp), 6) AS z,
+       n_events
+FROM z
+WHERE var_fp > 0 AND abs((v_fp - mean_fp) / sqrt(var_fp)) >= {_Z_THRESHOLD}
+"""
+
+
+register("events_anomaly", q_events_anomaly, ORACLE_EVENTS_ANOMALY)

@@ -1,0 +1,318 @@
+"""Repetition / quality-rule / LM-scoring curation operators (M8
+extension, beyond the reference's surface — the reference has no text
+curation at all; these are the document-quality gates a training-data
+pipeline runs before dedup, per the published Gopher (Rae et al. 2021,
+§A1.1) and CCNet (Wenzek et al. 2019) recipes).
+
+Three operators:
+
+- `repetition_stats`: per-doc repetition diagnostics (top-word fraction,
+  duplicate bigram/trigram fractions) as pure array higher-order
+  functions — row-local, zero shuffle, whole-stage codegen.
+- `gopher_quality_filter`: the composite keep/drop gate built from those
+  diagnostics plus length / word-length / stopword rules, emitting one
+  boolean per rule so a pipeline can audit WHY a document was dropped
+  (the reject-reason column the curation literature insists on).
+- `unigram_logprob`: corpus-self-trained unigram LM score per document
+  (the cheap stand-in for CCNet's KenLM perplexity). Two-pass: a token
+  frequency table (one shuffle, map-side partial agg), then a broadcast
+  join back onto the exploded corpus. Per-doc sums use fixed-point
+  BIGINT at 1e-6 resolution so the aggregation is accumulation-order
+  free and the DuckDB oracle replays it bitwise (ln() may differ by an
+  ulp across engines; the 1e-6 grid absorbs that).
+
+Scale posture (100 TB): repetition/gopher are per-row Column exprs — no
+shuffle, linear in executors. unigram_logprob's frequency table is
+vocab-sized (millions of rows, tens of MB), far below the corpus, so it
+broadcasts; the only corpus-sized shuffle is the per-doc re-aggregation,
+keyed on doc_id (well-distributed). Nothing is all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+from data_pipeline_platform_spark.functions.text import STOPWORDS, _docs
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Spark-side token array (Java regex) and its DuckDB mirror (RE2); \s+ on
+# trimmed text behaves identically in both for this corpus (no leading
+# empty token).
+_TOKS = r"split(trim(text), '\\s+')"
+_DUCK_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _with_repetition(df: DataFrame) -> DataFrame:
+    """Add repetition diagnostic columns via array higher-order fns.
+
+    top_word_count is O(distinct * n) per row — fine for documents
+    (n <= a few thousand tokens); it never leaves the row, so the cost
+    is embarrassingly parallel and there is no shuffle at any scale.
+    """
+    return (
+        df.withColumn("toks", F.expr(_TOKS))
+        .withColumn("token_count", F.expr("CAST(size(toks) AS BIGINT)"))
+        .withColumn(
+            "top_word_count",
+            F.expr(
+                "CAST(array_max(transform(array_distinct(toks), "
+                "w -> size(filter(toks, x -> x = w)))) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "top_word_frac",
+            F.col("top_word_count").cast("double") / F.col("token_count"),
+        )
+        .withColumn(
+            "bigrams",
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(0, size(toks) - 1)), "
+                "slice(toks, 2, greatest(0, size(toks) - 1)), "
+                "(a, b) -> concat(a, ' ', b))"
+            ),
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            F.when(
+                F.col("token_count") >= 2,
+                (F.expr("size(bigrams)") - F.expr("size(array_distinct(bigrams))"))
+                .cast("double")
+                / F.expr("size(bigrams)"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "trigrams",
+            F.expr(
+                "zip_with(zip_with(slice(toks, 1, greatest(0, size(toks) - 2)), "
+                "slice(toks, 2, greatest(0, size(toks) - 2)), (a, b) -> concat(a, ' ', b)), "
+                "slice(toks, 3, greatest(0, size(toks) - 2)), (ab, c) -> concat(ab, ' ', c))"
+            ),
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            F.when(
+                F.col("token_count") >= 3,
+                (F.expr("size(trigrams)") - F.expr("size(array_distinct(trigrams))"))
+                .cast("double")
+                / F.expr("size(trigrams)"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition diagnostics."""
+    return _with_repetition(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "token_count",
+        "top_word_count",
+        "top_word_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+    )
+
+
+# DuckDB list slices are 1-based and end-inclusive: toks[1:n-1] zip
+# toks[2:n] = the bigram pairs; the fractions mirror the Spark lambdas
+# one-to-one.
+_DUCK_REP = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks, lang, source, text FROM documents
+), r AS (
+  SELECT doc_id, lang, source, text, toks,
+         CAST(len(toks) AS BIGINT) AS token_count,
+         CAST(list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) AS BIGINT) AS top_word_count,
+         list_transform(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)]),
+              p -> p[1] || ' ' || p[2]) AS bigrams,
+         list_transform(list_zip(toks[1:len(toks) - 2], toks[2:len(toks) - 1],
+              toks[3:len(toks)]),
+              p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS trigrams
+  FROM t
+), m AS (
+  SELECT doc_id, lang, source, text, toks, token_count, top_word_count,
+         CAST(top_word_count AS DOUBLE) / token_count AS top_word_frac,
+         CASE WHEN token_count >= 2 THEN
+           CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+         ELSE 0.0 END AS dup_bigram_frac,
+         CASE WHEN token_count >= 3 THEN
+           CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
+         ELSE 0.0 END AS dup_trigram_frac
+  FROM r
+)
+"""
+
+ORACLE_REPETITION_STATS = (
+    _DUCK_REP
+    + """
+SELECT doc_id, token_count, top_word_count, top_word_frac,
+       dup_bigram_frac, dup_trigram_frac
+FROM m
+"""
+)
+
+
+# Gopher-adapted rule bounds (token bounds / word-length band / >= 2
+# distinct stopwords per Rae et al. A1.1; repetition cutoffs tightened
+# to this corpus's observed distribution so the gate discriminates).
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 1000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_TOP_WORD_FRAC = 0.15
+GOPHER_MAX_DUP_BIGRAM_FRAC = 0.05
+
+
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate with per-rule audit booleans. All five
+    rules are row-local Column exprs — the gate is a single codegen'd
+    projection over the scan, the cheapest possible 100 TB pass."""
+    rep = _with_repetition(_docs(spark, sf_dir))
+    out = (
+        rep.withColumn(
+            "mean_word_len",
+            F.expr("length(concat_ws('', toks))").cast("double")
+            / F.col("token_count"),
+        )
+        .withColumn(
+            "n_stopwords",
+            F.expr(
+                "CAST(size(array_distinct(filter(toks, "
+                f"x -> x IN ({_STOP_SQL})))) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "r_tokens",
+            (F.col("token_count") >= GOPHER_MIN_TOKENS)
+            & (F.col("token_count") <= GOPHER_MAX_TOKENS),
+        )
+        .withColumn(
+            "r_word_len",
+            (F.col("mean_word_len") >= GOPHER_MIN_WORD_LEN)
+            & (F.col("mean_word_len") <= GOPHER_MAX_WORD_LEN),
+        )
+        .withColumn("r_stopwords", F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+        .withColumn("r_top_word", F.col("top_word_frac") <= GOPHER_MAX_TOP_WORD_FRAC)
+        .withColumn(
+            "r_dup_bigram", F.col("dup_bigram_frac") <= GOPHER_MAX_DUP_BIGRAM_FRAC
+        )
+        .withColumn(
+            "keep",
+            F.col("r_tokens")
+            & F.col("r_word_len")
+            & F.col("r_stopwords")
+            & F.col("r_top_word")
+            & F.col("r_dup_bigram"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "token_count",
+        "mean_word_len",
+        "n_stopwords",
+        "top_word_frac",
+        "dup_bigram_frac",
+        "r_tokens",
+        "r_word_len",
+        "r_stopwords",
+        "r_top_word",
+        "r_dup_bigram",
+        "keep",
+    )
+
+
+ORACLE_GOPHER_QUALITY_FILTER = (
+    _DUCK_REP
+    + f"""
+, g AS (
+  SELECT *,
+         CAST(length(array_to_string(toks, '')) AS DOUBLE) / token_count
+           AS mean_word_len,
+         CAST(len(list_distinct(list_filter(toks,
+              x -> x IN ({_STOP_SQL})))) AS BIGINT) AS n_stopwords
+  FROM m
+)
+SELECT doc_id, token_count, mean_word_len, n_stopwords, top_word_frac,
+       dup_bigram_frac,
+       (token_count >= {GOPHER_MIN_TOKENS} AND token_count <= {GOPHER_MAX_TOKENS})
+         AS r_tokens,
+       (mean_word_len >= {GOPHER_MIN_WORD_LEN} AND mean_word_len <= {GOPHER_MAX_WORD_LEN})
+         AS r_word_len,
+       (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
+       (top_word_frac <= {GOPHER_MAX_TOP_WORD_FRAC}) AS r_top_word,
+       (dup_bigram_frac <= {GOPHER_MAX_DUP_BIGRAM_FRAC}) AS r_dup_bigram,
+       (token_count >= {GOPHER_MIN_TOKENS} AND token_count <= {GOPHER_MAX_TOKENS}
+        AND mean_word_len >= {GOPHER_MIN_WORD_LEN}
+        AND mean_word_len <= {GOPHER_MAX_WORD_LEN}
+        AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+        AND top_word_frac <= {GOPHER_MAX_TOP_WORD_FRAC}
+        AND dup_bigram_frac <= {GOPHER_MAX_DUP_BIGRAM_FRAC}) AS keep
+FROM g
+"""
+)
+
+
+# fixed-point resolution for per-token ln() contributions: coarse enough
+# that a 1-ulp Math.log-vs-libm divergence cannot flip the rounding,
+# fine enough that the mean is meaningful to 6 decimals
+_LP_SCALE = 1_000_000
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under a LM estimated
+    from the corpus itself (CCNet's perplexity gate, with a unigram LM
+    standing in for KenLM — the Spark plumbing is identical).
+
+    Plan: token frequencies are one explode + groupBy (map-side partial
+    agg); the frequency table is vocab-sized, so it is explicitly
+    broadcast back onto the exploded corpus — the scoring join is
+    shuffle-free. Per-doc sums are fixed-point BIGINTs (order-free);
+    the single corpus-sized shuffle is the final doc_id re-aggregation.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = counts.agg(F.sum("freq").alias("total"))
+    scored = (
+        tok.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp_fp",
+            F.expr(
+                f"CAST(round(ln(CAST(freq AS DOUBLE) / total) * {_LP_SCALE}) AS BIGINT)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum("lp_fp").cast("double") / F.lit(float(_LP_SCALE)) / F.count(F.lit(1))
+        ).alias("mean_logprob"),
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+), tot AS (
+  SELECT SUM(freq) AS total FROM c
+), s AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(freq AS DOUBLE) / total) * {_LP_SCALE}) AS BIGINT) AS lp_fp
+  FROM t JOIN c USING (token) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(lp_fp) AS DOUBLE) / {_LP_SCALE} / COUNT(*) AS mean_logprob
+FROM s GROUP BY doc_id
+"""
+
+
+register("repetition_stats", q_repetition_stats, ORACLE_REPETITION_STATS)
+register("gopher_quality_filter", q_gopher_quality_filter, ORACLE_GOPHER_QUALITY_FILTER)
+register("unigram_logprob", q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB)

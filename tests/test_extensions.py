@@ -574,3 +574,141 @@ def test_split_stable_under_corpus_growth(spark):
     assert 0.85 < shares["train"] / 4000 < 0.95
     assert 0.02 < shares["val"] / 4000 < 0.08
     assert 0.02 < shares["test"] / 4000 < 0.08
+
+
+def test_repetition_stats_invariants(spark):
+    """Repetition fractions are bounded and consistent with a planted
+    fully-repetitive doc vs a planted all-distinct doc; the whole op is
+    row-local (no exchange in the plan)."""
+    from data_pipeline_platform_spark.functions.repetition import _with_repetition
+
+    df = spark.createDataFrame(
+        [(1, "x x x x x x"), (2, "a b c d e f"), (3, "solo")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in _with_repetition(df).collect()}
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == 1.0 - 1.0 / 5.0
+    assert rows[2]["top_word_frac"] == 1.0 / 6.0
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    # single-token doc: guards, not NULLs/divide-by-zero
+    assert rows[3]["dup_bigram_frac"] == 0.0 and rows[3]["dup_trigram_frac"] == 0.0
+
+    from data_pipeline_platform_spark.functions.repetition import q_repetition_stats
+
+    plan = (
+        q_repetition_stats(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # row-local: the only exchange allowed is the spread_scan
+    # round-robin repartition, never a hash/range shuffle
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gopher_filter_discriminates(spark):
+    """The gate must neither pass nor reject everything on the test
+    corpus, and `keep` must equal the conjunction of the rule columns."""
+    from data_pipeline_platform_spark.functions.repetition import (
+        q_gopher_quality_filter,
+    )
+
+    rows = q_gopher_quality_filter(spark, "/root/testdata/sf0.001").collect()
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+    for r in rows:
+        assert r["keep"] == (
+            r["r_tokens"]
+            and r["r_word_len"]
+            and r["r_stopwords"]
+            and r["r_top_word"]
+            and r["r_dup_bigram"]
+        )
+
+
+def test_unigram_logprob_orders_common_vs_rare(spark):
+    """Docs built from corpus-frequent tokens must outscore docs of
+    rare tokens; the scoring join must broadcast the frequency table."""
+    from data_pipeline_platform_spark.functions.repetition import q_unigram_logprob
+
+    df = q_unigram_logprob(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    # mean unigram logprob of an in-vocab corpus is strictly negative
+    # and bounded below by ln(1/total_tokens)
+    assert all(r["mean_logprob"] < 0 for r in rows)
+
+
+def test_dedup_bow_catches_permuted_duplicate(spark):
+    """A token-permuted copy must collapse into the original's group
+    even though its md5(text) differs (the case dedup_exact misses)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.dedup import q_dedup_bow
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    perm = (
+        base.filter(F.col("doc_id") == 0)
+        .withColumn("doc_id", F.lit(900000).cast("long"))
+        .withColumn(
+            "text",
+            F.expr("concat_ws(' ', reverse(split(trim(text), '\\\\s+')))"),
+        )
+    )
+    view = base.unionByName(perm)
+    view.createOrReplaceTempView("__bow_docs")
+    keyed = view.withColumn(
+        "bow_key",
+        F.md5(
+            F.expr(
+                "concat_ws(' ', array_sort(array_distinct(split(trim(text), '\\\\s+'))))"
+            )
+        ),
+    )
+    grouped = keyed.groupBy("bow_key").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    joined = keyed.filter(F.col("doc_id").isin(0, 900000)).select("bow_key").distinct()
+    assert joined.count() == 1  # permutation did not change the key
+    hit = grouped.join(joined, "bow_key").collect()
+    assert hit[0]["doc_id"] == 0 and hit[0]["n_copies"] >= 2
+
+    # registry form runs and is deterministic
+    a = {r["bow_key"]: r["n_copies"] for r in q_dedup_bow(spark, "/root/testdata/sf0.001").collect()}
+    b = {r["bow_key"]: r["n_copies"] for r in q_dedup_bow(spark, "/root/testdata/sf0.001").collect()}
+    assert a == b
+
+
+def test_events_anomaly_flags_planted_outlier(spark):
+    """Stats must broadcast back onto the events scan, and z-scores must
+    be symmetric exact: recompute one flagged row's z from raw data."""
+    import math
+
+    from data_pipeline_platform_spark.functions.events import (
+        _Z_THRESHOLD,
+        q_events_anomaly,
+    )
+
+    df = q_events_anomaly(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(abs(r["z"]) >= _Z_THRESHOLD for r in rows)
+
+    # cross-check one row against a pandas recomputation
+    import pandas as pd
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    r = rows[0]
+    grp = ev[ev.user_id == r["user_id"]]
+    v_fp = (grp.value * 1_000_000).round().astype("int64")
+    mean = v_fp.mean()
+    var = (v_fp.astype("float64") ** 2).mean() - mean * mean
+    mine = (round(r["value"] * 1_000_000) - mean) / math.sqrt(var)
+    assert abs(mine - r["z"]) < 1e-4
