@@ -488,16 +488,22 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     known trigger; raise the cap or pre-split such graphs."""
     from pyspark.sql import functions as F
 
+    # repartition on the join key BEFORE caching: InMemoryTableScan
+    # preserves its child's outputPartitioning, so every iteration's
+    # neighbor join reads bidir already hash-partitioned on b and only
+    # the (changing) labels side shuffles — halving per-round exchanges
     bidir = tracked_persist(
-        edges.selectExpr("src AS a", "dst AS b").unionByName(
-            edges.selectExpr("dst AS a", "src AS b")
-        ).distinct()
+        edges.selectExpr("src AS a", "dst AS b")
+        .unionByName(edges.selectExpr("dst AS a", "src AS b"))
+        .distinct()
+        .repartition("b")
     )
     labels = bidir.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     ).persist()
 
     converged = False
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             bidir.join(labels, bidir.b == labels.node)
@@ -520,17 +526,20 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # Min-propagation labels are monotone non-increasing, so the
+        # label multiset changed iff its exact sum decreased — one cheap
+        # aggregate over the checkpointed frame instead of a full
+        # old-vs-new join per round. DECIMAL(38,0): overflow-proof for
+        # any node count * id range this engine will meet.
+        label_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and label_sum == prev_sum:
             converged = True
             break
+        prev_sum = label_sum
     if not converged:
         labels.unpersist()
         bidir.unpersist()
