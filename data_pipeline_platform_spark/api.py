@@ -265,3 +265,100 @@ def create_app(runner=None):
         return service.workers_health()
 
     return app
+
+
+def build_http_server(runner, host: str = "127.0.0.1", port: int = 0):
+    """Stdlib HTTP transport over PipelineService — the same ten routes
+    as ``create_app`` (reference api/main.py:117-455), served by
+    ``http.server.ThreadingHTTPServer`` so the HTTP layer is exercisable
+    end-to-end in environments without fastapi (like this container).
+
+    Error contract mirrors FastAPI's: a failed route returns
+    ``{"detail": ...}`` with a 400/404/422 status. Returns the server;
+    callers start it with ``serve_forever()`` (typically on a thread)
+    and stop it with ``shutdown()`` + ``server.service.shutdown()``.
+    Port 0 binds an ephemeral port (read it from ``server.server_port``).
+    """
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    service = PipelineService(runner)
+
+    class _Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # keep test output clean
+            pass
+
+        def _send(self, code: int, obj) -> None:
+            payload = _json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _body(self) -> Dict[str, Any]:
+            length = int(self.headers.get("Content-Length") or 0)
+            if not length:
+                return {}
+            try:
+                return _json.loads(self.rfile.read(length) or b"{}")
+            except ValueError:
+                return {}
+
+        def do_GET(self) -> None:
+            path = self.path.split("?", 1)[0].rstrip("/") or "/"
+            if path == "/":
+                self._send(
+                    200, {"service": "data-pipeline-platform-spark", "status": "ok"}
+                )
+            elif path == "/health":
+                self._send(200, service.health())
+            elif path == "/workers":
+                self._send(200, service.workers())
+            elif path == "/workers/health":
+                self._send(200, service.workers_health())
+            elif path.startswith("/pipelines/") and path.endswith("/status"):
+                pipeline_id = path[len("/pipelines/") : -len("/status")]
+                self._send(200, service.pipeline_status(pipeline_id))
+            elif path.startswith("/tasks/"):
+                self._send(200, service.task_status(path[len("/tasks/") :]))
+            else:
+                self._send(404, {"detail": "not found"})
+
+        def do_POST(self) -> None:
+            path = self.path.split("?", 1)[0].rstrip("/")
+            body = self._body()
+            if path == "/pipelines":
+                config = body.get("pipeline_config")
+                if not config:
+                    self._send(422, {"detail": "pipeline_config required"})
+                    return
+                self._send(200, service.submit_pipeline(config))
+            elif path == "/tasks/ingest":
+                try:
+                    self._send(200, service.submit_ingest(body))
+                except ValueError as exc:
+                    self._send(400, {"detail": str(exc)})
+            elif path == "/tasks/transform":
+                data_id = body.get("data_id")
+                if not data_id:
+                    self._send(422, {"detail": "data_id required"})
+                    return
+                self._send(
+                    200,
+                    service.submit_transform(
+                        data_id, body.get("transformation_config") or body
+                    ),
+                )
+            elif path == "/tasks/persist":
+                data_id = body.get("data_id")
+                if not data_id:
+                    self._send(422, {"detail": "data_id required"})
+                    return
+                self._send(200, service.submit_persist(data_id, body))
+            else:
+                self._send(404, {"detail": "not found"})
+
+    server = ThreadingHTTPServer((host, port), _Handler)
+    server.service = service  # type: ignore[attr-defined]
+    return server

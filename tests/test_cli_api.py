@@ -236,3 +236,137 @@ def test_api_health_probe_unaffected_by_saturated_pool(spark):
         st = _wait_task(service, t)
         assert st["status"] == "completed"
     service.shutdown()
+
+
+def test_http_server_end_to_end(spark, tmp_warehouse):
+    """All ten routes over REAL HTTP (stdlib ThreadingHTTPServer):
+    the transport seam fastapi's absence left untested. Mirrors the
+    reference's route contract (api/main.py:117-455) including the
+    422/400/404 error bodies."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from data_pipeline_platform_spark.api import build_http_server
+    from data_pipeline_platform_spark.plans.runner import PipelineRunner
+    from data_pipeline_platform_spark.sinks.writers import BatchWriter
+
+    writer = BatchWriter(spark, base_path=tmp_warehouse)
+    server = build_http_server(PipelineRunner(spark, writer=writer))
+    base = f"http://127.0.0.1:{server.server_port}"
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def call(method, path, body=None):
+        req = urllib.request.Request(f"{base}{path}", method=method)
+        data = None
+        if body is not None:
+            data = _json.dumps(body).encode()
+            req.add_header("Content-Type", "application/json")
+        try:
+            with urllib.request.urlopen(req, data=data, timeout=30) as resp:
+                return resp.status, _json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    def wait_task(task_id, timeout=60.0):
+        import time
+
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            code, st = call("GET", f"/tasks/{task_id}")
+            assert code == 200
+            if st["status"] != "pending":
+                return st
+            time.sleep(0.25)
+        raise TimeoutError(task_id)
+
+    try:
+        code, root = call("GET", "/")
+        assert code == 200 and root["status"] == "ok"
+        code, health = call("GET", "/health")
+        assert code == 200 and health["status"] == "healthy"
+        code, workers = call("GET", "/workers")
+        assert code == 200 and workers["max_workers"] >= 1
+        code, wh = call("GET", "/workers/health")
+        assert code == 200 and wh["status"] in ("healthy", "degraded")
+
+        # full pipeline via POST /pipelines + status polling
+        code, sub = call(
+            "POST",
+            "/pipelines",
+            {
+                "pipeline_config": {
+                    "ingestion": {
+                        "path": "/root/testdata/sf0.001/region.parquet",
+                        "format": "parquet",
+                    },
+                    "persistence": {"table": "http_out", "strategy": "replace"},
+                }
+            },
+        )
+        assert code == 200 and sub["status"] == "submitted"
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            code, st = call("GET", f"/pipelines/{sub['pipeline_id']}/status")
+            assert code == 200
+            if st["status"] not in ("running", "submitted", "pending"):
+                break
+            time.sleep(0.25)
+        assert st["status"] == "success" and st["result"]["row_count"] == 5
+
+        # per-stage chain: ingest -> transform -> persist over HTTP
+        code, ing = call(
+            "POST",
+            "/tasks/ingest",
+            {"path": "/root/testdata/sf0.001/nation.parquet", "format": "parquet"},
+        )
+        assert code == 200
+        ing_done = wait_task(ing["task_id"])
+        assert ing_done["status"] == "completed"
+        data_id = ing_done["result"]["data_id"]
+
+        code, tr = call(
+            "POST",
+            "/tasks/transform",
+            {
+                "data_id": data_id,
+                "transformation_config": {
+                    "type": "sql",
+                    "query": "SELECT n_regionkey, COUNT(*) AS n "
+                    "FROM input_data GROUP BY n_regionkey",
+                },
+            },
+        )
+        assert code == 200
+        tr_done = wait_task(tr["task_id"])
+        assert tr_done["status"] == "completed" and tr_done["result"]["row_count"] == 5
+
+        code, pe = call(
+            "POST",
+            "/tasks/persist",
+            {"data_id": tr_done["result"]["data_id"], "table": "http_per_region"},
+        )
+        assert code == 200
+        pe_done = wait_task(pe["task_id"])
+        assert pe_done["status"] == "completed" and pe_done["result"]["rows_written"] == 5
+        assert writer.read_table("http_per_region").count() == 5
+
+        # error contract: 422 missing fields, 400 bad ingest, 404 route
+        assert call("POST", "/pipelines", {})[0] == 422
+        assert call("POST", "/tasks/transform", {"x": 1})[0] == 422
+        assert call("POST", "/tasks/persist", {})[0] == 422
+        code, err = call("POST", "/tasks/ingest", {})
+        assert code == 400 and "Query is required" in err["detail"]
+        assert call("GET", "/nope")[0] == 404
+        # unknown ids answer, not 500 (reference api/main.py:241-249)
+        code, st = call("GET", "/pipelines/zzz/status")
+        assert code == 200 and st["status"] == "unknown"
+        code, st = call("GET", "/tasks/zzz")
+        assert code == 200 and st["status"] == "unknown"
+    finally:
+        server.shutdown()
+        server.service.shutdown()
