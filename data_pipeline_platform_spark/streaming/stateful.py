@@ -66,3 +66,123 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming z-score anomaly detection: the stateful twin of the batch
+# functions/events.py::q_events_anomaly (same fixed-point moments, same
+# threshold), so a one-micro-batch run reproduces the batch flags exactly
+# ---------------------------------------------------------------------------
+
+ANOMALY_Z_SCALE = 1_000_000  # matches functions/events.py _Z_SCALE
+ANOMALY_THRESHOLD = 2.5  # matches functions/events.py _Z_THRESHOLD
+# second moments of 1e-6-scaled values overflow int64 (~2.4e17 per
+# event at value~490); the state store has no DECIMAL surface, so the
+# exact python-int sum is carried as two BIGINTs split at 1e18
+_SPLIT = 10**18
+
+ANOMALY_SCHEMA = (
+    "user_id long, kind string, event_id long, value double, z double, "
+    "n long, sum_fp long, sumsq_hi long, sumsq_lo long"
+)
+ANOMALY_STATE_SCHEMA = "n long, sum_fp long, sumsq_hi long, sumsq_lo long"
+
+
+def _update_anomaly(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running moments + within-batch z-score flags.
+
+    Moments are exact integers (value scaled to 1e-6 fixed point;
+    squares summed as python ints via object dtype, split into hi/lo
+    BIGINTs for the state store). The z computation rounds each exact
+    integer to double FIRST and then divides — the same operation order
+    as the batch SQL (CAST(x AS DOUBLE)/n), so a single-micro-batch run
+    is bit-identical to q_events_anomaly's filter decisions.
+
+    Emission contract (update mode): one 'stats' row per user per batch
+    with the running moments, plus one 'flag' row per event in THIS
+    batch whose |z| >= threshold against the end-of-batch state.
+    """
+    import math
+
+    if state.exists:
+        n, sum_fp, hi, lo = state.get
+    else:
+        n, sum_fp, hi, lo = 0, 0, 0, 0
+    sumsq = hi * _SPLIT + lo
+
+    batches = [pdf for pdf in pdfs if len(pdf)]
+    fps = []
+    for pdf in batches:
+        v_fp = (pdf["value"] * ANOMALY_Z_SCALE).round().astype("int64")
+        fps.append(v_fp)
+        n += len(pdf)
+        sum_fp += int(v_fp.sum())
+        # object dtype: python-int arithmetic, no int64 overflow
+        sumsq += int((v_fp.astype(object) ** 2).sum())
+
+    state.update((n, sum_fp, sumsq // _SPLIT, sumsq % _SPLIT))
+
+    user_id = key[0]
+    out = [
+        pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "kind": ["stats"],
+                "event_id": [None],
+                "value": [None],
+                "z": [None],
+                "n": [n],
+                "sum_fp": [sum_fp],
+                "sumsq_hi": [sumsq // _SPLIT],
+                "sumsq_lo": [sumsq % _SPLIT],
+            }
+        )
+    ]
+    # double-rounds first, then divides: CAST(int AS DOUBLE)/n semantics
+    mean = float(sum_fp) / n if n else 0.0
+    var = (float(sumsq) / n - mean * mean) if n else 0.0
+    if var > 0:
+        sd = math.sqrt(var)
+        for pdf, v_fp in zip(batches, fps):
+            z = (v_fp.astype("float64") - mean) / sd
+            hit = z.abs() >= ANOMALY_THRESHOLD
+            if hit.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": user_id,
+                            "kind": "flag",
+                            "event_id": pdf["event_id"][hit],
+                            "value": pdf["value"][hit],
+                            "z": z[hit],
+                            "n": n,
+                            "sum_fp": sum_fp,
+                            "sumsq_hi": sumsq // _SPLIT,
+                            "sumsq_lo": sumsq % _SPLIT,
+                        }
+                    )
+                )
+    yield pd.concat(out, ignore_index=True)
+
+
+def streaming_anomaly(events: DataFrame) -> DataFrame:
+    """Stateful per-user z-score anomaly detection over an events
+    stream (the streaming twin of the batch events_anomaly operator).
+
+    Each micro-batch updates exact running moments in the state store
+    and flags this batch's outliers against the state so far — the
+    standard production shape where history accumulates and fresh
+    events are judged as they arrive. State is bounded by key count
+    (4 BIGINTs per user); churning key spaces should switch NoTimeout
+    for ProcessingTimeTimeout eviction."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_anomaly,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -51,3 +51,114 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
         assert row["total_events"] == n
         assert abs(row["total_value"] - v) < 1e-6
         assert row["batches"] >= 1
+
+
+def test_streaming_anomaly_single_batch_equals_batch_op(spark, tmp_path):
+    """One micro-batch == batch semantics: the streaming detector's
+    flags must match q_events_anomaly's exactly (same fixed-point
+    moments, same double operation order), and its final moments must
+    equal the batch aggregation bitwise."""
+    from data_pipeline_platform_spark.functions.events import q_events_anomaly
+    from data_pipeline_platform_spark.streaming.stateful import streaming_anomaly
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    stream_dir = str(tmp_path / "ev_anom")
+    events.coalesce(1).write.parquet(stream_dir)  # ONE file -> one batch
+
+    stream = read_events_stream(spark, stream_dir)
+    q = (
+        streaming_anomaly(stream)
+        .writeStream.format("memory")
+        .queryName("anom")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    flagged = {
+        r["event_id"]: r["z"]
+        for r in spark.sql("SELECT * FROM anom WHERE kind = 'flag'").collect()
+    }
+    batch = {r["event_id"]: r["z"] for r in q_events_anomaly(spark, sf).collect()}
+    assert set(flagged) == set(batch)
+    for eid, z in batch.items():
+        assert abs(flagged[eid] - z) < 1e-6  # batch rounds to 6dp
+
+    # exact moment parity: state sums == batch integer sums
+    from pyspark.sql import functions as F
+
+    stats = {
+        r["user_id"]: (r["n"], r["sum_fp"], r["sumsq_hi"], r["sumsq_lo"])
+        for r in spark.sql("SELECT * FROM anom WHERE kind = 'stats'").collect()
+    }
+    expected = (
+        events.withColumn("v_fp", F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_fp").alias("s"),
+            F.sum(
+                F.expr("CAST(v_fp AS DECIMAL(18,0)) * CAST(v_fp AS DECIMAL(18,0))")
+            ).alias("sq"),
+        )
+        .collect()
+    )
+    assert len(stats) == len(expected)
+    for r in expected:
+        n, s, hi, lo = stats[r["user_id"]]
+        assert (n, s) == (r["n"], r["s"])
+        assert hi * 10**18 + lo == int(r["sq"])
+
+
+def test_streaming_anomaly_state_accumulates_across_batches(spark, tmp_path):
+    """Multi-batch run: final per-user moments must STILL equal the
+    batch totals (state persisted and re-loaded between micro-batches),
+    and every flag emission must reference an event of that batch."""
+    from data_pipeline_platform_spark.streaming.stateful import streaming_anomaly
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    stream_dir = str(tmp_path / "ev_anom_m")
+    events.repartition(4).write.parquet(stream_dir)
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        streaming_anomaly(stream)
+        .writeStream.format("memory")
+        .queryName("anom_m")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom_m"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    from pyspark.sql import functions as F
+
+    final = {
+        r["user_id"]: (r["n"], r["sum_fp"], r["sumsq_hi"] * 10**18 + r["sumsq_lo"])
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC) rn
+                 FROM anom_m WHERE kind = 'stats') WHERE rn = 1"""
+        ).collect()
+    }
+    expected = (
+        events.withColumn("v_fp", F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_fp").alias("s"),
+            F.sum(
+                F.expr("CAST(v_fp AS DECIMAL(18,0)) * CAST(v_fp AS DECIMAL(18,0))")
+            ).alias("sq"),
+        )
+        .collect()
+    )
+    assert len(final) == len(expected)
+    for r in expected:
+        n, s, sq = final[r["user_id"]]
+        assert (n, s, sq) == (r["n"], r["s"], int(r["sq"]))
