@@ -782,3 +782,68 @@ FROM k GROUP BY bow_key
 
 
 register("dedup_bow", q_dedup_bow, ORACLE_DEDUP_BOW)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: among each near-dup cluster's
+    members keep the BEST copy — longest version wins (the standard
+    corpus-dedup keep policy; boilerplate-trimmed copies lose to the
+    full document), ties broken on doc_id. Composes the verified
+    connected-components clustering with a per-cluster argmax window.
+
+    Scale: the clusters frame is pair-derived (tiny next to the
+    corpus); the token counts join back on doc_id and the argmax
+    windows partition by cluster — both keys well-distributed, nothing
+    corpus-squared."""
+    from pyspark.sql.window import Window
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").alias(
+            "token_count"
+        ),
+    )
+    joined = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("token_count").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("keep_doc_id"),
+            "token_count",
+            "n_members",
+        )
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH clusters AS ({ORACLE_DEDUP_CLUSTERS}),
+tc AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count
+  FROM documents
+),
+j AS (
+  SELECT c.cluster, c.doc_id, t.token_count
+  FROM clusters c JOIN tc t USING (doc_id)
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY token_count DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+  FROM j
+)
+SELECT cluster, doc_id AS keep_doc_id, token_count, n_members
+FROM r WHERE rn = 1
+"""
+
+
+register("dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST)

@@ -316,3 +316,85 @@ FROM s GROUP BY doc_id
 register("repetition_stats", q_repetition_stats, ORACLE_REPETITION_STATS)
 register("gopher_quality_filter", q_gopher_quality_filter, ORACLE_GOPHER_QUALITY_FILTER)
 register("unigram_logprob", q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB)
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus health report: the one-glance rollup a
+    curation run ends with — volume (docs/tokens), quality-gate pass
+    rate, and how much of the language's volume is bag-of-words-
+    duplicated. Composes the gopher gate and the BOW dedup key, both
+    graded standalone above.
+
+    Plan: the gate is row-local; the BOW duplicate flag is one
+    uniformly-keyed groupBy + a broadcast-back join of the (tiny)
+    dup-key set; the final rollup is one lang-keyed aggregation. Three
+    shuffles total at any scale, all on well-distributed keys."""
+    gate = q_gopher_quality_filter(spark, sf_dir)
+    docs = _docs(spark, sf_dir).withColumn(
+        "bow_key",
+        F.md5(
+            F.expr(
+                "concat_ws(' ', array_sort(array_distinct(split(trim(text), '\\\\s+'))))"
+            )
+        ),
+    )
+    dup_keys = (
+        docs.groupBy("bow_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("bow_key")
+    )
+    enriched = (
+        docs.select("doc_id", "lang", "bow_key")
+        .join(F.broadcast(dup_keys).withColumn("is_dup", F.lit(1)), "bow_key", "left")
+        .join(gate.select("doc_id", "token_count", "keep"), "doc_id")
+    )
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").alias("total_tokens"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_keep"),
+        (
+            F.sum(F.col("keep").cast("bigint")).cast("double") / F.count(F.lit(1))
+        ).alias("keep_rate"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0)).cast("bigint")).alias(
+            "n_bow_dup_docs"
+        ),
+    )
+
+
+ORACLE_CORPUS_REPORT = (
+    _DUCK_REP
+    + f"""
+, g AS (
+  SELECT doc_id, lang, token_count,
+         CAST(length(array_to_string(toks, '')) AS DOUBLE) / token_count
+           AS mean_word_len,
+         CAST(len(list_distinct(list_filter(toks,
+              x -> x IN ({_STOP_SQL})))) AS BIGINT) AS n_stopwords,
+         top_word_frac, dup_bigram_frac,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bow_key
+  FROM m
+), gk AS (
+  SELECT *,
+         (token_count >= {GOPHER_MIN_TOKENS} AND token_count <= {GOPHER_MAX_TOKENS}
+          AND mean_word_len >= {GOPHER_MIN_WORD_LEN}
+          AND mean_word_len <= {GOPHER_MAX_WORD_LEN}
+          AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+          AND top_word_frac <= {GOPHER_MAX_TOP_WORD_FRAC}
+          AND dup_bigram_frac <= {GOPHER_MAX_DUP_BIGRAM_FRAC}) AS keep
+  FROM g
+), dups AS (
+  SELECT bow_key FROM gk GROUP BY bow_key HAVING COUNT(*) > 1
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(token_count) AS total_tokens,
+       SUM(CAST(keep AS BIGINT)) AS n_keep,
+       CAST(SUM(CAST(keep AS BIGINT)) AS DOUBLE) / COUNT(*) AS keep_rate,
+       SUM(CASE WHEN bow_key IN (SELECT bow_key FROM dups) THEN 1 ELSE 0 END)
+         AS n_bow_dup_docs
+FROM gk GROUP BY lang
+"""
+)
+
+
+register("corpus_report", q_corpus_report, ORACLE_CORPUS_REPORT)

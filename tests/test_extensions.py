@@ -712,3 +712,60 @@ def test_events_anomaly_flags_planted_outlier(spark):
     var = (v_fp.astype("float64") ** 2).mean() - mean * mean
     mine = (round(r["value"] * 1_000_000) - mean) / math.sqrt(var)
     assert abs(mine - r["z"]) < 1e-4
+
+
+def test_dedup_keep_best_picks_longest_member(spark):
+    """Every kept doc must be a member of its own cluster with the
+    max token count (ties -> smallest doc_id), and clusters must be
+    disjoint from each other."""
+    from data_pipeline_platform_spark.functions.dedup import (
+        q_dedup_clusters,
+        q_dedup_keep_best,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    members = {}
+    for r in q_dedup_clusters(spark, sf).collect():
+        members.setdefault(r["cluster"], []).append(r["doc_id"])
+    docs = {
+        r["doc_id"]: len(r["text"].split())
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    kept = q_dedup_keep_best(spark, sf).collect()
+    assert {r["cluster"] for r in kept} == set(members)
+    for r in kept:
+        group = members[r["cluster"]]
+        assert r["n_members"] == len(group)
+        best = sorted(group, key=lambda d: (-docs[d], d))[0]
+        assert r["keep_doc_id"] == best
+        assert r["token_count"] == docs[best]
+
+
+def test_corpus_report_reconciles_with_parts(spark):
+    """The rollup's totals must reconcile with the standalone graded
+    operators it composes (gate pass counts, BOW dup counts)."""
+    from data_pipeline_platform_spark.functions.dedup import q_dedup_bow
+    from data_pipeline_platform_spark.functions.repetition import (
+        q_corpus_report,
+        q_gopher_quality_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    report = {r["lang"]: r for r in q_corpus_report(spark, sf).collect()}
+    gate = q_gopher_quality_filter(spark, sf).collect()
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    n_keep = {}
+    for r in gate:
+        lang = docs[r["doc_id"]]
+        n_keep[lang] = n_keep.get(lang, 0) + int(r["keep"])
+    assert {k: v["n_keep"] for k, v in report.items()} == n_keep
+    assert sum(v["n_docs"] for v in report.values()) == len(docs)
+    # BOW dup docs: total duplicated docs across langs equals
+    # sum(n_copies) - groups over dup groups
+    dup_total = sum(
+        r["n_copies"] for r in q_dedup_bow(spark, sf).collect() if r["n_copies"] > 1
+    )
+    assert sum(v["n_bow_dup_docs"] for v in report.values()) == dup_total
