@@ -398,3 +398,127 @@ FROM gk GROUP BY lang
 
 
 register("corpus_report", q_corpus_report, ORACLE_CORPUS_REPORT)
+
+
+# interpolation weights for the bigram LM (Jelinek-Mercer smoothing)
+_BI_LAMBDA = 0.9
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram
+    LM estimated from the corpus (one rung above unigram_logprob on the
+    CCNet-style fluency ladder): p(w2|w1) = 0.9·c(w1 w2)/c(w1) +
+    0.1·c(w2)/T, and the document's first token scores p(w) = c(w)/T.
+
+    Plan shapes, in scale order: bigram counts are one explode +
+    groupBy (map-side combinable, keys uniform); the per-occurrence
+    scoring join against the bigram table is a SHUFFLE join — at web
+    scale the bigram vocabulary outgrows broadcast range, unlike the
+    unigram table which stays broadcast on both of its uses. Per-doc
+    sums are fixed-point BIGINT (order-free; the 1e-6 grid absorbs
+    cross-engine ln() ulps). Final re-aggregation keys on doc_id.
+    """
+    docs = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS))
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(0, size(toks) - 1)), "
+                "slice(toks, 2, greatest(0, size(toks) - 1)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = (
+        docs.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").alias("t"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+    scored_bi = (
+        big.join(c2, ["w1", "w2"])
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w1"), F.col("c1").alias("c1w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w2"), F.col("c1").alias("c1w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(round(ln({_BI_LAMBDA} * (CAST(c2 AS DOUBLE) / c1w1) "
+                f"+ {1.0 - _BI_LAMBDA} * (CAST(c1w2 AS DOUBLE) / t)) "
+                f"* {_LP_SCALE}) AS BIGINT)"
+            ).alias("lp_fp"),
+        )
+    )
+    first = (
+        docs.select("doc_id", F.expr("element_at(toks, 1)").alias("token"))
+        .join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(round(ln(CAST(c1 AS DOUBLE) / t) * {_LP_SCALE}) AS BIGINT)"
+            ).alias("lp_fp"),
+        )
+    )
+    return (
+        scored_bi.unionByName(first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum("lp_fp").cast("double")
+                / F.lit(float(_LP_SCALE))
+                / F.count(F.lit(1))
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), big AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS p
+        FROM d)
+), uni AS (
+  SELECT token, COUNT(*) AS c1
+  FROM (SELECT unnest(toks) AS token FROM d) GROUP BY token
+), tot AS (
+  SELECT SUM(c1) AS t FROM uni
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+), sb AS (
+  SELECT b.doc_id,
+         CAST(round(ln({_BI_LAMBDA} * (CAST(c.c2 AS DOUBLE) / u1.c1)
+              + {1.0 - _BI_LAMBDA} * (CAST(u2.c1 AS DOUBLE) / tot.t))
+              * {_LP_SCALE}) AS BIGINT) AS lp_fp
+  FROM big b
+  JOIN c2 c USING (w1, w2)
+  JOIN uni u1 ON b.w1 = u1.token
+  JOIN uni u2 ON b.w2 = u2.token
+  CROSS JOIN tot
+), fi AS (
+  SELECT d.doc_id,
+         CAST(round(ln(CAST(u.c1 AS DOUBLE) / tot.t) * {_LP_SCALE}) AS BIGINT)
+           AS lp_fp
+  FROM d JOIN uni u ON d.toks[1] = u.token CROSS JOIN tot
+), s AS (
+  SELECT * FROM sb UNION ALL SELECT * FROM fi
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(lp_fp) AS DOUBLE) / {_LP_SCALE} / COUNT(*) AS mean_logprob
+FROM s GROUP BY doc_id
+"""
+
+
+register("bigram_logprob", q_bigram_logprob, ORACLE_BIGRAM_LOGPROB)

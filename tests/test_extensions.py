@@ -812,3 +812,24 @@ def test_bpe_train_merges_hand_checked(spark, tmp_path):
     # pairs: (ab,ab):3, (ab,c):2 -> merge 2 = (ab,ab) count 3
     assert (res[1]["lhs"], res[1]["rhs"], res[1]["pair_count"]) == ("ab", "ab", 3)
     assert res[1]["merged"] == "abab"
+
+
+def test_bigram_logprob_orders_fluency(spark):
+    """Bigram scores must be finite/negative, cover every doc, and the
+    unigram joins must broadcast while the bigram join may shuffle."""
+    from data_pipeline_platform_spark.functions.repetition import q_bigram_logprob
+
+    df = q_bigram_logprob(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all(r["mean_logprob"] < 0 for r in rows)
+    # a doc's token budget is preserved: n_tokens == whitespace tokens
+    toks = {
+        r["doc_id"]: len(r["text"].split())
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    }
+    for r in rows:
+        assert r["n_tokens"] == toks[r["doc_id"]]
