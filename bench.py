@@ -57,6 +57,9 @@ HEADLINE = [
     # timed at sf0.1, not only parity-checked at sf0.01 (r6+)
     "cosine_topk_ivf_exact",
     "dedup_clusters",
+    # r6 additions: the LM/tokenizer-training family
+    "bpe_train_merges",
+    "bigram_logprob",
 ]
 
 

@@ -833,3 +833,39 @@ def test_bigram_logprob_orders_fluency(spark):
     }
     for r in rows:
         assert r["n_tokens"] == toks[r["doc_id"]]
+
+
+def test_pca_top_component_matches_numpy(spark):
+    """The 6-step power iterate must align with numpy's dominant
+    eigenvector of the same centered covariance (up to sign), carry an
+    inf-norm of exactly 1, and be bit-identical across runs."""
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.spectral import q_pca_top_component
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_pca_top_component(spark, sf).collect()
+    x = np.zeros(len(rows))
+    for r in rows:
+        x[r["dim"]] = r["component"]
+    assert np.max(np.abs(x)) == 1.0
+    eig = rows[0]["eigenvalue"]
+    assert eig > 0
+
+    import pandas as pd
+
+    vecs = np.array(
+        pd.read_parquet(f"{sf}/embeddings.parquet")["embedding"].tolist(),
+        dtype="float64",
+    )
+    c = vecs - vecs.mean(axis=0)
+    cov = c.T @ c / len(vecs)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1]
+    cos = abs(np.dot(x, top)) / (np.linalg.norm(x) * np.linalg.norm(top))
+    assert cos > 0.99, f"power iterate misaligned with numpy eigvector: {cos}"
+    # eigenvalue estimate within 5% of numpy's (quantization + 6 steps)
+    assert abs(eig - w[-1]) / w[-1] < 0.05
+
+    again = {r["dim"]: r["component"] for r in q_pca_top_component(spark, sf).collect()}
+    assert all(again[r["dim"]] == r["component"] for r in rows)

@@ -36,7 +36,18 @@ NOTES = {
     "promo_part_suppliers": "TPC-H Q20 shape: one (part,supp) agg exchange; ratio window on the aggregated frame",
     "waiting_suppliers": "TPC-H Q21 shape: double-correlated EXISTS collapsed to one agg + one window — no fact self-joins",
     "idle_customers": "TPC-H Q22 shape: broadcast scalar stats; anti-join on pre-distinct 1998 custkeys",
-    "repetition_stats": "one explode, two-level agg with map-side combine; zero Python",
+    "repetition_stats": "pure array-lambda projection — no hash/range exchange, zero Python",
+    "gopher_quality_filter": "all five rules in one codegen'd projection over the scan",
+    "unigram_logprob": "vocab-sized frequency table broadcast; scoring join shuffle-free; one doc_id re-agg",
+    "bigram_logprob": "bigram table shuffle-joins (outgrows broadcast at web scale); unigram broadcasts twice",
+    "dedup_bow": "row-local sort+hash key; one groupBy on a uniform 128-bit key",
+    "dedup_keep_best": "cluster argmax window over the pair-derived (tiny) clusters frame",
+    "events_anomaly": "one map-side-combinable moments pass; |users|-sized stats broadcast back — flagging shuffle-free",
+    "corpus_report": "three shuffles: uniform BOW key, doc_id join-back, lang rollup; dup-key set broadcast",
+    # bpe_train_merges intentionally absent: its result frame is a
+    # driver-local merge table (LocalTableScan — nothing to read); the
+    # interesting plans are the per-step pair-count jobs over the
+    # vocab-sized frame, documented in functions/bpe.py
     "events_multires_rollup": "one scan + Expand (3 grouping sets) -> single exchange; not three rollup jobs",
     "data_quality_report": "N rules = one conditional-agg pass; FK check is a key-pruned anti-join",
     "salted_skew_join": "salt changes the exchange keys only — graded equal to the plain join",
