@@ -869,3 +869,39 @@ def test_pca_top_component_matches_numpy(spark):
 
     again = {r["dim"]: r["component"] for r in q_pca_top_component(spark, sf).collect()}
     assert all(again[r["dim"]] == r["component"] for r in rows)
+
+
+def test_whiten_embeddings_reduces_projection(spark):
+    """Whitening must (a) satisfy the Pythagorean identity
+    norm_after^2 ≈ norm_before^2 - proj^2·||x||^2 ... verified via
+    numpy recomputation per vector, and (b) leave the pass row-local
+    (no hash exchange downstream of the component collect)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_platform_spark.functions.spectral import (
+        q_pca_top_component,
+        q_whiten_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    top = q_pca_top_component(spark, sf).collect()
+    x = np.zeros(len(top))
+    for r in top:
+        x[r["dim"]] = r["component"]
+    vecs = {
+        int(i): np.array(v, dtype="float64")
+        for i, v in pd.read_parquet(f"{sf}/embeddings.parquet")[
+            ["vec_id", "embedding"]
+        ].itertuples(index=False)
+    }
+    rows = q_whiten_embeddings(spark, sf).collect()
+    assert len(rows) == len(vecs)
+    xx = float(x @ x)
+    for r in rows[:50]:
+        v = vecs[r["vec_id"]]
+        proj = float(v @ x) / xx
+        after = v - proj * x
+        assert abs(r["proj"] - proj) < 1e-5
+        assert abs(r["norm_after"] - np.linalg.norm(after)) < 1e-5
+        assert r["norm_after"] <= r["norm_before"] + 1e-9
