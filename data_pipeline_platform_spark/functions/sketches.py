@@ -1,0 +1,181 @@
+"""Sketch operators (M8 extension): approximate distinct counting with
+a bitwise-replayable HyperLogLog (Flajolet et al. 2007).
+
+Why it matters at 100 TB: COUNT(DISTINCT key) shuffles every distinct
+key; an HLL register set is ``m`` small integers that merge with MAX —
+the aggregation is map-side combinable and the shuffle payload is the
+register array, not the key space. This module grades the full
+estimator pipeline (bucketing, rho, harmonic mean, small-range
+correction) bitwise against DuckDB.
+
+Determinism across engines:
+- the hash is md5 hex (identical text both sides); bucket and rho are
+  derived by STRING operations (hex prefix -> integer via a char fold;
+  leading-zero count via ltrim) — no engine-specific bit intrinsics;
+- the harmonic-mean sum folds exact powers of two as BIGINTs
+  (2^(SHIFT - rho) is an exact integer; integer sums are order-free,
+  where a double sum of 2^-rho terms would round order-dependently);
+- the only transcendental (ln in the small-range correction) lands in
+  a 6dp round, which absorbs cross-engine ulps.
+
+Estimates are graded per event_type next to the exact distinct count,
+so the output carries its own error audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+
+HLL_B = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_B
+# alpha_64 per the HLL paper (m >= 64 branch)
+HLL_ALPHA = 0.709
+_SHIFT = 50  # fixed-point exponent for the harmonic-mean fold
+# hex chars after the bucket prefix used for rho (48 bits is plenty:
+# P(rho > 49) ~ 2^-49)
+_RHO_HEX = 12
+
+# hex prefix length that covers HLL_B bits (6 bits -> 2 hex chars = 8
+# bits; the bucket is the value modulo m, identical both engines)
+_BUCKET_HEX = 2
+
+_HEX_FOLD = (
+    "aggregate(filter(split(substring({h}, 1, %d), '(?!$)'), c -> c != ''), "
+    "CAST(0 AS BIGINT), "
+    "(acc, c) -> acc * 16 + CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))"
+    % _BUCKET_HEX
+)
+
+# extra leading zero bits contributed by the first non-zero hex digit
+_DIGIT_ZEROS = (
+    "CASE WHEN {d} = '1' THEN 3 "
+    "WHEN {d} IN ('2', '3') THEN 2 "
+    "WHEN {d} IN ('4', '5', '6', '7') THEN 1 "
+    "ELSE 0 END"
+)
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event_type, next to the exact
+    count and the relative error. One scan; the register build is a
+    (event_type, bucket) MAX aggregation — map-side combinable, shuffle
+    payload = m registers per group, independent of user cardinality."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    )
+    # rho = 1 + leading zero bits of the tail: 4 bits per stripped zero
+    # hex char, plus the partial zeros of the first non-zero digit
+    # (all-zero tail -> rho = 4 * _RHO_HEX + 1, same branch both engines)
+    hashed = (
+        ev.select(
+            "event_type",
+            "h",
+            (F.expr(_HEX_FOLD.format(h="h")) % HLL_M).alias("bucket"),
+            F.expr(f"substring(h, {_BUCKET_HEX + 1}, {_RHO_HEX})").alias("tail"),
+        )
+        .withColumn("stripped", F.expr("regexp_replace(tail, '^0+', '')"))
+        .withColumn(
+            "rho",
+            F.expr(f"CAST(({_RHO_HEX} - length(stripped)) * 4 AS INT)")
+            + F.expr(_DIGIT_ZEROS.format(d="substring(stripped, 1, 1)"))
+            + F.lit(1),
+        )
+    )
+    regs = hashed.groupBy("event_type", "bucket").agg(F.max("rho").alias("r"))
+    est = (
+        regs.groupBy("event_type")
+        .agg(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SHIFT} - r)")).alias("z_fp"),
+            F.count(F.lit(1)).alias("nonzero"),
+        )
+        .select(
+            "event_type",
+            "nonzero",
+            # empty buckets contribute 2^-0 = 1 each to the harmonic sum
+            F.expr(
+                f"CAST(z_fp AS DOUBLE) / {float(1 << _SHIFT)} + ({HLL_M} - nonzero)"
+            ).alias("z"),
+        )
+        .select(
+            "event_type",
+            "nonzero",
+            F.expr(f"{HLL_ALPHA} * {HLL_M} * {HLL_M} / z").alias("e_raw"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"round(CASE WHEN e_raw <= 2.5 * {HLL_M} AND nonzero < {HLL_M} "
+                f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - nonzero)) "
+                "ELSE e_raw END, 6)"
+            ).alias("hll_estimate"),
+        )
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "hll_estimate",
+        "exact_distinct",
+        F.expr(
+            "round(abs(hll_estimate - exact_distinct) / exact_distinct, 6)"
+        ).alias("rel_error"),
+    )
+
+
+ORACLE_HLL_DISTINCT_USERS = f"""
+WITH ev AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+), hashed AS (
+  SELECT event_type, h,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             generate_series(1, {_BUCKET_HEX}),
+             i -> CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT))),
+           (acc, c) -> acc * 16 + c) % {HLL_M} AS bucket,
+         h[{_BUCKET_HEX + 1}:{_BUCKET_HEX + _RHO_HEX}] AS tail
+  FROM ev
+), rho AS (
+  SELECT event_type, bucket,
+         CAST(({_RHO_HEX} - length(ltrim(tail, '0'))) * 4 AS INT)
+         + ({_DIGIT_ZEROS.format(d="ltrim(tail, '0')[1:1]")})
+         + 1 AS rho
+  FROM hashed
+), regs AS (
+  SELECT event_type, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         SUM(CAST(1 AS BIGINT) << ({_SHIFT} - r)) AS z_fp,
+         COUNT(*) AS nonzero
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type, nonzero,
+         {HLL_ALPHA} * {HLL_M} * {HLL_M}
+           / (CAST(z_fp AS DOUBLE) / {float(1 << _SHIFT)} + ({HLL_M} - nonzero))
+           AS e_raw
+  FROM agg
+), corrected AS (
+  SELECT event_type,
+         round(CASE WHEN e_raw <= 2.5 * {HLL_M} AND nonzero < {HLL_M}
+               THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - nonzero))
+               ELSE e_raw END, 6) AS hll_estimate
+  FROM est
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT c.event_type, c.hll_estimate, x.exact_distinct,
+       round(abs(c.hll_estimate - x.exact_distinct) / x.exact_distinct, 6)
+         AS rel_error
+FROM corrected c JOIN exact x USING (event_type)
+"""
+
+
+register("hll_distinct_users", q_hll_distinct_users, ORACLE_HLL_DISTINCT_USERS)

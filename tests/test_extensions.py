@@ -905,3 +905,20 @@ def test_whiten_embeddings_reduces_projection(spark):
         assert abs(r["proj"] - proj) < 1e-5
         assert abs(r["norm_after"] - np.linalg.norm(after)) < 1e-5
         assert r["norm_after"] <= r["norm_before"] + 1e-9
+
+
+def test_hll_estimate_within_expected_error(spark):
+    """With m=64 registers the standard error is ~1.04/sqrt(64) = 13%;
+    require every per-type estimate within 3 sigma and the register
+    build to be a two-level (map-side combinable) aggregation with no
+    Python in the plan."""
+    from data_pipeline_platform_spark.functions.sketches import q_hll_distinct_users
+
+    df = q_hll_distinct_users(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["rel_error"] < 0.39, (r["event_type"], r["rel_error"])
+        assert r["hll_estimate"] > 0
