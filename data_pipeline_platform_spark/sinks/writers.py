@@ -396,3 +396,70 @@ class BatchWriter:
             .save(path)
         )
         return path
+
+    def write_zorder(
+        self,
+        df: DataFrame,
+        table: str,
+        zorder_cols: List[str],
+        num_files: int = 32,
+        bits: int = 8,
+        mode: str = "overwrite",
+    ) -> str:
+        """Write parquet Z-ORDER-clustered on two or more columns:
+        each column is quantile-bucketed to a ``bits``-bit code against
+        sampled boundaries, the per-column codes are bit-interleaved
+        into one Morton code, and the data is range-partitioned + sorted
+        on that code.
+
+        Why not write_clustered twice: 1-D clustering makes ONE
+        column's row-group [min, max] selective and leaves the others
+        shuffled. Morton interleaving keeps every file inside a small
+        hyper-rectangle of the key space, so row-group stats prune on
+        EACH z-ordered column independently — the standard lakehouse
+        layout for "filter by either key" tables (Delta/Iceberg
+        OPTIMIZE ZORDER).
+
+        Scale: boundaries come from approxQuantile (sampled, driver-
+        sized: 2^bits values per column) and enter the plan as
+        broadcast literals; the bucketing is a row-local array fold —
+        deliberately NOT a percent_rank window, whose global ORDER BY
+        collapses to one task. The only exchange is the final range
+        partition on the Morton code.
+        """
+        from pyspark.sql import functions as F
+
+        n = len(zorder_cols)
+        levels = 1 << bits
+        z = df
+        code_cols = []
+        for c in zorder_cols:
+            probs = [i / levels for i in range(1, levels)]
+            bounds = df.approxQuantile(c, probs, 0.001)
+            arr = "array(" + ", ".join(repr(float(b)) for b in bounds) + ")"
+            code = f"__z_{c}"
+            # bucket = number of boundaries <= value (row-local fold)
+            z = z.withColumn(
+                code,
+                F.expr(
+                    f"CAST(size(filter({arr}, b -> b <= CAST({c} AS DOUBLE))) AS BIGINT)"
+                ),
+            )
+            code_cols.append(code)
+        # interleave: bit i of column k lands at position i * n_cols + k
+        terms = " + ".join(
+            f"shiftleft(shiftright({code}, {i}) & 1, {i * n + k})"
+            for k, code in enumerate(code_cols)
+            for i in range(bits)
+        )
+        z = z.withColumn("__zcode", F.expr(f"CAST({terms} AS BIGINT)"))
+        path = self._table_path(table)
+        (
+            z.repartitionByRange(num_files, "__zcode")
+            .sortWithinPartitions("__zcode")
+            .drop("__zcode", *code_cols)
+            .write.format(self.fmt)
+            .mode(mode)
+            .save(path)
+        )
+        return path

@@ -244,3 +244,54 @@ def test_write_clustered_rowgroup_stats_prunable(spark, tmp_path):
     excluded_plain = sum(1 for mn, mx in plain if mn > lo)
     assert excluded_plain == 0, "random layout should not be prunable"
     assert overall_min == min(mn for mn, _ in clustered)
+
+
+def test_write_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-order layout contract from the parquet footers: after Morton
+    clustering on (l_orderkey, l_partkey), BOTH columns' per-file
+    [min, max] spans must narrow vs an unclustered control — the
+    multi-column pruning 1-D clustering cannot give. Plan contract: no
+    global-window single task (boundaries are broadcast literals)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_platform_spark.sinks.writers import BatchWriter
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    writer = BatchWriter(spark, base_path=str(tmp_path))
+    path = writer.write_zorder(li, "li_z", ["l_orderkey", "l_partkey"], num_files=16)
+
+    def spans(p, colname):
+        out = []
+        for f in sorted(g.glob(f"{p}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(len(md.schema))]
+            col = names.index(colname)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                out.append(max(maxs) - min(mins))
+        return out
+
+    li.repartition(16).write.mode("overwrite").parquet(str(tmp_path / "li_plain"))
+
+    for col in ("l_orderkey", "l_partkey"):
+        z = spans(path, col)
+        plain = spans(str(tmp_path / "li_plain"), col)
+        assert len(z) >= 8
+        mean_z = sum(z) / len(z)
+        mean_plain = sum(plain) / len(plain)
+        # each file should cover a materially smaller slice of BOTH
+        # dimensions than the shuffled control
+        assert mean_z < 0.6 * mean_plain, (col, mean_z, mean_plain)
+
+    # round-trip: no helper columns leak into the written schema
+    cols = set(spark.read.parquet(path).columns)
+    assert cols == {"l_orderkey", "l_partkey", "l_quantity"}
