@@ -498,3 +498,59 @@ WHERE var_fp > 0 AND abs((v_fp - mean_fp) / sqrt(var_fp)) >= {_Z_THRESHOLD}
 
 
 register("events_anomaly", q_events_anomaly, ORACLE_EVENTS_ANOMALY)
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    with alpha = 1/2 — the smoothing primitive for metric monitoring.
+
+    alpha = 1/2 is chosen deliberately: s_t = (v_t + s_{t-1}) / 2
+    divides by two, which only decrements the double's exponent —
+    EXACT, no rounding — so the whole sequential chain is
+    deterministic and the oracle replays it bitwise with a list_reduce
+    over the same event order (ts, event_id). A general alpha
+    multiplies by inexact constants whose accumulation is
+    engine-order-fragile.
+
+    Plan: one shuffle (groupBy user_id with collect_list); the fold is
+    a row-local sequential lambda over the user's ordered events —
+    state bounded by per-user event count, the same bound sessionize
+    already carries. Output grain: (user_id, n_events, ewma, last_value).
+    """
+    ev = _events(spark, sf_dir)
+    grouped = ev.groupBy("user_id").agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            "'ts', ts, 'event_id', event_id, 'value', value)))"
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return grouped.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "round(aggregate(slice(seq, 2, size(seq) - 1), "
+            "element_at(seq, 1).value, "
+            "(acc, e) -> (e.value + acc) / 2), 6)"
+        ).alias("ewma"),
+        F.expr("element_at(seq, -1).value").alias("last_value"),
+    )
+
+
+ORACLE_EVENTS_EWMA = """
+WITH g AS (
+  SELECT user_id,
+         list({'ts': ts, 'event_id': event_id, 'value': value}
+              ORDER BY ts, event_id) AS seq,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(list_reduce(list_transform(seq, e -> e.value),
+             (acc, v) -> (v + acc) / 2), 6) AS ewma,
+       seq[len(seq)].value AS last_value
+FROM g
+"""
+
+
+register("events_ewma", q_events_ewma, ORACLE_EVENTS_EWMA)

@@ -922,3 +922,25 @@ def test_hll_estimate_within_expected_error(spark):
     for r in rows:
         assert r["rel_error"] < 0.39, (r["event_type"], r["rel_error"])
         assert r["hll_estimate"] > 0
+
+
+def test_events_ewma_exact_recurrence(spark):
+    """The fold must equal the halving recurrence computed in python
+    over the same (ts, event_id) order — bit-for-bit, since /2 is
+    exact — and n_events must cover every event."""
+    import pandas as pd
+
+    from data_pipeline_platform_spark.functions.events import q_events_ewma
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["user_id"]: r for r in q_events_ewma(spark, sf).collect()}
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(["ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        vals = list(grp["value"])
+        s = vals[0]
+        for v in vals[1:]:
+            s = (v + s) / 2
+        r = rows[uid]
+        assert r["n_events"] == len(vals)
+        assert r["ewma"] == round(s, 6) or abs(r["ewma"] - s) < 1e-6
+        assert r["last_value"] == vals[-1]
