@@ -198,3 +198,98 @@ def test_chunk_documents_invariants(spark, lengths):
         for c, s in zip(chunks, starts):
             covered.update(range(s, s + c["n_tokens"]))
         assert covered == set(range(1, n + 1)) if n else not covered
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_repetition_fracs_match_python(spark, docs):
+    """top_word_frac and dup_bigram_frac must equal a Python-side
+    recomputation for arbitrary token sequences (including the
+    single-token guard path)."""
+    from collections import Counter
+
+    from data_pipeline_platform_spark.functions.repetition import _with_repetition
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    out = {
+        r["doc_id"]: r
+        for r in _with_repetition(
+            spark.createDataFrame(rows, "doc_id int, text string")
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        r = out[i]
+        c = Counter(toks)
+        assert r["token_count"] == len(toks)
+        assert r["top_word_count"] == max(c.values())
+        assert r["top_word_frac"] == max(c.values()) / len(toks)
+        if len(toks) >= 2:
+            bi = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            assert r["dup_bigram_frac"] == (len(bi) - len(set(bi))) / len(bi)
+        else:
+            assert r["dup_bigram_frac"] == 0.0
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "x"]), min_size=1, max_size=10),
+    pair=st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("x", "x")]),
+)
+@SETTINGS
+def test_bpe_fold_matches_python_greedy(spark, syms, pair):
+    """The Spark aggregate fold must equal the canonical greedy
+    left-to-right BPE merge on arbitrary symbol sequences."""
+    from data_pipeline_platform_spark.functions.bpe import _merge_fold_sql
+
+    left, right = pair
+    expected = []
+    for s in syms:
+        if expected and expected[-1] == left and s == right:
+            expected[-1] = left + right
+        else:
+            expected.append(s)
+    got = (
+        spark.createDataFrame([(syms,)], "syms array<string>")
+        .selectExpr(_merge_fold_sql(left, right) + " AS m")
+        .collect()[0]["m"]
+    )
+    assert got == expected
+
+
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_ewma_halving_fold_is_exact(spark, values):
+    """(v + acc) / 2 folds must be bit-identical to the python
+    recurrence — division by two never rounds."""
+    rows = [(i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "i int, v double")
+    got = (
+        df.groupBy()
+        .agg(
+            # same shape as events_ewma: ordered struct array fold
+            __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                "aggregate(slice(array_sort(collect_list(named_struct('i', i, 'v', v))), "
+                "2, size(collect_list(v)) - 1), "
+                "element_at(array_sort(collect_list(named_struct('i', i, 'v', v))), 1).v, "
+                "(acc, e) -> (e.v + acc) / 2)"
+            ).alias("ewma")
+        )
+        .collect()[0]["ewma"]
+    )
+    s = values[0]
+    for v in values[1:]:
+        s = (v + s) / 2
+    assert got == s

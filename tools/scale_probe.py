@@ -63,6 +63,19 @@ HEADLINE = [
     "oov_rate",
     "ngram_novelty",
     "events_burst",
+    # round-6 operators: quality gates / LM scoring / sketches scale
+    # with the corpus; BOW dedup sees 20x distinct groups (replica
+    # prefix token); anomaly/EWMA keep |users| fixed with 20x events.
+    # pca/whiten excluded (embeddings are copied, not inflated);
+    # keep_best/corpus pairwise ops excluded per the replication note.
+    "gopher_quality_filter",
+    "unigram_logprob",
+    "bigram_logprob",
+    "dedup_bow",
+    "events_anomaly",
+    "events_ewma",
+    "hll_distinct_users",
+    "bpe_train_merges",
 ]
 
 
