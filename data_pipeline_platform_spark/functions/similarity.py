@@ -737,27 +737,13 @@ IVFX_K = 10
 # ordering on double folds is 1-ulp-fragile at near-ties (FP_SCALE note)
 
 
-def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN search with a fully deterministic quantizer, so the
-    DuckDB oracle replays the ENTIRE index build and probe bitwise —
-    upgrading the IVF family from rows-only to hash-graded:
-
-    1. seeds: the 16 vectors with smallest md5(vec_id) (content-
-       addressed sample — reproducible across engines/cluster sizes,
-       the `deterministic_sample` trick; TakeOrdered, not a full sort).
-    2. one Lloyd refinement: assign to seeds (fixed-point L2,
-       tie-break on seed id), recompute centroids as fixed-point
-       BIGINT component means (accumulation-order-free, tie-portable —
-       the `kmeans_lloyd_step` technique).
-    3. final assignment to refined centroids = the inverted file.
-    4. probe: rank cells by centroid distance to the query vector, keep
-       the 4 closest; exact-cosine re-rank inside probed cells only.
-
-    Plan: the index build is two broadcast-scored scans + one
-    (cell, dim) aggregation; the search is a broadcast semi-join on the
-    probed cells + one top-k. The inverted file is tracked-persisted:
-    the query row and the candidate set both read it. At 100 TB the
-    probe touches ~n_probe/n_cells of the corpus — the IVF contract."""
+def ivfx_index(spark: SparkSession, sf_dir: str):
+    """Build the deterministic IVF index (content-addressed seeds + one
+    decimal-exact Lloyd refinement): returns (cent_arr, ivf) where
+    cent_arr is the 16-row refined-centroid frame (tracked-persisted)
+    and ivf is (vec_id, label, vec, cell) (tracked-persisted). Shared
+    by the ANN search and the semantic sampler; the DuckDB twin is
+    DUCK_IVFX_INDEX."""
     from pyspark.sql.window import Window
 
     emb = _emb(spark, sf_dir).select(
@@ -807,6 +793,33 @@ def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("vec_id", "label", "vec", "cell")
     )
+    return cent_arr, ivf
+
+
+def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search with a fully deterministic quantizer, so the
+    DuckDB oracle replays the ENTIRE index build and probe bitwise —
+    upgrading the IVF family from rows-only to hash-graded:
+
+    1. seeds: the 16 vectors with smallest md5(vec_id) (content-
+       addressed sample — reproducible across engines/cluster sizes,
+       the `deterministic_sample` trick; TakeOrdered, not a full sort).
+    2. one Lloyd refinement: assign to seeds (fixed-point L2,
+       tie-break on seed id), recompute centroids as fixed-point
+       BIGINT component means (accumulation-order-free, tie-portable —
+       the `kmeans_lloyd_step` technique).
+    3. final assignment to refined centroids = the inverted file.
+    4. probe: rank cells by centroid distance to the query vector, keep
+       the 4 closest; exact-cosine re-rank inside probed cells only.
+
+    Plan: the index build is two broadcast-scored scans + one
+    (cell, dim) aggregation; the search is a broadcast semi-join on the
+    probed cells + one top-k. The inverted file is tracked-persisted:
+    the query row and the candidate set both read it. At 100 TB the
+    probe touches ~n_probe/n_cells of the corpus — the IVF contract."""
+    from pyspark.sql.window import Window
+
+    cent_arr, ivf = ivfx_index(spark, sf_dir)
     q = ivf.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
     probed = (
         cent_arr.crossJoin(F.broadcast(q))
@@ -832,7 +845,10 @@ def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_COSINE_TOPK_IVF_EXACT = f"""
+# shared deterministic IVF index build (seeds -> one Lloyd refinement ->
+# final assignment): used by the ANN search oracle below AND the
+# semantic_stratified_sample oracle, so the two cannot drift
+DUCK_IVFX_INDEX = f"""
 WITH base AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
 ), seeds AS (
@@ -862,6 +878,11 @@ WITH base AS (
              ORDER BY {_duck_dist_fp('b.vec', 'ca.cvec')}, ca.cell) AS rn
     FROM base b CROSS JOIN carr ca
   ) WHERE rn = 1
+"""
+
+
+ORACLE_COSINE_TOPK_IVF_EXACT = f"""
+{DUCK_IVFX_INDEX}
 ), q AS (
   SELECT vec AS qvec FROM ivf WHERE vec_id = 0
 ), probed AS (
@@ -891,3 +912,67 @@ ORDER BY cosine DESC, vec_id LIMIT {IVFX_K}
 
 
 register("cosine_topk_ivf_exact", q_cosine_topk_ivf_exact, ORACLE_COSINE_TOPK_IVF_EXACT)
+
+
+# ---------------------------------------------------------------------------
+# semantic stratified sampling (SemDeDup-style, Abbas et al. 2023):
+# cluster the embedding space, then sample a bounded quota per cluster
+# so the kept corpus covers every semantic region instead of letting
+# dense regions dominate — the cluster-balanced counterpart of
+# corpus.py's source/lang-stratified sampling
+# ---------------------------------------------------------------------------
+
+SEM_SAMPLE_PER_CELL = 20
+
+
+def q_semantic_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced document sample: assign each document's
+    embedding to a deterministic IVF cell (the graded quantizer from
+    cosine_topk_ivf_exact, shared via ivfx_index), then keep up to
+    ``SEM_SAMPLE_PER_CELL`` docs per cell by content-addressed rank
+    (md5(doc_id) — the deterministic_sample trick, so the kept set is
+    stable under corpus growth within a cell's hash order).
+
+    Plan: the quantizer is two broadcast-scored scans; the quota pass
+    is one window partitioned by cell (cells are balanced by the Lloyd
+    step, so no single-partition collapse). Embeddings join documents
+    1:1 on vec_id = doc_id. Output grain: one row per kept doc."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    _, ivf = ivfx_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    joined = ivf.select(F.col("vec_id").alias("doc_id"), "cell").join(docs, "doc_id")
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("cell_rank", F.row_number().over(w))
+        .withColumn("n_cell", F.count(F.lit(1)).over(Window.partitionBy("cell")))
+        .filter(F.col("cell_rank") <= SEM_SAMPLE_PER_CELL)
+        .select("doc_id", "cell", "cell_rank", "n_cell", "lang", "source")
+    )
+
+
+ORACLE_SEMANTIC_STRATIFIED_SAMPLE = f"""{DUCK_IVFX_INDEX}
+), joined AS (
+  SELECT d.doc_id, i.cell, d.lang, d.source
+  FROM ivf i JOIN documents d ON d.doc_id = i.vec_id
+), ranked AS (
+  SELECT doc_id, cell, lang, source,
+         row_number() OVER (PARTITION BY cell
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cell_rank,
+         COUNT(*) OVER (PARTITION BY cell) AS n_cell
+  FROM joined
+)
+SELECT doc_id, cell, cell_rank, n_cell, lang, source
+FROM ranked WHERE cell_rank <= {SEM_SAMPLE_PER_CELL}
+"""
+
+
+register(
+    "semantic_stratified_sample",
+    q_semantic_stratified_sample,
+    ORACLE_SEMANTIC_STRATIFIED_SAMPLE,
+)

@@ -944,3 +944,29 @@ def test_events_ewma_exact_recurrence(spark):
         assert r["n_events"] == len(vals)
         assert r["ewma"] == round(s, 6) or abs(r["ewma"] - s) < 1e-6
         assert r["last_value"] == vals[-1]
+
+
+def test_semantic_sample_covers_all_cells(spark):
+    """Every IVF cell must contribute (coverage is the op's point), no
+    cell may exceed the quota, ranks must be 1..k dense per cell, and
+    the kept set must be deterministic across runs."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        SEM_SAMPLE_PER_CELL,
+        q_semantic_stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_semantic_stratified_sample(spark, sf).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    # the 16-cell quantizer over 500 docs: every cell populated
+    assert len(by_cell) == 16
+    for cell, members in by_cell.items():
+        assert len(members) <= SEM_SAMPLE_PER_CELL
+        ranks = sorted(m["cell_rank"] for m in members)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(m["n_cell"] >= len(members) for m in members)
+
+    again = {(r["doc_id"], r["cell"]) for r in q_semantic_stratified_sample(spark, sf).collect()}
+    assert again == {(r["doc_id"], r["cell"]) for r in rows}
