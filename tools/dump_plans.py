@@ -44,6 +44,11 @@ NOTES = {
     "dedup_keep_best": "cluster argmax window over the pair-derived (tiny) clusters frame",
     "events_anomaly": "one map-side-combinable moments pass; |users|-sized stats broadcast back — flagging shuffle-free",
     "corpus_report": "three shuffles: uniform BOW key, doc_id join-back, lang rollup; dup-key set broadcast",
+    "events_ewma": "one user-keyed shuffle; the halving fold is row-local over each user's ordered events",
+    "hll_distinct_users": "register build = map-side-combinable MAX agg; shuffle payload is m registers per group",
+    "whiten_embeddings": "component vector enters as a broadcast literal; one row-local projection pass",
+    "semantic_stratified_sample": "quantizer = two 16-row broadcast-scored scans; quota window partitions by cell",
+    "semantic_dedup": "pair join keyed on cell — candidate set bounded by cell size, never corpus^2",
     # bpe_train_merges intentionally absent: its result frame is a
     # driver-local merge table (LocalTableScan — nothing to read); the
     # interesting plans are the per-step pair-count jobs over the
