@@ -58,21 +58,17 @@ _DIGIT_ZEROS = (
 )
 
 
-def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct-user estimate per event_type, next to the exact
-    count and the relative error. One scan; the register build is a
-    (event_type, bucket) MAX aggregation — map-side combinable, shuffle
-    payload = m registers per group, independent of user cardinality."""
-    from data_pipeline_platform_spark.sources.readers import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
-    )
-    # rho = 1 + leading zero bits of the tail: 4 bits per stripped zero
-    # hex char, plus the partial zeros of the first non-zero digit
-    # (all-zero tail -> rho = 4 * _RHO_HEX + 1, same branch both engines)
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """Derive HLL registers (event_type, bucket, r) from an events
+    frame with (event_type, user_id). Works on batch AND streaming
+    frames up to the final MAX aggregation; registers from disjoint
+    slices merge with MAX — the property the streaming twin
+    (streaming/sketches.py) builds on."""
     hashed = (
         ev.select(
+            "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+        )
+        .select(
             "event_type",
             "h",
             (F.expr(_HEX_FOLD.format(h="h")) % HLL_M).alias("bucket"),
@@ -86,17 +82,23 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1),
         )
     )
-    regs = hashed.groupBy("event_type", "bucket").agg(F.max("rho").alias("r"))
-    est = (
+    return hashed.groupBy("event_type", "bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Fold registers into the per-group HLL estimate (harmonic mean of
+    exact power-of-two BIGINTs + small-range linear counting)."""
+    return (
         regs.groupBy("event_type")
         .agg(
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SHIFT} - r)")).alias("z_fp"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SHIFT} - r)")
+            ).alias("z_fp"),
             F.count(F.lit(1)).alias("nonzero"),
         )
         .select(
             "event_type",
             "nonzero",
-            # empty buckets contribute 2^-0 = 1 each to the harmonic sum
             F.expr(
                 f"CAST(z_fp AS DOUBLE) / {float(1 << _SHIFT)} + ({HLL_M} - nonzero)"
             ).alias("z"),
@@ -115,10 +117,19 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_estimate"),
         )
     )
-    exact = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event_type, next to the exact
+    count and the relative error. One scan; the register build is a
+    (event_type, bucket) MAX aggregation — map-side combinable, shuffle
+    payload = m registers per group, independent of user cardinality."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_registers(ev))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
     )
     return est.join(exact, "event_type").select(
         "event_type",

@@ -77,3 +77,50 @@ def test_streaming_ingest_dedups_under_replay(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert writer.read_table("curated_docs").count() == len(expected)
+
+
+def test_streaming_hll_matches_batch_bitwise(spark, tmp_path):
+    """After the stream drains, the merged register table must equal
+    the batch-computed registers bit for bit — and therefore the
+    estimates too (registers are exact integers; MAX-merge across
+    micro-batches loses nothing)."""
+    from data_pipeline_platform_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.streaming.sketches import (
+        hll_state_estimate,
+        streaming_hll_ingest,
+    )
+    from data_pipeline_platform_spark.streaming.windows import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    stream_dir = str(tmp_path / "ev_hll")
+    events.repartition(4).write.parquet(stream_dir)
+
+    state = str(tmp_path / "hll_state")
+    q = streaming_hll_ingest(
+        read_events_stream(spark, stream_dir, max_files_per_trigger=1),
+        state,
+        str(tmp_path / "ckpt_hll"),
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["event_type"], r["bucket"]): r["r"]
+        for r in spark.read.parquet(state).collect()
+    }
+    batch = {
+        (r["event_type"], r["bucket"]): r["r"]
+        for r in hll_registers(events).collect()
+    }
+    assert streamed == batch
+
+    s_est = {r["event_type"]: r["hll_estimate"] for r in hll_state_estimate(spark, state).collect()}
+    b_est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_estimate(hll_registers(events)).collect()
+    }
+    assert s_est == b_est
