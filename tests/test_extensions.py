@@ -1008,3 +1008,46 @@ def test_semantic_dedup_pairs_verified_in_numpy(spark):
         cos = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
         if r["n_dup_partners"] == 1:
             assert abs(cos - r["max_cosine"]) < 1e-5
+
+
+def test_extract_audio_features_real_wav(spark):
+    """A genuine stdlib-synthesized 16-bit PCM WAV must decode for real
+    (decoded=true, correct rate/channels/duration, sine RMS ~ A/sqrt(2));
+    junk bytes must yield an auditable stub row, not a crash."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from data_pipeline_platform_spark.functions.multimodal import (
+        extract_audio_features,
+    )
+
+    sr, secs, amp = 8000, 0.5, 0.6
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        n = int(sr * secs)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(amp * 32767 * math.sin(2 * math.pi * 440 * i / sr))
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    wav_bytes = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes)), (2, bytearray(b"not a wav at all"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    good = rows[1]
+    assert good["decoded"] and good["sample_rate"] == sr and good["n_channels"] == 1
+    assert abs(good["duration_sec"] - secs) < 1e-6
+    assert abs(good["rms"] - amp / math.sqrt(2)) < 0.01
+    assert abs(good["peak"] - amp) < 0.01
+    bad = rows[2]
+    assert not bad["decoded"] and bad["n_bytes"] == 16
