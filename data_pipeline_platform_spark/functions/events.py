@@ -554,3 +554,52 @@ FROM g
 
 
 register("events_ewma", q_events_ewma, ORACLE_EVENTS_EWMA)
+
+
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next_type | type), the sequence-analytics primitive
+    behind funnel discovery and anomalous-flow detection.
+
+    One user-keyed window (lead over (ts, event_id) order) then a
+    transition-keyed count — both map-side-combinable aggregations;
+    |event_types|² output rows regardless of scale. Probabilities are
+    exact-BIGINT count ratios cast to double (deterministic division,
+    no accumulation)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("event_type").agg(F.sum("n").alias("row_total"))
+    return trans.join(totals, "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_total")).alias("p"),
+    )
+
+
+ORACLE_EVENTS_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), trans AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, SUM(n) AS row_total FROM trans GROUP BY 1
+)
+SELECT t.event_type, t.next_type, t.n,
+       CAST(t.n AS DOUBLE) / tot.row_total AS p
+FROM trans t JOIN totals tot USING (event_type)
+"""
+
+
+register("events_markov", q_events_markov, ORACLE_EVENTS_MARKOV)

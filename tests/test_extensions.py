@@ -1051,3 +1051,32 @@ def test_extract_audio_features_real_wav(spark):
     assert abs(good["peak"] - amp) < 0.01
     bad = rows[2]
     assert not bad["decoded"] and bad["n_bytes"] == 16
+
+
+def test_events_markov_rows_are_distributions(spark):
+    """Each source type's outgoing probabilities must sum to 1 exactly
+    (count ratios over a shared exact total), and transition counts
+    must reconcile with a pandas recomputation."""
+    import pandas as pd
+
+    from data_pipeline_platform_spark.functions.events import q_events_markov
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_events_markov(spark, sf).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["event_type"], []).append(r)
+    for src, outs in by_src.items():
+        total = sum(r["n"] for r in outs)
+        assert abs(sum(r["p"] for r in outs) - 1.0) < 1e-12
+        for r in outs:
+            assert r["p"] == r["n"] / total
+
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(["ts", "event_id"])
+    expected = {}
+    for _, grp in ev.groupby("user_id"):
+        types = list(grp["event_type"])
+        for a, b in zip(types, types[1:]):
+            expected[(a, b)] = expected.get((a, b), 0) + 1
+    got = {(r["event_type"], r["next_type"]): r["n"] for r in rows}
+    assert got == expected
