@@ -57,10 +57,12 @@ HEADLINE = [
     # timed at sf0.1, not only parity-checked at sf0.01 (r6+)
     "cosine_topk_ivf_exact",
     "dedup_clusters",
-    # r6 additions: the LM/tokenizer-training and spectral families
+    # r6 additions: the LM/tokenizer-training, spectral, and semantic
+    # families
     "bpe_train_merges",
     "bigram_logprob",
     "pca_top_component",
+    "semantic_dedup",
 ]
 
 
