@@ -1080,3 +1080,31 @@ def test_events_markov_rows_are_distributions(spark):
             expected[(a, b)] = expected.get((a, b), 0) + 1
     got = {(r["event_type"], r["next_type"]): r["n"] for r in rows}
     assert got == expected
+
+
+def test_hll_registers_merge_property(spark):
+    """Sketch mergeability: registers(A ∪ B) must equal the MAX-merge
+    of registers(A) and registers(B) for any split — the algebraic
+    property the streaming foreachBatch merge relies on."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.sketches import hll_registers
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    for split_expr in ("event_id % 2 = 0", "user_id < 8", "value > 100"):
+        a = ev.filter(split_expr)
+        b = ev.filter(f"NOT ({split_expr})")
+        whole = {
+            (r["event_type"], r["bucket"]): r["r"]
+            for r in hll_registers(ev).collect()
+        }
+        merged = {
+            (r["event_type"], r["bucket"]): r["r"]
+            for r in hll_registers(a)
+            .unionByName(hll_registers(b))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("r").alias("r"))
+            .collect()
+        }
+        assert merged == whole, split_expr
