@@ -190,3 +190,147 @@ FROM corrected c JOIN exact x USING (event_type)
 
 
 register("hll_distinct_users", q_hll_distinct_users, ORACLE_HLL_DISTINCT_USERS)
+
+
+# fixed-grid histogram quantiles: bucket width in value units. Exact
+# quantiles need a full sort (or exact percentile agg) — at 100 TB
+# that's the expensive path. A fixed-resolution histogram is ONE
+# map-side-combinable count pass whose shuffle payload is the bucket
+# census, and the quantile interpolates deterministically inside the
+# bucket — integer counts + one exact division, bitwise-replayable
+# (the t-digest alternative trades determinism for adaptivity).
+HQ_BUCKET = 0.25
+HQ_PROBS = (0.5, 0.9, 0.99)
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate quantiles from a fixed-grid
+    histogram, graded next to the exact percentile with the relative
+    error — the sketch-with-audit pattern (see hll_distinct_users).
+
+    Estimator: bucket = floor(value / w); the q-quantile lands in the
+    first bucket whose cumulative count reaches ceil(q * n), and the
+    estimate interpolates linearly inside that bucket by the exact
+    integer position — every input to the final double expression is an
+    exact BIGINT, so both engines produce the identical double."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.expr(f"CAST(floor(value / {HQ_BUCKET}) AS BIGINT)").alias("b")
+    )
+    hist = ev.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("b")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("event_type"))
+    )
+    outs = []
+    for q in HQ_PROBS:
+        qname = f"p{int(q * 100)}"
+        # target rank (1-based): ceil(q * n) as exact integer arithmetic
+        picked = (
+            cum.withColumn("rank_target", F.expr(f"CAST(ceil({q} * n) AS BIGINT)"))
+            .filter(F.col("cum") >= F.col("rank_target"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy("b")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "event_type",
+                F.lit(qname).alias("quantile"),
+                # position inside the bucket: (target - (cum - c)) / c
+                (
+                    F.col("b").cast("double") * HQ_BUCKET
+                    + (
+                        (F.col("rank_target") - (F.col("cum") - F.col("c")))
+                        .cast("double")
+                        / F.col("c")
+                    )
+                    * HQ_BUCKET
+                ).alias("estimate"),
+            )
+        )
+        outs.append(picked)
+    est = outs[0]
+    for o in outs[1:]:
+        est = est.unionByName(o)
+    exacts = []
+    for q in HQ_PROBS:
+        exacts.append(
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.expr(f"percentile(value, {q})").alias("exact"))
+            .select("event_type", F.lit(f"p{int(q * 100)}").alias("quantile"), "exact")
+        )
+    ex = exacts[0]
+    for o in exacts[1:]:
+        ex = ex.unionByName(o)
+    return est.join(ex, ["event_type", "quantile"]).select(
+        "event_type",
+        "quantile",
+        F.round("estimate", 6).alias("estimate"),
+        F.round("exact", 6).alias("exact"),
+        # round BEFORE differencing, mirroring the oracle exactly — the
+        # unrounded forms agree anyway, but the expressions must match
+        F.expr(
+            "round(abs(round(estimate, 6) - round(exact, 6)) "
+            "/ greatest(abs(round(exact, 6)), 1e-12), 6)"
+        ).alias("rel_error"),
+    )
+
+
+def _oracle_hq() -> str:
+    est_blocks = []
+    for q in HQ_PROBS:
+        qname = f"p{int(q * 100)}"
+        est_blocks.append(
+            f"""
+  SELECT event_type, '{qname}' AS quantile,
+         CAST(b AS DOUBLE) * {HQ_BUCKET}
+           + (CAST(rank_target - (cum - c) AS DOUBLE) / c) * {HQ_BUCKET}
+           AS estimate
+  FROM (
+    SELECT event_type, b, c, cum,
+           CAST(ceil({q} * n) AS BIGINT) AS rank_target,
+           row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn_pick
+    FROM (
+      SELECT event_type, b, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    WHERE cum >= CAST(ceil({q} * n) AS BIGINT)
+  ) WHERE rn_pick = 1"""
+        )
+    exact_blocks = []
+    for q in HQ_PROBS:
+        exact_blocks.append(
+            f"""
+  SELECT event_type, 'p{int(q * 100)}' AS quantile,
+         quantile_cont(value, {q}) AS exact
+  FROM events GROUP BY event_type"""
+        )
+    return f"""
+WITH hist AS MATERIALIZED (
+  SELECT event_type, CAST(floor(value / {HQ_BUCKET}) AS BIGINT) AS b,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), est AS ({' UNION ALL '.join(est_blocks)}
+), ex AS ({' UNION ALL '.join(exact_blocks)}
+)
+SELECT e.event_type, e.quantile,
+       round(e.estimate, 6) AS estimate,
+       round(x.exact, 6) AS exact,
+       round(abs(round(e.estimate, 6) - round(x.exact, 6))
+             / greatest(abs(round(x.exact, 6)), 1e-12), 6) AS rel_error
+FROM est e JOIN ex x USING (event_type, quantile)
+"""
+
+
+ORACLE_HISTOGRAM_QUANTILES = _oracle_hq()
+
+register("histogram_quantiles", q_histogram_quantiles, ORACLE_HISTOGRAM_QUANTILES)

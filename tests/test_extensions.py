@@ -1108,3 +1108,40 @@ def test_hll_registers_merge_property(spark):
             .collect()
         }
         assert merged == whole, split_expr
+
+
+def test_histogram_quantiles_error_bounded_by_grid(spark):
+    """The histogram estimate can miss the exact quantile by at most
+    one bucket width; check that bound and that the register pass has
+    no Python in the plan."""
+    from data_pipeline_platform_spark.functions.sketches import (
+        HQ_BUCKET,
+        q_histogram_quantiles,
+    )
+
+    df = q_histogram_quantiles(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 15  # 5 event types x 3 quantiles
+    # the true guarantee: the estimate lies in the bucket of the
+    # rank-target ORDER STATISTIC (within one width of it). The
+    # interpolated exact percentile can sit farther away wherever
+    # adjacent order statistics are sparse, so it only gets a loose
+    # relative bound.
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    for r in rows:
+        q = int(r["quantile"][1:]) / 100
+        vals = sorted(ev[ev.event_type == r["event_type"]]["value"])
+        order_stat = vals[math.ceil(q * len(vals)) - 1]
+        assert abs(r["estimate"] - order_stat) <= HQ_BUCKET + 1e-9, (
+            r["event_type"],
+            r["quantile"],
+        )
+        # rel_error is an audit column, not the contract (a 0.25-wide
+        # bucket is a large RELATIVE slice of a small-valued quantile)
+        assert r["rel_error"] < 0.5
