@@ -334,3 +334,134 @@ FROM est e JOIN ex x USING (event_type, quantile)
 ORACLE_HISTOGRAM_QUANTILES = _oracle_hq()
 
 register("histogram_quantiles", q_histogram_quantiles, ORACLE_HISTOGRAM_QUANTILES)
+
+
+# Count-Min Sketch (Cormode & Muthukrishnan 2005): frequency estimation
+# whose state is a d x w integer grid, NOT the key space. At 100 TB the
+# exact token census shuffles every distinct token; the CMS shuffle
+# payload is <= d*w counters (here 4x16 = 64 cells) regardless of
+# vocabulary size, cells merge by plain +, and the estimate for any key
+# is MIN over its d row counters — never an undercount. The test-data
+# vocabulary is small, so w=16 is chosen to FORCE collisions: the
+# overcount audit column is exercised for real, and the min-over-rows
+# selection does actual work.
+CMS_D = 4
+CMS_W = 16  # one hex digit addresses the row exactly
+CMS_TOP_K = 10
+
+# first hex char of md5("<row>:<token>") -> 0..15; identical expression
+# shape both engines (instr/strpos are both 1-based)
+_CMS_BUCKET_SPARK = (
+    "CAST(instr('0123456789abcdef', "
+    "substring(md5(concat(CAST({r} AS STRING), ':', {t})), 1, 1)) - 1 AS BIGINT)"
+)
+
+
+def cms_cells(toks: DataFrame) -> DataFrame:
+    """Build the d x w counter grid from a (token) frame. Cells merge by
+    plain + — the property the mergeability test locks down."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("row_i")
+    return (
+        toks.select("token", rows)
+        .select(
+            "row_i",
+            F.expr(_CMS_BUCKET_SPARK.format(r="row_i", t="token")).alias("bucket"),
+        )
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate_for(cand: DataFrame, cells: DataFrame) -> DataFrame:
+    """Probe the broadcast sketch for a candidate frame with a `token`
+    column (other columns pass through); MIN over the d row counters."""
+    passthrough = [c for c in cand.columns]
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("row_i")
+    probed = cand.select(*passthrough, rows).select(
+        *passthrough,
+        "row_i",
+        F.expr(_CMS_BUCKET_SPARK.format(r="row_i", t="token")).alias("bucket"),
+    )
+    return (
+        probed.join(F.broadcast(cells), ["row_i", "bucket"])
+        .groupBy(*passthrough)
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K token frequencies estimated from a Count-Min sketch, graded
+    next to the exact counts with the overcount audit (estimate is
+    provably >= exact; collisions only ever inflate).
+
+    Shape: one corpus scan explodes tokens x d rows, the sketch build is
+    a (row, bucket) count — map-side combinable, <= d*w result rows. The
+    candidate set (exact top-K, vocab-sized frame) probes the broadcast
+    sketch; MIN over the d row counters is the estimate."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+
+    # candidate selection: the window is over the vocab-sized aggregate,
+    # not the corpus — single-partition is fine (and bounded) there
+    top = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("exact_count"), F.asc("token"))
+            ),
+        )
+        .filter(F.col("rk") <= CMS_TOP_K)
+        .drop("rk")
+    )
+    return cms_estimate_for(top, cms_cells(toks)).select(
+        "token",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+_CMS_BUCKET_DUCK = (
+    "CAST(strpos('0123456789abcdef', "
+    "md5(CAST({r} AS VARCHAR) || ':' || {t})[1:1]) - 1 AS BIGINT)"
+)
+
+ORACLE_CMS_HEAVY_HITTERS = f"""
+WITH toks AS MATERIALIZED (
+  SELECT token FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token != ''
+), exact AS (
+  SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY 1
+), cells AS (
+  SELECT row_i,
+         {_CMS_BUCKET_DUCK.format(r="row_i", t="token")} AS bucket,
+         COUNT(*) AS c
+  FROM toks, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS row_i)
+  GROUP BY 1, 2
+), top AS (
+  SELECT token, exact_count FROM (
+    SELECT token, exact_count,
+           row_number() OVER (ORDER BY exact_count DESC, token ASC) AS rk
+    FROM exact
+  ) WHERE rk <= {CMS_TOP_K}
+), cand AS (
+  SELECT t.token, t.exact_count, g.row_i,
+         {_CMS_BUCKET_DUCK.format(r="g.row_i", t="t.token")} AS bucket
+  FROM top t, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS row_i) g
+)
+SELECT c.token, c.exact_count, MIN(l.c) AS cms_estimate,
+       MIN(l.c) - c.exact_count AS overcount
+FROM cand c JOIN cells l USING (row_i, bucket)
+GROUP BY c.token, c.exact_count
+"""
+
+register("cms_heavy_hitters", q_cms_heavy_hitters, ORACLE_CMS_HEAVY_HITTERS)

@@ -1145,3 +1145,63 @@ def test_histogram_quantiles_error_bounded_by_grid(spark):
         # rel_error is an audit column, not the contract (a 0.25-wide
         # bucket is a large RELATIVE slice of a small-valued quantile)
         assert r["rel_error"] < 0.5
+
+
+def test_cms_never_undercounts_any_token(spark):
+    """CMS guarantee: estimate >= exact for EVERY key (collisions only
+    inflate). Checked over the full vocabulary, not just the graded
+    top-K — and with w=16 on this corpus collisions DO occur, so the
+    estimator's min-over-rows is doing real work."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.sketches import (
+        cms_cells,
+        cms_estimate_for,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate_for(exact, cms_cells(toks)).collect()
+    assert len(est) > 0
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in est)
+    # the sized-to-collide sketch must actually overcount somewhere,
+    # otherwise the audit column is decorative
+    assert any(r["cms_estimate"] > r["exact_count"] for r in est)
+
+
+def test_cms_cells_merge_by_addition(spark):
+    """Sketch mergeability: cells(A ∪ B) == cells(A) + cells(B) for any
+    split — the property that makes the build map-side combinable and a
+    streaming foreachBatch merge possible."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.sketches import cms_cells
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def toks(df):
+        return df.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        ).filter(F.col("token") != "")
+
+    for split_expr in ("doc_id % 2 = 0", "n_chars < 200"):
+        a = docs.filter(split_expr)
+        b = docs.filter(f"NOT ({split_expr})")
+        whole = {
+            (r["row_i"], r["bucket"]): r["c"]
+            for r in cms_cells(toks(docs)).collect()
+        }
+        merged = {
+            (r["row_i"], r["bucket"]): r["c"]
+            for r in cms_cells(toks(a))
+            .unionByName(cms_cells(toks(b)))
+            .groupBy("row_i", "bucket")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+        assert merged == whole, split_expr
