@@ -1,0 +1,132 @@
+"""Exact-substring duplication analysis (extension; no reference
+counterpart — the reference has no text ops at all, see SURVEY.md §2.11).
+
+`dup_span_fraction` is the Spark shape of the exact-substring dedup of
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better"): find every token span of length >= K that occurs more than
+once ANYWHERE in the corpus, and report per document what fraction of
+its tokens sit inside such a span. The paper builds a suffix array; the
+equivalent distributed shape is a k-gram census — both are one global
+reorder of the corpus by substring content:
+
+- gram extraction is row-local (explode positions over the token
+  array);
+- the duplicate census is ONE shuffle keyed by gram hash (a window
+  count over the hash — no self-join);
+- span coverage folds back per document with a doc-partitioned window
+  (equal-length intervals sorted by start merge with
+  `least(K, s - prev_s)` — no array materialization, no global
+  window).
+
+At 100 TB both shuffles are the unavoidable ones (the corpus must meet
+itself by content, then by document); everything else is map-side.
+Hashes are md5 over the joined token text, so the census keys are
+engine-portable and the whole pipeline grades bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_platform_spark.functions import register
+
+# span length in tokens; 5 matches the contamination_check gram size so
+# the two ops read as one family
+DUP_K = 5
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span coverage: doc_id, n_tokens, dup_tokens
+    (tokens inside any corpus-duplicated >=K-token span), dup_fraction.
+
+    Coverage math: duplicated gram starts define intervals
+    [s, s+K-1]; for equal-length intervals sorted by start the union
+    size is sum(least(K, s - prev_s)) with the first interval
+    contributing K — exact integers end to end."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    base = docs.select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+
+    grams = (
+        base.filter(F.col("n_tokens") >= DUP_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, n_tokens - {DUP_K} + 1)")
+            ).alias("s"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.md5(F.expr(f"concat_ws(' ', slice(toks, s, {DUP_K}))")).alias("gh"),
+        )
+    )
+    # duplicate census: one shuffle keyed by gram hash
+    dup = grams.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    ).filter(F.col("cnt") >= 2)
+    # fold spans per doc: second (doc-keyed) shuffle
+    cov = (
+        dup.withColumn(
+            "added",
+            F.expr(
+                f"least(CAST({DUP_K} AS BIGINT), "
+                f"CAST(s AS BIGINT) - coalesce(lag(s) OVER "
+                f"(PARTITION BY doc_id ORDER BY s), s - {DUP_K}))"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("added").cast("bigint").alias("dup_tokens"))
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.expr(
+            "round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens, 6)"
+        ).alias("dup_fraction"),
+    )
+
+
+ORACLE_DUP_SPAN_FRACTION = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(generate_series(1, n_tokens - {DUP_K} + 1)) AS s,
+         toks
+  FROM base WHERE n_tokens >= {DUP_K}
+), hashed AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s:s + {DUP_K} - 1], ' ')) AS gh
+  FROM grams
+), dup AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY gh) AS cnt FROM hashed
+  ) WHERE cnt >= 2
+), added AS (
+  SELECT doc_id,
+         least(CAST({DUP_K} AS BIGINT),
+               CAST(s AS BIGINT) - coalesce(
+                 lag(s) OVER (PARTITION BY doc_id ORDER BY s),
+                 s - {DUP_K})) AS added
+  FROM dup
+), cov AS (
+  SELECT doc_id, CAST(SUM(added) AS BIGINT) AS dup_tokens
+  FROM added GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+         AS dup_fraction
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+register("dup_span_fraction", q_dup_span_fraction, ORACLE_DUP_SPAN_FRACTION)

@@ -1205,3 +1205,40 @@ def test_cms_cells_merge_by_addition(spark):
             .collect()
         }
         assert merged == whole, split_expr
+
+
+def test_dup_span_fraction_hand_computed(spark):
+    """Two docs share one 6-token phrase (one duplicated 5-gram chain);
+    a third shares nothing. Coverage must be the union of overlapping
+    gram intervals, not the gram count times K."""
+    from data_pipeline_platform_spark.functions.substring import (
+        DUP_K,
+        q_dup_span_fraction,
+    )
+
+    assert DUP_K == 5
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 2 dup 5-grams
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four", "en", "s", 1),
+            (2, f"{shared} nine ten eleven twelve", "en", "s", 1),
+            (3, "completely different words with no repeats here", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = {
+            r["doc_id"]: r for r in q_dup_span_fraction(spark, d).collect()
+        }
+    # doc 1: 10 tokens; two overlapping dup grams at s=3,4 cover
+    # tokens 3..8 -> 6 tokens (union, NOT 2*5)
+    assert rows[1]["n_tokens"] == 10
+    assert rows[1]["dup_tokens"] == 6
+    assert rows[1]["dup_fraction"] == 0.6
+    # doc 2: same phrase at s=1,2 -> 6 of 10
+    assert rows[2]["dup_tokens"] == 6
+    # doc 3: nothing duplicated
+    assert rows[3]["dup_tokens"] == 0 and rows[3]["dup_fraction"] == 0.0
