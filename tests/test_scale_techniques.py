@@ -92,3 +92,60 @@ def test_salted_join_semi_anti(spark):
     anti = salted_join(left, right, on="k", how="left_anti", salt_buckets=4)
     assert sorted(r["k"] for r in semi.collect()) == [1]
     assert sorted(r["k"] for r in anti.collect()) == [2, 3]
+
+
+def test_bloom_prune_no_false_negatives_and_real_pruning(spark):
+    """The Bloom prune may keep extra rows (false positives ride to the
+    exact join) but must NEVER drop a matching one; and on the 1/5
+    selective URGENT key set it must actually shrink the fact side."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.scale import (
+        bloom_prune,
+        build_bloom,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    urgent = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf, "lineitem")
+    bloom = build_bloom(urgent.select("o_orderkey"), "o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", bloom)
+
+    total = li.count()
+    kept = pruned.count()
+    truly_matching = li.join(
+        urgent.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    # superset of the true matches (no false negatives)...
+    dropped_matches = (
+        li.join(urgent.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .join(pruned.select("l_orderkey", "l_linenumber"), ["l_orderkey", "l_linenumber"], "left_anti")
+        .count()
+    )
+    assert dropped_matches == 0
+    assert kept >= truly_matching
+    # ...and a real prune: at most half the fact table survives (the
+    # true match rate is ~20%; m=65536 bits over ~300 keys keeps the
+    # false-positive rate well under 1%)
+    assert kept <= total * 0.5, (kept, total, truly_matching)
+
+
+def test_bloom_filter_word_layout(spark):
+    """The built filter is exactly one row of BLOOM_WORDS words, with at
+    least one bit set per inserted key batch."""
+    from data_pipeline_platform_spark.functions.scale import (
+        BLOOM_WORDS,
+        build_bloom,
+    )
+
+    keys = spark.range(10).selectExpr("id AS k")
+    rows = build_bloom(keys, "k").collect()
+    assert len(rows) == 1
+    bloom = rows[0]["bloom"]
+    assert len(bloom) == BLOOM_WORDS
+    assert any(w != 0 for w in bloom)
