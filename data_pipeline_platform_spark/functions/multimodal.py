@@ -2,13 +2,17 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-Image decode is tiered (``_decode_image``): Pillow when importable, a
-pure-stdlib PNG decoder (real zlib inflate + scanline unfilter — works
-in this codec-less container) for PNG payloads, and a clearly-marked
-deterministic fake as the last resort. Audio/video decode remains
-STUBBED (no codec exists in-container), but everything Spark-side is
-real and tested: schemas, batch iteration, partition sizing, UDF
-signatures, and the metadata extraction that runs before any decode.
+Decode is tiered and REAL wherever a stdlib decode exists, with a
+clearly-marked deterministic fallback elsewhere so fake rows stay
+auditable (decoded=false):
+- image (``_decode_image``): Pillow when importable, else a pure-stdlib
+  PNG decoder (zlib inflate + scanline unfilter), else the stub;
+- audio (``_decode_wav``): stdlib ``wave`` for PCM WAV;
+- video (``_decode_avi``): stdlib RIFF walk for uncompressed 24-bit DIB
+  AVI (``make_avi_bytes`` builds fixtures); compressed containers
+  (mp4/h264 need codec libraries this container lacks) fall back.
+Everything Spark-side is real and tested either way: schemas, batch
+iteration, partition sizing, UDF signatures, metadata extraction.
 
 Scale design: binary payloads dominate partition size, so operators that
 carry blobs repartition by target partition *bytes* not row count
@@ -228,35 +232,164 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     )
 
 
+def _decode_avi(content: bytes):
+    """REAL RIFF/AVI parse for uncompressed (BI_RGB) 24-bit DIB video —
+    the one video layout decodable without any codec library. Returns
+    (usec_per_frame, list of (H, W) float32 grayscale frames). Raises
+    on anything else; callers fall back to the stub row.
+
+    Walks the RIFF tree: avih carries timing/dimensions, strh/strf
+    assert 'vids' + BI_RGB, and every 00db/00dc chunk in LIST movi is
+    one bottom-up BGR frame padded to 4-byte rows."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    usec_per_frame = width = height = None
+    bit_count = compression = None
+    frames_raw = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal usec_per_frame, width, height, bit_count, compression
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if fourcc == b"LIST":
+                walk(buf, pos + 12, pos + 8 + size)  # skip the list type
+            elif fourcc == b"avih":
+                usec_per_frame, = struct.unpack("<I", body[0:4])
+                width, height = struct.unpack("<II", body[32:40])
+            elif fourcc == b"strh":
+                if body[0:4] != b"vids":
+                    raise ValueError("unsupported AVI stream")
+            elif fourcc == b"strf":
+                bit_count, = struct.unpack("<H", body[14:16])
+                compression, = struct.unpack("<I", body[16:20])
+            elif fourcc in (b"00db", b"00dc"):
+                frames_raw.append(body)
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    walk(content, 12, len(content))
+    if not frames_raw or not width or not height or usec_per_frame is None:
+        raise ValueError("truncated AVI")
+    if compression != 0 or bit_count != 24:
+        raise ValueError("unsupported AVI codec (only uncompressed 24-bit DIB)")
+    stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    frames = []
+    for raw in frames_raw:
+        rows = np.frombuffer(raw[: stride * height], dtype=np.uint8).reshape(
+            height, stride
+        )[:, : width * 3]
+        bgr = rows.reshape(height, width, 3).astype(np.float32)
+        gray = bgr.mean(axis=2)[::-1]  # DIBs are bottom-up
+        frames.append(gray)
+    return usec_per_frame, frames
+
+
+def make_avi_bytes(frames, fps: int = 10) -> bytes:
+    """Assemble an uncompressed 24-bit DIB AVI from (H, W, 3) uint8 RGB
+    arrays — the in-repo fixture generator for the real decode path
+    (mirrors make_fake_media_df's role for the stub path)."""
+    import struct
+
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+    usec = 1_000_000 // fps
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec, stride * h * fps, 0, 0, len(frames), 0, 1, stride * h, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                        len(frames), stride * h, 0, 0, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    movi_body = b""
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+        rows = b""
+        for y in range(h):
+            row = bgr[y].tobytes()
+            rows += row + b"\x00" * (stride - len(row))
+        movi_body += chunk(b"00db", rows)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id long, frame_ts_ms long, frame_token long, "
+    "mean_pixel double, decoded boolean"
+)
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000, frame_decoder: Optional[Callable] = None
 ) -> DataFrame:
-    """Frame-sampling plumbing: one row per sampled timestamp. The
-    decoder is pluggable; default STUB yields a content-derived token
-    per frame (real impl: ffmpeg/pyav seek+decode)."""
+    """Frame-sampling: one row per sampled timestamp. Uncompressed AVI
+    payloads decode for REAL (stdlib RIFF walk, `_decode_avi`) — the
+    sampled frame is the one covering the timestamp, its token/mean come
+    from actual pixels, and decoded=true. Other containers (mp4 etc.
+    need a codec library this container lacks) fall back to the
+    deterministic stub token over the metadata duration with
+    decoded=false, so downstream audits can separate real from fake.
+    A custom ``frame_decoder(raw, t) -> token`` still overrides both."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for _, row in pdf.iterrows():
-                duration = row["duration_ms"] or 0
                 raw = bytes(row["content"]) if row["content"] is not None else b""
-                for t in range(0, int(duration), every_ms):
-                    if frame_decoder is not None:
-                        token = frame_decoder(raw, t)
-                    else:
-                        # STUB frame token: deterministic slice checksum
+                mid = row["media_id"]
+                if frame_decoder is not None:
+                    duration = row["duration_ms"] or 0
+                    for t in range(0, int(duration), every_ms):
+                        out_rows.append(
+                            {"media_id": mid, "frame_ts_ms": t,
+                             "frame_token": frame_decoder(raw, t),
+                             "mean_pixel": 0.0, "decoded": False}
+                        )
+                    continue
+                try:
+                    usec, frames = _decode_avi(raw)
+                    total_ms = max(1, (usec * len(frames)) // 1000)
+                    for t in range(0, int(total_ms), every_ms):
+                        idx = min(len(frames) - 1, (t * 1000) // usec)
+                        mean = float(frames[idx].mean())
+                        out_rows.append(
+                            {"media_id": mid, "frame_ts_ms": t,
+                             "frame_token": int(mean * 1000),
+                             "mean_pixel": mean, "decoded": True}
+                        )
+                except Exception:
+                    duration = row["duration_ms"] or 0
+                    for t in range(0, int(duration), every_ms):
                         lo = t % max(1, len(raw)) if raw else 0
                         token = int(sum(raw[lo : lo + 64]) % 2**31)
-                    out_rows.append(
-                        {"media_id": row["media_id"], "frame_ts_ms": t, "frame_token": token}
-                    )
+                        out_rows.append(
+                            {"media_id": mid, "frame_ts_ms": t,
+                             "frame_token": token,
+                             "mean_pixel": 0.0, "decoded": False}
+                        )
             yield pd.DataFrame(
-                out_rows, columns=["media_id", "frame_ts_ms", "frame_token"]
+                out_rows,
+                columns=["media_id", "frame_ts_ms", "frame_token",
+                         "mean_pixel", "decoded"],
             )
 
     return df.select("media_id", "duration_ms", "content").mapInPandas(
-        kernel, schema="media_id long, frame_ts_ms long, frame_token long"
+        kernel, schema=VIDEO_FRAMES_SCHEMA
     )
 
 

@@ -1242,3 +1242,48 @@ def test_dup_span_fraction_hand_computed(spark):
     assert rows[2]["dup_tokens"] == 6
     # doc 3: nothing duplicated
     assert rows[3]["dup_tokens"] == 0 and rows[3]["dup_fraction"] == 0.0
+
+
+def test_avi_decode_real_frames(spark):
+    """End-to-end REAL video decode: build an uncompressed 24-bit DIB
+    AVI in-test, run it through sample_video_frames, and check the
+    sampled means against the known pixel values."""
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        make_avi_bytes,
+        sample_video_frames,
+    )
+
+    # 4 frames at 2 fps (500 ms each, 2 s total), constant-intensity
+    # frames 10/60/110/160 — and a non-4-multiple width to hit stride
+    # padding
+    frames = [np.full((6, 5, 3), 10 + 50 * i, dtype=np.uint8) for i in range(4)]
+    avi = make_avi_bytes(frames, fps=2)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "video/x-msvideo", None, None, 2000)],
+        MEDIA_SCHEMA,
+    )
+    out = sample_video_frames(media, every_ms=500).collect()
+    assert len(out) == 4
+    assert all(r["decoded"] for r in out)
+    got = {r["frame_ts_ms"]: r["mean_pixel"] for r in out}
+    assert got == {0: 10.0, 500: 60.0, 1000: 110.0, 1500: 160.0}
+    # tokens derive from pixels, not byte checksums
+    assert {r["frame_token"] for r in out} == {10000, 60000, 110000, 160000}
+
+
+def test_avi_decode_rejects_non_avi_falls_back_to_stub(spark):
+    """Non-AVI video payloads keep the deterministic stub path and are
+    marked decoded=false — fake rows stay auditable."""
+    from data_pipeline_platform_spark.functions.multimodal import (
+        make_fake_media_df,
+        sample_video_frames,
+    )
+
+    media = make_fake_media_df(spark, n=9).filter("kind = 'video'")
+    out = sample_video_frames(media, every_ms=1000).collect()
+    assert len(out) > 0
+    assert all(not r["decoded"] for r in out)
+    assert all(r["mean_pixel"] == 0.0 for r in out)
