@@ -35,6 +35,7 @@ def _load_all() -> None:
     from data_pipeline_platform_spark.functions import spectral  # noqa: F401
     from data_pipeline_platform_spark.functions import sketches  # noqa: F401
     from data_pipeline_platform_spark.functions import substring  # noqa: F401
+    from data_pipeline_platform_spark.functions import dsir  # noqa: F401
     from data_pipeline_platform_spark.functions import scale  # noqa: F401
     from data_pipeline_platform_spark.functions import graph  # noqa: F401
 

@@ -1287,3 +1287,23 @@ def test_avi_decode_rejects_non_avi_falls_back_to_stub(spark):
     assert len(out) > 0
     assert all(not r["decoded"] for r in out)
     assert all(r["mean_pixel"] == 0.0 for r in out)
+
+
+def test_dsir_weights_separate_target_language(spark):
+    """DSIR sanity: with lang='en' as the target domain, the mean
+    per-gram log importance weight of en docs must exceed that of
+    non-en docs (the estimator must actually rank target-like data
+    up), and weights must be finite."""
+    import math
+
+    from data_pipeline_platform_spark.functions.dsir import (
+        q_dsir_importance_weights,
+    )
+
+    rows = q_dsir_importance_weights(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert all(math.isfinite(r["avg_logweight"]) for r in rows)
+    en = [r["avg_logweight"] for r in rows if r["lang"] == "en"]
+    rest = [r["avg_logweight"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
