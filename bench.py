@@ -63,6 +63,12 @@ HEADLINE = [
     "bigram_logprob",
     "pca_top_component",
     "semantic_dedup",
+    # r6 late additions: sketches, exact-substring dedup, join pruning,
+    # and DSIR data selection
+    "cms_heavy_hitters",
+    "dup_span_fraction",
+    "bloom_prune_join",
+    "dsir_importance_weights",
 ]
 
 

@@ -76,6 +76,13 @@ HEADLINE = [
     "events_ewma",
     "hll_distinct_users",
     "bpe_train_merges",
+    # round-6 late: sketch census / join pruning / DSIR scale with the
+    # corpus. dup_span_fraction excluded per the replication note
+    # (replicas make ~every gram corpus-duplicated — the probe would
+    # measure the replication artifact, not the operator).
+    "cms_heavy_hitters",
+    "bloom_prune_join",
+    "dsir_importance_weights",
 ]
 
 
