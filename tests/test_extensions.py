@@ -1307,3 +1307,35 @@ def test_dsir_weights_separate_target_language(spark):
     rest = [r["avg_logweight"] for r in rows if r["lang"] != "en"]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_bpe_encode_compresses_below_characters(spark):
+    """Encoding invariants: every doc's BPE symbol count sits between
+    its whitespace token count (>= 1 symbol per word) and its character
+    count; and the learned merges must actually compress — corpus-wide
+    BPE symbols < corpus-wide alnum characters."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.bpe import q_bpe_encode_stats
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_bpe_encode_stats(spark, sf).collect()
+    assert len(rows) == 500
+    assert all(r["bpe_tokens"] >= r["ws_tokens"] for r in rows)
+    assert all(r["expansion"] >= 1.0 for r in rows)
+    char_total = (
+        load_table(spark, sf, "documents")
+        .select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .select(
+            F.when(
+                F.col("w").rlike("^[A-Za-z0-9]+$"), F.length("w")
+            ).otherwise(F.lit(1)).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    bpe_total = sum(r["bpe_tokens"] for r in rows)
+    assert bpe_total < char_total
