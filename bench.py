@@ -69,6 +69,7 @@ HEADLINE = [
     "dup_span_fraction",
     "bloom_prune_join",
     "dsir_importance_weights",
+    "bpe_encode_stats",
 ]
 
 

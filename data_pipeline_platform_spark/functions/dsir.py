@@ -88,8 +88,13 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     average; resampling keeps docs proportional to exp(weight)."""
     from data_pipeline_platform_spark.sources.readers import load_table
 
+    from data_pipeline_platform_spark.utils.cache import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    bucketed = _bucketed(docs)
+    # three consumers (raw census, target census, scoring join) — pin
+    # the hashed occurrence frame once; it is the expensive projection
+    # (two md5+fold evaluations per token)
+    bucketed = tracked_persist(_bucketed(docs))
     lr = dsir_log_ratios(bucketed, bucketed.filter(F.col("lang") == "en"))
     return (
         bucketed.join(F.broadcast(lr), "b")
