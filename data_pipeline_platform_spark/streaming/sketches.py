@@ -72,3 +72,61 @@ def hll_state_estimate(spark: SparkSession, state_path: str) -> DataFrame:
     estimates — identical estimator expressions to the graded batch op,
     so a drained stream's estimates equal the batch ones bitwise."""
     return hll_estimate(spark.read.parquet(state_path))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min cells across micro-batches: + is NOT idempotent, so the
+# state keys on batch_id
+# ---------------------------------------------------------------------------
+# HLL merges with MAX, so a re-delivered batch is harmless. CMS cells
+# merge with +, and foreachBatch is at-least-once: naively adding a
+# replayed batch double-counts. The replay-safe shape is DELTA STORAGE:
+# each batch writes its own cells under batch_id=N (an overwrite of its
+# own partition — idempotent by construction), and the estimate reads
+# SUM over all batch partitions. State size is n_batches x (d*w) cells;
+# a maintenance compaction can fold drained batches into one partition
+# without changing the sum.
+
+
+def merge_cms_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """Write one micro-batch's token cells under its own batch_id
+    partition. Replaying the same batch overwrites the same partition
+    with the same cells — idempotent, unlike adding into a running
+    total."""
+    from data_pipeline_platform_spark.functions.sketches import cms_cells
+
+    toks = batch_df.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cms_cells(toks).write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={int(batch_id)}"
+    )
+
+
+def streaming_cms_ingest(
+    docs_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+):
+    """Maintain the Count-Min cell table across a document stream."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cms_batch(batch_df, batch_id, state_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_state_cells(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold the per-batch deltas into the current cell grid (SUM over
+    batch partitions) — equals the batch-computed cells bit for bit
+    once the stream drains, which the equivalence test pins."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )

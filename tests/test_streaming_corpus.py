@@ -124,3 +124,54 @@ def test_streaming_hll_matches_batch_bitwise(spark, tmp_path):
         for r in hll_estimate(hll_registers(events)).collect()
     }
     assert s_est == b_est
+
+
+def test_streaming_cms_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """CMS cells merge by + (NOT idempotent like HLL's MAX), so the
+    stream stores per-batch deltas keyed by batch_id. Two contracts:
+    (a) drained stream cells == batch cells bit for bit; (b) replaying
+    a batch (same batch_id) changes nothing — the at-least-once
+    foreachBatch delivery is absorbed by partition overwrite."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.sketches import cms_cells
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.streaming.corpus import read_documents_stream
+    from data_pipeline_platform_spark.streaming.sketches import (
+        cms_state_cells,
+        merge_cms_batch,
+        streaming_cms_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    stream_dir = str(tmp_path / "docs_cms")
+    docs.repartition(4).write.parquet(stream_dir)
+
+    state = str(tmp_path / "cms_state")
+    q = streaming_cms_ingest(
+        read_documents_stream(spark, stream_dir, max_files_per_trigger=1),
+        state,
+        str(tmp_path / "ckpt_cms"),
+    )
+    q.awaitTermination(180)
+
+    def cells_of(df):
+        return {(r["row_i"], r["bucket"]): r["c"] for r in df.collect()}
+
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    batch = cells_of(cms_cells(toks))
+    streamed = cells_of(cms_state_cells(spark, state))
+    assert streamed == batch
+
+    # (b) replay: deliver the SAME batch (same batch_id) twice into a
+    # fresh state — the delta partition overwrites itself, so the
+    # at-least-once re-delivery is a no-op
+    state2 = str(tmp_path / "cms_state2")
+    merge_cms_batch(docs, 7, state2)
+    once = cells_of(cms_state_cells(spark, state2))
+    merge_cms_batch(docs, 7, state2)  # at-least-once re-delivery
+    twice = cells_of(cms_state_cells(spark, state2))
+    assert once == twice == batch
