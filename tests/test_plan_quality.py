@@ -273,3 +273,67 @@ def test_pack_sequences_shard_col_partitions_window(spark):
     assert "hashpartitioning(lang" in sharded
     global_ = _physical_plan(pack_sequences(docs))
     assert "Exchange SinglePartition" in global_  # documented small-data form
+
+
+def test_bloom_prune_filters_before_the_join_shuffle(spark):
+    """The Bloom membership test must sit scan-side: a Filter with the
+    xxhash64 position tests BELOW the join, and no extra exchange
+    introduced by the pruning itself (the one-row filter frame arrives
+    by broadcast)."""
+    from data_pipeline_platform_spark.functions.scale import q_bloom_prune_join
+
+    plan = _physical_plan(q_bloom_prune_join(spark, "/root/testdata/sf0.001"))
+    assert "xxhash64" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row filter carrier
+    # pruning adds no hash exchange beyond the join/agg's own
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_censuses_broadcast_scoring_join(spark):
+    """The per-bucket log-ratio table (<= 256 rows) must broadcast into
+    the scoring join — the corpus-sized occurrence frame shuffles only
+    for the final doc-keyed aggregation."""
+    from data_pipeline_platform_spark.functions.dsir import (
+        q_dsir_importance_weights,
+    )
+
+    plan = _physical_plan(
+        q_dsir_importance_weights(spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_census_is_window_not_self_join(spark):
+    """The duplicate census must be ONE gram-hash-keyed window count —
+    not a groupBy + self-join (two shuffles of the gram frame)."""
+    from data_pipeline_platform_spark.functions.substring import (
+        q_dup_span_fraction,
+    )
+
+    plan = _physical_plan(q_dup_span_fraction(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning(gh") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_probe_broadcasts_the_sketch(spark):
+    """The candidate probe joins the <= d*w cell table by broadcast;
+    the corpus-sized token frame never shuffles for the probe."""
+    from data_pipeline_platform_spark.functions.sketches import (
+        q_cms_heavy_hitters,
+    )
+
+    plan = _physical_plan(q_cms_heavy_hitters(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_word_table_broadcasts(spark):
+    """Encode charges the corpus one broadcast join against the
+    vocab-sized word->length table — the merge folds themselves never
+    appear above a corpus-sized exchange."""
+    from data_pipeline_platform_spark.functions.bpe import q_bpe_encode_stats
+
+    plan = _physical_plan(q_bpe_encode_stats(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
