@@ -155,6 +155,53 @@ def spread_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def ingest_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema,
+    contract_table: str = None,
+    **options,
+):
+    """Read a JSONL / CSV / parquet file source with an EXPLICIT schema,
+    normalized through the same contract as the parquet tables.
+
+    Schema is required for text formats by design: inference costs a
+    full extra scan (at 100 TB, a full extra 100 TB read) and makes
+    column types a function of the data sample — the two things an
+    ingest layer must never do. Corrupt rows land in a
+    ``_corrupt_record`` column when the schema declares one (Spark's
+    PERMISSIVE mode) instead of failing the batch.
+
+    ``contract_table``: pass a FIXTURES.md table name to apply the same
+    timestamp normalization `load_table` applies to parquet, so a JSONL
+    drop of `events` and the parquet original are indistinguishable
+    downstream.
+
+    Timestamp gotcha: Spark's default JSON/CSV ``timestampFormat``
+    carries milliseconds only — microsecond-precision columns need
+    ``timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"`` pinned on
+    both writer and reader (test-pinned for events).
+    """
+    fmt = fmt.lower()
+    if fmt in ("jsonl", "json"):
+        reader = spark.read.schema(schema).options(**options)
+        df = reader.json(path)
+    elif fmt == "csv":
+        df = (
+            spark.read.schema(schema)
+            .options(header="true", **options)
+            .csv(path)
+        )
+    elif fmt == "parquet":
+        df = spark.read.schema(schema).options(**options).parquet(path)
+    else:
+        raise ValueError(f"ingest_files: unsupported format {fmt!r}")
+    if contract_table is not None:
+        df = _normalize_contract(df, contract_table)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple = TABLES) -> None:
     """Register each parquet table as a temp view named after the table.
 

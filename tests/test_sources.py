@@ -277,3 +277,67 @@ def test_runner_ingests_orc_and_text(spark, tmp_path):
     (txt / "x.txt").write_text("hello\nworld\n")
     df = runner.ingest_stage({"path": str(txt), "format": "text"})
     assert df.count() == 2
+
+
+def test_ingest_files_jsonl_round_trips_documents(spark, tmp_path):
+    """A JSONL drop of the documents table must read back identical to
+    the parquet original under the same explicit schema."""
+    from data_pipeline_platform_spark.sources.readers import (
+        ingest_files,
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    p = str(tmp_path / "docs_jsonl")
+    docs.write.json(p)
+    back = ingest_files(spark, p, "jsonl", docs.schema)
+    assert back.schema == docs.schema
+    assert sorted(back.collect()) == sorted(docs.collect())
+
+
+def test_ingest_files_csv_round_trips_region(spark, tmp_path):
+    from data_pipeline_platform_spark.sources.readers import (
+        ingest_files,
+        load_table,
+    )
+
+    region = load_table(spark, "/root/testdata/sf0.001", "region")
+    p = str(tmp_path / "region_csv")
+    region.write.option("header", "true").csv(p)
+    back = ingest_files(spark, p, "csv", region.schema)
+    assert sorted(back.collect()) == sorted(region.collect())
+
+
+def test_ingest_files_jsonl_events_honors_timestamp_contract(spark, tmp_path):
+    """Events via JSONL must come out with the same session-TZ
+    timestamp type and wall-clock values as the parquet path — the
+    contract normalization is format-independent."""
+    from data_pipeline_platform_spark.sources.readers import (
+        ingest_files,
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = str(tmp_path / "events_jsonl")
+    # Spark's default JSON timestampFormat carries millis only — a
+    # microsecond-precision contract column must pin the format on BOTH
+    # sides (exactly the encoding-drift class ingest_files exists for)
+    micro_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.option("timestampFormat", micro_fmt).json(p)
+    back = ingest_files(
+        spark, p, "jsonl", ev.schema,
+        contract_table="events", timestampFormat=micro_fmt,
+    )
+    assert back.schema["ts"].dataType.simpleString() == "timestamp"
+    a = sorted((r["event_id"], r["ts"]) for r in back.select("event_id", "ts").collect())
+    b = sorted((r["event_id"], r["ts"]) for r in ev.select("event_id", "ts").collect())
+    assert a == b
+
+
+def test_ingest_files_rejects_unknown_format(spark):
+    import pytest as _pytest
+
+    from data_pipeline_platform_spark.sources.readers import ingest_files
+
+    with _pytest.raises(ValueError, match="unsupported format"):
+        ingest_files(spark, "/nope", "avro", None)
