@@ -1053,3 +1053,83 @@ GROUP BY id_b
 
 
 register("semantic_dedup", q_semantic_dedup, ORACLE_SEMANTIC_DEDUP)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization with a reconstruction audit
+# ---------------------------------------------------------------------------
+# At 100 TB the embedding column dominates storage and ANN scan I/O;
+# symmetric per-vector int8 quantization cuts both 4x (float32 -> int8)
+# at a cosine cost this operator MEASURES per vector instead of
+# assuming. Row-local end to end — the corpus never shuffles; the only
+# exchange is the driver-facing result order.
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = round(x_i / s) with
+    s = maxabs/127, dequantized audit columns next to the codes:
+    cosine(original, dequantized) and relative L2 error, plus a BIGINT
+    checksum pinning the code array itself. All folds are sequential
+    per-row array aggregates (DETERMINISM.md #4); the scale guard
+    greatest(maxabs, 1e-12) keeps the all-zero vector defined."""
+    emb = _emb(spark, sf_dir).withColumn("vec", _as_double("embedding"))
+    scale = "greatest(aggregate(vec, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x))), 1e-12) / 127"
+    df = emb.withColumn("s", F.expr(scale)).withColumn(
+        "q", F.expr("transform(vec, x -> CAST(round(x / s) AS BIGINT))")
+    ).withColumn("dq", F.expr("transform(q, v -> CAST(v AS DOUBLE) * s)"))
+    dot_vd = "aggregate(zip_with(vec, dq, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    dot_vv = "aggregate(vec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+    dot_dd = "aggregate(dq, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+    dot_ee = "aggregate(zip_with(vec, dq, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    return df.select(
+        "vec_id",
+        "label",
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v)").alias(
+            "q_checksum"
+        ),
+        F.expr(
+            f"round({dot_vd} / (sqrt({dot_vv}) * sqrt({dot_dd})), 6)"
+        ).alias("cos_recon"),
+        F.expr(f"round(sqrt({dot_ee}) / sqrt({dot_vv}), 6)").alias("l2_rel_err"),
+    )
+
+
+def _duck_fold(expr_list: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {expr_list}), "
+        "(acc, t) -> acc + t)"
+    )
+
+
+ORACLE_QUANTIZE_EMBEDDINGS = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), scaled AS (
+  SELECT vec_id, label, vec,
+         greatest(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vec),
+                              (acc, x) -> greatest(acc, abs(x))), 1e-12) / 127
+           AS s
+  FROM base
+), coded AS (
+  SELECT vec_id, label, vec, s,
+         list_transform(vec, x -> CAST(round(x / s) AS BIGINT)) AS q
+  FROM scaled
+), deq AS (
+  SELECT vec_id, label, vec, s, q,
+         list_transform(q, v -> CAST(v AS DOUBLE) * s) AS dq
+  FROM coded
+)
+SELECT vec_id, label,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), q), (acc, v) -> acc + v)
+         AS q_checksum,
+       round({_duck_fold("list_transform(list_zip(vec, dq), p -> p[1] * p[2])")}
+             / (sqrt({_duck_fold("list_transform(vec, x -> x * x)")})
+                * sqrt({_duck_fold("list_transform(dq, x -> x * x)")})), 6)
+         AS cos_recon,
+       round(sqrt({_duck_fold("list_transform(list_zip(vec, dq), p -> (p[1] - p[2]) * (p[1] - p[2]))")})
+             / sqrt({_duck_fold("list_transform(vec, x -> x * x)")}), 6)
+         AS l2_rel_err
+FROM deq
+"""
+
+register("quantize_embeddings", q_quantize_embeddings, ORACLE_QUANTIZE_EMBEDDINGS)

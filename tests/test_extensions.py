@@ -1339,3 +1339,20 @@ def test_bpe_encode_compresses_below_characters(spark):
     )
     bpe_total = sum(r["bpe_tokens"] for r in rows)
     assert bpe_total < char_total
+
+
+def test_quantize_embeddings_reconstruction_quality(spark):
+    """int8 symmetric quantization on 64-dim vectors must keep
+    reconstruction cosine ~1 (>= 0.999) and relative L2 error small
+    (< 0.05) for every vector — the audit columns must show a usable
+    codec, not just compute."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        q_quantize_embeddings,
+    )
+
+    rows = q_quantize_embeddings(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert all(r["cos_recon"] >= 0.999 for r in rows)
+    assert all(0.0 <= r["l2_rel_err"] < 0.05 for r in rows)
+    # codes must differ across vectors (the checksum pins real content)
+    assert len({r["q_checksum"] for r in rows}) > 100
