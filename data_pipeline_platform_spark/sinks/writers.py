@@ -365,6 +365,60 @@ class BatchWriter:
         writer.save()
 
     # -- clustered layout (row-group pruning path) -------------------------
+    def backfill_partitions(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_col: str,
+        partition_values: List,
+        schema: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        """Idempotently recompute a subset of a partitioned table: only
+        the named partitions are replaced; every other partition's files
+        are untouched bytes.
+
+        Mechanism: dynamic partition overwrite (overwrite mode deletes
+        ONLY the partitions present in the written data) over ``df``
+        pre-filtered to ``partition_values`` — the filter is the safety
+        interlock, so a recompute frame accidentally containing extra
+        dates cannot clobber partitions outside the requested range.
+        Replaying the same backfill rewrites the same partitions with
+        the same rows — the at-least-once-safe shape every orchestrated
+        backfill job needs. The conf flips per-call and restores, so
+        other writers on the session keep static-overwrite semantics.
+        """
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        path = self._table_path(table, schema)
+        scoped = df.filter(F.col(partition_col).isin(partition_values))
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = scoped.observe(obs, F.count(F.lit(1)).alias("rows"))
+            (
+                observed.write.format(self.fmt)
+                .mode("overwrite")
+                .partitionBy(partition_col)
+                .save(path)
+            )
+            rows = obs.get["rows"]
+        finally:
+            spark.conf.set(conf_key, prev)
+        stat = {
+            "table": table,
+            "rows_written": rows,
+            "strategy": "backfill",
+            "partitions": list(partition_values),
+            "timestamp": time.time(),
+        }
+        self._stats.append(stat)
+        return stat
+
     def write_clustered(
         self,
         df: DataFrame,

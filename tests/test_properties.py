@@ -293,3 +293,46 @@ def test_ewma_halving_fold_is_exact(spark, values):
     for v in values[1:]:
         s = (v + s) / 2
     assert got == s
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_dup_span_fraction_matches_bruteforce(spark, docs, tmp_path_factory):
+    """dup_span_fraction vs a direct Python recomputation: mark every
+    k-gram occurring >1 time corpus-wide, union its [s, s+K-1] token
+    intervals per doc, compare counts exactly."""
+    from data_pipeline_platform_spark.functions.substring import (
+        DUP_K,
+        q_dup_span_fraction,
+    )
+
+    tmp = tmp_path_factory.mktemp("dupspan")
+    df = spark.createDataFrame(
+        [(i, " ".join(toks), "en", "s", 1) for i, toks in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in q_dup_span_fraction(spark, str(tmp)).collect()
+    }
+
+    # brute force
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs:
+        for s in range(len(toks) - DUP_K + 1):
+            grams[tuple(toks[s : s + DUP_K])] += 1
+    for i, toks in enumerate(docs):
+        covered = set()
+        for s in range(len(toks) - DUP_K + 1):
+            if grams[tuple(toks[s : s + DUP_K])] > 1:
+                covered.update(range(s, s + DUP_K))
+        assert got[i] == (len(toks), len(covered)), (i, toks)

@@ -295,3 +295,56 @@ def test_write_zorder_prunes_on_both_columns(spark, tmp_path):
     # round-trip: no helper columns leak into the written schema
     cols = set(spark.read.parquet(path).columns)
     assert cols == {"l_orderkey", "l_partkey", "l_quantity"}
+
+
+def test_backfill_partitions_touches_only_named_partitions(spark, tmp_path):
+    """Backfill of two dates must replace exactly those partition dirs,
+    leave the rest byte-identical, ignore out-of-range rows in the
+    recompute frame (the safety interlock), and replay idempotently."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sinks.writers import BatchWriter
+
+    w = BatchWriter(spark, base_path=str(tmp_path / "lake"))
+    full = spark.createDataFrame(
+        [(i, f"d{i % 4}", i * 10) for i in range(40)],
+        "id long, day string, v long",
+    )
+    w.write(full, "facts", partition_by=["day"])
+    path = str(tmp_path / "lake" / "default" / "facts")
+
+    def files_of(day):
+        d = f"{path}/day={day}"
+        return {
+            f: os.path.getmtime(f"{d}/{f}")
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {d: files_of(d) for d in ("d0", "d1", "d2", "d3")}
+
+    # recompute d1 and d2 with new values; frame also carries d3 rows
+    # that must NOT be written (out of the requested range)
+    recompute = spark.createDataFrame(
+        [(100 + i, day, 999) for i, day in enumerate(["d1", "d2", "d3"] * 3)],
+        "id long, day string, v long",
+    )
+    stat = w.backfill_partitions(recompute, "facts", "day", ["d1", "d2"])
+    assert stat["rows_written"] == 6
+    after = spark.read.parquet(path)
+    assert after.filter("day = 'd1'").count() == 3
+    assert set(
+        r["v"] for r in after.filter("day IN ('d1','d2')").collect()
+    ) == {999}
+    # untouched partitions keep their exact files
+    assert files_of("d0") == before["d0"]
+    assert files_of("d3") == before["d3"]
+    assert after.filter("day = 'd3'").count() == 10
+
+    # replay: same call converges to the same state
+    w.backfill_partitions(recompute, "facts", "day", ["d1", "d2"])
+    again = spark.read.parquet(path)
+    assert again.filter("day IN ('d1','d2')").count() == 6
+    assert again.count() == 20 + 6
