@@ -63,6 +63,12 @@ NOTES = {
     "fuzzy_contamination": "benchmark band keys broadcast; (band,sig) equi-join candidates; exact-Jaccard verify",
     "pagerank": "per-iteration equi-join + agg on node keys; pair set + edge+degree frame persisted once",
     "chunk_documents": "token-window chunking rides the scan: one explode, no key shuffle, no Python",
+    "cms_heavy_hitters": "cell build map-side combinable (<= d*w rows); probe joins the broadcast sketch",
+    "dup_span_fraction": "ONE gram-hash exchange (window census, no self-join); span fold in a doc-keyed window",
+    "bloom_prune_join": "xxhash64 bit tests scan-side under the broadcast one-row filter; join sees survivors only",
+    "dsir_importance_weights": "hashed censuses broadcast; scoring join shuffle-free; one doc_id re-agg",
+    "bpe_encode_stats": "vocab-sized merge folds; word->length table broadcast; one doc_id agg exchange",
+    "quantize_embeddings": "row-local codec + audit folds — no exchange at all",
 }
 
 
