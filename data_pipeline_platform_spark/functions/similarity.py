@@ -1133,3 +1133,115 @@ FROM deq
 """
 
 register("quantize_embeddings", q_quantize_embeddings, ORACLE_QUANTIZE_EMBEDDINGS)
+
+
+# int8-probe ANN: rank candidates on the quantized codes, re-rank the
+# survivors exactly. The win at 100 TB is scan I/O — the probe reads
+# int8 codes (4x smaller than float32) and the exact vectors are
+# fetched only for the candidate set. Rank-equivalence note: with
+# per-vector symmetric scales, cos(q_a, q_b) = dot_int / (|q_a||q_b|)
+# — the scales cancel, so the probe needs no floats beyond two sqrts
+# of exact integers.
+INT8_CANDIDATES = 30
+
+
+def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbours of vec_id=0 via the int8 probe:
+    candidates = top-30 by quantized cosine, then exact re-rank.
+    Output carries BOTH scores so the probe's fidelity is auditable
+    per row."""
+    emb = _emb(spark, sf_dir).withColumn("vec", _as_double("embedding"))
+    s_expr = (
+        "greatest(aggregate(vec, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> greatest(acc, abs(x))), 1e-12) / 127"
+    )
+    coded = emb.withColumn("s", F.expr(s_expr)).select(
+        "vec_id",
+        "label",
+        "vec",
+        F.expr("transform(vec, x -> CAST(round(x / s) AS BIGINT))").alias("q"),
+    )
+    qv = coded.filter(F.col("vec_id") == 0).select(
+        F.col("vec").alias("qvec"), F.col("q").alias("qq")
+    )
+    dot_int = (
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), CAST(0 AS BIGINT), "
+        "(acc, t) -> acc + t)"
+    )
+    nrm = "sqrt(CAST(aggregate({c}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS DOUBLE))"
+    approx = (
+        coded.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "vec",
+            "qvec",
+            F.expr(
+                f"round(CAST({dot_int} AS DOUBLE) / "
+                f"({nrm.format(c='q')} * {nrm.format(c='qq')}), 6)"
+            ).alias("approx_cos"),
+        )
+        .orderBy(F.desc("approx_cos"), "vec_id")
+        .limit(INT8_CANDIDATES)
+    )
+    exact_cos = (
+        "round(aggregate(zip_with(vec, qvec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) / "
+        "(sqrt(aggregate(vec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * "
+        "sqrt(aggregate(qvec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))), 6)"
+    )
+    return (
+        approx.select(
+            "vec_id", "label", "approx_cos", F.expr(exact_cos).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+_DUCK_INT8 = """
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), scaled AS (
+  SELECT vec_id, label, vec,
+         greatest(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vec),
+                  (acc, y) -> greatest(acc, abs(y))), 1e-12) / 127 AS s
+  FROM base
+), coded AS (
+  SELECT vec_id, label, vec,
+         list_transform(vec, x -> CAST(round(x / s) AS BIGINT)) AS q
+  FROM scaled
+), qv AS (
+  SELECT vec AS qvec, q AS qq FROM coded WHERE vec_id = 0
+), approx AS (
+  SELECT c.vec_id, c.label, c.vec, qv.qvec,
+         round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_zip(c.q, qv.qq), p -> p[1] * p[2])),
+                 (acc, t) -> acc + t) AS DOUBLE)
+               / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(c.q, x -> x * x)), (acc, t) -> acc + t) AS DOUBLE))
+                  * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(qv.qq, x -> x * x)), (acc, t) -> acc + t) AS DOUBLE))),
+               6) AS approx_cos
+  FROM coded c CROSS JOIN qv
+  WHERE c.vec_id != 0
+  ORDER BY approx_cos DESC, c.vec_id
+  LIMIT {cand}
+)
+SELECT vec_id, label, approx_cos,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(vec, qvec), p -> p[1] * p[2])),
+               (acc, t) -> acc + t)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(vec, x -> x * x)), (acc, t) -> acc + t))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(qvec, x -> x * x)), (acc, t) -> acc + t))),
+             6) AS cosine
+FROM approx
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+ORACLE_COSINE_TOPK_INT8 = _DUCK_INT8.format(cand=INT8_CANDIDATES)
+
+register("cosine_topk_int8", q_cosine_topk_int8, ORACLE_COSINE_TOPK_INT8)

@@ -1356,3 +1356,21 @@ def test_quantize_embeddings_reconstruction_quality(spark):
     assert all(0.0 <= r["l2_rel_err"] < 0.05 for r in rows)
     # codes must differ across vectors (the checksum pins real content)
     assert len({r["q_checksum"] for r in rows}) > 100
+
+
+def test_int8_probe_recalls_exact_topk(spark):
+    """The int8 probe's final top-10 must recall >= 9 of the exact
+    top-10 (on 64-dim vectors the quantized ranking is near-lossless),
+    and each row's approx_cos must sit within 0.01 of the exact
+    cosine."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        q_cosine_topk,
+        q_cosine_topk_int8,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact_ids = {r["vec_id"] for r in q_cosine_topk(spark, sf).collect()}
+    got = q_cosine_topk_int8(spark, sf).collect()
+    got_ids = {r["vec_id"] for r in got}
+    assert len(got_ids & exact_ids) >= 9
+    assert all(abs(r["approx_cos"] - r["cosine"]) < 0.01 for r in got)
