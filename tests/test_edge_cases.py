@@ -110,3 +110,99 @@ def test_upsert_on_empty_target_dir(spark, tmp_path):
     stat = writer.write(df, "fresh", WriteStrategy.UPSERT, upsert_keys=["k"])
     assert stat["rows_written"] == 1
     assert writer.read_table("fresh").count() == 1
+
+
+def _empty_corpus_dir(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_dup_span_fraction_on_empty_corpus(spark, tmp_path):
+    from data_pipeline_platform_spark.functions.substring import (
+        q_dup_span_fraction,
+    )
+
+    assert q_dup_span_fraction(spark, _empty_corpus_dir(spark, tmp_path)).count() == 0
+
+
+def test_cms_heavy_hitters_on_empty_corpus(spark, tmp_path):
+    from data_pipeline_platform_spark.functions.sketches import (
+        q_cms_heavy_hitters,
+    )
+
+    assert q_cms_heavy_hitters(spark, _empty_corpus_dir(spark, tmp_path)).count() == 0
+
+
+def test_dsir_on_corpus_without_target_language(spark, tmp_path):
+    """No en docs at all: target census is empty, Laplace smoothing
+    keeps every ratio finite, and every doc still gets a weight."""
+    import math
+
+    from data_pipeline_platform_spark.functions.dsir import (
+        q_dsir_importance_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "wort eins zwei drei", "de", "s", 19) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = q_dsir_importance_weights(spark, str(tmp_path)).collect()
+    assert len(rows) == 6
+    assert all(math.isfinite(r["avg_logweight"]) for r in rows)
+
+
+def test_bloom_prune_with_no_qualifying_keys(spark):
+    """An all-zero filter must prune EVERYTHING (no bits set -> no row
+    can pass), mirroring the empty plain-join result."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.scale import (
+        bloom_prune,
+        build_bloom,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    empty_keys = (
+        load_table(spark, sf, "orders")
+        .filter(F.lit(False))
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf, "lineitem")
+    bloom = build_bloom(empty_keys, "o_orderkey")
+    assert bloom_prune(li, "l_orderkey", bloom).count() == 0
+
+
+def test_quantize_constant_and_zero_vectors(spark, tmp_path):
+    """The all-zero vector must survive (scale floor), and a constant
+    vector reconstructs exactly (cos 1.0, zero error)."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        q_quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.0] * 64, 0),
+            (1, [0.5] * 64, 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = {r["vec_id"]: r for r in q_quantize_embeddings(spark, str(tmp_path)).collect()}
+    assert rows[0]["q_checksum"] == 0  # zero vector -> zero codes
+    assert rows[1]["cos_recon"] == 1.0
+    assert rows[1]["l2_rel_err"] == 0.0
