@@ -603,3 +603,64 @@ FROM trans t JOIN totals tot USING (event_type)
 
 
 register("events_markov", q_events_markov, ORACLE_EVENTS_MARKOV)
+
+
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` over an irregular
+    series: each reading holds until the next one, so TWA =
+    sum(value_i * dt_i) / sum(dt_i) — the step-function integral that
+    plain AVG gets wrong whenever sampling is burst-y (the standard
+    IoT/pricing estimator).
+
+    Determinism: dt in exact integer microseconds (unix_micros), value
+    in exact cents; products sum as DECIMAL(38,0) (cents x micros
+    reaches ~1e18 per term — BIGINT sums would overflow), one double
+    division at the end. One user-keyed shuffle; users with a single
+    event have no holding interval and drop out (sum(dt) = 0)."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    stepped = ev.withColumn(
+        "dt_us",
+        F.expr("unix_micros(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - unix_micros(ts)"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(round(value * 100) AS BIGINT) * dt_us AS DECIMAL(38,0))"
+                )
+            ).alias("wsum"),
+            F.sum(F.expr("CAST(dt_us AS DECIMAL(38,0))")).alias("dsum"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            F.expr(
+                "round(CAST(wsum AS DOUBLE) / CAST(dsum AS DOUBLE) / 100.0, 6)"
+            ).alias("twa_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_TIME_WEIGHTED_AVG = """
+WITH stepped AS (
+  SELECT user_id,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us,
+         value
+  FROM events
+), kept AS (
+  SELECT * FROM stepped WHERE dt_us IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_intervals,
+       round(CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) * dt_us AS HUGEINT)) AS DOUBLE)
+             / CAST(SUM(CAST(dt_us AS HUGEINT)) AS DOUBLE) / 100.0, 6) AS twa_value
+FROM kept GROUP BY user_id
+"""
+
+register(
+    "events_time_weighted_avg",
+    q_events_time_weighted_avg,
+    ORACLE_EVENTS_TIME_WEIGHTED_AVG,
+)

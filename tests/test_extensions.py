@@ -1374,3 +1374,30 @@ def test_int8_probe_recalls_exact_topk(spark):
     got_ids = {r["vec_id"] for r in got}
     assert len(got_ids & exact_ids) >= 9
     assert all(abs(r["approx_cos"] - r["cosine"]) < 0.01 for r in got)
+
+
+def test_time_weighted_avg_hand_computed(spark, tmp_path):
+    """TWA vs plain AVG on a burst-y series: value 10 held for 9s then
+    value 100 for 1s -> TWA 19.0 (plain AVG of readings would say 55 or
+    with the trailing reading excluded, something else entirely)."""
+    from datetime import datetime
+
+    from data_pipeline_platform_spark.functions.events import (
+        q_events_time_weighted_avg,
+    )
+
+    rows = [
+        (1, 7, "a", datetime(2024, 1, 1, 0, 0, 0), 10.0, "{}"),
+        (2, 7, "a", datetime(2024, 1, 1, 0, 0, 9), 100.0, "{}"),
+        (3, 7, "a", datetime(2024, 1, 1, 0, 0, 10), 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = q_events_time_weighted_avg(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_intervals"] == 2
+    assert r["twa_value"] == (10.0 * 9 + 100.0 * 1) / 10
