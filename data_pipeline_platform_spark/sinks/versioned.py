@@ -101,15 +101,23 @@ class VersionedWriter:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        os.makedirs(self._dir(table), exist_ok=True)
         log = self._read_log(table)
         version = (max((e["version"] for e in log), default=0)) + 1
-        data_dir = os.path.join(self._dir(table), f"v={version}")
-        while os.path.exists(data_dir):  # orphan from a crashed writer
-            version += 1
+        # claim the version number with an atomic mkdir — two concurrent
+        # writers (or a writer racing a crashed writer's orphan dir)
+        # cannot both own the same slot, with no lock held during the
+        # (long) data write
+        while True:
             data_dir = os.path.join(self._dir(table), f"v={version}")
+            try:
+                os.makedirs(data_dir, exist_ok=False)
+                break
+            except FileExistsError:
+                version += 1
         obs = Observation()
         observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        observed.write.mode("error").parquet(data_dir)
+        observed.write.mode("overwrite").parquet(data_dir)
         entry = {
             "version": version,
             "dir": f"v={version}",
@@ -160,6 +168,20 @@ class VersionedWriter:
         }
         self._append_log(table, entry)
         return entry
+
+    def optimize(self, table: str, target_files: int = 8) -> Dict[str, Any]:
+        """OPTIMIZE: rewrite the latest snapshot's data into
+        ``target_files`` files as a NEW snapshot (data-identical; the
+        old version stays readable — time travel is the undo). The
+        streaming-ingest analog of `functions/scale.py::compact`, but
+        version-safe: nothing is rewritten in place, so concurrent
+        readers of any version never see a half-compacted directory."""
+        latest = self._read_log(table)[-1]["version"]
+        df = self.read(table, latest).coalesce(target_files)
+        return self.write_snapshot(
+            df, table, message=f"optimize v{latest} -> {target_files} files",
+            parent=latest,
+        )
 
     def diff_counts(self, table: str, v_from: int, v_to: int, key: str) -> Dict[str, int]:
         """Snapshot diff by key: rows added / removed between versions

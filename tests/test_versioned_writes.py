@@ -84,3 +84,51 @@ def test_unknown_version_raises(spark, vw):
         vw.rollback("corpus", 9)
     with pytest.raises(KeyError):
         vw.read("never_written")
+
+
+def test_optimize_compacts_as_new_snapshot(spark, vw, tmp_path):
+    """OPTIMIZE rewrites the latest snapshot into fewer files as a NEW
+    version — identical rows, old version untouched."""
+    import os
+
+    df = _df(spark, range(200)).repartition(16)
+    vw.write_snapshot(df, "corpus")
+    entry = vw.optimize("corpus", target_files=2)
+    assert entry["version"] == 2 and entry["rows"] == 200
+    d2 = str(tmp_path / "lake" / "corpus" / "v=2")
+    n_files = len([f for f in os.listdir(d2) if f.endswith(".parquet")])
+    assert n_files <= 2
+    assert sorted(r["id"] for r in vw.read("corpus", 2).collect()) == sorted(
+        r["id"] for r in vw.read("corpus", 1).collect()
+    )
+
+
+def test_concurrent_snapshot_writers_serialize(spark, vw):
+    """Two threads snapshotting the same table concurrently must both
+    commit, with unique versions and a log that references every data
+    dir exactly once — the O_EXCL lock is the only coordinator."""
+    import threading
+
+    errs = []
+
+    def write(n):
+        try:
+            vw.write_snapshot(_df(spark, range(n)), "corpus", f"writer-{n}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=write, args=(n,)) for n in (5, 9, 13)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    hist = vw.history("corpus")
+    versions = [e["version"] for e in hist]
+    assert len(versions) == 3 and len(set(versions)) == 3
+    dirs = [e["dir"] for e in hist]
+    assert len(set(dirs)) == 3
+    assert sorted(e["rows"] for e in hist) == [5, 9, 13]
+    # every committed version reads back its own rows
+    for e in hist:
+        assert vw.read("corpus", e["version"]).count() == e["rows"]
