@@ -664,3 +664,76 @@ register(
     q_events_time_weighted_avg,
     ORACLE_EVENTS_TIME_WEIGHTED_AVG,
 )
+
+
+ATTRIB_WINDOW_SEC = 3600  # last-touch lookback
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the latest click by
+    the same user within the preceding hour — the canonical
+    marketing-analytics interval join.
+
+    Shape: equi-join on user_id (the interval predicate filters inside
+    the join — no cross product; user activity bounds the pair count),
+    then a purchase-keyed window picks the last touch with a
+    deterministic (c_ts, click_id) tie-break. Latency is exact integer
+    seconds from microsecond arithmetic."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    pairs = purchases.join(clicks, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & F.expr(f"c_ts >= p_ts - INTERVAL {ATTRIB_WINDOW_SEC} SECOND")
+    )
+    last = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("purchase_id").orderBy(
+                F.desc("c_ts"), F.desc("click_id")
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return last.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.expr(
+            "CAST((unix_micros(p_ts) - unix_micros(c_ts)) div 1000000 AS BIGINT)"
+        ).alias("latency_sec"),
+    )
+
+
+ORACLE_EVENTS_ATTRIBUTION = f"""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts, c.c_ts
+  FROM purchases p JOIN clicks c USING (user_id)
+  WHERE c.c_ts <= p.p_ts
+    AND c.c_ts >= p.p_ts - INTERVAL {ATTRIB_WINDOW_SEC} SECOND
+), last AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY purchase_id ORDER BY c_ts DESC, click_id DESC
+  ) AS rn
+  FROM pairs
+)
+SELECT purchase_id, click_id, user_id,
+       CAST((epoch_us(p_ts) - epoch_us(c_ts)) // 1000000 AS BIGINT)
+         AS latency_sec
+FROM last WHERE rn = 1
+"""
+
+register("events_attribution", q_events_attribution, ORACLE_EVENTS_ATTRIBUTION)

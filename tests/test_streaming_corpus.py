@@ -175,3 +175,89 @@ def test_streaming_cms_matches_batch_and_replays_idempotently(spark, tmp_path):
     merge_cms_batch(docs, 7, state2)  # at-least-once re-delivery
     twice = cells_of(cms_state_cells(spark, state2))
     assert once == twice == batch
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join, drained, must emit
+    exactly the batch all-pairs attribution set (the last-touch argmax
+    is a downstream batch step on both sides)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_pipeline_platform_spark.functions.events import (
+        ATTRIB_WINDOW_SEC,
+        q_events_attribution,
+        _events,
+    )
+    from data_pipeline_platform_spark.streaming.joins import (
+        attribution_pairs_stream,
+    )
+    from data_pipeline_platform_spark.streaming.windows import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = _events(spark, sf)
+    stream_dir = str(tmp_path / "ev_attr")
+    ev.repartition(4).write.parquet(stream_dir)
+
+    pairs = attribution_pairs_stream(
+        read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    )
+    out_dir = str(tmp_path / "attr_out")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["purchase_id"], r["click_id"], r["latency_sec"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # batch all-pairs (same shape the streaming stage emits)
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    batch = {
+        (r["purchase_id"], r["click_id"], r["latency_sec"])
+        for r in purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & F.expr(f"c_ts >= p_ts - INTERVAL {ATTRIB_WINDOW_SEC} SECOND")
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.expr(
+                "CAST((unix_micros(p_ts) - unix_micros(c_ts)) div 1000000 AS BIGINT)"
+            ).alias("latency_sec"),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+    # and the last-touch reduction over the streamed pairs equals the
+    # graded batch operator exactly
+    streamed_df = spark.read.parquet(out_dir)
+    last = (
+        streamed_df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("purchase_id").orderBy(
+                    F.asc("latency_sec"), F.desc("click_id")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .select("purchase_id", "click_id", "latency_sec")
+    )
+    graded = q_events_attribution(spark, sf).select(
+        "purchase_id", "click_id", "latency_sec"
+    )
+    assert {tuple(r) for r in last.collect()} == {tuple(r) for r in graded.collect()}
