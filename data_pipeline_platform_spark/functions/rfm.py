@@ -1,0 +1,117 @@
+"""RFM customer segmentation (extension): recency / frequency /
+monetary quintile scores — the classic CRM operator, built
+scale-correctly.
+
+The naive formulation is three global NTILEs — three total-order
+windows, each a single task at 100 TB (the exact scale-killer the
+packing family eliminated). Here the quintile BOUNDARIES are computed
+once as exact-percentile scalars over the customer-grain frame
+(map-side-combinable aggregate, 12 doubles out) and broadcast back;
+scoring is then a row-local comparison chain. One customer-keyed
+shuffle total, no ordered window anywhere.
+
+Determinism: metrics are exact integers (days, counts, cents), so the
+percentile interpolation is the same correctly-rounded double in both
+engines (the histogram_quantiles precedent), and boundary comparisons
+see identical values on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+
+_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM: exact metrics, quintile scores against
+    broadcast percentile boundaries, and the composed rfm_code
+    (r*100 + f*10 + m; r=5 means most recent)."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "monetary_c"
+        ),
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    base = cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("ref_date", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_c",
+    )
+    qlist = ", ".join(str(q) for q in _QS)
+    bounds = base.agg(
+        F.expr(f"percentile(recency_days, array({qlist}))").alias("rb"),
+        F.expr(f"percentile(frequency, array({qlist}))").alias("fb"),
+        F.expr(f"percentile(monetary_c, array({qlist}))").alias("mb"),
+    )
+
+    def exceed(metric: str, arr: str) -> str:
+        return " + ".join(
+            f"CAST({metric} > element_at({arr}, {i + 1}) AS INT)"
+            for i in range(len(_QS))
+        )
+
+    scored = base.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_c") / 100.0).alias("monetary"),
+        F.expr(f"5 - ({exceed('recency_days', 'rb')})").alias("r_score"),
+        F.expr(f"1 + ({exceed('frequency', 'fb')})").alias("f_score"),
+        F.expr(f"1 + ({exceed('monetary_c', 'mb')})").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "int"
+        ),
+    )
+
+
+def _exceed_duck(metric: str, arr: str) -> str:
+    return " + ".join(
+        f"CAST({metric} > {arr}[{i + 1}] AS INT)" for i in range(len(_QS))
+    )
+
+
+ORACLE_RFM_SEGMENTS = f"""
+WITH cust AS MATERIALIZED (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_c
+  FROM orders GROUP BY 1
+), ref AS (
+  SELECT MAX(o_orderdate) AS ref_date FROM orders
+), base AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(last_order AS DATE), CAST(ref_date AS DATE)) AS BIGINT)
+           AS recency_days,
+         frequency, monetary_c
+  FROM cust, ref
+), bounds AS (
+  SELECT quantile_cont(recency_days, [{", ".join(str(q) for q in _QS)}]) AS rb,
+         quantile_cont(frequency, [{", ".join(str(q) for q in _QS)}]) AS fb,
+         quantile_cont(monetary_c, [{", ".join(str(q) for q in _QS)}]) AS mb
+  FROM base
+)
+SELECT o_custkey, recency_days, frequency,
+       monetary_c / 100.0 AS monetary,
+       5 - ({_exceed_duck("recency_days", "rb")}) AS r_score,
+       1 + ({_exceed_duck("frequency", "fb")}) AS f_score,
+       1 + ({_exceed_duck("monetary_c", "mb")}) AS m_score,
+       CAST((5 - ({_exceed_duck("recency_days", "rb")})) * 100
+            + (1 + ({_exceed_duck("frequency", "fb")})) * 10
+            + (1 + ({_exceed_duck("monetary_c", "mb")})) AS INT) AS rfm_code
+FROM base, bounds
+"""
+
+register("rfm_segments", q_rfm_segments, ORACLE_RFM_SEGMENTS)

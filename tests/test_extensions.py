@@ -1401,3 +1401,22 @@ def test_time_weighted_avg_hand_computed(spark, tmp_path):
     r = out[0]
     assert r["n_intervals"] == 2
     assert r["twa_value"] == (10.0 * 9 + 100.0 * 1) / 10
+
+
+def test_rfm_scores_balanced_and_no_ordered_window(spark):
+    """Quintile scores must actually partition the customers (every
+    score level populated on the real data) and the plan must contain
+    NO Window operator — the boundaries-broadcast design is the point."""
+    from collections import Counter
+
+    from data_pipeline_platform_spark.functions.rfm import q_rfm_segments
+
+    df = q_rfm_segments(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = df.collect()
+    for col in ("r_score", "f_score", "m_score"):
+        c = Counter(r[col] for r in rows)
+        assert set(c) <= {1, 2, 3, 4, 5}
+        assert len(c) >= 4, (col, c)  # quintiles genuinely populated
+    assert all(100 <= r["rfm_code"] <= 555 for r in rows)
