@@ -96,3 +96,77 @@ JOIN single sb ON sb.l_partkey = p.pb, n
 """
 
 register("frequent_itemsets", q_frequent_itemsets, ORACLE_FREQUENT_ITEMSETS)
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph (edges
+    = part pairs with support >= MIN_SUPPORT): the local clustering
+    signal that separates parts living in dense communities from
+    bridge parts.
+
+    Shape: edges are dimension-cardinality (the basket census bounds
+    them), all pairs canonical (pa < pb), so triangles enumerate with
+    the textbook two-join closure a<b<c — each triangle found exactly
+    once, no orientation bookkeeping. Both joins key on part ids."""
+    edges = q_frequent_itemsets(spark, sf_dir).select("pa", "pb")
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_part = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("part"))
+        .unionByName(edges.select(F.col("pb").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(per_part, "part", "left").select(
+        "part",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        # local clustering coefficient: closed wedges / possible wedges
+        F.expr(
+            "round(CASE WHEN degree >= 2 THEN "
+            "CAST(2 * coalesce(n_triangles, 0) AS DOUBLE) / (degree * (degree - 1)) "
+            "ELSE 0.0 END, 6)"
+        ).alias("clustering"),
+    )
+
+
+ORACLE_COPURCHASE_TRIANGLES = f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_SUPPORT}
+), tri AS (
+  SELECT e1.pa AS a, e1.pb AS b2, e2.pb AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+), per_part AS (
+  SELECT part, COUNT(*) AS n_triangles FROM (
+    SELECT unnest([a, b2, c]) AS part FROM tri
+  ) GROUP BY 1
+), deg AS (
+  SELECT part, COUNT(*) AS degree FROM (
+    SELECT pa AS part FROM edges UNION ALL SELECT pb FROM edges
+  ) GROUP BY 1
+)
+SELECT d.part, d.degree,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.degree >= 2 THEN
+         CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
+           / (d.degree * (d.degree - 1))
+         ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN per_part p USING (part)
+"""
+
+register("copurchase_triangles", q_copurchase_triangles, ORACLE_COPURCHASE_TRIANGLES)

@@ -1442,3 +1442,36 @@ def test_frequent_itemsets_pairs_and_no_fact_self_join(spark):
     assert all(r["pa"] < r["pb"] for r in rows)
     assert all(r["support_ab"] >= MIN_SUPPORT for r in rows)
     assert all(r["lift"] > 0 for r in rows)
+
+
+def test_triangle_count_matches_networkx_style_bruteforce(spark):
+    """Per-part triangle counts vs a direct Python enumeration over the
+    same edge set."""
+    from itertools import combinations
+
+    from data_pipeline_platform_spark.functions.basket import (
+        q_copurchase_triangles,
+        q_frequent_itemsets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = {
+        (r["pa"], r["pb"])
+        for r in q_frequent_itemsets(spark, sf).select("pa", "pb").collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_count = {}
+    for node, nbrs in adj.items():
+        t = 0
+        for x, y in combinations(sorted(nbrs), 2):
+            if (x, y) in edges or (y, x) in edges:
+                t += 1
+        tri_count[node] = t
+    got = {
+        r["part"]: r["n_triangles"]
+        for r in q_copurchase_triangles(spark, sf).collect()
+    }
+    assert got == tri_count
