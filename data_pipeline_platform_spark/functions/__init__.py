@@ -38,6 +38,7 @@ def _load_all() -> None:
     from data_pipeline_platform_spark.functions import dsir  # noqa: F401
     from data_pipeline_platform_spark.functions import rfm  # noqa: F401
     from data_pipeline_platform_spark.functions import basket  # noqa: F401
+    from data_pipeline_platform_spark.functions import bm25  # noqa: F401
     from data_pipeline_platform_spark.functions import scale  # noqa: F401
     from data_pipeline_platform_spark.functions import graph  # noqa: F401
 

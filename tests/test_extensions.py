@@ -1475,3 +1475,52 @@ def test_triangle_count_matches_networkx_style_bruteforce(spark):
         for r in q_copurchase_triangles(spark, sf).collect()
     }
     assert got == tri_count
+
+
+def test_bm25_matches_rank_bm25_reference_math(spark):
+    """BM25 scores vs a direct Python recomputation (textbook Okapi
+    formula with the +1 idf smoothing) on the real corpus."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from data_pipeline_platform_spark.functions.bm25 import (
+        BM25_B,
+        BM25_K1,
+        q_bm25_more_like_doc0,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    toks = {
+        r.doc_id: [t for t in r.text.strip().split() if t]
+        for r in docs.itertuples()
+    }
+    q0 = [t for t, _ in sorted(Counter(toks[0]).items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in q0}
+
+    def score(doc):
+        tf = Counter(toks[doc])
+        s_fp = 0
+        for t in q0:
+            if tf[t] == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            c = idf * (tf[t] * (BM25_K1 + 1.0)) / (
+                tf[t] + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks[doc]) / avgdl)
+            )
+            s_fp += int(round(c * 1_000_000))
+        return round(s_fp / 1_000_000, 6)
+
+    expected = sorted(
+        ((score(d), d) for d in toks if d != 0 and score(d) > 0),
+        key=lambda kv: (-kv[0], kv[1]),
+    )[:20]
+    got = [
+        (r["score"], r["doc_id"])
+        for r in q_bm25_more_like_doc0(spark, sf).collect()
+    ]
+    assert got == [(s, d) for s, d in expected]
