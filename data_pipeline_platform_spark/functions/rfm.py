@@ -115,3 +115,47 @@ FROM base, bounds
 """
 
 register("rfm_segments", q_rfm_segments, ORACLE_RFM_SEGMENTS)
+
+
+def q_scd2_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: each customer's order history becomes
+    versioned validity intervals — (custkey, version, balance,
+    valid_from, valid_to, is_current), where each order sets the
+    tracked attribute (order totalprice as the stand-in balance) and
+    the interval closes when the next change arrives.
+
+    The standard warehouse pattern expressed as ONE customer-keyed
+    window pass (row_number for the version, lead for the closing
+    date) — no self-join, no correlated subquery. Ties on the same
+    date break by o_orderkey so versions are total-ordered and the
+    intervals deterministic."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        F.row_number().over(w).alias("version"),
+        F.col("o_totalprice").alias("balance"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+
+
+ORACLE_SCD2_CUSTOMER_BALANCE = """
+SELECT o_custkey,
+       row_number() OVER w AS version,
+       o_totalprice AS balance,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+register("scd2_customer_balance", q_scd2_customer_balance, ORACLE_SCD2_CUSTOMER_BALANCE)

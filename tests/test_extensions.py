@@ -1524,3 +1524,27 @@ def test_bm25_matches_rank_bm25_reference_math(spark):
         for r in q_bm25_more_like_doc0(spark, sf).collect()
     ]
     assert got == [(s, d) for s, d in expected]
+
+
+def test_scd2_intervals_tile_history_without_gaps(spark):
+    """SCD2 invariants: per customer, versions are 1..n, exactly one
+    current row, and consecutive intervals tile (valid_to of version k
+    == valid_from of version k+1)."""
+    from collections import defaultdict
+
+    from data_pipeline_platform_spark.functions.rfm import (
+        q_scd2_customer_balance,
+    )
+
+    rows = q_scd2_customer_balance(spark, "/root/testdata/sf0.001").collect()
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r["o_custkey"]].append(r)
+    assert len(by_cust) > 0
+    for cust, vs in by_cust.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for r in vs if r["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], cust
