@@ -1548,3 +1548,46 @@ def test_scd2_intervals_tile_history_without_gaps(spark):
         assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to"] == b["valid_from"], cust
+
+
+def test_source_overlap_estimates_track_true_jaccard(spark):
+    """Identical sources must estimate J=1 exactly (identical shingle
+    sets -> identical signatures); disjoint sources must estimate near
+    0; a half-overlapping pair must land within the 64-hash standard
+    error of the true Jaccard."""
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.overlap import (
+        N_HASHES,
+        q_source_overlap,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    other = " ".join(f"zzz{i}" for i in range(60))
+    half = " ".join(f"tok{i}" for i in range(30)) + " " + " ".join(
+        f"yyy{i}" for i in range(30)
+    )
+    rows = [
+        (1, base, "en", "sA", 1),
+        (2, base, "en", "sB", 1),   # sB == sA -> J = 1
+        (3, other, "en", "sC", 1),  # sC disjoint from sA
+        (4, half, "en", "sD", 1),   # sD half-overlaps sA
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {
+            (r["source_a"], r["source_b"]): r
+            for r in q_source_overlap(spark, d).collect()
+        }
+    assert out[("sA", "sB")]["matches"] == N_HASHES
+    assert out[("sA", "sB")]["jaccard_est"] == 1.0
+    assert out[("sA", "sC")]["jaccard_est"] <= 0.1
+    # true J(sA, sD): shared shingles are the 28 3-grams inside tok0..tok29
+    # of 58+58 total per side -> 28 / (58 + 58 - 28) ~ 0.318; allow 3 SE
+    est = out[("sA", "sD")]["jaccard_est"]
+    true_j = 28.0 / (58 + 58 - 28)
+    se = (true_j * (1 - true_j) / N_HASHES) ** 0.5
+    assert abs(est - true_j) <= 3 * se
