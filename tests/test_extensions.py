@@ -1591,3 +1591,49 @@ def test_source_overlap_estimates_track_true_jaccard(spark):
     true_j = 28.0 / (58 + 58 - 28)
     se = (true_j * (1 - true_j) / N_HASHES) ** 0.5
     assert abs(est - true_j) <= 3 * se
+
+
+def test_cusum_flags_planted_drift_not_steady_state(spark):
+    """A steady 10-events/hour series must never flag; the same series
+    whose rate doubles halfway must flag by the end of the drifted run
+    (and the closed form P - min(prefix, 0) must equal the textbook
+    recursion S_t = max(0, S_{t-1} + x_t - mu) replayed in Python)."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.changepoint import (
+        q_cusum_changepoints,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(48):
+        # steady: 10/hour throughout
+        for _ in range(10):
+            rows.append((eid, t0 + datetime.timedelta(hours=h, minutes=1), 1, "steady", 1.0, "{}"))
+            eid += 1
+        # drift: 10/hour for day one, 20/hour for day two
+        for _ in range(10 if h < 24 else 20):
+            rows.append((eid, t0 + datetime.timedelta(hours=h, minutes=2), 2, "drift", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = q_cusum_changepoints(spark, d).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    steady = sorted(by_type["steady"], key=lambda r: r["hour_start"])
+    drift = sorted(by_type["drift"], key=lambda r: r["hour_start"])
+    assert not any(r["drifting"] for r in steady)
+    assert all(r["cusum_scaled"] == 0 for r in steady)
+    assert drift[-1]["drifting"]  # accumulated by the end of the run
+    assert not any(r["drifting"] for r in drift[:24])  # not before the shift
+    # closed form == textbook recursion (scaled domain: mu = T/n exactly)
+    n, total = len(drift), sum(r["n_events"] for r in drift)
+    s = 0
+    for r in drift:
+        s = max(0, s + n * r["n_events"] - total)
+        assert r["cusum_scaled"] == s
