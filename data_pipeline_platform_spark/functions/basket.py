@@ -170,3 +170,117 @@ FROM deg d LEFT JOIN per_part p USING (part)
 """
 
 register("copurchase_triangles", q_copurchase_triangles, ORACLE_COPURCHASE_TRIANGLES)
+
+
+TOPK_NEIGHBORS = 3
+
+
+def q_similar_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering retrieval structure: for each
+    part, its TOPK_NEIGHBORS most similar parts by co-purchase Jaccard
+    (|orders with both| / |orders with either|), deterministic
+    tie-break on neighbor id.
+
+    Shape: the SAME bounded pair census as `frequent_itemsets` (pairs
+    generate row-locally over basket arrays; co-occurrence counts key
+    on part pairs, dimension cardinality), then the candidate edges
+    symmetrize (each undirected edge emits both directions — a
+    row-local union, not a join) and the top-k is a per-part rank
+    window over the edge frame. Degrees broadcast onto the census.
+    Nothing fact-sized ever self-joins; the rank window partitions by
+    part, so no single-task window at any scale."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (a, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "b -> named_struct('pa', a, 'pb', b))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    pair_sup = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+        .filter(F.col("co_orders") >= MIN_SUPPORT)
+    )
+    deg = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    scored = (
+        pair_sup.join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("pa"), F.col("deg").alias("deg_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("pb"), F.col("deg").alias("deg_b"))),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            "co_orders",
+            F.expr(
+                "round(CAST(co_orders AS DOUBLE) / (deg_a + deg_b - co_orders), 6)"
+            ).alias("jaccard"),
+        )
+    )
+    # symmetrize row-locally: each undirected edge serves both endpoints
+    directed = scored.select(
+        F.explode(
+            F.expr(
+                "array(named_struct('part', pa, 'neighbor', pb), "
+                "named_struct('part', pb, 'neighbor', pa))"
+            )
+        ).alias("e"),
+        "co_orders",
+        "jaccard",
+    ).select("e.part", "e.neighbor", "co_orders", "jaccard")
+    w = Window.partitionBy("part").orderBy(F.desc("jaccard"), F.asc("neighbor"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_NEIGHBORS)
+        .select("part", "neighbor", "co_orders", "jaccard", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+ORACLE_SIMILAR_PARTS_TOPK = f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair_sup AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS co_orders
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_SUPPORT}
+), deg AS (
+  SELECT l_partkey, COUNT(*) AS deg FROM b GROUP BY 1
+), scored AS (
+  SELECT p.pa, p.pb, p.co_orders,
+         round(CAST(p.co_orders AS DOUBLE)
+               / (da.deg + db.deg - p.co_orders), 6) AS jaccard
+  FROM pair_sup p
+  JOIN deg da ON da.l_partkey = p.pa
+  JOIN deg db ON db.l_partkey = p.pb
+), directed AS (
+  SELECT pa AS part, pb AS neighbor, co_orders, jaccard FROM scored
+  UNION ALL
+  SELECT pb, pa, co_orders, jaccard FROM scored
+), ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY part ORDER BY jaccard DESC, neighbor ASC) AS rank
+  FROM directed
+)
+SELECT part, neighbor, co_orders, CAST(rank AS BIGINT) AS rank, jaccard
+FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+register("similar_parts_topk", q_similar_parts_topk, ORACLE_SIMILAR_PARTS_TOPK)

