@@ -1670,3 +1670,30 @@ def test_similar_parts_topk_is_symmetric_bounded_and_ranked(spark):
     co = len(pa & pb)
     assert some["co_orders"] == co
     assert some["jaccard"] == round(co / len(pa | pb), 6)
+
+
+def test_vocab_growth_invariants(spark):
+    """cum_types is nondecreasing, its last value equals the corpus
+    distinct-type count, sum(n_docs) equals the doc count, and a
+    bucket's new_types can never exceed its token occurrences."""
+    from data_pipeline_platform_spark.functions.vocab import q_vocab_growth
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(q_vocab_growth(spark, sf).collect(), key=lambda r: r["bucket"])
+    assert rows
+    cums = [r["cum_types"] for r in rows]
+    assert cums == sorted(cums)
+    assert all(r["new_types"] <= r["n_token_occurrences"] for r in rows)
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    import pyspark.sql.functions as F
+
+    n_types = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert cums[-1] == n_types
