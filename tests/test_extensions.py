@@ -1697,3 +1697,37 @@ def test_vocab_growth_invariants(spark):
         .count()
     )
     assert cums[-1] == n_types
+
+
+def test_doremi_step_conserves_mass_and_upweights_hard_domain(spark):
+    """weight_new sums to 1 (within fixed-point rounding), every weight
+    respects the uniform-smoothing floor, and a domain whose tokens are
+    rare (high unigram loss) must gain weight while an easy domain of
+    common tokens loses it."""
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.mixture import (
+        SMOOTH,
+        q_doremi_mixture_step,
+    )
+
+    common = " ".join(["the quick brown fox jumps over dog"] * 10)
+    rows = []
+    did = 0
+    for i in range(20):  # easy domain: same common tokens everywhere
+        rows.append((did, common, "en", "easy", 1)); did += 1
+    for i in range(20):  # hard domain: unique tokens per doc
+        rows.append((did, " ".join(f"rare{did}x{j}" for j in range(70)), "en", "hard", 1)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r for r in q_doremi_mixture_step(spark, d).collect()}
+    total = sum(r["weight_new"] for r in out.values())
+    assert abs(total - 1.0) < 1e-4
+    k = len(out)
+    assert all(r["weight_new"] >= SMOOTH / k - 1e-9 for r in out.values())
+    assert out["hard"]["excess"] > 0 > out["easy"]["excess"]
+    assert out["hard"]["weight_new"] > out["hard"]["weight_old"]
+    assert out["easy"]["weight_new"] < out["easy"]["weight_old"]
