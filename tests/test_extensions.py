@@ -1731,3 +1731,37 @@ def test_doremi_step_conserves_mass_and_upweights_hard_domain(spark):
     assert out["hard"]["excess"] > 0 > out["easy"]["excess"]
     assert out["hard"]["weight_new"] > out["hard"]["weight_old"]
     assert out["easy"]["weight_new"] < out["easy"]["weight_old"]
+
+
+def test_pmi_separates_collocation_from_chance(spark):
+    """A planted collocation (two tokens always adjacent) must score
+    high positive PMI; two frequent-but-independent tokens near zero;
+    and pair_count must equal the hand-counted window co-occurrences."""
+    import math
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.pmi import q_pmi_cooccurrence
+
+    filler = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(30):
+        # "san francisco" always adjacent; filler adjacency mixed by a
+        # varying stride so no filler pair becomes a collocation itself
+        mid = " ".join(filler[(i * 7 + j * (1 + i % 3)) % 4] for j in range(8))
+        rows.append((i, f"san francisco {mid}", "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {(r["wa"], r["wb"]): r for r in q_pmi_cooccurrence(spark, d).collect()}
+    sf = out[("francisco", "san")]
+    assert sf["pair_count"] == 30
+    assert sf["pmi"] > 1.0  # strong collocation
+    # filler pairs co-occur by construction but are frequent everywhere:
+    # their PMI must sit well below the planted collocation's
+    filler_pmis = [
+        r["pmi"] for (a, b), r in out.items() if a in filler and b in filler
+    ]
+    assert filler_pmis and max(filler_pmis) < sf["pmi"] - 0.2
+    assert sf["pmi"] == max(r["pmi"] for r in out.values())
