@@ -1765,3 +1765,33 @@ def test_pmi_separates_collocation_from_chance(spark):
     ]
     assert filler_pmis and max(filler_pmis) < sf["pmi"] - 0.2
     assert sf["pmi"] == max(r["pmi"] for r in out.values())
+
+
+def test_tokenizer_fertility_reconciles_with_encode_stats(spark):
+    """Per-lang fertility must equal the doc-level encode stats rolled
+    up by language — the two ops share one contract."""
+    from data_pipeline_platform_spark.functions.bpe import (
+        q_bpe_encode_stats,
+        q_tokenizer_fertility,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    fert = {r["lang"]: r for r in q_tokenizer_fertility(spark, sf).collect()}
+    per_doc = q_bpe_encode_stats(spark, sf).collect()
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf, "documents").select("doc_id", "lang").collect()
+    }
+    agg = {}
+    for r in per_doc:
+        la = langs[r["doc_id"]]
+        d = agg.setdefault(la, {"docs": 0, "ws": 0, "bpe": 0})
+        d["docs"] += 1; d["ws"] += r["ws_tokens"]; d["bpe"] += r["bpe_tokens"]
+    assert set(agg) == set(fert)
+    for la, d in agg.items():
+        assert fert[la]["n_docs"] == d["docs"]
+        assert fert[la]["ws_tokens"] == d["ws"]
+        assert fert[la]["bpe_tokens"] == d["bpe"]
+        assert fert[la]["fertility"] == round(d["bpe"] / d["ws"], 6)
+        assert 1.0 <= fert[la]["fertility"]  # >= one symbol per word
