@@ -130,3 +130,101 @@ FROM base b LEFT JOIN cov c USING (doc_id)
 """
 
 register("dup_span_fraction", q_dup_span_fraction, ORACLE_DUP_SPAN_FRACTION)
+
+
+def q_dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACT side of `dup_span_fraction`: rewrite each document with
+    every corpus-duplicated >=K-token span removed (Lee et al. 2022
+    drop the repeated occurrence; here every occurrence of a duplicated
+    span goes, the conservative variant that needs no global ordering
+    of occurrences).
+
+    Shape: the same gram census (one hash-keyed shuffle), then dup
+    starts COLLECT per doc (doc-local array, bounded by doc length) and
+    the rewrite is row-local: covered positions expand from the start
+    list, surviving tokens re-join in position order. The second
+    shuffle is the doc-keyed collect — same budget as the measuring op.
+    Per-doc cost is O(len * covered) in the worst (fully duplicated)
+    case — bounded by document length, not corpus size."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    base = docs.select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+
+    grams = (
+        base.filter(F.col("n_tokens") >= DUP_K)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, n_tokens - {DUP_K} + 1)")).alias("s"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.md5(F.expr(f"concat_ws(' ', slice(toks, s, {DUP_K}))")).alias("gh"),
+        )
+    )
+    dup = grams.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    ).filter(F.col("cnt") >= 2)
+    starts = dup.groupBy("doc_id").agg(F.collect_list("s").alias("starts"))
+    return (
+        base.join(starts, "doc_id", "left")
+        .withColumn(
+            "covered",
+            F.expr(
+                f"array_distinct(flatten(transform(coalesce(starts, "
+                f"array()), st -> sequence(st, st + {DUP_K} - 1))))"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "CAST(n_tokens - size(covered) AS BIGINT)"
+            ).alias("kept_tokens"),
+            F.expr(
+                "concat_ws(' ', filter(transform(sequence(1, n_tokens), "
+                "i -> CASE WHEN array_contains(covered, i) THEN NULL "
+                "ELSE element_at(toks, i) END), x -> x IS NOT NULL))"
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+ORACLE_DEDUP_SPAN_CLEAN = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(generate_series(1, n_tokens - {DUP_K} + 1)) AS s,
+         toks
+  FROM base WHERE n_tokens >= {DUP_K}
+), hashed AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s:s + {DUP_K} - 1], ' ')) AS gh
+  FROM grams
+), dup AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY gh) AS cnt FROM hashed
+  ) WHERE cnt >= 2
+), covered AS (
+  SELECT doc_id, list_distinct(flatten(list(
+           generate_series(s, s + {DUP_K} - 1)))) AS cov
+  FROM dup GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(b.n_tokens - COALESCE(len(c.cov), 0) AS BIGINT) AS kept_tokens,
+       COALESCE(array_to_string(
+         list_filter(
+           list_transform(generate_series(1, b.n_tokens),
+             i -> CASE WHEN list_contains(COALESCE(c.cov, []), i)
+                       THEN NULL ELSE b.toks[i] END),
+           x -> x IS NOT NULL), ' '), '') AS cleaned_text
+FROM base b LEFT JOIN covered c USING (doc_id)
+"""
+
+register("dedup_span_clean", q_dedup_span_clean, ORACLE_DEDUP_SPAN_CLEAN)

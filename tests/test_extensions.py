@@ -1795,3 +1795,35 @@ def test_tokenizer_fertility_reconciles_with_encode_stats(spark):
         assert fert[la]["bpe_tokens"] == d["bpe"]
         assert fert[la]["fertility"] == round(d["bpe"] / d["ws"], 6)
         assert 1.0 <= fert[la]["fertility"]  # >= one symbol per word
+
+
+def test_dedup_span_clean_removes_exactly_the_measured_spans(spark):
+    """cleaned docs keep exactly n_tokens - dup_tokens tokens (the two
+    ops share one coverage contract), the planted shared phrase is gone
+    from both docs, and untouched docs round-trip verbatim."""
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.substring import (
+        q_dedup_span_clean,
+        q_dup_span_fraction,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four", "en", "s", 1),
+            (2, f"{shared} nine ten eleven twelve", "en", "s", 1),
+            (3, "completely different words with no repeats here", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        clean = {r["doc_id"]: r for r in q_dedup_span_clean(spark, d).collect()}
+        frac = {r["doc_id"]: r for r in q_dup_span_fraction(spark, d).collect()}
+    for did in (1, 2, 3):
+        assert clean[did]["kept_tokens"] == frac[did]["n_tokens"] - frac[did]["dup_tokens"]
+        assert len(clean[did]["cleaned_text"].split()) == clean[did]["kept_tokens"]
+    assert clean[1]["cleaned_text"] == "one two three four"
+    assert clean[2]["cleaned_text"] == "nine ten eleven twelve"
+    assert clean[3]["cleaned_text"] == "completely different words with no repeats here"
