@@ -93,11 +93,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fact join per branch (measured 10-24s -> ~5s at sf0.1). The
     # distinct pair set is bounded by |customers| x |suppliers| — a
     # dimension-product frame, not fact-sized, so it pins cheaply.
+    # integer node encoding (customers even, suppliers odd): every
+    # iteration joins and shuffles on these keys, and BIGINT hash joins
+    # are measurably cheaper than the former 'c123'/'s456' strings —
+    # the string label only materializes once, on the final output edge
     pair = tracked_persist(
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -105,7 +109,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     ranks = pagerank_fixed_point(edges)
-    return ranks.filter(F.col("node").startswith("s")).select("node", "rank_fp")
+    return ranks.filter(F.col("node") % 2 == 1).select(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint")).alias("node"),
+        "rank_fp",
+    )
 
 
 ORACLE_PAGERANK = f"""
