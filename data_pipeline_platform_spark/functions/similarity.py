@@ -1245,3 +1245,99 @@ LIMIT 10
 ORACLE_COSINE_TOPK_INT8 = _DUCK_INT8.format(cand=INT8_CANDIDATES)
 
 register("cosine_topk_int8", q_cosine_topk_int8, ORACLE_COSINE_TOPK_INT8)
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality screen: flag embeddings sitting more than two
+    standard deviations beyond their OWN label's mean centroid
+    distance — the mislabeled/corrupted-vector sweep an embedding
+    table gets before training a classifier on it.
+
+    Engine-exact: centroids are the fixed-point means from
+    `centroid_classify`; distances are the exact BIGINT folds
+    (FP_SCALE); per-label moments accumulate in DECIMAL(38,0) (the
+    squared fixed-point distances overflow BIGINT), and the z>2 flag
+    evaluates as (n*d - S)^2 > 4*(n*S2 - S^2) — the z-test cleared of
+    divisions and square roots, exact up to the DECIMAL(38,0) bound
+    (safe through ~1e5 vectors/label at these magnitudes; the
+    events_anomaly integer-moments posture).
+
+    Plan: centroid fit is one posexplode agg (label-dim grain); the
+    scoring join broadcasts the |labels| centroid rows; moments are a
+    second map-side-combinable agg on the label key; the flag is a
+    row-local comparison after the tiny moments frame broadcasts back.
+    No window anywhere."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    ex = emb.select("label", F.posexplode("vec").alias("dim", "comp"))
+    cents = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.expr("CAST(round(comp * 1000000000) AS BIGINT)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000000.0)
+        ).alias("c")
+    )
+    cent_arr = (
+        cents.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select("label", F.expr("transform(dc, x -> x.c)").alias("cvec"))
+    )
+    scored = emb.join(F.broadcast(cent_arr), "label").select(
+        "vec_id", "label", F.expr(_dist_fp_sql("vec", "cvec")).alias("dist_fp")
+    )
+    moments = scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("dist_fp").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("dist_fp").cast("decimal(38,0)") * F.col("dist_fp").cast("decimal(38,0)"))
+        ).alias("s2"),
+    )
+    return (
+        scored.join(F.broadcast(moments), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist_fp",
+            (
+                ((F.col("n") * F.col("dist_fp") - F.col("s")) > 0)
+                & (
+                    (F.col("n") * F.col("dist_fp") - F.col("s"))
+                    * (F.col("n") * F.col("dist_fp") - F.col("s"))
+                    > F.lit(4) * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+                )
+            ).alias("outlier"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), ex AS (
+  SELECT label, i - 1 AS dim, vec[i] AS comp
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
+), cents AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(round(comp * 1000000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000000.0 AS c
+  FROM ex GROUP BY label, dim
+), carr AS (
+  SELECT label, list(c ORDER BY dim) AS cvec FROM cents GROUP BY label
+), scored AS (
+  SELECT b.vec_id, b.label,
+         {_duck_dist_fp('b.vec', 'ca.cvec')} AS dist_fp
+  FROM base b JOIN carr ca USING (label)
+), moments AS (
+  SELECT label, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(dist_fp AS HUGEINT)) AS s,
+         SUM(CAST(dist_fp AS HUGEINT) * CAST(dist_fp AS HUGEINT)) AS s2
+  FROM scored GROUP BY label
+)
+SELECT sc.vec_id, sc.label, sc.dist_fp,
+       (m.n * sc.dist_fp - m.s) > 0 AND
+       (m.n * sc.dist_fp - m.s) * (m.n * sc.dist_fp - m.s)
+         > 4 * (m.n * m.s2 - m.s * m.s) AS outlier
+FROM scored sc JOIN moments m USING (label)
+"""
+
+register("embedding_outliers", q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS)

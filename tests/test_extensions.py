@@ -1827,3 +1827,37 @@ def test_dedup_span_clean_removes_exactly_the_measured_spans(spark):
     assert clean[1]["cleaned_text"] == "one two three four"
     assert clean[2]["cleaned_text"] == "nine ten eleven twelve"
     assert clean[3]["cleaned_text"] == "completely different words with no repeats here"
+
+
+def test_embedding_outliers_flags_planted_far_vector(spark):
+    """A cluster of near-identical vectors plus one far vector: the far
+    vector must flag, the tight cluster must not, and the flag must
+    agree with a numpy replay of the z>2 rule."""
+    import tempfile
+
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.similarity import (
+        q_embedding_outliers,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):  # tight cluster around 1.0
+        rows.append((i, (1.0 + 0.01 * rng.standard_normal(8)).astype("float32").tolist(), 0))
+    rows.append((99, [5.0] * 8, 0))  # planted outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        out = {r["vec_id"]: r for r in q_embedding_outliers(spark, d).collect()}
+    assert out[99]["outlier"] is True
+    assert sum(1 for r in out.values() if r["outlier"]) == 1
+    # numpy replay on the exact integer distances
+    import math
+
+    d_fp = {k: r["dist_fp"] for k, r in out.items()}
+    vals = list(d_fp.values())
+    n, s, s2 = len(vals), sum(vals), sum(v * v for v in vals)
+    for k, v in d_fp.items():
+        expected = (n * v - s) > 0 and (n * v - s) ** 2 > 4 * (n * s2 - s * s)
+        assert out[k]["outlier"] == expected
