@@ -847,3 +847,103 @@ FROM r WHERE rn = 1
 
 
 register("dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST)
+
+
+# threshold 0.9 evaluates as the exact integer test shared*10 >= small*9
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup screen: SMALL documents embedded in larger
+    ones. Jaccard misses a quote or excerpt whose host is much longer
+    (|A∩B|/|A∪B| shrinks with the size gap); containment
+    |A∩B| / |smaller| >= 0.9 catches exactly that excerpt-duplication
+    case — the "this doc is mostly a copy of part of that doc" signal.
+
+    Same scale posture as `_jaccard_pairs`: candidates come from the
+    stop-shingle-bounded inverted index (one shuffle, in-bucket
+    row-local pair expansion), the exact containment verifies on
+    candidates only. The contained/container orientation resolves
+    row-locally from shingle-set sizes (ties by doc id)."""
+    from data_pipeline_platform_spark.sources.readers import spread_scan
+
+    sh = tracked_persist(
+        with_shingles(spread_scan(_docs(spark, sf_dir))).select("doc_id", "shingles")
+    )
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    cand = (
+        exploded.groupBy("s")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= STOP_SHINGLE_DF))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "contained_doc",
+            F.expr(
+                "CASE WHEN size(sh_a) < size(sh_b) OR "
+                "(size(sh_a) = size(sh_b) AND doc_a < doc_b) THEN doc_a ELSE doc_b END"
+            ),
+        )
+        .withColumn(
+            "container_doc",
+            F.expr("CASE WHEN contained_doc = doc_a THEN doc_b ELSE doc_a END"),
+        )
+        .withColumn("small_size", F.least(F.size("sh_a"), F.size("sh_b")))
+        .filter(
+            (F.col("small_size") > 0)
+            & (F.col("shared") * 10 >= F.col("small_size") * 9)
+        )
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.expr(
+                "round(CAST(shared AS DOUBLE) / small_size, 6)"
+            ).alias("containment"),
+        )
+    )
+
+
+# exact-containment brute force is the oracle (the banded candidate
+# restriction loses pairs only when NO shared shingle is sub-cutoff —
+# same recall contract as ORACLE_DEDUP_MINHASH_LSH, non-binding at the
+# shipped SFs where max shingle df << cutoff)
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles)) AS shared,
+         len(a.shingles) AS na, len(b.shingles) AS nb
+  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+), oriented AS (
+  SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+              THEN doc_a ELSE doc_b END AS contained_doc,
+         CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+              THEN doc_b ELSE doc_a END AS container_doc,
+         shared, least(na, nb) AS small_size
+  FROM pairs
+)
+SELECT contained_doc, container_doc, CAST(shared AS BIGINT) AS shared,
+       round(CAST(shared AS DOUBLE) / small_size, 6) AS containment
+FROM oriented
+WHERE shared * 10 >= small_size * 9
+"""
+
+register("dedup_containment", q_dedup_containment, ORACLE_DEDUP_CONTAINMENT)

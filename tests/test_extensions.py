@@ -1861,3 +1861,34 @@ def test_embedding_outliers_flags_planted_far_vector(spark):
     for k, v in d_fp.items():
         expected = (n * v - s) > 0 and (n * v - s) ** 2 > 4 * (n * s2 - s * s)
         assert out[k]["outlier"] == expected
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A 12-token doc fully embedded in a 60-token host: Jaccard ~ 0.17
+    (below every dedup threshold) but containment = 1.0 must flag it,
+    oriented small-inside-large."""
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.dedup import (
+        q_dedup_clusters,
+        q_dedup_containment,
+    )
+
+    excerpt = " ".join(f"w{i}" for i in range(12))
+    host = excerpt + " " + " ".join(f"h{i}" for i in range(48))
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, excerpt, "en", "s", 1),
+            (2, host, "en", "s", 1),
+            (3, other, "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = q_dedup_containment(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["contained_doc"] == 1 and r["container_doc"] == 2
+    assert r["containment"] == 1.0
