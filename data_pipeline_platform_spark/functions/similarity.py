@@ -1341,3 +1341,79 @@ FROM scored sc JOIN moments m USING (label)
 """
 
 register("embedding_outliers", q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS)
+
+
+KNN_K = 5
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction over the shared deterministic IVF
+    quantizer: each vector votes among its KNN_K nearest IN-CELL
+    neighbors (exact fixed-point L2, ties by neighbor id; vote ties by
+    smaller label). The instance-based sibling of `centroid_classify` —
+    what a label-noise audit actually runs, since a mislabeled vector's
+    neighbors out-vote its own tag.
+
+    Scale shape: the quantizer bounds each vector's candidate set to
+    its cell (corpus/n_cells expected, constant in-cell density as
+    cells scale with data); the cell self-join is an equi-join; both
+    windows partition by vec_id — no global ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    _, ivf = ivfx_index(spark, sf_dir)
+    a = ivf.select(
+        "cell",
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qv"),
+    )
+    b = ivf.select(
+        "cell", F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+        F.col("vec").alias("nv"),
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("dist_fp"), F.col("nid"))
+    top = (
+        a.join(b, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("dist_fp", F.expr(_dist_fp_sql("qv", "nv")))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    votes = top.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.desc("votes"), F.asc("nlabel")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").alias("label"),
+            F.col("nlabel").alias("predicted_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
+
+
+ORACLE_KNN_CLASSIFY = f"""{DUCK_IVFX_INDEX}
+), top AS (
+  SELECT qid, qlabel, nlabel FROM (
+    SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS nlabel,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_dist_fp('a.vec', 'b.vec')}, b.vec_id) AS rn
+    FROM ivf a JOIN ivf b ON a.cell = b.cell AND a.vec_id != b.vec_id
+  ) WHERE rn <= {KNN_K}
+), votes AS (
+  SELECT qid, qlabel, nlabel, COUNT(*) AS votes FROM top GROUP BY 1, 2, 3
+)
+SELECT qid AS vec_id, qlabel AS label, nlabel AS predicted_label,
+       CAST(votes AS BIGINT) AS votes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+    ORDER BY votes DESC, nlabel ASC) AS vr FROM votes
+) WHERE vr = 1
+"""
+
+register("knn_classify", q_knn_classify, ORACLE_KNN_CLASSIFY)

@@ -1892,3 +1892,32 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     r = rows[0]
     assert r["contained_doc"] == 1 and r["container_doc"] == 2
     assert r["containment"] == 1.0
+
+
+def test_knn_classify_recovers_planted_cluster_labels(spark):
+    """Two well-separated label clusters with one mislabeled vector:
+    k-NN must predict every clean vector's own label and out-vote the
+    mislabeled one with its neighbors' label."""
+    import tempfile
+
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.similarity import q_knn_classify
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(30):  # label 0 cluster near (1, ..., 1)
+        rows.append((i, (1.0 + 0.02 * rng.standard_normal(8)).astype("float32").tolist(), 0))
+    for i in range(30, 60):  # label 1 cluster near (-1, ..., -1)
+        rows.append((i, (-1.0 + 0.02 * rng.standard_normal(8)).astype("float32").tolist(), 1))
+    # mislabeled: sits in cluster 0 but tagged 1
+    rows.append((99, (1.0 + 0.02 * rng.standard_normal(8)).astype("float32").tolist(), 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        out = {r["vec_id"]: r for r in q_knn_classify(spark, d).collect()}
+    assert out[99]["predicted_label"] == 0 and out[99]["label"] == 1
+    clean_wrong = [
+        k for k, r in out.items() if k != 99 and r["predicted_label"] != r["label"]
+    ]
+    assert clean_wrong == []
