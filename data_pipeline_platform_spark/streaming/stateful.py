@@ -186,3 +186,80 @@ def streaming_anomaly(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_SCHEMA = (
+    "event_type string, hour_start timestamp, n_events long, "
+    "cusum_scaled long, drifting boolean"
+)
+CUSUM_STATE_SCHEMA = "hours array<long>, counts array<long>"
+_HOUR_US = 3_600_000_000  # microseconds per hour
+
+
+def _update_cusum(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type CUSUM drift detection with REPLAY-INVARIANT
+    state: the state store holds the per-hour count census itself
+    (calendar-bounded — one BIGINT per observed hour per type, never
+    data-bounded), so every batch can recompute the exact batch
+    statistic over the full observed series. However the stream is
+    split into micro-batches, the final emission equals the batch
+    operator bitwise — a stronger contract than judge-against-
+    state-so-far, because the CUSUM mean is a whole-series quantity.
+
+    Emission (update mode): the full refreshed hourly series per batch
+    (new hours shift the mean, so every hour's statistic can change)."""
+    counts: dict = {}
+    if state.exists:
+        hrs, cnts = state.get
+        counts = dict(zip(hrs, cnts))
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        # epoch-hour bucketing on the raw timestamps (UTC, µs)
+        hours = (
+            pd.to_datetime(pdf["ts"]).astype("int64") // 1000 // _HOUR_US
+        ).astype("int64")
+        for h, c in hours.value_counts().items():
+            counts[int(h)] = counts.get(int(h), 0) + int(c)
+
+    ordered = sorted(counts.items())
+    state.update(([h for h, _ in ordered], [c for _, c in ordered]))
+
+    n = len(ordered)
+    total = sum(c for _, c in ordered)
+    rows, prefix, min_prefix = [], 0, 0
+    for h, c in ordered:
+        prefix += n * c - total
+        # batch semantics: the running min INCLUDES the current prefix
+        # (S_t = P_t - least(min_{j<=t} P_j, 0))
+        min_prefix = min(min_prefix, prefix)
+        s = prefix - min(min_prefix, 0)
+        rows.append(
+            {
+                "event_type": key[0],
+                "hour_start": pd.Timestamp(h * 3600, unit="s"),
+                "n_events": c,
+                "cusum_scaled": s,
+                "drifting": s > 2 * total,
+            }
+        )
+    yield pd.DataFrame(rows)
+
+
+def streaming_cusum(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `cusum_changepoints` operator (see
+    functions/changepoint.py). State = the hourly count census per
+    event type; each micro-batch merges its counts and re-emits the
+    exact full-series CUSUM, so a drained stream equals the batch
+    operator no matter how the input was split into batches."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -162,3 +162,50 @@ def test_streaming_anomaly_state_accumulates_across_batches(spark, tmp_path):
     for r in expected:
         n, s, sq = final[r["user_id"]]
         assert (n, s, sq) == (r["n"], r["s"], int(r["sq"]))
+
+
+def test_streaming_cusum_drained_equals_batch_any_split(spark, tmp_path):
+    """The hourly-census state makes the emission replay-invariant:
+    drained over MULTIPLE micro-batches, the final per-hour rows must
+    equal q_cusum_changepoints bitwise (same integers, same flags)."""
+    from data_pipeline_platform_spark.functions.changepoint import (
+        q_cusum_changepoints,
+    )
+    from data_pipeline_platform_spark.streaming.stateful import streaming_cusum
+    from data_pipeline_platform_spark.streaming.windows import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    stream_dir = str(tmp_path / "ev_cusum")
+    events.repartition(4).write.parquet(stream_dir)  # 4 files -> batches
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        streaming_cusum(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    # last emission per (type, hour) is the final state's view
+    final = {}
+    for r in spark.sql(
+        "SELECT * FROM cusum_stream"
+    ).collect():
+        final[(r["event_type"], r["hour_start"])] = (
+            r["n_events"], r["cusum_scaled"], r["drifting"]
+        )
+    # memory sink appends every update; the LAST row per key wins, and
+    # collect order is append order within the sink
+    batch = {
+        (r["event_type"], r["hour_start"]): (
+            r["n_events"], r["cusum_scaled"], r["drifting"]
+        )
+        for r in q_cusum_changepoints(spark, sf).collect()
+    }
+    assert set(final) == set(batch)
+    assert final == batch
