@@ -70,6 +70,12 @@ HEADLINE = [
     "bloom_prune_join",
     "dsir_importance_weights",
     "bpe_encode_stats",
+    # r6 second wave: corpus analytics, collocations, IVF-bounded kNN,
+    # and the substring-dedup rewrite
+    "source_overlap",
+    "pmi_cooccurrence",
+    "knn_classify",
+    "dedup_span_clean",
 ]
 
 

@@ -89,3 +89,87 @@ FROM cusum
 """
 
 register("cusum_changepoints", q_cusum_changepoints, ORACLE_CUSUM_CHANGEPOINTS)
+
+
+TOP_PATHS = 10
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the TOP_PATHS most common 3-step
+    event-type sequences WITHIN a session (>30-min silence = session
+    boundary, the `events_sessionize` contract) — the funnel-discovery
+    complement of `events_markov`, which only sees single transitions.
+
+    Shape: one user-keyed window pass assigns sessions and pulls the
+    two following event types (lag/lead over the same sort — no
+    self-join); the path census is a map-side-combinable count keyed on
+    the 3-path; top-k is a rank over the tiny |distinct paths| frame
+    (deterministic: count desc, then path lexicographic). The only
+    fact-sized shuffle is the user-keyed sort the sessionization
+    already pays."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_secs = F.unix_timestamp(F.col("ts"))
+    with_sid = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap_secs - F.lag(gap_secs).over(w_user) > 1800, 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    w_sess = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    triples = (
+        with_sid.withColumn("e2", F.lead("event_type", 1).over(w_sess))
+        .withColumn("e3", F.lead("event_type", 2).over(w_sess))
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    counted = triples.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_PATHS)
+        .select("path", "n", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sid AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), triples AS (
+  SELECT event_type || ' > ' ||
+         lead(event_type, 1) OVER w || ' > ' ||
+         lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS e3
+  FROM sid
+  WINDOW w AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+), counted AS (
+  SELECT path, COUNT(*) AS n FROM triples WHERE e3 IS NOT NULL GROUP BY 1
+)
+SELECT path, n, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+  FROM counted
+) WHERE rank <= {TOP_PATHS}
+"""
+
+register("session_paths", q_session_paths, ORACLE_SESSION_PATHS)

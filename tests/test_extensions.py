@@ -1921,3 +1921,30 @@ def test_knn_classify_recovers_planted_cluster_labels(spark):
         k for k, r in out.items() if k != 99 and r["predicted_label"] != r["label"]
     ]
     assert clean_wrong == []
+
+
+def test_session_paths_respect_session_boundaries(spark):
+    """Paths must never span a >30-min silence: a user emitting
+    A,B,C then a 2-hour gap then D,E,F yields exactly the two in-
+    session paths and nothing bridging the gap."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.changepoint import q_session_paths
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, etype):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), 1, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, "A"), ev(2, 1, "B"), ev(3, 2, "C"),
+        ev(4, 150, "D"), ev(5, 151, "E"), ev(6, 152, "F"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["path"]: r["n"] for r in q_session_paths(spark, d).collect()}
+    assert out == {"A > B > C": 1, "D > E > F": 1}
