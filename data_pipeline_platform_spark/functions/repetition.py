@@ -535,3 +535,81 @@ FROM s GROUP BY doc_id
 
 
 register("bigram_logprob", q_bigram_logprob, ORACLE_BIGRAM_LOGPROB)
+
+
+_GOPHER_RULES = ("r_tokens", "r_word_len", "r_stopwords", "r_top_word", "r_dup_bigram")
+
+
+def q_quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation of the Gopher gate: how many documents each
+    rule rejects, and how many it UNIQUELY rejects (fails that rule,
+    passes the other four) — the number that tells a curation owner
+    which gates are load-bearing and which are redundant before they
+    tune thresholds.
+
+    Shape: rides the gate's single codegen'd projection, unpivots the
+    five audit booleans row-locally, and reduces to a 5-row frame in
+    one map-side-combinable agg."""
+    g = q_gopher_quality_filter(spark, sf_dir)
+    per_rule = []
+    for r in _GOPHER_RULES:
+        others = " AND ".join(x for x in _GOPHER_RULES if x != r)
+        per_rule.append(
+            f"named_struct('rule', '{r}', "
+            f"'fail', CAST(NOT {r} AS INT), "
+            f"'uniq', CAST((NOT {r}) AND {others} AS INT))"
+        )
+    return (
+        g.select(F.explode(F.expr(f"array({', '.join(per_rule)})")).alias("x"))
+        .select("x.rule", "x.fail", "x.uniq")
+        .groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fail").cast("bigint").alias("n_fail"),
+            F.sum("uniq").cast("bigint").alias("n_unique_fail"),
+        )
+        .select(
+            "rule",
+            "n_docs",
+            "n_fail",
+            "n_unique_fail",
+            F.expr("round(CAST(n_fail AS DOUBLE) / n_docs, 6)").alias("fail_rate"),
+            F.expr("round(CAST(n_unique_fail AS DOUBLE) / n_docs, 6)").alias(
+                "unique_fail_rate"
+            ),
+        )
+    )
+
+
+def _oracle_quality_ablation() -> str:
+    per_rule = []
+    for r in _GOPHER_RULES:
+        others = " AND ".join(x for x in _GOPHER_RULES if x != r)
+        per_rule.append(
+            f"SELECT '{r}' AS rule, CAST(NOT {r} AS INT) AS fail, "
+            f"CAST((NOT {r}) AND {others} AS INT) AS uniq FROM g2"
+        )
+    return (
+        "WITH g2 AS MATERIALIZED (\n"
+        + ORACLE_GOPHER_QUALITY_FILTER
+        + "\n), unp AS (\n"
+        + "\nUNION ALL\n".join(per_rule)
+        + """
+)
+SELECT rule, COUNT(*) AS n_docs,
+       CAST(SUM(fail) AS BIGINT) AS n_fail,
+       CAST(SUM(uniq) AS BIGINT) AS n_unique_fail,
+       round(CAST(SUM(fail) AS DOUBLE) / COUNT(*), 6) AS fail_rate,
+       round(CAST(SUM(uniq) AS DOUBLE) / COUNT(*), 6) AS unique_fail_rate
+FROM unp GROUP BY rule
+"""
+    )
+
+
+ORACLE_QUALITY_ABLATION_REPORT = _oracle_quality_ablation()
+
+register(
+    "quality_ablation_report",
+    q_quality_ablation_report,
+    ORACLE_QUALITY_ABLATION_REPORT,
+)

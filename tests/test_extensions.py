@@ -1948,3 +1948,29 @@ def test_session_paths_respect_session_boundaries(spark):
         df.write.parquet(f"{d}/events.parquet")
         out = {r["path"]: r["n"] for r in q_session_paths(spark, d).collect()}
     assert out == {"A > B > C": 1, "D > E > F": 1}
+
+
+def test_quality_ablation_reconciles_with_gate_audits(spark):
+    """n_fail / n_unique_fail per rule must equal a recount over the
+    gate's own audit booleans, and unique <= fail <= n_docs."""
+    from data_pipeline_platform_spark.functions.repetition import (
+        _GOPHER_RULES,
+        q_gopher_quality_filter,
+        q_quality_ablation_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    audits = q_gopher_quality_filter(spark, sf).collect()
+    rep = {r["rule"]: r for r in q_quality_ablation_report(spark, sf).collect()}
+    assert set(rep) == set(_GOPHER_RULES)
+    for rule in _GOPHER_RULES:
+        fails = sum(1 for a in audits if not a[rule])
+        uniq = sum(
+            1
+            for a in audits
+            if not a[rule] and all(a[o] for o in _GOPHER_RULES if o != rule)
+        )
+        assert rep[rule]["n_docs"] == len(audits)
+        assert rep[rule]["n_fail"] == fails
+        assert rep[rule]["n_unique_fail"] == uniq
+        assert uniq <= fails <= len(audits)
