@@ -121,3 +121,90 @@ SELECT 'orderkey_references_orders',
 
 
 register("data_quality_report", q_data_quality_report, ORACLE_DATA_QUALITY_REPORT)
+
+
+# Benford first-digit expectations log10(1 + 1/d), precomputed in Python
+# and embedded as identical literals in both engines (log10 at runtime
+# is a libm-portability risk; nine constants are not).
+_BENFORD_P = {
+    1: 0.301029995663981,
+    2: 0.176091259055681,
+    3: 0.124938736608300,
+    4: 0.096910013008056,
+    5: 0.079181246047625,
+    6: 0.066946789630613,
+    7: 0.057991946977687,
+    8: 0.051152522447381,
+    9: 0.045757490560675,
+}
+
+
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order amounts — the fraud/synthetic-data
+    tell auditors run first: naturally occurring monetary amounts
+    follow P(first digit d) = log10(1 + 1/d); fabricated ones rarely
+    do. Reports per digit the observed share, the Benford expectation,
+    and the chi-square contribution (sum them for the test statistic).
+
+    Determinism: the first digit comes from the INTEGER cents string
+    (exact round-trip in both engines) — never from double formatting
+    (Spark renders large doubles as '1.2E5') nor floor(log10(x))
+    (libm-edge at exact powers of ten). One map-side-combinable digit
+    census; the 9-row frame then does row-local double math with
+    embedded constants."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    ).filter(F.col("digit") >= 1)
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    expect = F.expr(
+        "CASE digit "
+        + " ".join(f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items())
+        + " END"
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("expected_p", expect)
+        .select(
+            "digit",
+            "n",
+            F.expr("round(CAST(n AS DOUBLE) / total, 6)").alias("observed_p"),
+            F.round(F.col("expected_p"), 6).alias("expected_p"),
+            F.expr(
+                "round((CAST(n AS DOUBLE) - expected_p * total) "
+                "* (CAST(n AS DOUBLE) - expected_p * total) "
+                "/ (expected_p * total), 6)"
+            ).alias("chi2_term"),
+        )
+    )
+
+
+ORACLE_BENFORD_CHECK = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, COUNT(*) AS n FROM digits WHERE digit >= 1 GROUP BY 1
+), tot AS (SELECT SUM(n) AS total FROM counts),
+e AS (
+  SELECT digit, n, total,
+         CASE digit {" ".join(f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items())} END AS expected_p
+  FROM counts, tot
+)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+       round(expected_p, 6) AS expected_p,
+       round((CAST(n AS DOUBLE) - expected_p * total)
+             * (CAST(n AS DOUBLE) - expected_p * total)
+             / (expected_p * total), 6) AS chi2_term
+FROM e
+"""
+
+register("benford_check", q_benford_check, ORACLE_BENFORD_CHECK)

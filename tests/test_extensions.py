@@ -1974,3 +1974,22 @@ def test_quality_ablation_reconciles_with_gate_audits(spark):
         assert rep[rule]["n_fail"] == fails
         assert rep[rule]["n_unique_fail"] == uniq
         assert uniq <= fails <= len(audits)
+
+
+def test_benford_shares_sum_to_one_and_chi2_matches_scipy_style(spark):
+    """Observed shares sum to 1 over digits 1-9, expectations are the
+    Benford constants, and each chi2 term matches a python recompute."""
+    from data_pipeline_platform_spark.functions.quality import (
+        _BENFORD_P,
+        q_benford_check,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["digit"]: r for r in q_benford_check(spark, sf).collect()}
+    assert set(rows) <= set(range(1, 10))
+    total = sum(r["n"] for r in rows.values())
+    assert abs(sum(r["observed_p"] for r in rows.values()) - 1.0) < 1e-4
+    for d, r in rows.items():
+        assert r["expected_p"] == round(_BENFORD_P[d], 6)
+        e = _BENFORD_P[d] * total
+        assert abs(r["chi2_term"] - (r["n"] - e) ** 2 / e) < 1e-3
