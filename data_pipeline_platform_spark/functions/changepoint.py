@@ -173,3 +173,98 @@ SELECT path, n, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 register("session_paths", q_session_paths, ORACLE_SESSION_PATHS)
+
+
+_SEAS_FP = 100  # cents x 100 -> 1e-4-dollar fixed point
+
+
+def q_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of daily order revenue: centered 7-day
+    moving-average trend, day-of-week seasonal component from the
+    detrended series, residual — the demand-planning baseline view.
+
+    Determinism: daily revenue is exact cents; the trend is the window
+    SUM (exact BIGINT) divided once and rounded into 1e-4-dollar
+    fixed point; detrended values are then exact BIGINTs, the seasonal
+    means round the same way, and residuals are BIGINT subtractions —
+    no double ever aggregates. Day-of-week comes from day arithmetic
+    against a fixed Monday epoch (engine dayofweek() conventions
+    differ; datediff % 7 does not).
+
+    Scale: the fact-sized work is one date-keyed rollup; both windows
+    run over the daily frame, which is CALENDAR-bounded (a decade is
+    ~3.7k rows) — the vocab_growth constant-frame argument, not a
+    data-sized global window."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", "o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("rev_c")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    dow = F.expr("pmod(datediff(CAST(day AS DATE), DATE'1970-01-05'), 7)")
+    stepped = (
+        daily.withColumn("win_sum", F.sum("rev_c").over(w7))
+        .withColumn("win_n", F.count(F.lit(1)).over(w7))
+        .withColumn("value_fp", F.col("rev_c") * _SEAS_FP)
+        .withColumn(
+            "trend_fp",
+            F.expr(
+                f"CAST(round(CAST(win_sum AS DOUBLE) / win_n * {_SEAS_FP}) AS BIGINT)"
+            ),
+        )
+        .withColumn("detr_fp", F.col("value_fp") - F.col("trend_fp"))
+        .withColumn("dow", dow)
+    )
+    seasonal = stepped.groupBy("dow").agg(
+        F.expr("CAST(round(CAST(SUM(detr_fp) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias(
+            "seasonal_fp"
+        )
+    )
+    denom = float(_SEAS_FP * 100)
+    return (
+        stepped.join(F.broadcast(seasonal), "dow")
+        .select(
+            "day",
+            F.expr(f"CAST(value_fp AS DOUBLE) / {denom}").alias("revenue"),
+            F.expr(f"CAST(trend_fp AS DOUBLE) / {denom}").alias("trend"),
+            F.expr(f"CAST(seasonal_fp AS DOUBLE) / {denom}").alias("seasonal"),
+            F.expr(
+                f"CAST(value_fp - trend_fp - seasonal_fp AS DOUBLE) / {denom}"
+            ).alias("residual"),
+        )
+    )
+
+
+ORACLE_SEASONALITY_DECOMPOSE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), stepped AS (
+  SELECT day, rev_c,
+         rev_c * {_SEAS_FP} AS value_fp,
+         CAST(round(CAST(SUM(rev_c) OVER w AS DOUBLE)
+                    / COUNT(*) OVER w * {_SEAS_FP}) AS BIGINT) AS trend_fp,
+         CAST((CAST(day AS DATE) - DATE '1970-01-05') % 7 AS BIGINT) AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detr AS (
+  SELECT *, value_fp - trend_fp AS detr_fp FROM stepped
+), seasonal AS (
+  SELECT dow,
+         CAST(round(CAST(SUM(detr_fp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS seasonal_fp
+  FROM detr GROUP BY 1
+)
+SELECT d.day,
+       CAST(d.value_fp AS DOUBLE) / {float(_SEAS_FP * 100)} AS revenue,
+       CAST(d.trend_fp AS DOUBLE) / {float(_SEAS_FP * 100)} AS trend,
+       CAST(s.seasonal_fp AS DOUBLE) / {float(_SEAS_FP * 100)} AS seasonal,
+       CAST(d.value_fp - d.trend_fp - s.seasonal_fp AS DOUBLE)
+         / {float(_SEAS_FP * 100)} AS residual
+FROM detr d JOIN seasonal s USING (dow)
+"""
+
+register("seasonality_decompose", q_seasonality_decompose, ORACLE_SEASONALITY_DECOMPOSE)

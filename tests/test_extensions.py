@@ -1993,3 +1993,44 @@ def test_benford_shares_sum_to_one_and_chi2_matches_scipy_style(spark):
         assert r["expected_p"] == round(_BENFORD_P[d], 6)
         e = _BENFORD_P[d] * total
         assert abs(r["chi2_term"] - (r["n"] - e) ** 2 / e) < 1e-3
+
+
+def test_seasonality_decompose_identity_and_planted_weekly_pattern(spark):
+    """revenue == trend + seasonal + residual (to fixed-point
+    resolution) on real data, and on a planted flat-trend series with
+    a weekend bump the seasonal component must carry the bump."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.changepoint import (
+        q_seasonality_decompose,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for r in q_seasonality_decompose(spark, sf).collect():
+        assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])) < 2e-4
+    # planted: 100/day, 200 on day-of-week 5 and 6 (Sat/Sun from the
+    # Monday epoch), for 8 weeks
+    t0 = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    oid = 0
+    for d in range(56):
+        dow = d % 7
+        amt = 200.0 if dow >= 5 else 100.0
+        rows.append((oid, 1, "O", amt, t0 + datetime.timedelta(days=d), "1-URGENT"))
+        oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/orders.parquet")
+        out = q_seasonality_decompose(spark, d).collect()
+    import statistics
+
+    by_dow = {}
+    for r in out:
+        by_dow.setdefault(r["day"].weekday(), []).append(r["seasonal"])
+    weekend = statistics.mean(by_dow[5] + by_dow[6])
+    weekday = statistics.mean(sum((by_dow[i] for i in range(5)), []))
+    assert weekend > weekday + 50  # the bump lands in the seasonal term
