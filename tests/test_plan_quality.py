@@ -337,3 +337,54 @@ def test_bpe_encode_word_table_broadcasts(spark):
     plan = _physical_plan(q_bpe_encode_stats(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r6_ops_avoid_fact_sized_serial_windows_and_python(spark):
+    """The r6 wave's scale contracts: no Python eval anywhere, and the
+    ops whose windows must stay key-partitioned (cusum per type,
+    session paths per user/session, knn per vec) shuffle on those
+    keys. Constant-frame ops (vocab_growth's 100 buckets,
+    session_paths' path rank, seasonality's calendar days) are ALLOWED
+    a single-partition exchange — over bounded frames it is not a
+    scale defect — so they are asserted only Python-free."""
+    from data_pipeline_platform_spark.functions.changepoint import (
+        q_cusum_changepoints,
+        q_seasonality_decompose,
+        q_session_paths,
+    )
+    from data_pipeline_platform_spark.functions.overlap import q_source_overlap
+    from data_pipeline_platform_spark.functions.pmi import q_pmi_cooccurrence
+    from data_pipeline_platform_spark.functions.similarity import (
+        q_embedding_outliers,
+        q_knn_classify,
+    )
+    from data_pipeline_platform_spark.functions.substring import q_dedup_span_clean
+    from data_pipeline_platform_spark.functions.vocab import q_vocab_growth
+
+    for name, fn in [
+        ("source_overlap", q_source_overlap),
+        ("cusum_changepoints", q_cusum_changepoints),
+        ("vocab_growth", q_vocab_growth),
+        ("pmi_cooccurrence", q_pmi_cooccurrence),
+        ("dedup_span_clean", q_dedup_span_clean),
+        ("knn_classify", q_knn_classify),
+        ("embedding_outliers", q_embedding_outliers),
+        ("session_paths", q_session_paths),
+        ("seasonality_decompose", q_seasonality_decompose),
+    ]:
+        plan = _physical_plan(fn(spark, SF))
+        assert "EvalPython" not in plan, f"{name} drops to Python"
+    # keyed windows actually partition on their keys
+    cusum = _physical_plan(q_cusum_changepoints(spark, SF))
+    assert "hashpartitioning(event_type" in cusum
+    knn = _physical_plan(q_knn_classify(spark, SF))
+    assert "hashpartitioning(qid" in knn
+    # source_overlap's min-merge is keyed on (source, seed) — the
+    # signature fold itself must not appear as any row-expanding join
+    ov = _physical_plan(q_source_overlap(spark, SF))
+    assert "hashpartitioning(source" in ov
+    assert "CartesianProduct" not in ov
+    # embedding_outliers: moments/centroids broadcast back, no window
+    eo = _physical_plan(q_embedding_outliers(spark, SF))
+    assert "Window" not in eo
+    assert "BroadcastHashJoin" in eo or "BroadcastNestedLoopJoin" in eo

@@ -69,6 +69,22 @@ NOTES = {
     "dsir_importance_weights": "hashed censuses broadcast; scoring join shuffle-free; one doc_id re-agg",
     "bpe_encode_stats": "vocab-sized merge folds; word->length table broadcast; one doc_id agg exchange",
     "quantize_embeddings": "row-local codec + audit folds — no exchange at all",
+    # r6 second wave
+    "source_overlap": "corpus collapses to |sources|x64 rows in ONE map-side-combinable min-merge; pairwise runs on the signature frame",
+    "cusum_changepoints": "one hourly-rollup exchange; both windows over the per-type hourly frame",
+    "similar_parts_topk": "row-local basket pair expansion; degrees broadcast; rank window partitions by part",
+    "vocab_growth": "one token-keyed min census; the only ordered window spans the constant 100-bucket frame",
+    "pmi_cooccurrence": "window pairs generated row-locally (no positions self-join); unigram/total frames broadcast",
+    "doremi_mixture_step": "vocab table broadcast; per-source agg then |sources|-row arithmetic",
+    "dedup_span_clean": "same gram-census exchange as dup_span_fraction; rewrite is row-local after the starts collect",
+    "dedup_containment": "stop-shingle-bounded inverted index; orientation picked row-locally; exact verify on candidates only",
+    "knn_classify": "cell equi-join bounds candidates; both windows partition by vec_id",
+    "embedding_outliers": "two map-side-combinable aggs + broadcast joins; z-test row-local, no window",
+    "session_paths": "lead x2 over the session sort (no self-join); rank over the bounded path frame",
+    "quality_ablation_report": "gate rides one codegen'd projection; unpivot row-local; 5-row reduce",
+    "benford_check": "digit census map-side combinable; 9-row frame math row-local",
+    "seasonality_decompose": "one date-keyed rollup; windows over the calendar-bounded daily frame",
+    "tokenizer_fertility": "vocab-sized merge folds; word->length broadcast; |langs|-row reduce",
 }
 
 
