@@ -580,3 +580,65 @@ GROUP BY t.doc_id
 
 
 register("oov_rate", q_oov_rate, ORACLE_OOV_RATE)
+
+
+_ENT_SCALE = 1_000_000
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    gibberish detector: base64 blobs and hex dumps sit far above
+    natural text (~4.0-4.3 bits vs ~2.5-3.2), runs of one character
+    far below. RefinedWeb-class pipelines gate on exactly this signal.
+
+    ZERO shuffle: the char census, the probability terms, and the
+    entropy fold are all higher-order expressions over the row's own
+    text (distinct chars per doc is alphabet-bounded, so the
+    O(|alphabet| * len) row-local scan is cheap). ln enters as the
+    usual fixed-point rounding (DETERMINISM.md #2), the per-char terms
+    sum as exact BIGINTs, and the final bits-conversion divides once.
+    """
+    docs = _docs(spark, sf_dir)
+    # chars: the bpe.py split pattern keeps no empties
+    expr = f"""
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+      round(
+        -CAST(aggregate(
+          transform(array_distinct(filter(split(text, '(?!^)'), x -> x != '')),
+                    ch -> CAST(size(filter(split(text, '(?!^)'), x -> x = ch)) AS BIGINT)),
+          CAST(0 AS BIGINT),
+          (acc, c) -> acc + c * CAST(round(
+            ln(CAST(c AS DOUBLE) / length(text)) * {_ENT_SCALE}) AS BIGINT)
+        ) AS DOUBLE) / length(text) / {_ENT_SCALE} / ln(2.0), 6)
+    END
+    """
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        F.expr(expr).alias("entropy_bits"),
+    )
+
+
+ORACLE_CHAR_ENTROPY = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         list_transform(generate_series(1, length(text)), i -> text[i:i]) AS chars
+  FROM documents
+), counted AS (
+  SELECT doc_id, n,
+         list_transform(list_distinct(chars),
+           ch -> CAST(len(list_filter(chars, x -> x = ch)) AS BIGINT)) AS counts
+  FROM base
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_text,
+       CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+         round(
+           -CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(counts, c -> c * CAST(round(
+               ln(CAST(c AS DOUBLE) / n) * {_ENT_SCALE}) AS BIGINT))),
+             (acc, t) -> acc + t) AS DOUBLE) / n / {_ENT_SCALE} / ln(2.0), 6)
+       END AS entropy_bits
+FROM counted
+"""
+
+register("char_entropy", q_char_entropy, ORACLE_CHAR_ENTROPY)

@@ -2034,3 +2034,41 @@ def test_seasonality_decompose_identity_and_planted_weekly_pattern(spark):
     weekend = statistics.mean(by_dow[5] + by_dow[6])
     weekday = statistics.mean(sum((by_dow[i] for i in range(5)), []))
     assert weekend > weekday + 50  # the bump lands in the seasonal term
+
+
+def test_char_entropy_orders_text_classes_and_matches_python(spark):
+    """Uniform random-ish base64 must score above English-like text,
+    which must score above a one-character run; values must match a
+    python recompute of the same fixed-point formula."""
+    import math
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.text import (
+        _ENT_SCALE,
+        q_char_entropy,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog and keeps running",
+        2: "QmFzZTY0IGJsb2JzIGxvb2sgbGlrZSB0aGlzIHh5ejAxMjM0NTY3ODk rTuV",
+        3: "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    }
+    df = spark.createDataFrame(
+        [(k, v, "en", "s", len(v)) for k, v in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r["entropy_bits"] for r in q_char_entropy(spark, d).collect()}
+
+    def replay(s):
+        n = len(s)
+        acc = 0
+        for ch in sorted(set(s)):
+            c = s.count(ch)
+            acc += c * round(math.log(c / n) * _ENT_SCALE)
+        return round(-acc / n / _ENT_SCALE / math.log(2.0), 6)
+
+    for k, v in texts.items():
+        assert out[k] == replay(v)
+    assert out[2] > out[1] > out[3] == 0.0
