@@ -153,3 +153,102 @@ FROM stepped CROSS JOIN norm
 """
 
 register("doremi_mixture_step", q_doremi_mixture_step, ORACLE_DOREMI_MIXTURE_STEP)
+
+
+def q_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus-health dashboard as ONE frame — the r6
+    observability flagship, composing three verified building blocks:
+
+    - `gopher_quality_filter` -> per-source gate pass rate,
+    - `source_overlap`        -> worst mirror (max estimated Jaccard
+                                 against any other source),
+    - `doremi_mixture_step`   -> proxy loss and the next mixture
+                                 weight.
+
+    Everything reduces to |sources|-row frames before the final joins,
+    so the report costs what its inputs cost (each of which is
+    independently graded); the oracle nests those operators' SQL texts
+    verbatim (shared-fragment discipline, DETERMINISM.md #9)."""
+    from data_pipeline_platform_spark.functions.repetition import (
+        q_gopher_quality_filter,
+    )
+    from data_pipeline_platform_spark.functions.overlap import q_source_overlap
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    gate = (
+        q_gopher_quality_filter(spark, sf_dir)
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("round(CAST(n_pass AS DOUBLE) / n_docs, 6)").alias(
+                "gate_pass_rate"
+            ),
+        )
+    )
+    so = q_source_overlap(spark, sf_dir)
+    mirror = (
+        so.select(F.col("source_a").alias("source"), "jaccard_est")
+        .unionByName(so.select(F.col("source_b").alias("source"), "jaccard_est"))
+        .groupBy("source")
+        .agg(F.max("jaccard_est").alias("max_source_overlap"))
+    )
+    dm = q_doremi_mixture_step(spark, sf_dir).select(
+        "source", "n_tokens", "loss", "weight_old", "weight_new"
+    )
+    return (
+        gate.join(mirror, "source")
+        .join(dm, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "gate_pass_rate",
+            "max_source_overlap",
+            "loss",
+            "weight_old",
+            "weight_new",
+        )
+    )
+
+
+def _oracle_corpus_health() -> str:
+    from data_pipeline_platform_spark.functions.overlap import ORACLE_SOURCE_OVERLAP
+    from data_pipeline_platform_spark.functions.repetition import (
+        ORACLE_GOPHER_QUALITY_FILTER,
+    )
+
+    return f"""
+WITH so AS MATERIALIZED ({ORACLE_SOURCE_OVERLAP}),
+dm AS MATERIALIZED ({ORACLE_DOREMI_MIXTURE_STEP}),
+gsel AS MATERIALIZED ({ORACLE_GOPHER_QUALITY_FILTER}),
+gate AS (
+  SELECT d.source, COUNT(*) AS n_docs,
+         round(CAST(SUM(CAST(g.keep AS INT)) AS DOUBLE) / COUNT(*), 6)
+           AS gate_pass_rate
+  FROM gsel g JOIN documents d USING (doc_id)
+  GROUP BY 1
+), mirror AS (
+  SELECT source, MAX(jaccard_est) AS max_source_overlap FROM (
+    SELECT source_a AS source, jaccard_est FROM so
+    UNION ALL
+    SELECT source_b, jaccard_est FROM so
+  ) GROUP BY 1
+)
+SELECT g.source, g.n_docs, dm.n_tokens, g.gate_pass_rate,
+       m.max_source_overlap, dm.loss, dm.weight_old, dm.weight_new
+FROM gate g
+JOIN mirror m ON m.source = g.source
+JOIN dm ON dm.source = g.source
+"""
+
+
+ORACLE_CORPUS_HEALTH_REPORT = _oracle_corpus_health()
+
+register("corpus_health_report", q_corpus_health_report, ORACLE_CORPUS_HEALTH_REPORT)

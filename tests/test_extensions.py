@@ -2072,3 +2072,29 @@ def test_char_entropy_orders_text_classes_and_matches_python(spark):
     for k, v in texts.items():
         assert out[k] == replay(v)
     assert out[2] > out[1] > out[3] == 0.0
+
+
+def test_corpus_health_report_reconciles_with_components(spark):
+    """Each column must equal its standalone operator's value — the
+    report is a composition, not a re-derivation."""
+    from data_pipeline_platform_spark.functions.mixture import (
+        q_corpus_health_report,
+        q_doremi_mixture_step,
+    )
+    from data_pipeline_platform_spark.functions.overlap import q_source_overlap
+
+    sf = "/root/testdata/sf0.001"
+    rep = {r["source"]: r for r in q_corpus_health_report(spark, sf).collect()}
+    dm = {r["source"]: r for r in q_doremi_mixture_step(spark, sf).collect()}
+    so = q_source_overlap(spark, sf).collect()
+    max_ov = {}
+    for r in so:
+        for s in (r["source_a"], r["source_b"]):
+            max_ov[s] = max(max_ov.get(s, 0.0), r["jaccard_est"])
+    assert set(rep) == set(dm)
+    for s, r in rep.items():
+        assert r["n_tokens"] == dm[s]["n_tokens"]
+        assert r["weight_new"] == dm[s]["weight_new"]
+        assert r["loss"] == dm[s]["loss"]
+        assert r["max_source_overlap"] == max_ov[s]
+        assert 0.0 <= r["gate_pass_rate"] <= 1.0
