@@ -642,3 +642,52 @@ FROM counted
 """
 
 register("char_entropy", q_char_entropy, ORACLE_CHAR_ENTROPY)
+
+
+def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-data: the language-ID confusion matrix (true lang x
+    predicted lang with counts, per-cell share of the true class) plus
+    per-class precision/recall — what a model-quality dashboard ingests
+    after every classifier change. Composes the verified `language_id`
+    op; the oracle nests its SQL verbatim (DETERMINISM.md #9).
+
+    Shape: the classifier rides the scan (row-local argmax); the matrix
+    is one map-side-combinable count keyed on (lang, predicted);
+    per-class totals broadcast back onto the |langs|² frame."""
+    pred = q_language_id(spark, sf_dir)
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    true_tot = cells.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    pred_tot = cells.groupBy("predicted_lang").agg(F.sum("n").alias("n_pred"))
+    return (
+        cells.join(F.broadcast(true_tot), "lang")
+        .join(F.broadcast(pred_tot), "predicted_lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            F.expr("round(CAST(n AS DOUBLE) / n_true, 6)").alias("recall_share"),
+            F.expr("round(CAST(n AS DOUBLE) / n_pred, 6)").alias("precision_share"),
+        )
+    )
+
+
+ORACLE_LANGUAGE_CONFUSION = f"""
+WITH pred AS MATERIALIZED ({ORACLE_LANGUAGE_ID}),
+cells AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2
+), true_tot AS (
+  SELECT lang, SUM(n) AS n_true FROM cells GROUP BY 1
+), pred_tot AS (
+  SELECT predicted_lang, SUM(n) AS n_pred FROM cells GROUP BY 1
+)
+SELECT c.lang, c.predicted_lang, c.n,
+       round(CAST(c.n AS DOUBLE) / t.n_true, 6) AS recall_share,
+       round(CAST(c.n AS DOUBLE) / p.n_pred, 6) AS precision_share
+FROM cells c
+JOIN true_tot t ON t.lang = c.lang
+JOIN pred_tot p ON p.predicted_lang = c.predicted_lang
+"""
+
+register("language_confusion", q_language_confusion, ORACLE_LANGUAGE_CONFUSION)

@@ -2098,3 +2098,28 @@ def test_corpus_health_report_reconciles_with_components(spark):
         assert r["loss"] == dm[s]["loss"]
         assert r["max_source_overlap"] == max_ov[s]
         assert 0.0 <= r["gate_pass_rate"] <= 1.0
+
+
+def test_language_confusion_marginals_reconcile(spark):
+    """Cell counts must sum to the doc count, recall shares to 1 per
+    true class, precision shares to 1 per predicted class, and the
+    matrix must agree with a recount of language_id's output."""
+    from data_pipeline_platform_spark.functions.text import (
+        q_language_confusion,
+        q_language_id,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cm = q_language_confusion(spark, sf).collect()
+    preds = q_language_id(spark, sf).collect()
+    assert sum(r["n"] for r in cm) == len(preds)
+    from collections import Counter
+
+    recount = Counter((r["lang"], r["predicted_lang"]) for r in preds)
+    assert {(r["lang"], r["predicted_lang"]): r["n"] for r in cm} == dict(recount)
+    by_true, by_pred = {}, {}
+    for r in cm:
+        by_true[r["lang"]] = by_true.get(r["lang"], 0.0) + r["recall_share"]
+        by_pred[r["predicted_lang"]] = by_pred.get(r["predicted_lang"], 0.0) + r["precision_share"]
+    assert all(abs(v - 1.0) < 1e-3 for v in by_true.values())
+    assert all(abs(v - 1.0) < 1e-3 for v in by_pred.values())
