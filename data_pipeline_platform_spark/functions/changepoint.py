@@ -268,3 +268,77 @@ FROM detr d JOIN seasonal s USING (dow)
 """
 
 register("seasonality_decompose", q_seasonality_decompose, ORACLE_SEASONALITY_DECOMPOSE)
+
+
+FORECAST_H = 7
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of daily order revenue, 7 days out —
+    the demand-planning companion to `seasonality_decompose`.
+
+    Determinism: alpha = beta = 1/2 (the events_ewma posture — both
+    engines execute the IDENTICAL sequential recursion over the same
+    day order, so the doubles agree bitwise; the halving constants also
+    keep early terms exponent-exact). Inits: level = first day's
+    revenue, trend = 0.
+
+    Scale: the fold runs over the collected daily series — CALENDAR-
+    bounded (a decade is ~3.7k points), the same constant-frame
+    argument as seasonality_decompose; the fact-sized work is the one
+    date-keyed rollup. Forecast output is FORECAST_H rows."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", "o_orderdate").alias("day")
+    ).agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("rev_c"))
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "rev_c"))).alias("arr")
+    )
+    lvl = (
+        "aggregate(slice(arr, 2, size(arr) - 1), "
+        "named_struct('l', CAST(arr[0].rev_c AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)), "
+        "(acc, x) -> named_struct("
+        "'l', 0.5 * CAST(x.rev_c AS DOUBLE) + 0.5 * (acc.l + acc.b), "
+        "'b', 0.5 * ((0.5 * CAST(x.rev_c AS DOUBLE) + 0.5 * (acc.l + acc.b)) - acc.l)"
+        " + 0.5 * acc.b))"
+    )
+    return (
+        series.withColumn("st", F.expr(lvl))
+        .select(
+            F.explode(F.expr(f"sequence(1, {FORECAST_H})")).alias("horizon"),
+            F.col("st.l").alias("l"),
+            F.col("st.b").alias("b"),
+        )
+        .select(
+            F.col("horizon").cast("bigint").alias("horizon"),
+            F.expr("round((l + horizon * b) / 100, 6)").alias("forecast"),
+        )
+    )
+
+
+ORACLE_HOLT_FORECAST = f"""
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), idx AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY day) AS i, rev_c FROM daily
+), hw AS (
+  SELECT 1 AS i, CAST(rev_c AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT d.i,
+         0.5 * CAST(d.rev_c AS DOUBLE) + 0.5 * (h.l + h.b),
+         0.5 * ((0.5 * CAST(d.rev_c AS DOUBLE) + 0.5 * (h.l + h.b)) - h.l)
+           + 0.5 * h.b
+  FROM hw h JOIN idx d ON d.i = h.i + 1
+), fin AS (
+  SELECT l, b FROM hw ORDER BY i DESC LIMIT 1
+)
+SELECT CAST(h AS BIGINT) AS horizon, round((l + h * b) / 100, 6) AS forecast
+FROM fin, range(1, {FORECAST_H + 1}) r(h)
+"""
+
+register("holt_forecast", q_holt_forecast, ORACLE_HOLT_FORECAST)

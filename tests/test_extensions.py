@@ -2123,3 +2123,39 @@ def test_language_confusion_marginals_reconcile(spark):
         by_pred[r["predicted_lang"]] = by_pred.get(r["predicted_lang"], 0.0) + r["precision_share"]
     assert all(abs(v - 1.0) < 1e-3 for v in by_true.values())
     assert all(abs(v - 1.0) < 1e-3 for v in by_pred.values())
+
+
+def test_holt_forecast_tracks_linear_trend_and_replays_in_python(spark):
+    """On a perfectly linear revenue series the forecast must continue
+    the line (within the geometric-convergence residue), and the exact
+    doubles must equal a python replay of the same recursion."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.changepoint import (
+        FORECAST_H,
+        q_holt_forecast,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(40):  # revenue 100 + 10*d dollars
+        rows.append((d, 1, "O", 100.0 + 10.0 * d, t0 + datetime.timedelta(days=d), "1-URGENT"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/orders.parquet")
+        out = {r["horizon"]: r["forecast"] for r in q_holt_forecast(spark, d).collect()}
+    # python replay
+    xs = [(100.0 + 10.0 * i) * 100 for i in range(40)]
+    l, b = float(xs[0]), 0.0
+    for x in xs[1:]:
+        nl = 0.5 * float(x) + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+    for h in range(1, FORECAST_H + 1):
+        assert out[h] == round((l + h * b) / 100, 6)
+        expected_line = 100.0 + 10.0 * (39 + h)
+        assert abs(out[h] - expected_line) < 1.0  # converged to the trend
