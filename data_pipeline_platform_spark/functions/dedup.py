@@ -947,3 +947,31 @@ WHERE shared * 10 >= small_size * 9
 """
 
 register("dedup_containment", q_dedup_containment, ORACLE_DEDUP_CONTAINMENT)
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup severity profile: the histogram of near-dup cluster sizes
+    (how many clusters of 2, of 3, ... — the one-glance view of whether
+    duplication is pairwise noise or mirror-site pathology). Composes
+    the verified `dedup_clusters`; two |clusters|-sized aggregations on
+    top, nothing fact-sized. Oracle nests the recursive-CTE clusters
+    SQL verbatim."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .filter(F.col("cluster_size") >= 2)  # singletons are non-dups
+    )
+
+
+ORACLE_DEDUP_CLUSTER_SIZES = f"""
+WITH cl AS MATERIALIZED ({ORACLE_DEDUP_CLUSTERS})
+SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+  SELECT cluster, COUNT(*) AS cluster_size FROM cl GROUP BY 1
+) WHERE cluster_size >= 2
+GROUP BY 1
+"""
+
+register("dedup_cluster_sizes", q_dedup_cluster_sizes, ORACLE_DEDUP_CLUSTER_SIZES)

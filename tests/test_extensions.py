@@ -2159,3 +2159,24 @@ def test_holt_forecast_tracks_linear_trend_and_replays_in_python(spark):
         assert out[h] == round((l + h * b) / 100, 6)
         expected_line = 100.0 + 10.0 * (39 + h)
         assert abs(out[h] - expected_line) < 1.0  # converged to the trend
+
+
+def test_dedup_cluster_sizes_reconcile_with_clusters(spark):
+    """The histogram must recount q_dedup_clusters exactly and exclude
+    singletons."""
+    from collections import Counter
+
+    from data_pipeline_platform_spark.functions.dedup import (
+        q_dedup_cluster_sizes,
+        q_dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cl = q_dedup_clusters(spark, sf).collect()
+    sizes = Counter(Counter(r["cluster"] for r in cl).values())
+    expected = {s: n for s, n in sizes.items() if s >= 2}
+    got = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in q_dedup_cluster_sizes(spark, sf).collect()
+    }
+    assert got == expected and got  # non-vacuous at sf0.001
