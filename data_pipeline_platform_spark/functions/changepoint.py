@@ -342,3 +342,60 @@ FROM fin, range(1, {FORECAST_H + 1}) r(h)
 """
 
 register("holt_forecast", q_holt_forecast, ORACLE_HOLT_FORECAST)
+
+
+_WINS_LO, _WINS_HI = 0.01, 0.99
+
+
+def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust value capping: clip event values to the exact [p1, p99]
+    percentile band and audit what was clipped — the standard
+    outlier-taming pass before value-weighted aggregation.
+
+    The rfm_segments posture: percentile BOUNDARIES are two scalars
+    from one map-side-combinable aggregate over fixed-point values
+    (exact integers, so interpolation is the same correctly-rounded
+    double in both engines), broadcast back; capping is a row-local
+    comparison chain. No ordered window anywhere."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("v_fp"),
+    )
+    bounds = ev.agg(
+        F.expr(f"percentile(v_fp, {_WINS_LO})").alias("lo"),
+        F.expr(f"percentile(v_fp, {_WINS_HI})").alias("hi"),
+    )
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "value",
+        F.expr(
+            "round(CASE WHEN v_fp < lo THEN lo WHEN v_fp > hi THEN hi "
+            "ELSE CAST(v_fp AS DOUBLE) END / 1000000, 6)"
+        ).alias("winsorized"),
+        (F.col("v_fp") < F.col("lo")).alias("clipped_low"),
+        (F.col("v_fp") > F.col("hi")).alias("clipped_high"),
+    )
+
+
+ORACLE_WINSORIZE_EVENTS = f"""
+WITH ev AS (
+  SELECT event_id, value,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fp
+  FROM events
+), bounds AS (
+  SELECT quantile_cont(v_fp, {_WINS_LO}) AS lo,
+         quantile_cont(v_fp, {_WINS_HI}) AS hi
+  FROM ev
+)
+SELECT event_id, value,
+       round(CASE WHEN v_fp < lo THEN lo WHEN v_fp > hi THEN hi
+             ELSE CAST(v_fp AS DOUBLE) END / 1000000, 6) AS winsorized,
+       v_fp < lo AS clipped_low,
+       v_fp > hi AS clipped_high
+FROM ev, bounds
+"""
+
+register("winsorize_events", q_winsorize_events, ORACLE_WINSORIZE_EVENTS)

@@ -2180,3 +2180,25 @@ def test_dedup_cluster_sizes_reconcile_with_clusters(spark):
         for r in q_dedup_cluster_sizes(spark, sf).collect()
     }
     assert got == expected and got  # non-vacuous at sf0.001
+
+
+def test_winsorize_clips_about_two_percent_and_preserves_interior(spark):
+    """~1% clips on each side, interior values pass through unchanged,
+    and every winsorized value sits inside [p1, p99]."""
+    from data_pipeline_platform_spark.functions.changepoint import (
+        q_winsorize_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_winsorize_events(spark, sf).collect()
+    n = len(rows)
+    lo = sum(1 for r in rows if r["clipped_low"])
+    hi = sum(1 for r in rows if r["clipped_high"])
+    assert 0 < lo <= 0.02 * n and 0 < hi <= 0.02 * n
+    interior = [r for r in rows if not r["clipped_low"] and not r["clipped_high"]]
+    for r in interior[:50]:
+        assert abs(r["winsorized"] - round(r["value"], 6)) < 2e-6
+    wmin = min(r["winsorized"] for r in rows)
+    wmax = max(r["winsorized"] for r in rows)
+    for r in rows:
+        assert wmin <= r["winsorized"] <= wmax
