@@ -613,3 +613,72 @@ register(
     q_quality_ablation_report,
     ORACLE_QUALITY_ABLATION_REPORT,
 )
+
+
+def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization check for the corpus LM: train the unigram model
+    on the TRAINING sources (everything but src0, the held-out split
+    `training_data_pipeline` also uses) and score the held-out docs
+    under add-one smoothing — the train/test discipline that catches a
+    model memorizing its own corpus. Per held-out doc: token count,
+    OOV count, and the smoothed mean log-probability.
+
+    Same plan as `unigram_logprob`: vocab-sized count table broadcast,
+    scalars (N, V) broadcast, per-doc sums are exact fixed-point
+    BIGINTs; the smoothing ratio (c+1)/(N+V+1) is exact integers into
+    one ln."""
+    docs = _docs(spark, sf_dir)
+    train_tok = docs.filter(F.col("source") != "src0").select(
+        F.explode(F.expr(_TOKS)).alias("token")
+    )
+    counts = train_tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    scalars = counts.agg(
+        F.sum("freq").alias("n_train"), F.count(F.lit(1)).alias("v_train")
+    )
+    held = docs.filter(F.col("source") == "src0").select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("token")
+    )
+    scored = (
+        held.join(F.broadcast(counts), "token", "left")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "lp_fp",
+            F.expr(
+                f"CAST(round(ln(CAST(coalesce(freq, 0) + 1 AS DOUBLE) "
+                f"/ (n_train + v_train + 1)) * {_LP_SCALE}) AS BIGINT)"
+            ),
+        )
+        .withColumn("oov", (F.col("freq").isNull()).cast("int"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("oov_tokens"),
+        (
+            F.sum("lp_fp").cast("double") / F.lit(float(_LP_SCALE)) / F.count(F.lit(1))
+        ).alias("mean_logprob"),
+    )
+
+
+ORACLE_HELDOUT_PERPLEXITY = f"""
+WITH train_tok AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents WHERE source != 'src0'
+), c AS (
+  SELECT token, COUNT(*) AS freq FROM train_tok GROUP BY 1
+), s AS (
+  SELECT SUM(freq) AS n_train, COUNT(*) AS v_train FROM c
+), held AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents WHERE source = 'src0'
+), scored AS (
+  SELECT h.doc_id,
+         CAST(round(ln(CAST(COALESCE(c.freq, 0) + 1 AS DOUBLE)
+                       / (s.n_train + s.v_train + 1)) * {_LP_SCALE}) AS BIGINT) AS lp_fp,
+         CASE WHEN c.freq IS NULL THEN 1 ELSE 0 END AS oov
+  FROM held h LEFT JOIN c USING (token) CROSS JOIN s
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+       CAST(SUM(lp_fp) AS DOUBLE) / {_LP_SCALE} / COUNT(*) AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+
+register("heldout_perplexity", q_heldout_perplexity, ORACLE_HELDOUT_PERPLEXITY)

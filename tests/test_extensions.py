@@ -2202,3 +2202,31 @@ def test_winsorize_clips_about_two_percent_and_preserves_interior(spark):
     wmax = max(r["winsorized"] for r in rows)
     for r in rows:
         assert wmin <= r["winsorized"] <= wmax
+
+
+def test_heldout_perplexity_scores_unseen_tokens_lower(spark):
+    """A held-out doc of in-vocab tokens must score above one full of
+    never-seen tokens, OOV counts must be exact, and every mean
+    logprob is negative."""
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.repetition import (
+        q_heldout_perplexity,
+    )
+
+    rows = []
+    for i in range(20):  # training: src1, common vocabulary
+        rows.append((i, "data table query join filter sort merge scan", "en", "src1", 1))
+    rows.append((100, "data table query join", "en", "src0", 1))       # in-vocab
+    rows.append((101, "zebra quasar nebula fjord", "en", "src0", 1))   # all OOV
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in q_heldout_perplexity(spark, d).collect()}
+    assert set(out) == {100, 101}
+    assert out[100]["oov_tokens"] == 0
+    assert out[101]["oov_tokens"] == 4
+    assert out[100]["mean_logprob"] > out[101]["mean_logprob"]
+    assert all(r["mean_logprob"] < 0 for r in out.values())
