@@ -336,3 +336,113 @@ def test_dup_span_fraction_matches_bruteforce(spark, docs, tmp_path_factory):
             if grams[tuple(toks[s : s + DUP_K])] > 1:
                 covered.update(range(s, s + DUP_K))
         assert got[i] == (len(toks), len(covered)), (i, toks)
+
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=48),
+)
+@SETTINGS
+def test_cusum_closed_form_equals_textbook_recursion(spark, counts):
+    """For ANY hourly count series, the window-algebra closed form
+    P_t - min(min_prefix, 0) must equal the sequential recursion
+    S_t = max(0, S_{t-1} + n*x_t - T)."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.changepoint import (
+        q_cusum_changepoints,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, t0 + datetime.timedelta(hours=h, minutes=1), 1, "t", 1.0, "{}"))
+            eid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = sorted(
+            q_cusum_changepoints(spark, d).collect(), key=lambda r: r["hour_start"]
+        )
+    nonzero = [c for c in counts if c > 0]
+    n, total = len(nonzero), sum(nonzero)
+    s = 0
+    for r, c in zip(out, nonzero):
+        s = max(0, s + n * c - total)
+        assert r["cusum_scaled"] == s
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=6
+    )
+)
+@SETTINGS
+def test_char_entropy_bounds(spark, texts):
+    """0 <= H <= log2(|alphabet|) + fixed-point slack, and H == 0 iff
+    the text has at most one distinct character."""
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.text import q_char_entropy
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r["entropy_bits"] for r in q_char_entropy(spark, d).collect()}
+    for i, t in enumerate(texts):
+        h = out[i]
+        assert -1e-6 <= h <= math.log2(3) + 1e-3
+        if len(set(t)) <= 1:
+            assert h == 0.0
+        if len(set(t)) > 1:
+            assert h > 0.0
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        min_size=4,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_winsorize_is_monotone_and_bounded(spark, vals):
+    """The transform is monotone (order of values preserved), interior
+    points pass through unchanged, and clipped points land exactly on
+    a boundary shared with some interior value range. (NOT idempotence:
+    re-winsorizing re-estimates tighter bounds by design.)"""
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.changepoint import (
+        q_winsorize_events,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0, 1, "t", float(v), "{}") for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = sorted(q_winsorize_events(spark, d).collect(), key=lambda r: r["event_id"])
+    # interior identity
+    for r in out:
+        if not r["clipped_low"] and not r["clipped_high"]:
+            assert abs(r["winsorized"] - round(r["value"], 6)) < 2e-6
+    # monotone in the original value
+    by_val = sorted(zip([r["value"] for r in out], [r["winsorized"] for r in out]))
+    for (v1, w1), (v2, w2) in zip(by_val, by_val[1:]):
+        assert w1 <= w2 + 1e-9
+    # all clipped-low rows share one boundary; same for clipped-high
+    lows = {r["winsorized"] for r in out if r["clipped_low"]}
+    highs = {r["winsorized"] for r in out if r["clipped_high"]}
+    assert len(lows) <= 1 and len(highs) <= 1
