@@ -399,3 +399,96 @@ FROM ev, bounds
 """
 
 register("winsorize_events", q_winsorize_events, ORACLE_WINSORIZE_EVENTS)
+
+
+AB_GROUP_A, AB_GROUP_B = "purchase", "view"
+_AB_SCALE = 1_000_000
+
+
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test on event values between two event
+    types (the A/B-readout shape: does `purchase` carry a different
+    mean value than `view`?). Emits the exact moment inputs plus the
+    t statistic and Welch–Satterthwaite degrees of freedom; the p-value
+    lookup belongs to the caller's stats library (a t CDF is not
+    bitwise-portable, the statistic is).
+
+    Moments are exact fixed-point integers (the events_anomaly
+    posture, DECIMAL(38,0) for the squares); the t/df doubles compute
+    in ONE fixed expression shape per engine and round to 6dp. One
+    map-side-combinable aggregation; the 2-row moments frame pivots
+    row-locally."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B)
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(f"CAST(round(value * {_AB_SCALE}) AS BIGINT)")).alias("s"),
+        F.sum(
+            F.expr(
+                f"CAST(CAST(round(value * {_AB_SCALE}) AS BIGINT) AS DECIMAL(38,0)) "
+                f"* CAST(round(value * {_AB_SCALE}) AS BIGINT)"
+            )
+        ).alias("s2"),
+    )
+    a = m.filter(F.col("event_type") == AB_GROUP_A).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("s2").alias("s2a")
+    )
+    b = m.filter(F.col("event_type") == AB_GROUP_B).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("s2").alias("s2b")
+    )
+    sc = float(_AB_SCALE)
+    # sample variance / n, in doubles with one fixed association order
+    va = f"((CAST(s2a AS DOUBLE) / {sc} / {sc} - CAST(sa AS DOUBLE) / {sc} * (CAST(sa AS DOUBLE) / {sc}) / na) / (na - 1)) / na"
+    vb = f"((CAST(s2b AS DOUBLE) / {sc} / {sc} - CAST(sb AS DOUBLE) / {sc} * (CAST(sb AS DOUBLE) / {sc}) / nb) / (nb - 1)) / nb"
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.lit(AB_GROUP_A).alias("group_a"),
+            F.lit(AB_GROUP_B).alias("group_b"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.expr(f"round(CAST(sa AS DOUBLE) / {sc} / na, 6)").alias("mean_a"),
+            F.expr(f"round(CAST(sb AS DOUBLE) / {sc} / nb, 6)").alias("mean_b"),
+            F.expr(
+                f"round((CAST(sa AS DOUBLE) / {sc} / na - CAST(sb AS DOUBLE) / {sc} / nb) "
+                f"/ sqrt({va} + {vb}), 6)"
+            ).alias("t_stat"),
+            F.expr(
+                f"round(({va} + {vb}) * ({va} + {vb}) "
+                f"/ ({va} * ({va}) / (na - 1) + {vb} * ({vb}) / (nb - 1)), 6)"
+            ).alias("welch_df"),
+        )
+    )
+
+
+ORACLE_AB_TTEST = f"""
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(round(value * {_AB_SCALE}) AS BIGINT)) AS s,
+         SUM(CAST(CAST(round(value * {_AB_SCALE}) AS BIGINT) AS HUGEINT)
+             * CAST(round(value * {_AB_SCALE}) AS BIGINT)) AS s2
+  FROM events WHERE event_type IN ('{AB_GROUP_A}', '{AB_GROUP_B}')
+  GROUP BY 1
+), a AS (SELECT n AS na, s AS sa, s2 AS s2a FROM m WHERE event_type = '{AB_GROUP_A}'),
+b AS (SELECT n AS nb, s AS sb, s2 AS s2b FROM m WHERE event_type = '{AB_GROUP_B}')
+SELECT '{AB_GROUP_A}' AS group_a, '{AB_GROUP_B}' AS group_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(CAST(sa AS DOUBLE) / {float(_AB_SCALE)} / na, 6) AS mean_a,
+       round(CAST(sb AS DOUBLE) / {float(_AB_SCALE)} / nb, 6) AS mean_b,
+       round((CAST(sa AS DOUBLE) / {float(_AB_SCALE)} / na - CAST(sb AS DOUBLE) / {float(_AB_SCALE)} / nb)
+             / sqrt({{va}} + {{vb}}), 6) AS t_stat,
+       round(({{va}} + {{vb}}) * ({{va}} + {{vb}})
+             / ({{va}} * ({{va}}) / (na - 1) + {{vb}} * ({{vb}}) / (nb - 1)), 6) AS welch_df
+FROM a, b
+""".replace(
+    "{va}",
+    f"((CAST(s2a AS DOUBLE) / {float(_AB_SCALE)} / {float(_AB_SCALE)} - CAST(sa AS DOUBLE) / {float(_AB_SCALE)} * (CAST(sa AS DOUBLE) / {float(_AB_SCALE)}) / na) / (na - 1)) / na",
+).replace(
+    "{vb}",
+    f"((CAST(s2b AS DOUBLE) / {float(_AB_SCALE)} / {float(_AB_SCALE)} - CAST(sb AS DOUBLE) / {float(_AB_SCALE)} * (CAST(sb AS DOUBLE) / {float(_AB_SCALE)}) / nb) / (nb - 1)) / nb",
+)
+
+register("ab_ttest", q_ab_ttest, ORACLE_AB_TTEST)

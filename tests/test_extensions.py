@@ -2230,3 +2230,42 @@ def test_heldout_perplexity_scores_unseen_tokens_lower(spark):
     assert out[101]["oov_tokens"] == 4
     assert out[100]["mean_logprob"] > out[101]["mean_logprob"]
     assert all(r["mean_logprob"] < 0 for r in out.values())
+
+
+def test_ab_ttest_matches_textbook_welch(spark):
+    """t statistic and Welch df must match a python recompute from the
+    raw values (to 6dp rounding), and a planted mean shift must push
+    |t| far above the null."""
+    import tempfile
+    import datetime
+
+    from data_pipeline_platform_spark.functions.changepoint import q_ab_ttest
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    a_vals = [10.0 + (i % 5) * 0.5 for i in range(40)]       # mean ~11
+    b_vals = [5.0 + (i % 7) * 0.25 for i in range(60)]       # mean ~5.75
+    for v in a_vals:
+        rows.append((eid, t0, 1, "purchase", v, "{}")); eid += 1
+    for v in b_vals:
+        rows.append((eid, t0, 1, "view", v, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        r = q_ab_ttest(spark, d).collect()[0]
+
+    import statistics
+
+    ma, mb = statistics.mean(a_vals), statistics.mean(b_vals)
+    va = statistics.variance(a_vals) / len(a_vals)
+    vb = statistics.variance(b_vals) / len(b_vals)
+    t = (ma - mb) / (va + vb) ** 0.5
+    df_w = (va + vb) ** 2 / (va * va / (len(a_vals) - 1) + vb * vb / (len(b_vals) - 1))
+    assert r["n_a"] == 40 and r["n_b"] == 60
+    assert abs(r["mean_a"] - round(ma, 6)) < 1e-6
+    assert abs(r["t_stat"] - t) < 1e-4
+    assert abs(r["welch_df"] - df_w) < 1e-3
+    assert r["t_stat"] > 10  # planted shift is unmistakable
