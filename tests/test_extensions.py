@@ -2269,3 +2269,33 @@ def test_ab_ttest_matches_textbook_welch(spark):
     assert abs(r["t_stat"] - t) < 1e-4
     assert abs(r["welch_df"] - df_w) < 1e-3
     assert r["t_stat"] > 10  # planted shift is unmistakable
+
+
+def test_pca_variance_explained_matches_numpy(spark):
+    """eigenvalue/trace must land within quantization distance of
+    numpy's top-eigenvalue share on the real embedding table, and lie
+    in (1/d, 1]."""
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.spectral import (
+        q_pca_variance_explained,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    r = q_pca_variance_explained(spark, sf).collect()[0]
+    vecs = np.array(
+        [
+            row["embedding"]
+            for row in load_table(spark, sf, "embeddings").select("embedding").collect()
+        ],
+        dtype="float64",
+    )
+    c = vecs - vecs.mean(axis=0)
+    cov = (c.T @ c) / len(vecs)
+    w = np.linalg.eigvalsh(cov)
+    expected = w[-1] / np.trace(cov)
+    assert abs(r["variance_explained"] - expected) < 0.01
+    d = vecs.shape[1]
+    assert 1.0 / d < r["variance_explained"] <= 1.0
+    assert abs(r["trace"] - np.trace(cov)) < 1e-3
