@@ -492,3 +492,106 @@ FROM a, b
 )
 
 register("ab_ttest", q_ab_ttest, ORACLE_AB_TTEST)
+
+
+BOOT_B = 100  # resamples
+# Poisson(1) inverse-CDF thresholds on a u16 uniform, precomputed in
+# Python (cum pmf * 65536, k = 0..7) — embedded identically in both
+# engines so every resample weight is content-addressed
+_POIS_CUM = (24109, 48219, 60273, 64292, 65296, 65497, 65531)
+# CI order-statistic ranks: ceil(0.025 B) and ceil(0.975 B)
+BOOT_LO_RK, BOOT_HI_RK = 3, 98
+
+
+def _pois_case(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CUM)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value via
+    the POISSON bootstrap (Chamandy et al., Google 2012) — the
+    bootstrap that distributes: instead of drawing n rows with
+    replacement (impossible without a global index), every row draws
+    its own Poisson(1) multiplicity per resample, independent across
+    rows, giving each resample the right marginal distribution.
+
+    Determinism: the Poisson draw is content-addressed — u16 from
+    md5(orderkey : b) through a precomputed inverse-CDF CASE — so both
+    engines materialize the IDENTICAL B resamples; per-resample sums
+    are exact cents x weights; the CI bounds are order statistics of
+    the B means (ranks ceil(0.025 B) and ceil(0.975 B), ties by
+    resample id). ONE pass over the fact table (the B-way expansion is
+    row-local and collapses map-side to B rows)."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    u = (
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':', "
+        "CAST(b AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+    )
+    weighted = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.expr(f"sequence(1, {BOOT_B})")).alias("b"),
+    ).select("b", "cents", F.expr(_pois_case(u)).alias("w"))
+    per_b = weighted.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).alias("swc"),
+        F.sum("w").alias("sw"),
+    )
+    ranked = per_b.select(
+        "b", F.expr("CAST(swc AS DOUBLE) / sw / 100").alias("mean_b")
+    ).withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("mean_b", "b")),
+    )
+    lo_rk, hi_rk = BOOT_LO_RK, BOOT_HI_RK
+    point = orders.agg(
+        F.expr("round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 6)").alias(
+            "mean_value"
+        )
+    )
+    lo = ranked.filter(F.col("rk") == lo_rk).select(
+        F.round("mean_b", 6).alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == hi_rk).select(
+        F.round("mean_b", 6).alias("ci_hi")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("mean_value", "ci_lo", "ci_hi", F.lit(BOOT_B).cast("bigint").alias("n_resamples"))
+    )
+
+
+ORACLE_BOOTSTRAP_CI = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), weighted AS (
+  SELECT b, cents,
+         {_pois_case("(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 4))::BIGINT)")} AS w
+  FROM o, range(1, {BOOT_B + 1}) r(b)
+), per_b AS (
+  SELECT b, SUM(w * cents) AS swc, SUM(w) AS sw FROM weighted GROUP BY b
+), ranked AS (
+  SELECT b, CAST(swc AS DOUBLE) / sw / 100 AS mean_b,
+         row_number() OVER (ORDER BY CAST(swc AS DOUBLE) / sw / 100, b) AS rk
+  FROM per_b
+), point AS (
+  SELECT round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 6) AS mean_value
+  FROM o
+)
+SELECT p.mean_value,
+       (SELECT round(mean_b, 6) FROM ranked WHERE rk = {BOOT_LO_RK}) AS ci_lo,
+       (SELECT round(mean_b, 6) FROM ranked WHERE rk = {BOOT_HI_RK}) AS ci_hi,
+       CAST({BOOT_B} AS BIGINT) AS n_resamples
+FROM point p
+"""
+
+register("bootstrap_ci", q_bootstrap_ci, ORACLE_BOOTSTRAP_CI)

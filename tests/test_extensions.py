@@ -2299,3 +2299,23 @@ def test_pca_variance_explained_matches_numpy(spark):
     d = vecs.shape[1]
     assert 1.0 / d < r["variance_explained"] <= 1.0
     assert abs(r["trace"] - np.trace(cov)) < 1e-3
+
+
+def test_bootstrap_ci_brackets_the_mean_with_sane_width(spark):
+    """The interval must contain the point mean, be ordered, and its
+    width must be within a few multiples of the CLT standard error."""
+    from data_pipeline_platform_spark.functions.changepoint import q_bootstrap_ci
+    from data_pipeline_platform_spark.sources.readers import load_table
+    import statistics
+
+    sf = "/root/testdata/sf0.001"
+    r = q_bootstrap_ci(spark, sf).collect()[0]
+    assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+    vals = [
+        row["o_totalprice"]
+        for row in load_table(spark, sf, "orders").select("o_totalprice").collect()
+    ]
+    se = statistics.stdev(vals) / len(vals) ** 0.5
+    width = r["ci_hi"] - r["ci_lo"]
+    # 95% CI ~ 3.92 SE; Poisson bootstrap at B=100 is noisy — allow 2-8 SE
+    assert 2 * se < width < 8 * se
