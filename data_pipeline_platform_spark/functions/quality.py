@@ -208,3 +208,71 @@ FROM e
 """
 
 register("benford_check", q_benford_check, ORACLE_BENFORD_CHECK)
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: is order priority independent of
+    customer market segment? Emits each contingency cell with its
+    expected count under independence and the chi2 contribution (sum
+    them and look up the CDF at (R-1)(C-1) df — the statistic is
+    portable, the CDF is the caller's).
+
+    Shape: one fact join (customer broadcasts at dimension ratio), one
+    map-side-combinable cell count; marginals derive from the cell
+    frame (|segments| x |priorities| rows) and broadcast back. Expected
+    counts are exact-integer products divided once per cell."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = cells.groupBy("c_mktsegment").agg(F.sum("n").alias("nr"))
+    col_tot = cells.groupBy("o_orderpriority").agg(F.sum("n").alias("nc"))
+    grand = cells.agg(F.sum("n").alias("nt"))
+    return (
+        cells.join(F.broadcast(row_tot), "c_mktsegment")
+        .join(F.broadcast(col_tot), "o_orderpriority")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "n",
+            F.expr("round(CAST(nr AS DOUBLE) * nc / nt, 6)").alias("expected"),
+            F.expr(
+                "round((CAST(n AS DOUBLE) - CAST(nr AS DOUBLE) * nc / nt) "
+                "* (CAST(n AS DOUBLE) - CAST(nr AS DOUBLE) * nc / nt) "
+                "/ (CAST(nr AS DOUBLE) * nc / nt), 6)"
+            ).alias("chi2_term"),
+        )
+    )
+
+
+ORACLE_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), rt AS (SELECT c_mktsegment, SUM(n) AS nr FROM cells GROUP BY 1),
+ct AS (SELECT o_orderpriority, SUM(n) AS nc FROM cells GROUP BY 1),
+gt AS (SELECT SUM(n) AS nt FROM cells)
+SELECT cells.c_mktsegment, cells.o_orderpriority, cells.n,
+       round(CAST(nr AS DOUBLE) * nc / nt, 6) AS expected,
+       round((CAST(n AS DOUBLE) - CAST(nr AS DOUBLE) * nc / nt)
+             * (CAST(n AS DOUBLE) - CAST(nr AS DOUBLE) * nc / nt)
+             / (CAST(nr AS DOUBLE) * nc / nt), 6) AS chi2_term
+FROM cells
+JOIN rt USING (c_mktsegment)
+JOIN ct USING (o_orderpriority), gt
+"""
+
+register("chi2_independence", q_chi2_independence, ORACLE_CHI2_INDEPENDENCE)

@@ -159,3 +159,76 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 register("scd2_customer_balance", q_scd2_customer_balance, ORACLE_SCD2_CUSTOMER_BALANCE)
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    YEAR, revenue accumulated by years-since-first-order — the
+    retention-economics table every subscription/commerce dashboard
+    leads with. (year grain: the TPC-H order history spans ~7 years,
+    so monthly cohorts would be 80x sparser rows for the same shape.)
+
+    Shape: first-order year is one customer-keyed min() agg joined
+    back onto orders (both fact-scale, one shuffle each); the
+    (cohort, age) rollup is map-side combinable; the cumulative sum
+    runs per cohort over the <= |years| x |years| triangle — a
+    constant-size frame. Revenue stays exact cents until the final
+    division by cohort size."""
+    from pyspark.sql.window import Window as W
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    sized = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy("cohort", (F.col("yr") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    w = W.partitionBy("cohort").orderBy("age")
+    return (
+        cells.withColumn("cum_c", F.sum("rev_c").over(w))
+        .join(F.broadcast(sized), "cohort")
+        .select(
+            F.col("cohort").cast("bigint").alias("cohort"),
+            F.col("age").cast("bigint").alias("age"),
+            "n_customers",
+            F.expr("round(CAST(rev_c AS DOUBLE) / 100, 6)").alias("revenue"),
+            F.expr(
+                "round(CAST(cum_c AS DOUBLE) / 100 / n_customers, 6)"
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT o_custkey, MIN(yr) AS cohort FROM o GROUP BY 1
+), sized AS (
+  SELECT cohort, COUNT(*) AS n_customers FROM first GROUP BY 1
+), cells AS (
+  SELECT f.cohort, o.yr - f.cohort AS age, SUM(o.cents) AS rev_c
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, age, rev_c,
+         SUM(rev_c) OVER (PARTITION BY cohort ORDER BY age) AS cum_c
+  FROM cells
+)
+SELECT c.cohort, c.age, s.n_customers,
+       round(CAST(c.rev_c AS DOUBLE) / 100, 6) AS revenue,
+       round(CAST(c.cum_c AS DOUBLE) / 100 / s.n_customers, 6)
+         AS cum_ltv_per_customer
+FROM cum c JOIN sized s USING (cohort)
+"""
+
+register("cohort_ltv", q_cohort_ltv, ORACLE_COHORT_LTV)

@@ -2319,3 +2319,52 @@ def test_bootstrap_ci_brackets_the_mean_with_sane_width(spark):
     width = r["ci_hi"] - r["ci_lo"]
     # 95% CI ~ 3.92 SE; Poisson bootstrap at B=100 is noisy — allow 2-8 SE
     assert 2 * se < width < 8 * se
+
+
+def test_chi2_terms_reconcile_and_marginals_hold(spark):
+    """Expected counts must reproduce the marginal products, cell
+    counts must sum to the order count, and chi2 terms match a python
+    recompute."""
+    from data_pipeline_platform_spark.functions.quality import (
+        q_chi2_independence,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_chi2_independence(spark, sf).collect()
+    n_orders = load_table(spark, sf, "orders").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    from collections import defaultdict
+
+    nr, nc = defaultdict(int), defaultdict(int)
+    for r in rows:
+        nr[r["c_mktsegment"]] += r["n"]
+        nc[r["o_orderpriority"]] += r["n"]
+    for r in rows:
+        e = nr[r["c_mktsegment"]] * nc[r["o_orderpriority"]] / n_orders
+        assert abs(r["expected"] - e) < 1e-3
+        assert abs(r["chi2_term"] - (r["n"] - e) ** 2 / e) < 1e-3
+
+
+def test_cohort_ltv_curves_are_monotone_and_reconcile(spark):
+    """Cumulative LTV is nondecreasing within each cohort, ages start
+    at 0, and total revenue across cells equals the orders total."""
+    from data_pipeline_platform_spark.functions.rfm import q_cohort_ltv
+    from data_pipeline_platform_spark.sources.readers import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_cohort_ltv(spark, sf).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age"])
+        assert rs[0]["age"] == 0
+        curve = [r["cum_ltv_per_customer"] for r in rs]
+        assert curve == sorted(curve)
+    total = round(sum(r["revenue"] for r in rows), 2)
+    expected = load_table(spark, sf, "orders").agg(
+        F.round(F.sum("o_totalprice"), 2)
+    ).collect()[0][0]
+    assert abs(total - float(expected)) < 0.05
