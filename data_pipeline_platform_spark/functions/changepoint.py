@@ -595,3 +595,110 @@ FROM point p
 """
 
 register("bootstrap_ci", q_bootstrap_ci, ORACLE_BOOTSTRAP_CI)
+
+
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user engagement lifetimes (hours
+    between a user's first and last event; right-CENSORED when the
+    user was still active in the final 24h of the window — their true
+    lifetime is only known to exceed the observation).
+
+    The estimator's sequential product S(t) = prod(1 - d_i/n_i)
+    becomes a cumulative SUM of fixed-point ln terms (ln of exact
+    integer ratios, the unigram_logprob posture), emitted as
+    log_survival — exp() is not bitwise-portable, and downstream
+    consumers exponentiate at display time.
+
+    Scale: per-user lifetimes are one user-keyed agg; everything after
+    groups by lifetime-in-hours — a CALENDAR-bounded frame (a 30-day
+    window has <= 720 rows), so the at-risk reverse cumsum and the KM
+    cumsum are constant-size ordered windows."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    glob = ev.agg(F.max("ts").alias("t_end"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.expr(
+                "CAST((unix_timestamp(t1) - unix_timestamp(t0)) div 3600 AS BIGINT)"
+            ).alias("life_h"),
+            (
+                F.expr("unix_timestamp(t_end) - unix_timestamp(t1)") < 86400
+            ).alias("censored"),
+        )
+    )
+    per_h = users.groupBy("life_h").agg(
+        F.sum(F.expr("CAST(NOT censored AS INT)")).alias("deaths"),
+        F.sum(F.expr("CAST(censored AS INT)")).alias("censored_n"),
+    )
+    w_desc = Window.orderBy(F.desc("life_h")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("life_h")
+    return (
+        per_h.withColumn(
+            "at_risk", F.sum(F.col("deaths") + F.col("censored_n")).over(w_desc)
+        )
+        .withColumn(
+            "lnterm_fp",
+            F.expr(
+                "CASE WHEN deaths = 0 THEN CAST(0 AS BIGINT) ELSE "
+                "CAST(round(ln(CAST(at_risk - deaths AS DOUBLE) / at_risk) "
+                "* 1000000) AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "log_survival",
+            F.expr(
+                "round(CAST(SUM(lnterm_fp) OVER "
+                "(ORDER BY life_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "AS DOUBLE) / 1000000, 6)"
+            ),
+        )
+        .select(
+            "life_h",
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            F.col("deaths").cast("bigint").alias("deaths"),
+            F.col("censored_n").cast("bigint").alias("censored_n"),
+            "log_survival",
+        )
+    )
+
+
+ORACLE_KM_SURVIVAL = """
+WITH gend AS (SELECT MAX(ts) AS t_end FROM events),
+users AS (
+  SELECT CAST((CAST(floor(epoch(MAX(e.ts))) AS BIGINT) - CAST(floor(epoch(MIN(e.ts))) AS BIGINT)) // 3600 AS BIGINT) AS life_h,
+         (CAST(floor(epoch((SELECT t_end FROM gend))) AS BIGINT) - CAST(floor(epoch(MAX(e.ts))) AS BIGINT)) < 86400 AS censored
+  FROM events e GROUP BY e.user_id
+), per_h AS (
+  SELECT life_h,
+         SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS deaths,
+         SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS censored_n
+  FROM users GROUP BY 1
+), risk AS (
+  SELECT *,
+         SUM(deaths + censored_n) OVER
+           (ORDER BY life_h DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS at_risk
+  FROM per_h
+), terms AS (
+  SELECT *,
+         CASE WHEN deaths = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(round(ln(CAST(at_risk - deaths AS DOUBLE) / at_risk)
+                * 1000000) AS BIGINT) END AS lnterm_fp
+  FROM risk
+)
+SELECT life_h, CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(deaths AS BIGINT) AS deaths,
+       CAST(censored_n AS BIGINT) AS censored_n,
+       round(CAST(SUM(lnterm_fp) OVER
+         (ORDER BY life_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DOUBLE) / 1000000, 6) AS log_survival
+FROM terms
+"""
+
+register("km_survival", q_km_survival, ORACLE_KM_SURVIVAL)

@@ -2368,3 +2368,42 @@ def test_cohort_ltv_curves_are_monotone_and_reconcile(spark):
         F.round(F.sum("o_totalprice"), 2)
     ).collect()[0][0]
     assert abs(total - float(expected)) < 0.05
+
+
+def test_km_survival_matches_lifelines_style_recompute(spark):
+    """log-survival must equal a python KM replay over the same
+    lifetimes/censoring, be nonincreasing, and never count censored
+    users as deaths."""
+    import math
+
+    from data_pipeline_platform_spark.functions.changepoint import q_km_survival
+    from data_pipeline_platform_spark.sources.readers import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(q_km_survival(spark, sf).collect(), key=lambda r: r["life_h"])
+    # python replay from raw events
+    ev = load_table(spark, sf, "events")
+    t_end = ev.agg(F.max("ts")).collect()[0][0]
+    lives = []
+    for r in (
+        ev.groupBy("user_id").agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).collect()
+    ):
+        life = (int(r["t1"].timestamp()) - int(r["t0"].timestamp())) // 3600
+        cens = (int(t_end.timestamp()) - int(r["t1"].timestamp())) < 86400
+        lives.append((life, cens))
+    hours = sorted({h for h, _ in lives})
+    ln_acc = 0.0
+    expect = {}
+    for h in hours:
+        at_risk = sum(1 for lh, _ in lives if lh >= h)
+        deaths = sum(1 for lh, c in lives if lh == h and not c)
+        if deaths:
+            ln_acc += round(math.log((at_risk - deaths) / at_risk) * 1e6) / 1e6 * 1e6
+        expect[h] = ln_acc
+    got = {r["life_h"]: r["log_survival"] for r in rows}
+    assert set(got) == set(hours)
+    for h in hours:
+        assert abs(got[h] - expect[h] / 1e6) < 2e-6
+    curve = [r["log_survival"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(curve, curve[1:]))
