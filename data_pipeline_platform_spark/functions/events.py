@@ -737,3 +737,65 @@ FROM last WHERE rn = 1
 """
 
 register("events_attribution", q_events_attribution, ORACLE_EVENTS_ATTRIBUTION)
+
+
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature-store row for churn/engagement models: volume,
+    span, cadence, monetary stats, and a within-user momentum signal
+    (second half of the user's own active interval vs the first —
+    positive means accelerating).
+
+    Shape: one user-keyed agg for the interval bounds, join back (the
+    same key, so AQE reuses the exchange), then a single conditional
+    agg — all exact integers; means divide once at the end. Output is
+    user-grain, the natural feature-table contract."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.expr("CAST(min(unix_timestamp(ts)) AS BIGINT)").alias("t0"),
+        F.expr("CAST(max(unix_timestamp(ts)) AS BIGINT)").alias("t1"),
+    )
+    joined = ev.join(bounds, "user_id").withColumn(
+        "second_half",
+        # strictly-after-midpoint in exact integer arithmetic:
+        # 2*ts > t0 + t1 avoids the fractional midpoint
+        (2 * F.expr("CAST(unix_timestamp(ts) AS BIGINT)")) > (F.col("t0") + F.col("t1")),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.expr("CAST(ts AS DATE)")).alias("active_days"),
+        F.expr("CAST((max(t1) - min(t0)) div 3600 AS BIGINT)").alias("span_hours"),
+        F.expr(
+            "round(CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
+            "/ 1000000 / COUNT(*), 6)"
+        ).alias("mean_value"),
+        F.sum(F.expr("CAST(second_half AS INT)")).cast("bigint").alias("late_events"),
+        F.expr(
+            "round(CAST(2 * SUM(CAST(second_half AS INT)) - COUNT(*) AS DOUBLE) "
+            "/ COUNT(*), 6)"
+        ).alias("momentum"),
+    )
+
+
+ORACLE_USER_FEATURES = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t1
+  FROM events GROUP BY 1
+), j AS (
+  SELECT e.user_id, e.ts, e.value, b.t0, b.t1,
+         (2 * CAST(floor(epoch(e.ts)) AS BIGINT)) > (b.t0 + b.t1) AS second_half
+  FROM events e JOIN b USING (user_id)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+       CAST((MAX(t1) - MIN(t0)) // 3600 AS BIGINT) AS span_hours,
+       round(CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*), 6) AS mean_value,
+       CAST(SUM(CASE WHEN second_half THEN 1 ELSE 0 END) AS BIGINT) AS late_events,
+       round(CAST(2 * SUM(CASE WHEN second_half THEN 1 ELSE 0 END) - COUNT(*) AS DOUBLE)
+             / COUNT(*), 6) AS momentum
+FROM j GROUP BY user_id
+"""
+
+register("user_features", q_user_features, ORACLE_USER_FEATURES)

@@ -2407,3 +2407,35 @@ def test_km_survival_matches_lifelines_style_recompute(spark):
         assert abs(got[h] - expect[h] / 1e6) < 2e-6
     curve = [r["log_survival"] for r in rows]
     assert all(a >= b - 1e-9 for a, b in zip(curve, curve[1:]))
+
+
+def test_user_features_momentum_detects_accelerating_user(spark):
+    """A user whose events crowd the second half of their interval
+    must show positive momentum; a uniform user near zero; counts and
+    span reconcile exactly."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.events import q_user_features
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1: uniform, one event every hour for 10 hours
+    for h in range(10):
+        rows.append((eid, t0 + datetime.timedelta(hours=h), 1, "view", 2.0, "{}")); eid += 1
+    # user 2: 2 early events then 8 crowded at the end of a 10h span
+    rows.append((eid, t0, 2, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, t0 + datetime.timedelta(hours=1), 2, "view", 1.0, "{}")); eid += 1
+    for m in range(8):
+        rows.append((eid, t0 + datetime.timedelta(hours=10, minutes=-m), 2, "view", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["user_id"]: r for r in q_user_features(spark, d).collect()}
+    assert out[1]["n_events"] == 10 and out[1]["span_hours"] == 9
+    assert abs(out[1]["momentum"]) <= 0.2
+    assert out[2]["momentum"] >= 0.6
+    assert out[2]["late_events"] == 8
+    assert out[2]["mean_value"] == 1.0
