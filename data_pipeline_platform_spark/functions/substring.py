@@ -228,3 +228,115 @@ FROM base b LEFT JOIN covered c USING (doc_id)
 """
 
 register("dedup_span_clean", q_dedup_span_clean, ORACLE_DEDUP_SPAN_CLEAN)
+
+
+def q_contamination_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW MUCH of each training document is benchmark text —
+    `contamination_check` answers whether a doc shares any 5-gram with
+    the held-out benchmark (src0); this measures the token-span
+    COVERAGE of that overlap (Lee et al.-style span union, the
+    `dup_span_fraction` fold), which is what a contamination-budget
+    policy actually thresholds on.
+
+    Shape: benchmark grams reduce to a distinct hash set (benchmark-
+    sized, broadcastable at real scale); train grams semi-join against
+    it (the one fact-sized shuffle) and the span union folds per doc
+    with the same least(K, s - prev_s) window as dup_span_fraction."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    )
+    bench_grams = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select(F.size("toks").alias("n"), "toks")
+        .filter(F.col("n") >= DUP_K)
+        .select(
+            F.explode(F.expr(f"sequence(1, n - {DUP_K} + 1)")).alias("s"), "toks"
+        )
+        .select(
+            F.md5(F.expr(f"concat_ws(' ', slice(toks, s, {DUP_K}))")).alias("gh")
+        )
+        .distinct()
+    )
+    train_grams = (
+        base.filter(F.col("n_tokens") >= DUP_K)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, n_tokens - {DUP_K} + 1)")).alias("s"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.md5(F.expr(f"concat_ws(' ', slice(toks, s, {DUP_K}))")).alias("gh"),
+        )
+    )
+    hits = train_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+    cov = (
+        hits.withColumn(
+            "added",
+            F.expr(
+                f"least(CAST({DUP_K} AS BIGINT), "
+                f"CAST(s AS BIGINT) - coalesce(lag(s) OVER "
+                f"(PARTITION BY doc_id ORDER BY s), s - {DUP_K}))"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("added").cast("bigint").alias("contam_tokens"))
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("contam_tokens", F.lit(0)).cast("bigint").alias("contam_tokens"),
+        F.expr(
+            "round(CAST(coalesce(contam_tokens, 0) AS DOUBLE) / n_tokens, 6)"
+        ).alias("contam_fraction"),
+    )
+
+
+ORACLE_CONTAMINATION_SPAN_FRACTION = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents WHERE source != 'src0'
+), bench_grams AS MATERIALIZED (
+  SELECT DISTINCT md5(array_to_string(toks[s:s + {DUP_K} - 1], ' ')) AS gh
+  FROM (
+    SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    WHERE source = 'src0'
+  ) t, LATERAL unnest(generate_series(1, len(toks) - {DUP_K} + 1)) g(s)
+  WHERE len(toks) >= {DUP_K}
+), train_grams AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s:s + {DUP_K} - 1], ' ')) AS gh
+  FROM base, LATERAL unnest(generate_series(1, n_tokens - {DUP_K} + 1)) g(s)
+  WHERE n_tokens >= {DUP_K}
+), hits AS (
+  SELECT doc_id, s FROM train_grams WHERE gh IN (SELECT gh FROM bench_grams)
+), added AS (
+  SELECT doc_id,
+         least(CAST({DUP_K} AS BIGINT),
+               CAST(s AS BIGINT) - coalesce(
+                 lag(s) OVER (PARTITION BY doc_id ORDER BY s),
+                 s - {DUP_K})) AS added
+  FROM hits
+), cov AS (
+  SELECT doc_id, CAST(SUM(added) AS BIGINT) AS contam_tokens FROM added GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(c.contam_tokens, 0) AS BIGINT) AS contam_tokens,
+       round(CAST(COALESCE(c.contam_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+         AS contam_fraction
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+register(
+    "contamination_span_fraction",
+    q_contamination_span_fraction,
+    ORACLE_CONTAMINATION_SPAN_FRACTION,
+)

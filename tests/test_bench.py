@@ -30,3 +30,13 @@ def test_bench_isolates_query_errors(spark, monkeypatch, capsys):
     assert str(out["queries"]["broken_q"]).startswith("ERROR: RuntimeError")
     assert out["errors"] == 1
     assert out["value"] > 0
+
+
+def test_bench_headline_names_exist_in_registry():
+    """A typo in HEADLINE silently becomes an ERROR entry per round —
+    catch it at test time instead."""
+    from data_pipeline_platform_spark.queries import all_queries
+
+    registry = set(all_queries())
+    missing = [q for q in bench.HEADLINE if q not in registry]
+    assert missing == []

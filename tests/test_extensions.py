@@ -2439,3 +2439,31 @@ def test_user_features_momentum_detects_accelerating_user(spark):
     assert out[2]["momentum"] >= 0.6
     assert out[2]["late_events"] == 8
     assert out[2]["mean_value"] == 1.0
+
+
+def test_contamination_span_fraction_measures_planted_overlap(spark):
+    """A train doc embedding a 7-token benchmark phrase must show
+    exactly 7 contaminated tokens (union of overlapping 5-gram spans);
+    clean docs show zero."""
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.substring import (
+        q_contamination_span_fraction,
+    )
+
+    phrase = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {phrase} trailing words here", "en", "src1", 1),
+            (2, "totally unrelated training text goes here", "en", "src2", 1),
+            (3, f"benchmark has {phrase} inside it", "en", "src0", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in q_contamination_span_fraction(spark, d).collect()}
+    assert set(out) == {1, 2}  # benchmark doc itself excluded
+    assert out[1]["contam_tokens"] == 7
+    assert out[1]["contam_fraction"] == round(7 / out[1]["n_tokens"], 6)
+    assert out[2]["contam_tokens"] == 0
