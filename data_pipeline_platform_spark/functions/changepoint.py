@@ -702,3 +702,73 @@ FROM terms
 """
 
 register("km_survival", q_km_survival, ORACLE_KM_SURVIVAL)
+
+
+def q_seasonal_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift detection on the DESEASONALIZED revenue series — the
+    composition that makes both parents honest: raw CUSUM fires on
+    every weekend (the seasonal component IS a drift to it), so the
+    production detector runs on seasonality_decompose's residual+trend
+    deviation instead. Flags days whose cumulative deseasonalized
+    deviation exceeds two mean-days of revenue.
+
+    Shape: the decompose pipeline (one date-keyed rollup, calendar-
+    bounded windows) plus the same prefix-minus-running-min algebra as
+    `cusum_changepoints`, in the decompose's exact 1e-4-dollar fixed
+    point. Oracle nests the decompose SQL verbatim."""
+    dec = q_seasonality_decompose(spark, sf_dir)
+    # back to fixed point: the decompose emitted /10000-scaled doubles
+    # that are exact multiples of 1e-4, so the round-trip is lossless
+    base = dec.select(
+        "day",
+        F.expr("CAST(round(revenue * 10000) AS BIGINT)").alias("v_fp"),
+        F.expr(
+            "CAST(round(revenue * 10000) AS BIGINT) "
+            "- CAST(round(seasonal * 10000) AS BIGINT)"
+        ).alias("deseason_fp"),
+    )
+    tot = base.agg(
+        F.sum("deseason_fp").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .withColumn("d", F.col("n") * F.col("deseason_fp") - F.col("t"))
+        .withColumn("p", F.sum("d").over(w))
+        .withColumn("m", F.least(F.min("p").over(w), F.lit(0)))
+        .select(
+            "day",
+            F.expr("round(CAST(deseason_fp AS DOUBLE) / 10000, 6)").alias(
+                "deseasonalized"
+            ),
+            (F.col("p") - F.col("m")).cast("bigint").alias("cusum_scaled"),
+            ((F.col("p") - F.col("m")) > 2 * F.col("t")).alias("drifting"),
+        )
+    )
+
+
+ORACLE_SEASONAL_CUSUM = f"""
+WITH dec AS MATERIALIZED ({ORACLE_SEASONALITY_DECOMPOSE}),
+base AS (
+  SELECT day,
+         CAST(round(revenue * 10000) AS BIGINT)
+           - CAST(round(seasonal * 10000) AS BIGINT) AS deseason_fp
+  FROM dec
+), tot AS (
+  SELECT SUM(deseason_fp) AS t, COUNT(*) AS n FROM base
+), pre AS (
+  SELECT day, deseason_fp,
+         SUM(n * deseason_fp - t) OVER (ORDER BY day) AS p, t
+  FROM base, tot
+), cs AS (
+  SELECT day, deseason_fp, p - least(MIN(p) OVER (ORDER BY day), 0) AS s, t
+  FROM pre
+)
+SELECT day,
+       round(CAST(deseason_fp AS DOUBLE) / 10000, 6) AS deseasonalized,
+       CAST(s AS BIGINT) AS cusum_scaled,
+       s > 2 * t AS drifting
+FROM cs
+"""
+
+register("seasonal_cusum", q_seasonal_cusum, ORACLE_SEASONAL_CUSUM)

@@ -2467,3 +2467,34 @@ def test_contamination_span_fraction_measures_planted_overlap(spark):
     assert out[1]["contam_tokens"] == 7
     assert out[1]["contam_fraction"] == round(7 / out[1]["n_tokens"], 6)
     assert out[2]["contam_tokens"] == 0
+
+
+def test_seasonal_cusum_ignores_weekly_pattern_catches_level_shift(spark):
+    """A strong weekend pattern with a flat level must NOT drift; the
+    same pattern with a genuine +60% level shift halfway must."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.changepoint import q_seasonal_cusum
+
+    def build(shift):
+        t0 = datetime.datetime(2024, 1, 1)  # Monday
+        rows, oid = [], 0
+        for d in range(84):  # 12 weeks
+            dow = d % 7
+            amt = 200.0 if dow >= 5 else 100.0
+            if shift and d >= 42:
+                amt *= 1.6
+            rows.append((oid, 1, "O", amt, t0 + datetime.timedelta(days=d), "1-URGENT"))
+            oid += 1
+        return rows
+
+    schema = "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        spark.createDataFrame(build(False), schema).write.parquet(f"{d1}/orders.parquet")
+        spark.createDataFrame(build(True), schema).write.parquet(f"{d2}/orders.parquet")
+        flat = q_seasonal_cusum(spark, d1).collect()
+        shifted = sorted(q_seasonal_cusum(spark, d2).collect(), key=lambda r: r["day"])
+    assert not any(r["drifting"] for r in flat)
+    assert any(r["drifting"] for r in shifted[42:])
+    assert not any(r["drifting"] for r in shifted[:35])
