@@ -76,6 +76,8 @@ HEADLINE = [
     "pmi_cooccurrence",
     "knn_classify",
     "dedup_span_clean",
+    # r6 observability flagship (composes gate + overlap + mixture)
+    "corpus_health_report",
 ]
 
 

@@ -63,6 +63,15 @@ def main():
         "weight_new", ascending=False
     ).show(truncate=False)
 
+    print("== Everything at once: the per-source health report ==")
+    from data_pipeline_platform_spark.functions.mixture import (
+        q_corpus_health_report,
+    )
+
+    q_corpus_health_report(spark, sf_dir).orderBy(
+        "max_source_overlap", ascending=False
+    ).show(truncate=False)
+
 
 if __name__ == "__main__":
     main()

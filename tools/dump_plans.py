@@ -85,6 +85,23 @@ NOTES = {
     "benford_check": "digit census map-side combinable; 9-row frame math row-local",
     "seasonality_decompose": "one date-keyed rollup; windows over the calendar-bounded daily frame",
     "tokenizer_fertility": "vocab-sized merge folds; word->length broadcast; |langs|-row reduce",
+    # r6 third/fourth/fifth waves
+    "char_entropy": "entropy fold is a pure row-local projection — no exchange at all",
+    "language_confusion": "classifier rides the scan; matrix census map-side combinable; marginals broadcast",
+    "holt_forecast": "one date-keyed rollup; the Holt fold runs over the collected calendar-bounded series",
+    "ab_ttest": "one conditional-moments agg (map-side combinable); t/df math on a 1-row frame",
+    "chi2_independence": "customer broadcast onto the fact scan; cell census map-side; marginals broadcast back",
+    "cohort_ltv": "two user/cohort-keyed shuffles; cumulative window over the bounded cohort triangle",
+    "bootstrap_ci": "B-way expansion is row-local and collapses map-side to B rows; CI ranks over the B-row frame",
+    "km_survival": "user-keyed lifetime agg; at-risk and KM cumsums over the calendar-bounded hours frame",
+    "user_features": "bounds agg + same-key join-back + one conditional agg; no window",
+    "heldout_perplexity": "train vocab broadcast; held-out scoring join shuffle-free; one doc agg",
+    "winsorize_events": "percentile bounds broadcast; capping row-local; no ordered window",
+    "dedup_cluster_sizes": "two dimension-sized aggs over the clusters frame",
+    "corpus_health_report": "all inputs reduce to |sources|-row frames before the joins",
+    "contamination_span_fraction": "benchmark gram set broadcast semi-join; span fold in a doc-keyed window",
+    "seasonal_cusum": "decompose subtree + prefix algebra over the calendar-bounded daily frame",
+    "pca_variance_explained": "power-iteration subtree + one extra row-local trace pass (exact DECIMAL sums)",
 }
 
 
