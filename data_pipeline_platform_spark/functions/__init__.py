@@ -46,6 +46,7 @@ def _load_all() -> None:
     from data_pipeline_platform_spark.functions import vocab  # noqa: F401
     from data_pipeline_platform_spark.functions import mixture  # noqa: F401
     from data_pipeline_platform_spark.functions import pmi  # noqa: F401
+    from data_pipeline_platform_spark.functions import regression  # noqa: F401
 
 
 _load_all()

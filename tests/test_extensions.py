@@ -2498,3 +2498,36 @@ def test_seasonal_cusum_ignores_weekly_pattern_catches_level_shift(spark):
     assert not any(r["drifting"] for r in flat)
     assert any(r["drifting"] for r in shifted[42:])
     assert not any(r["drifting"] for r in shifted[:35])
+
+
+def test_feature_correlations_match_numpy_least_squares(spark):
+    """slope/intercept/r for each feature must match numpy's polyfit/
+    corrcoef on the same (quantized) pairs."""
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.regression import (
+        _FEATURES,
+        _FP,
+        q_feature_correlations,
+    )
+    from data_pipeline_platform_spark.functions.repetition import (
+        q_unigram_logprob,
+    )
+    from data_pipeline_platform_spark.functions.text import q_text_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["feature"]: r for r in q_feature_correlations(spark, sf).collect()}
+    stats = {r["doc_id"]: r for r in q_text_stats(spark, sf).collect()}
+    flu = {
+        r["doc_id"]: round(r["mean_logprob"] * _FP) / _FP
+        for r in q_unigram_logprob(spark, sf).collect()
+    }
+    for f in _FEATURES:
+        xs = np.array([round(stats[d][f] * _FP) / _FP for d in flu])
+        ys = np.array([flu[d] for d in flu])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert abs(out[f]["slope"] - slope) < 1e-4 * max(1, abs(slope))
+        assert abs(out[f]["intercept"] - intercept) < 1e-3
+        assert abs(out[f]["pearson_r"] - r) < 1e-4
+        assert out[f]["n"] == len(xs)
