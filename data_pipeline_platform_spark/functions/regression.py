@@ -121,3 +121,88 @@ j AS (
 """
 
 register("feature_correlations", q_feature_correlations, ORACLE_FEATURE_CORRELATIONS)
+
+
+_CAL_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the hashed linear classifier against the
+    rule-based Gopher gate: bucket documents into classifier-score
+    deciles (exact-percentile boundaries broadcast — the rfm_segments
+    posture, no global NTILE) and report each decile's gate pass rate.
+    A monotone curve means the cheap classifier ranks documents the
+    way the expensive rules do; a flat one means it learned nothing
+    the gate cares about.
+
+    Shape: both inputs ride their own single-pass plans; the decile
+    assignment is a row-local comparison chain against 9 broadcast
+    scalars; one 10-group aggregation ends it."""
+    from data_pipeline_platform_spark.functions.repetition import (
+        q_gopher_quality_filter,
+    )
+    from data_pipeline_platform_spark.functions.text import q_quality_classifier
+
+    cls = q_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    gate = q_gopher_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    j = cls.join(gate, "doc_id")
+    qlist = ", ".join(str(q) for q in _CAL_QS)
+    bounds = j.agg(F.expr(f"percentile(score, array({qlist}))").alias("qb"))
+    exceed = " + ".join(
+        f"CAST(score > element_at(qb, {i + 1}) AS INT)" for i in range(len(_CAL_QS))
+    )
+    return (
+        j.crossJoin(F.broadcast(bounds))
+        .withColumn("decile", F.expr(f"1 + ({exceed})"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6)").alias(
+                "mean_score"
+            ),
+            F.expr(
+                "round(CAST(SUM(CAST(keep AS INT)) AS DOUBLE) / COUNT(*), 6)"
+            ).alias("gate_pass_rate"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            "mean_score",
+            "gate_pass_rate",
+        )
+    )
+
+
+def _oracle_score_calibration() -> str:
+    from data_pipeline_platform_spark.functions.repetition import (
+        ORACLE_GOPHER_QUALITY_FILTER,
+    )
+    from data_pipeline_platform_spark.functions.text import (
+        ORACLE_QUALITY_CLASSIFIER,
+    )
+
+    qlist = ", ".join(str(q) for q in _CAL_QS)
+    exceed = " + ".join(
+        f"CAST(score > qb[{i + 1}] AS INT)" for i in range(len(_CAL_QS))
+    )
+    return f"""
+WITH cls AS MATERIALIZED ({ORACLE_QUALITY_CLASSIFIER}),
+gate AS MATERIALIZED ({ORACLE_GOPHER_QUALITY_FILTER}),
+j AS (
+  SELECT c.doc_id, c.score, g.keep FROM cls c JOIN gate g USING (doc_id)
+), bounds AS (
+  SELECT quantile_cont(score, [{qlist}]) AS qb FROM j
+)
+SELECT CAST(1 + ({exceed}) AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+       round(CAST(SUM(CAST(keep AS INT)) AS DOUBLE) / COUNT(*), 6)
+         AS gate_pass_rate
+FROM j, bounds
+GROUP BY 1
+"""
+
+
+ORACLE_SCORE_CALIBRATION = _oracle_score_calibration()
+
+register("score_calibration", q_score_calibration, ORACLE_SCORE_CALIBRATION)

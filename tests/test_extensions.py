@@ -2531,3 +2531,21 @@ def test_feature_correlations_match_numpy_least_squares(spark):
         assert abs(out[f]["intercept"] - intercept) < 1e-3
         assert abs(out[f]["pearson_r"] - r) < 1e-4
         assert out[f]["n"] == len(xs)
+
+
+def test_score_calibration_deciles_partition_the_corpus(spark):
+    """Decile counts must sum to the doc count, mean scores must be
+    strictly increasing across deciles, and pass rates stay in [0,1]."""
+    from data_pipeline_platform_spark.functions.regression import (
+        q_score_calibration,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(q_score_calibration(spark, sf).collect(), key=lambda r: r["decile"])
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    means = [r["mean_score"] for r in rows]
+    assert means == sorted(means)
+    assert all(0.0 <= r["gate_pass_rate"] <= 1.0 for r in rows)
+    assert 8 <= len(rows) <= 10  # ties can merge buckets, never explode
