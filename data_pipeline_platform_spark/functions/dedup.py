@@ -975,3 +975,71 @@ GROUP BY 1
 """
 
 register("dedup_cluster_sizes", q_dedup_cluster_sizes, ORACLE_DEDUP_CLUSTER_SIZES)
+
+
+def q_simhash_jaccard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen-vs-truth calibration for the SimHash dedup screen: for
+    every candidate pair the screen emits (hamming <= 6), compute the
+    EXACT shingle Jaccard and aggregate per hamming distance — the
+    curve that tells a dedup owner what a hamming threshold actually
+    means in Jaccard terms before they tune it.
+
+    Shape: the screened pairs are the bounded candidate set (banded
+    16-bit chunks, never n²); the exact verify joins the shingle frame
+    twice on doc id; the curve is a <= 7-row aggregation."""
+    pairs = q_dedup_simhash(spark, sf_dir)
+    sh = tracked_persist(
+        with_shingles(_docs(spark, sf_dir)).select("doc_id", "shingles")
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    scored = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("shared"))
+        .withColumn(
+            "jac_fp",
+            F.expr(
+                "CASE WHEN uni = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(round(CAST(shared AS DOUBLE) / uni * 1000000) AS BIGINT) END"
+            ),
+        )
+    )
+    return scored.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("round(CAST(SUM(jac_fp) AS DOUBLE) / 1000000 / COUNT(*), 6)").alias(
+            "mean_jaccard"
+        ),
+        F.sum(F.expr("CAST(jac_fp >= 800000 AS INT)"))
+        .cast("bigint")
+        .alias("true_near_dups"),
+    )
+
+
+ORACLE_SIMHASH_JACCARD_CURVE = f"""
+WITH pairs AS MATERIALIZED ({ORACLE_DEDUP_SIMHASH}),
+sh2 AS MATERIALIZED ({_DUCK_SHINGLES}),
+scored AS (
+  SELECT p.hamming,
+         len(list_intersect(a.shingles, b.shingles)) AS shared,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS uni
+  FROM pairs p
+  JOIN sh2 a ON a.doc_id = p.doc_a
+  JOIN sh2 b ON b.doc_id = p.doc_b
+), fp AS (
+  SELECT hamming,
+         CASE WHEN uni = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(CAST(shared AS DOUBLE) / uni * 1000000) AS BIGINT)
+         END AS jac_fp
+  FROM scored
+)
+SELECT hamming, COUNT(*) AS n_pairs,
+       round(CAST(SUM(jac_fp) AS DOUBLE) / 1000000 / COUNT(*), 6) AS mean_jaccard,
+       CAST(SUM(CASE WHEN jac_fp >= 800000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS true_near_dups
+FROM fp GROUP BY hamming
+"""
+
+register("simhash_jaccard_curve", q_simhash_jaccard_curve, ORACLE_SIMHASH_JACCARD_CURVE)

@@ -2549,3 +2549,29 @@ def test_score_calibration_deciles_partition_the_corpus(spark):
     assert means == sorted(means)
     assert all(0.0 <= r["gate_pass_rate"] <= 1.0 for r in rows)
     assert 8 <= len(rows) <= 10  # ties can merge buckets, never explode
+
+
+def test_simhash_curve_separates_head_from_tail(spark):
+    """Small hamming must mean true near-dups (exact Jaccard ~ 1),
+    large hamming chance collisions (~ 0) — the separation the screen
+    is built on; counts reconcile with the raw pair set."""
+    from data_pipeline_platform_spark.functions.dedup import (
+        q_dedup_simhash,
+        q_simhash_jaccard_curve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    curve = sorted(
+        q_simhash_jaccard_curve(spark, sf).collect(), key=lambda r: r["hamming"]
+    )
+    assert curve
+    n_pairs = q_dedup_simhash(spark, sf).count()
+    assert sum(r["n_pairs"] for r in curve) == n_pairs
+    # the screen's premise is SEPARATION, not smooth monotonicity: tiny
+    # hamming = true near-dups, large hamming = chance collisions
+    head = [r for r in curve if r["hamming"] <= 2]
+    tail = [r for r in curve if r["hamming"] >= 5]
+    assert head and min(r["mean_jaccard"] for r in head) >= 0.9
+    assert tail and max(r["mean_jaccard"] for r in tail) <= 0.2
+    for r in curve:
+        assert 0 <= r["true_near_dups"] <= r["n_pairs"]
