@@ -396,3 +396,71 @@ BATCH6_ORACLES: Dict[str, str] = {
     "idle_customers": ORACLE_IDLE_CUSTOMERS,
     "repetition_stats": ORACLE_REPETITION_STATS,
 }
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation:
+    sum over suppliers of squared revenue share — the procurement-risk
+    metric (10000 = monopoly; < 1500 reads competitive, scaled by the
+    conventional 1e4).
+
+    Exactness: revenue stays integer cents; HHI = 1e4 * sum(r_s^2) /
+    (sum(r_s))^2 evaluates the numerator in DECIMAL(38,0) and divides
+    once — cents^2 * 1e4 at 100 TB still fits 38 digits per nation.
+    Shape: one lineitem->supplier broadcast join, one (nation,
+    supplier) map-side-combinable agg, then a |nations|-frame rollup."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("rev_c"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("rev_c").alias("r"))
+    )
+    return (
+        per_supp.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("r").alias("tot"),
+            F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * r")).alias("sumsq"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.expr(
+                "round(CAST(sumsq AS DOUBLE) * 10000 "
+                "/ (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)"
+            ).alias("hhi"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_HHI = """
+WITH per_supp AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), rolled AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         SUM(r) AS tot, SUM(CAST(r AS HUGEINT) * r) AS sumsq
+  FROM per_supp GROUP BY 1
+)
+SELECT n.n_name AS nation, ro.n_suppliers,
+       round(CAST(ro.sumsq AS DOUBLE) * 10000
+             / (CAST(ro.tot AS DOUBLE) * CAST(ro.tot AS DOUBLE)), 6) AS hhi
+FROM rolled ro JOIN nation n ON ro.s_nationkey = n.n_nationkey
+"""
+
+BATCH6_QUERIES["supplier_hhi"] = q_supplier_hhi
+BATCH6_ORACLES["supplier_hhi"] = ORACLE_SUPPLIER_HHI

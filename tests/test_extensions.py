@@ -2575,3 +2575,29 @@ def test_simhash_curve_separates_head_from_tail(spark):
     assert tail and max(r["mean_jaccard"] for r in tail) <= 0.2
     for r in curve:
         assert 0 <= r["true_near_dups"] <= r["n_pairs"]
+
+
+def test_supplier_hhi_bounds_and_monopoly_case(spark):
+    """HHI lies in (1e4/n_suppliers, 1e4]; a one-supplier nation scores
+    exactly 10000."""
+    import tempfile
+
+    from data_pipeline_platform_spark.queries5 import q_supplier_hhi
+
+    sf = "/root/testdata/sf0.001"
+    for r in q_supplier_hhi(spark, sf).collect():
+        assert 10000.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 10000.0 + 1e-6
+    # synthetic monopoly
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", __import__("datetime").datetime(2024, 1, 1))],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            [(1, 0)], "s_suppkey long, s_nationkey long"
+        ).write.parquet(f"{d}/supplier.parquet")
+        spark.createDataFrame(
+            [(0, "MONO")], "n_nationkey long, n_name string"
+        ).write.parquet(f"{d}/nation.parquet")
+        rows = q_supplier_hhi(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["hhi"] == 10000.0
