@@ -464,3 +464,79 @@ FROM rolled ro JOIN nation n ON ro.s_nationkey = n.n_nationkey
 
 BATCH6_QUERIES["supplier_hhi"] = q_supplier_hhi
 BATCH6_ORACLES["supplier_hhi"] = ORACLE_SUPPLIER_HHI
+
+
+def q_brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return rates with an ELEVATED flag: brands whose
+    return share sits more than two binomial standard errors above the
+    corpus rate — the supplier-quality escalation list.
+
+    The z-test comparison is cleared of square roots into the exact
+    integer inequality (r1*n0 - r0*n1)^2 > 4*r0*(n0-r0)*n1 (both
+    sides scaled by n0^2*n1^2; DECIMAL(38,0)/HUGEINT — exact through
+    ~1e9 items per side), so both engines flag the identical brand
+    set. One broadcast part join + one map-side-combinable agg."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.expr("CAST(l_returnflag = 'R' AS INT)")).alias("n_returned"),
+        )
+    )
+    tot = per_brand.agg(
+        F.sum("n_items").alias("n0"), F.sum("n_returned").alias("r0")
+    )
+    return (
+        per_brand.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_items",
+            F.col("n_returned").cast("bigint").alias("n_returned"),
+            F.expr("round(CAST(n_returned AS DOUBLE) / n_items, 6)").alias(
+                "return_rate"
+            ),
+            (
+                (F.col("n_returned") * F.col("n0") > F.col("r0") * F.col("n_items"))
+                & (
+                    F.expr(
+                        "CAST(n_returned AS DECIMAL(38,0)) * n0 - CAST(r0 AS DECIMAL(38,0)) * n_items"
+                    )
+                    * F.expr(
+                        "CAST(n_returned AS DECIMAL(38,0)) * n0 - CAST(r0 AS DECIMAL(38,0)) * n_items"
+                    )
+                    > F.expr(
+                        "CAST(4 AS DECIMAL(38,0)) * r0 * (n0 - r0) * n_items"
+                    )
+                )
+            ).alias("elevated"),
+        )
+    )
+
+
+ORACLE_BRAND_RETURN_RATE = """
+WITH per_brand AS (
+  SELECT p.p_brand AS brand, COUNT(*) AS n_items,
+         SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+), tot AS (
+  SELECT SUM(n_items) AS n0, SUM(n_returned) AS r0 FROM per_brand
+)
+SELECT brand, n_items, CAST(n_returned AS BIGINT) AS n_returned,
+       round(CAST(n_returned AS DOUBLE) / n_items, 6) AS return_rate,
+       (n_returned * n0 > r0 * n_items) AND
+       ((CAST(n_returned AS HUGEINT) * n0 - CAST(r0 AS HUGEINT) * n_items)
+        * (CAST(n_returned AS HUGEINT) * n0 - CAST(r0 AS HUGEINT) * n_items)
+        > CAST(4 AS HUGEINT) * r0 * (n0 - r0) * n_items) AS elevated
+FROM per_brand, tot
+"""
+
+BATCH6_QUERIES["brand_return_rate"] = q_brand_return_rate
+BATCH6_ORACLES["brand_return_rate"] = ORACLE_BRAND_RETURN_RATE

@@ -2601,3 +2601,19 @@ def test_supplier_hhi_bounds_and_monopoly_case(spark):
         ).write.parquet(f"{d}/nation.parquet")
         rows = q_supplier_hhi(spark, d).collect()
     assert len(rows) == 1 and rows[0]["hhi"] == 10000.0
+
+
+def test_brand_return_rate_flag_replays_z_rule(spark):
+    """The elevated flag must equal a python replay of the exact
+    integer z-rule, and rates reconcile with counts."""
+    from data_pipeline_platform_spark.queries5 import q_brand_return_rate
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_brand_return_rate(spark, sf).collect()
+    n0 = sum(r["n_items"] for r in rows)
+    r0 = sum(r["n_returned"] for r in rows)
+    for r in rows:
+        assert r["return_rate"] == round(r["n_returned"] / r["n_items"], 6)
+        d = r["n_returned"] * n0 - r0 * r["n_items"]
+        expected = d > 0 and d * d > 4 * r0 * (n0 - r0) * r["n_items"]
+        assert bool(r["elevated"]) == expected
