@@ -799,3 +799,57 @@ FROM j GROUP BY user_id
 """
 
 register("user_features", q_user_features, ORACLE_USER_FEATURES)
+
+
+def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of the user's
+    event-type distribution — the segmentation feature that separates
+    single-action bots (H = 0) from organic multi-surface users
+    (H -> log2 |types|). Companion feature to `user_features`.
+
+    Shape: one (user, type) census (map-side combinable), one user
+    rollup; the entropy fold applies the char_entropy posture — exact
+    integer counts into fixed-point ln terms summed as BIGINTs, one
+    final division. Both shuffles key on user/dimension columns."""
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_u = Window.partitionBy("user_id")
+    return (
+        cells.withColumn("n", F.sum("c").over(w_u))
+        .withColumn(
+            "term_fp",
+            F.expr(
+                "c * CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT)"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.expr(
+                "round(-CAST(SUM(term_fp) AS DOUBLE) / MAX(n) / 1000000 / ln(2.0), 6)"
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+ORACLE_USER_TYPE_ENTROPY = """
+WITH cells AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+), with_n AS (
+  SELECT *, SUM(c) OVER (PARTITION BY user_id) AS n FROM cells
+), terms AS (
+  SELECT user_id, n,
+         c * CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS term_fp
+  FROM with_n
+)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       round(-CAST(SUM(term_fp) AS DOUBLE) / MAX(n) / 1000000 / ln(2.0), 6)
+         AS entropy_bits
+FROM terms GROUP BY user_id
+"""
+
+register("user_type_entropy", q_user_type_entropy, ORACLE_USER_TYPE_ENTROPY)

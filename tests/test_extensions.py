@@ -2617,3 +2617,32 @@ def test_brand_return_rate_flag_replays_z_rule(spark):
         d = r["n_returned"] * n0 - r0 * r["n_items"]
         expected = d > 0 and d * d > 4 * r0 * (n0 - r0) * r["n_items"]
         assert bool(r["elevated"]) == expected
+
+
+def test_user_type_entropy_bounds_and_degenerate_user(spark):
+    """A one-type user scores exactly 0; a uniform k-type user scores
+    exactly log2(k) (up to fixed-point); entropy never exceeds
+    log2(n_types)."""
+    import datetime
+    import math
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.events import q_user_type_entropy
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for _ in range(8):  # user 1: only clicks
+        rows.append((eid, t0, 1, "click", 1.0, "{}")); eid += 1
+    for t in ("a", "b", "c", "d"):  # user 2: uniform over 4 types
+        for _ in range(5):
+            rows.append((eid, t0, 2, t, 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["user_id"]: r for r in q_user_type_entropy(spark, d).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["n_types"] == 1
+    assert abs(out[2]["entropy_bits"] - 2.0) < 1e-5
+    for r in out.values():
+        assert r["entropy_bits"] <= math.log2(max(r["n_types"], 1)) + 1e-6
