@@ -1417,3 +1417,84 @@ FROM (
 """
 
 register("knn_classify", q_knn_classify, ORACLE_KNN_CLASSIFY)
+
+
+def q_embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-pipeline consistency check: split the table into two
+    content-addressed halves (md5 of vec_id — the train_val_test_split
+    posture) and measure, per label, the distance between the halves'
+    centroids. Stable labels give near-zero drift; a label whose
+    halves disagree is noisy or the embedder changed mid-ingest.
+
+    All fixed-point exact: per-half centroids are the
+    `centroid_classify` means; the drift is the exact BIGINT distance
+    fold between the two 1e-9-rounded centroid vectors. Two map-side-
+    combinable aggs; the per-label join is |labels|-sized."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    halves = emb.withColumn(
+        "half",
+        (F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8").cast("int"),
+    )
+    ex = halves.select("label", "half", F.posexplode("vec").alias("dim", "comp"))
+    cents = ex.groupBy("label", "half", "dim").agg(
+        (
+            F.sum(F.expr("CAST(round(comp * 1000000000) AS BIGINT)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000000.0)
+        ).alias("c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    arr = (
+        cents.groupBy("label", "half")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"),
+            F.max("cnt").alias("n_vecs"),
+        )
+        .select(
+            "label",
+            "half",
+            F.expr("transform(dc, x -> x.c)").alias("cvec"),
+            "n_vecs",
+        )
+    )
+    a = arr.filter(F.col("half") == 1).select(
+        "label", F.col("cvec").alias("ca"), F.col("n_vecs").alias("n_a")
+    )
+    b = arr.filter(F.col("half") == 0).select(
+        "label", F.col("cvec").alias("cb"), F.col("n_vecs").alias("n_b")
+    )
+    return a.join(b, "label").select(
+        "label",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr(_dist_fp_sql("ca", "cb")).alias("drift_fp"),
+    )
+
+
+ORACLE_EMBEDDING_SPLIT_DRIFT = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS half
+  FROM embeddings
+), ex AS (
+  SELECT label, half, i - 1 AS dim, vec[i] AS comp
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
+), cents AS (
+  SELECT label, half, dim,
+         CAST(SUM(CAST(round(comp * 1000000000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000000.0 AS c,
+         COUNT(*) AS cnt
+  FROM ex GROUP BY 1, 2, 3
+), arr AS (
+  SELECT label, half, list(c ORDER BY dim) AS cvec, MAX(cnt) AS n_vecs
+  FROM cents GROUP BY 1, 2
+)
+SELECT a.label, CAST(a.n_vecs AS BIGINT) AS n_a, CAST(b.n_vecs AS BIGINT) AS n_b,
+       {_duck_dist_fp('a.cvec', 'b.cvec')} AS drift_fp
+FROM arr a JOIN arr b ON a.label = b.label AND a.half = 1 AND b.half = 0
+"""
+
+register("embedding_split_drift", q_embedding_split_drift, ORACLE_EMBEDDING_SPLIT_DRIFT)

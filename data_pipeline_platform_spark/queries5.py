@@ -540,3 +540,66 @@ FROM per_brand, tot
 
 BATCH6_QUERIES["brand_return_rate"] = q_brand_return_rate
 BATCH6_ORACLES["brand_return_rate"] = ORACLE_BRAND_RETURN_RATE
+
+
+def q_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full bilateral trade matrix: revenue flow from every supplier
+    nation to every customer nation — the N x N generalization of
+    TPC-H Q7's two-nation volume query, the one-glance view of which
+    geographies actually trade.
+
+    Shape: the one fact-fact join (orders x lineitem on orderkey);
+    customer, supplier, and both nation dims broadcast; the (N x N)
+    rollup is map-side combinable with dimension-bounded keys. Revenue
+    is exact DECIMAL cents until the final cast."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("rev_c"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.expr("round(CAST(SUM(rev_c) AS DOUBLE) / 100, 6)").alias("revenue"),
+        )
+    )
+
+
+ORACLE_TRADE_MATRIX = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       COUNT(*) AS n_lineitems,
+       round(CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS DOUBLE) / 100, 6) AS revenue
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1, 2
+"""
+
+BATCH6_QUERIES["trade_matrix"] = q_trade_matrix
+BATCH6_ORACLES["trade_matrix"] = ORACLE_TRADE_MATRIX

@@ -2646,3 +2646,48 @@ def test_user_type_entropy_bounds_and_degenerate_user(spark):
     assert abs(out[2]["entropy_bits"] - 2.0) < 1e-5
     for r in out.values():
         assert r["entropy_bits"] <= math.log2(max(r["n_types"], 1)) + 1e-6
+
+
+def test_embedding_split_drift_zero_for_identical_halves(spark):
+    """If both halves contain identical vectors the centroids agree
+    exactly (drift 0); shifting one half's vectors produces drift."""
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.similarity import (
+        q_embedding_split_drift,
+    )
+
+    # vec_ids chosen so md5 first hex splits them across halves; all
+    # identical vectors -> whatever the split, centroids coincide
+    rows = [(i, [1.0] * 8, 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        out = q_embedding_split_drift(spark, d).collect()
+    assert len(out) == 1 and out[0]["drift_fp"] == 0
+
+
+def test_trade_matrix_reconciles_with_total_revenue(spark):
+    """Matrix cells must sum to the corpus revenue and cover every
+    supplier nation present in the data."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_platform_spark.queries5 import q_trade_matrix
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_trade_matrix(spark, sf).collect()
+    total = round(sum(r["revenue"] for r in rows), 2)
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select("o_orderkey")
+    expected = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .agg(
+            F.expr(
+                "round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2)"
+            )
+        )
+        .collect()[0][0]
+    )
+    assert abs(total - float(expected)) < 0.05
+    assert len({r["supp_nation"] for r in rows}) >= 5
