@@ -603,3 +603,53 @@ GROUP BY 1, 2
 
 BATCH6_QUERIES["trade_matrix"] = q_trade_matrix
 BATCH6_ORACLES["trade_matrix"] = ORACLE_TRADE_MATRIX
+
+
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 report: what share of revenue the top decile of
+    customers carries. The top-decile membership comes from ONE exact
+    percentile scalar over per-customer revenue (broadcast back — the
+    rfm_segments posture, no global sort/NTILE); shares stay exact
+    cents until the final division."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    cust_rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("rev_c")
+        )
+    )
+    p90 = cust_rev.agg(F.expr("percentile(rev_c, 0.9)").alias("p90"))
+    return (
+        cust_rev.crossJoin(F.broadcast(p90))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.expr("CAST(rev_c > p90 AS INT)")).cast("bigint").alias("n_top"),
+            F.expr("round(MAX(p90) / 100, 6)").alias("p90_revenue"),
+            F.expr(
+                "round(CAST(SUM(CASE WHEN rev_c > p90 THEN rev_c ELSE 0 END) AS DOUBLE) "
+                "/ SUM(rev_c), 6)"
+            ).alias("top_decile_share"),
+        )
+    )
+
+
+ORACLE_PARETO_SHARE = """
+WITH cust_rev AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), b AS (SELECT quantile_cont(rev_c, 0.9) AS p90 FROM cust_rev)
+SELECT COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN rev_c > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+       round(MAX(p90) / 100, 6) AS p90_revenue,
+       round(CAST(SUM(CASE WHEN rev_c > p90 THEN rev_c ELSE 0 END) AS DOUBLE)
+             / SUM(rev_c), 6) AS top_decile_share
+FROM cust_rev, b
+"""
+
+BATCH6_QUERIES["pareto_share"] = q_pareto_share
+BATCH6_ORACLES["pareto_share"] = ORACLE_PARETO_SHARE

@@ -2691,3 +2691,28 @@ def test_trade_matrix_reconciles_with_total_revenue(spark):
     )
     assert abs(total - float(expected)) < 0.05
     assert len({r["supp_nation"] for r in rows}) >= 5
+
+
+def test_pareto_share_bounds_and_replay(spark):
+    """~10% of customers are 'top', their share exceeds 10% (revenue
+    concentrates), and the share matches a python recompute."""
+    from data_pipeline_platform_spark.queries5 import q_pareto_share
+    from data_pipeline_platform_spark.sources.readers import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    r = q_pareto_share(spark, sf).collect()[0]
+    assert 0.05 <= r["n_top"] / r["n_customers"] <= 0.15
+    assert r["top_decile_share"] > 0.1
+    revs = [
+        row["rev"]
+        for row in load_table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.expr("SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev"))
+        .collect()
+    ]
+    import statistics
+
+    p90 = statistics.quantiles(sorted(revs), n=10, method="inclusive")[-1]
+    top = sum(v for v in revs if v > p90)
+    assert abs(r["top_decile_share"] - top / sum(revs)) < 1e-6
