@@ -853,3 +853,60 @@ FROM terms GROUP BY user_id
 """
 
 register("user_type_entropy", q_user_type_entropy, ORACLE_USER_TYPE_ENTROPY)
+
+
+def q_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queueing diagnostics per event type: inter-arrival gap moments
+    and the coefficient of variation across the type's per-user event
+    streams. CV ~ 1 is memoryless (Poisson) traffic; CV >> 1 is bursty
+    (retry storms, scrapers); CV << 1 is scheduled/heartbeat traffic.
+
+    Shape: gaps come from one lag over the (user, type)-keyed sort
+    (the sessionize exchange); gap moments are exact integer seconds
+    (DECIMAL(38,0) squares) in one map-side-combinable agg; CV/mean
+    evaluate on the |types|-row frame with sqrt over exact-integer
+    variance — the ab_ttest posture."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    secs = F.expr("CAST(unix_timestamp(ts) AS BIGINT)")
+    gaps = (
+        ev.withColumn("gap", secs - F.lag(secs).over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("s"),
+            F.sum(F.expr("CAST(gap AS DECIMAL(38,0)) * gap")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.expr("round(CAST(s AS DOUBLE) / n_gaps, 6)").alias("mean_gap_s"),
+            F.expr(
+                "round(sqrt(CAST(n_gaps * s2 - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)) "
+                "/ CAST(s AS DOUBLE), 6)"
+            ).alias("cv"),
+        )
+    )
+
+
+ORACLE_ARRIVAL_BURSTINESS = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+             (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+), g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       round(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap_s,
+       round(sqrt(CAST(COUNT(*) * SUM(CAST(gap AS HUGEINT) * gap)
+                       - CAST(SUM(gap) AS HUGEINT) * SUM(gap) AS DOUBLE))
+             / CAST(SUM(gap) AS DOUBLE), 6) AS cv
+FROM g GROUP BY event_type
+"""
+
+register("arrival_burstiness", q_arrival_burstiness, ORACLE_ARRIVAL_BURSTINESS)

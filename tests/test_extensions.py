@@ -2716,3 +2716,31 @@ def test_pareto_share_bounds_and_replay(spark):
     p90 = statistics.quantiles(sorted(revs), n=10, method="inclusive")[-1]
     top = sum(v for v in revs if v > p90)
     assert abs(r["top_decile_share"] - top / sum(revs)) < 1e-6
+
+
+def test_arrival_burstiness_separates_heartbeat_from_bursts(spark):
+    """A strict 60s heartbeat must score CV = 0; a bursty stream
+    (tight clusters separated by long silences) scores CV > 1."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.events import q_arrival_burstiness
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(50):  # heartbeat: exactly every 60s
+        rows.append((eid, t0 + datetime.timedelta(seconds=60 * i), 1, "heartbeat", 1.0, "{}")); eid += 1
+    ts = 0
+    for burst in range(10):  # bursts of 5 events 1s apart, then 1h gap
+        for j in range(5):
+            rows.append((eid, t0 + datetime.timedelta(seconds=ts + j), 2, "bursty", 1.0, "{}")); eid += 1
+        ts += 3600
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["event_type"]: r for r in q_arrival_burstiness(spark, d).collect()}
+    assert out["heartbeat"]["cv"] == 0.0
+    assert out["heartbeat"]["mean_gap_s"] == 60.0
+    assert out["bursty"]["cv"] > 1.5
