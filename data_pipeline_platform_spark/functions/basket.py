@@ -284,3 +284,44 @@ FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
 register("similar_parts_topk", q_similar_parts_topk, ORACLE_SIMILAR_PARTS_TOPK)
+
+
+def q_copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (edges = part
+    pairs with support >= MIN_SUPPORT): the shape diagnostic that says
+    whether the graph is hub-dominated (heavy tail — a few parts
+    co-occur with everything, salting candidates for the triangle and
+    CF ops) or uniform. Two dimension-sized aggs over the bounded edge
+    census."""
+    edges = q_frequent_itemsets(spark, sf_dir).select("pa", "pb")
+    deg = (
+        edges.select(F.explode(F.array("pa", "pb")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(F.col("degree").cast("bigint").alias("degree"), "n_parts")
+    )
+
+
+ORACLE_COPURCHASE_DEGREE_HIST = f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_SUPPORT}
+), deg AS (
+  SELECT part, COUNT(*) AS degree FROM (
+    SELECT pa AS part FROM edges UNION ALL SELECT pb FROM edges
+  ) GROUP BY 1
+)
+SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_parts
+FROM deg GROUP BY 1
+"""
+
+register("copurchase_degree_hist", q_copurchase_degree_hist, ORACLE_COPURCHASE_DEGREE_HIST)

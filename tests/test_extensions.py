@@ -2744,3 +2744,22 @@ def test_arrival_burstiness_separates_heartbeat_from_bursts(spark):
     assert out["heartbeat"]["cv"] == 0.0
     assert out["heartbeat"]["mean_gap_s"] == 60.0
     assert out["bursty"]["cv"] > 1.5
+
+
+def test_degree_hist_reconciles_with_triangle_op_degrees(spark):
+    """The histogram must recount the per-part degrees the triangle op
+    reports."""
+    from collections import Counter
+
+    from data_pipeline_platform_spark.functions.basket import (
+        q_copurchase_degree_hist,
+        q_copurchase_triangles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tri = q_copurchase_triangles(spark, sf).collect()
+    expected = Counter(r["degree"] for r in tri)
+    got = {
+        r["degree"]: r["n_parts"] for r in q_copurchase_degree_hist(spark, sf).collect()
+    }
+    assert got == dict(expected) and got
