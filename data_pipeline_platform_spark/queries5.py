@@ -653,3 +653,106 @@ FROM cust_rev, b
 
 BATCH6_QUERIES["pareto_share"] = q_pareto_share
 BATCH6_ORACLES["pareto_share"] = ORACLE_PARETO_SHARE
+
+
+def q_region_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share by customer region per order year — the
+    market-share-over-time view (TPC-H Q8 generalized from one region
+    to the full trend surface). Exact cents; yearly totals come from a
+    window over the (region x year) frame, dimension-bounded."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("rev_c"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cells = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), "yr")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    w_yr = W.partitionBy("yr")
+    return cells.select(
+        "region",
+        F.col("yr").cast("bigint").alias("yr"),
+        F.expr("round(CAST(rev_c AS DOUBLE) / 100, 6)").alias("revenue"),
+        F.expr("round(CAST(rev_c AS DOUBLE) / SUM(rev_c) OVER "
+               "(PARTITION BY yr), 6)").alias("share"),
+    )
+
+
+ORACLE_REGION_SHARE_TREND = """
+WITH cells AS (
+  SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, yr,
+       round(CAST(rev_c AS DOUBLE) / 100, 6) AS revenue,
+       round(CAST(rev_c AS DOUBLE) / SUM(rev_c) OVER (PARTITION BY yr), 6)
+         AS share
+FROM cells
+"""
+
+BATCH6_QUERIES["region_share_trend"] = q_region_share_trend
+BATCH6_ORACLES["region_share_trend"] = ORACLE_REGION_SHARE_TREND
+
+
+def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment health per brand: how much of the catalog has ever
+    actually sold (ordered parts / catalog parts). A left join from
+    the part dim to the distinct ordered-part set — the dim side
+    drives, so never-sold parts are counted rather than silently
+    dropped."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ordered = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    )
+    return (
+        part.join(ordered, part["p_partkey"] == ordered["l_partkey"], "left")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.expr("CAST(l_partkey IS NOT NULL AS INT)"))
+            .cast("bigint")
+            .alias("n_ordered"),
+        )
+        .select(
+            "brand",
+            "n_parts",
+            "n_ordered",
+            F.expr("round(CAST(n_ordered AS DOUBLE) / n_parts, 6)").alias("coverage"),
+        )
+    )
+
+
+ORACLE_CATALOG_COVERAGE = """
+WITH ordered AS (SELECT DISTINCT l_partkey FROM lineitem)
+SELECT p.p_brand AS brand, COUNT(*) AS n_parts,
+       CAST(SUM(CASE WHEN o.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ordered,
+       round(CAST(SUM(CASE WHEN o.l_partkey IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS coverage
+FROM part p LEFT JOIN ordered o ON p.p_partkey = o.l_partkey
+GROUP BY 1
+"""
+
+BATCH6_QUERIES["catalog_coverage"] = q_catalog_coverage
+BATCH6_ORACLES["catalog_coverage"] = ORACLE_CATALOG_COVERAGE

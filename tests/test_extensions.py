@@ -2763,3 +2763,32 @@ def test_degree_hist_reconciles_with_triangle_op_degrees(spark):
         r["degree"]: r["n_parts"] for r in q_copurchase_degree_hist(spark, sf).collect()
     }
     assert got == dict(expected) and got
+
+
+def test_region_shares_sum_to_one_per_year(spark):
+    from collections import defaultdict
+
+    from data_pipeline_platform_spark.queries5 import q_region_share_trend
+
+    rows = q_region_share_trend(spark, "/root/testdata/sf0.001").collect()
+    by_yr = defaultdict(float)
+    for r in rows:
+        by_yr[r["yr"]] += r["share"]
+    assert by_yr and all(abs(v - 1.0) < 1e-4 for v in by_yr.values())
+
+
+def test_catalog_coverage_counts_unsold_parts(spark):
+    import pyspark.sql.functions as F
+
+    from data_pipeline_platform_spark.queries5 import q_catalog_coverage
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_catalog_coverage(spark, sf).collect()
+    n_parts = load_table(spark, sf, "part").count()
+    n_ordered = (
+        load_table(spark, sf, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert sum(r["n_ordered"] for r in rows) == n_ordered
+    assert all(0.0 <= r["coverage"] <= 1.0 for r in rows)
