@@ -910,3 +910,38 @@ FROM g GROUP BY event_type
 """
 
 register("arrival_burstiness", q_arrival_burstiness, ORACLE_ARRIVAL_BURSTINESS)
+
+
+def q_events_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning heatmap: event volume by (day-of-week, hour),
+    with each cell's share of total traffic — the 168-row table every
+    on-call dashboard starts from. Day-of-week via datediff%7 against
+    the Monday epoch (engine dayofweek conventions differ — the
+    seasonality_decompose convention). One map-side-combinable census;
+    the share divides by a broadcast total."""
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.expr("pmod(datediff(CAST(ts AS DATE), DATE'1970-01-05'), 7)").alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = cells.agg(F.sum("n_events").alias("t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("hour").cast("bigint").alias("hour"),
+        "n_events",
+        F.expr("round(CAST(n_events AS DOUBLE) / t, 6)").alias("share"),
+    )
+
+
+ORACLE_EVENTS_LOAD_PROFILE = """
+WITH cells AS (
+  SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT SUM(n_events) AS t FROM cells)
+SELECT dow, hour, n_events,
+       round(CAST(n_events AS DOUBLE) / t, 6) AS share
+FROM cells, tot
+"""
+
+register("events_load_profile", q_events_load_profile, ORACLE_EVENTS_LOAD_PROFILE)

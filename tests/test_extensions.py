@@ -2792,3 +2792,16 @@ def test_catalog_coverage_counts_unsold_parts(spark):
     assert sum(r["n_parts"] for r in rows) == n_parts
     assert sum(r["n_ordered"] for r in rows) == n_ordered
     assert all(0.0 <= r["coverage"] <= 1.0 for r in rows)
+
+
+def test_events_load_profile_partitions_all_events(spark):
+    from data_pipeline_platform_spark.functions.events import (
+        q_events_load_profile,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_events_load_profile(spark, sf).collect()
+    assert sum(r["n_events"] for r in rows) == load_table(spark, sf, "events").count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23 for r in rows)
