@@ -198,9 +198,12 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cohort").cast("bigint").alias("cohort"),
             F.col("age").cast("bigint").alias("age"),
             "n_customers",
-            F.expr("round(CAST(rev_c AS DOUBLE) / 100, 6)").alias("revenue"),
+            # no round(): at cohort-cell magnitudes (~1e10 dollars at
+            # sf0.1) DuckDB's round(x, 6) drifts an ulp off Spark's;
+            # the bare IEEE divisions are identical in both engines
+            F.expr("CAST(rev_c AS DOUBLE) / 100").alias("revenue"),
             F.expr(
-                "round(CAST(cum_c AS DOUBLE) / 100 / n_customers, 6)"
+                "CAST(cum_c AS DOUBLE) / 100 / n_customers"
             ).alias("cum_ltv_per_customer"),
         )
     )
@@ -225,8 +228,8 @@ WITH o AS (
   FROM cells
 )
 SELECT c.cohort, c.age, s.n_customers,
-       round(CAST(c.rev_c AS DOUBLE) / 100, 6) AS revenue,
-       round(CAST(c.cum_c AS DOUBLE) / 100 / s.n_customers, 6)
+       CAST(c.rev_c AS DOUBLE) / 100 AS revenue,
+       CAST(c.cum_c AS DOUBLE) / 100 / s.n_customers
          AS cum_ltv_per_customer
 FROM cum c JOIN sized s USING (cohort)
 """
