@@ -100,3 +100,81 @@ FROM vol v LEFT JOIN firsts f USING (bucket)
 """
 
 register("vocab_growth", q_vocab_growth, ORACLE_VOCAB_GROWTH)
+
+
+DRIFT_MIN_COUNT = 20
+
+
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical drift monitor: split the corpus into two content-
+    addressed halves (md5 of doc_id — the split_drift posture) and
+    report, for every term frequent in BOTH halves, the log-ratio of
+    its usage share. Near-zero everywhere means the halves are
+    exchangeable (healthy ingest); fat tails mean the vocabulary is
+    shifting — topic drift, a new source, or a scraper change.
+
+    Shape: one token census keyed on (term, half) — map-side
+    combinable; totals broadcast; the log-ratio is one fixed-point ln
+    on exact ratios over the vocabulary-sized frame."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8")
+        .cast("int")
+        .alias("half"),
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+    )
+    cells = (
+        docs.select("half", F.explode("toks").alias("term"))
+        .groupBy("term", "half")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.groupBy("half").agg(F.sum("c").alias("t"))
+    a = (
+        cells.filter(F.col("half") == 1)
+        .join(F.broadcast(tot.filter(F.col("half") == 1)), "half")
+        .select("term", F.col("c").alias("ca"), F.col("t").alias("ta"))
+    )
+    b = (
+        cells.filter(F.col("half") == 0)
+        .join(F.broadcast(tot.filter(F.col("half") == 0)), "half")
+        .select("term", F.col("c").alias("cb"), F.col("t").alias("tb"))
+    )
+    return (
+        a.join(b, "term")
+        .filter((F.col("ca") >= DRIFT_MIN_COUNT) & (F.col("cb") >= DRIFT_MIN_COUNT))
+        .select(
+            "term",
+            F.col("ca").cast("bigint").alias("count_a"),
+            F.col("cb").cast("bigint").alias("count_b"),
+            F.expr(
+                "CAST(round(ln((CAST(ca AS DOUBLE) / ta) / "
+                "(CAST(cb AS DOUBLE) / tb)) * 1000000) AS BIGINT)"
+            ).alias("log_ratio_fp"),
+        )
+    )
+
+
+ORACLE_TERM_DRIFT = f"""
+WITH docs AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS half,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), cells AS (
+  SELECT term, half, COUNT(*) AS c
+  FROM (SELECT half, unnest(toks) AS term FROM docs)
+  GROUP BY 1, 2
+), tot AS (SELECT half, SUM(c) AS t FROM cells GROUP BY 1)
+SELECT a.term, CAST(a.c AS BIGINT) AS count_a, CAST(b.c AS BIGINT) AS count_b,
+       CAST(round(ln((CAST(a.c AS DOUBLE) / ta.t) /
+                     (CAST(b.c AS DOUBLE) / tb.t)) * 1000000) AS BIGINT)
+         AS log_ratio_fp
+FROM cells a
+JOIN cells b ON a.term = b.term AND a.half = 1 AND b.half = 0
+JOIN tot ta ON ta.half = 1
+JOIN tot tb ON tb.half = 0
+WHERE a.c >= {DRIFT_MIN_COUNT} AND b.c >= {DRIFT_MIN_COUNT}
+"""
+
+register("term_drift", q_term_drift, ORACLE_TERM_DRIFT)

@@ -2805,3 +2805,45 @@ def test_events_load_profile_partitions_all_events(spark):
     assert sum(r["n_events"] for r in rows) == load_table(spark, sf, "events").count()
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
     assert all(0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23 for r in rows)
+
+
+def test_term_drift_flags_planted_vocabulary_shift(spark):
+    """Terms used equally in both halves sit near zero log-ratio; a
+    term concentrated in one half shows a large |log-ratio|."""
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.vocab import (
+        DRIFT_MIN_COUNT,
+        q_term_drift,
+    )
+    import hashlib
+
+    common = " ".join(["stable"] * 30)
+    rows = []
+    for i in range(80):
+        half = int(hashlib.md5(str(i).encode()).hexdigest()[0] < "8")
+        # "newword" appears heavily in half 1 only, lightly in half 0
+        # (it must clear MIN_COUNT in both halves to be reported)
+        extra = " ".join(["newword"] * (12 if half else 1))
+        rows.append((i, f"{common} {extra}", "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r["term"]: r for r in q_term_drift(spark, d).collect()}
+    assert out["newword"]["count_a"] >= DRIFT_MIN_COUNT
+    # exact python replay of the share log-ratio
+    import math
+
+    ta = sum(r["count_a"] for r in out.values())
+    tb = sum(r["count_b"] for r in out.values())
+    for term, r in out.items():
+        expect = round(
+            math.log((r["count_a"] / ta) / (r["count_b"] / tb)) * 1e6
+        )
+        assert r["log_ratio_fp"] == expect, term
+    # the planted shift dominates the share-normalization echo on
+    # "stable" by an order of magnitude
+    assert out["newword"]["log_ratio_fp"] > 1_000_000
+    assert out["newword"]["log_ratio_fp"] > 3 * abs(out["stable"]["log_ratio_fp"])
