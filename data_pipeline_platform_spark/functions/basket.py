@@ -325,3 +325,48 @@ FROM deg GROUP BY 1
 """
 
 register("copurchase_degree_hist", q_copurchase_degree_hist, ORACLE_COPURCHASE_DEGREE_HIST)
+
+
+def q_basket_size_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion check on basket sizes (items per order): the
+    variance-to-mean ratio that says whether order sizes are
+    Poisson-like (VMR ~ 1, independent adds) or clumped (VMR > 1,
+    bulk-order behavior) — the distributional fact a basket simulator
+    or inventory model must match.
+
+    One order-keyed count, one exact-moment agg (DECIMAL(38,0)
+    squares), VMR evaluated on the 1-row frame — the ab_ttest
+    posture."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sizes = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6)").alias("mean_items"),
+        F.expr(
+            "round(CAST(COUNT(*) * SUM(CAST(k AS DECIMAL(38,0)) * k) "
+            "- CAST(SUM(k) AS DECIMAL(38,0)) * SUM(k) AS DOUBLE) "
+            "/ CAST(COUNT(*) AS DOUBLE) / COUNT(*) "
+            "/ (CAST(SUM(k) AS DOUBLE) / COUNT(*)), 6)"
+        ).alias("vmr"),
+    )
+
+
+ORACLE_BASKET_SIZE_DISPERSION = """
+WITH sizes AS (
+  SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS mean_items,
+       round(CAST(COUNT(*) * SUM(CAST(k AS HUGEINT) * k)
+                  - CAST(SUM(k) AS HUGEINT) * SUM(k) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / COUNT(*)
+             / (CAST(SUM(k) AS DOUBLE) / COUNT(*)), 6) AS vmr
+FROM sizes
+"""
+
+register("basket_size_dispersion", q_basket_size_dispersion, ORACLE_BASKET_SIZE_DISPERSION)

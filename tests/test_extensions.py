@@ -2847,3 +2847,29 @@ def test_term_drift_flags_planted_vocabulary_shift(spark):
     # "stable" by an order of magnitude
     assert out["newword"]["log_ratio_fp"] > 1_000_000
     assert out["newword"]["log_ratio_fp"] > 3 * abs(out["stable"]["log_ratio_fp"])
+
+
+def test_basket_dispersion_matches_statistics_replay(spark):
+    """mean and VMR (population variance / mean) must match a python
+    recompute of items-per-order."""
+    from collections import Counter
+
+    from data_pipeline_platform_spark.functions.basket import (
+        q_basket_size_dispersion,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    r = q_basket_size_dispersion(spark, sf).collect()[0]
+    ks = list(
+        Counter(
+            row["l_orderkey"]
+            for row in load_table(spark, sf, "lineitem").select("l_orderkey").collect()
+        ).values()
+    )
+    n = len(ks)
+    mean = sum(ks) / n
+    var = sum(k * k for k in ks) / n - mean * mean
+    assert r["n_orders"] == n
+    assert abs(r["mean_items"] - mean) < 1e-6
+    assert abs(r["vmr"] - var / mean) < 1e-4
