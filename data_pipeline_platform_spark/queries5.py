@@ -756,3 +756,101 @@ GROUP BY 1
 
 BATCH6_QUERIES["catalog_coverage"] = q_catalog_coverage
 BATCH6_ORACLES["catalog_coverage"] = ORACLE_CATALOG_COVERAGE
+
+
+def q_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing discipline per brand: realized unit price as a share of
+    list price (1.0 = selling at list; lower = discounting pressure).
+    Per-line ratios are row-local doubles quantized to 1e-6 fixed
+    point, so the per-brand mean is an exact integer sum divided once
+    — no double ever aggregates. One broadcast part join."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    ratio_fp = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) "
+        "/ (l_quantity * p_retailprice) * 1000000) AS BIGINT)"
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("p_brand").alias("brand"), ratio_fp.alias("r_fp"))
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(
+                "round(CAST(SUM(r_fp) AS DOUBLE) / 1000000 / COUNT(*), 6)"
+            ).alias("mean_realization"),
+            F.expr(
+                "round(CAST(SUM(CAST(r_fp < 1000000 AS INT)) AS DOUBLE) "
+                "/ COUNT(*), 6)"
+            ).alias("below_list_share"),
+        )
+    )
+
+
+ORACLE_PRICE_REALIZATION = """
+WITH j AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount)
+              / (l.l_quantity * p.p_retailprice) * 1000000) AS BIGINT) AS r_fp
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT brand, COUNT(*) AS n_lines,
+       round(CAST(SUM(r_fp) AS DOUBLE) / 1000000 / COUNT(*), 6)
+         AS mean_realization,
+       round(CAST(SUM(CASE WHEN r_fp < 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS below_list_share
+FROM j GROUP BY brand
+"""
+
+BATCH6_QUERIES["price_realization"] = q_price_realization
+BATCH6_ORACLES["price_realization"] = ORACLE_PRICE_REALIZATION
+
+
+def q_double_submit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality screen for double-submitted orders: groups of
+    orders sharing (customer, order date, exact total) — the classic
+    retry-bug fingerprint an ingest pipeline audits for. Emits each
+    suspicious group with its size; exact-cents equality, one
+    map-side-combinable group census."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            "o_custkey",
+            F.date_trunc("DAY", "o_orderdate").alias("order_day"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select(
+            "o_custkey",
+            "order_day",
+            F.expr("round(CAST(cents AS DOUBLE) / 100, 6)").alias("total"),
+            "n_orders",
+        )
+    )
+
+
+ORACLE_DOUBLE_SUBMIT_CHECK = """
+SELECT o_custkey, date_trunc('day', o_orderdate) AS order_day,
+       round(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100, 6)
+         AS total,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2, CAST(round(o_totalprice * 100) AS BIGINT)
+HAVING COUNT(*) >= 2
+"""
+
+BATCH6_QUERIES["double_submit_check"] = q_double_submit_check
+BATCH6_ORACLES["double_submit_check"] = ORACLE_DOUBLE_SUBMIT_CHECK

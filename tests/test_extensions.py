@@ -2873,3 +2873,59 @@ def test_basket_dispersion_matches_statistics_replay(spark):
     assert r["n_orders"] == n
     assert abs(r["mean_items"] - mean) < 1e-6
     assert abs(r["vmr"] - var / mean) < 1e-4
+
+
+def test_price_realization_bounds_and_replay_one_brand(spark):
+    """Realization shares are in (0, ~1.2]; below_list_share in [0,1];
+    one brand's mean matches a python replay."""
+    from data_pipeline_platform_spark.queries5 import q_price_realization
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_price_realization(spark, sf).collect()
+    assert rows
+    for r in rows:
+        # synthetic prices are independent of quantity x list, so the
+        # ratio is only sanity-bounded, not ~1 as production data is
+        assert 0.0 < r["mean_realization"] < 100.0
+        assert 0.0 <= r["below_list_share"] <= 1.0
+    brand = rows[0]["brand"]
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(f"p_brand = '{brand}'")
+    pairs = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_extendedprice", "l_discount", "l_quantity", "p_retailprice")
+        .collect()
+    )
+    fps = [
+        round(p["l_extendedprice"] * (1 - p["l_discount"])
+              / (p["l_quantity"] * p["p_retailprice"]) * 1e6)
+        for p in pairs
+    ]
+    assert rows[0]["n_lines"] == len(fps)
+    assert rows[0]["mean_realization"] == round(sum(fps) / 1e6 / len(fps), 6)
+
+
+def test_double_submit_detects_planted_duplicate(spark):
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.queries5 import q_double_submit_check
+
+    t0 = datetime.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, 7, "O", 100.50, t0, "1-URGENT"),
+        (2, 7, "O", 100.50, t0 + datetime.timedelta(hours=2), "1-URGENT"),  # same day+total
+        (3, 7, "O", 200.00, t0, "1-URGENT"),
+        (4, 8, "O", 100.50, t0, "1-URGENT"),  # different customer
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/orders.parquet")
+        out = q_double_submit_check(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["o_custkey"] == 7 and out[0]["n_orders"] == 2
+    assert out[0]["total"] == 100.5
