@@ -945,3 +945,73 @@ FROM cells, tot
 """
 
 register("events_load_profile", q_events_load_profile, ORACLE_EVENTS_LOAD_PROFILE)
+
+
+def q_conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: for users who both viewed and purchased, the
+    distribution of first-view -> first-purchase lag — the number a
+    growth team watches after every onboarding change. One row:
+    audience size, conversion rate, mean and exact-median lag.
+
+    Shape: first-touch timestamps are one (user x 2-type) min() agg;
+    the lag frame is user-grain; mean comes from exact integer-second
+    sums, the median from one exact percentile over integer seconds
+    (broadcast scalar, rfm posture). Negative-lag users (purchased
+    before ever viewing — gift flows) are excluded row-locally."""
+    ev = _events(spark, sf_dir)
+    firsts = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.expr("CAST(min(unix_timestamp(ts)) AS BIGINT)").alias("t0"))
+    )
+    v = firsts.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("t0").alias("tv")
+    )
+    p = firsts.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t0").alias("tp")
+    )
+    lags = v.join(p, "user_id", "left").withColumn(
+        "lag_s",
+        F.expr("CASE WHEN tp IS NOT NULL AND tp >= tv THEN tp - tv END"),
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewers"),
+        F.sum(F.expr("CAST(lag_s IS NOT NULL AS INT)"))
+        .cast("bigint")
+        .alias("n_converted"),
+        F.expr(
+            "round(CAST(SUM(CAST(lag_s IS NOT NULL AS INT)) AS DOUBLE) "
+            "/ COUNT(*), 6)"
+        ).alias("conversion_rate"),
+        F.expr("round(CAST(SUM(lag_s) AS DOUBLE) / "
+               "SUM(CAST(lag_s IS NOT NULL AS INT)) / 3600, 6)").alias("mean_lag_h"),
+        F.expr("round(percentile(lag_s, 0.5) / 3600, 6)").alias("median_lag_h"),
+    )
+
+
+ORACLE_CONVERSION_LAG_STATS = """
+WITH firsts AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+), v AS (SELECT user_id, t0 AS tv FROM firsts WHERE event_type = 'view'),
+p AS (SELECT user_id, t0 AS tp FROM firsts WHERE event_type = 'purchase'),
+lags AS (
+  SELECT v.user_id,
+         CASE WHEN p.tp IS NOT NULL AND p.tp >= v.tv THEN p.tp - v.tv END AS lag_s
+  FROM v LEFT JOIN p USING (user_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+       CAST(SUM(CASE WHEN lag_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       round(CAST(SUM(CASE WHEN lag_s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS conversion_rate,
+       round(CAST(SUM(lag_s) AS DOUBLE)
+             / SUM(CASE WHEN lag_s IS NOT NULL THEN 1 ELSE 0 END) / 3600, 6)
+         AS mean_lag_h,
+       round(quantile_cont(lag_s, 0.5) / 3600, 6) AS median_lag_h
+FROM lags
+"""
+
+register("conversion_lag_stats", q_conversion_lag_stats, ORACLE_CONVERSION_LAG_STATS)

@@ -2929,3 +2929,37 @@ def test_double_submit_detects_planted_duplicate(spark):
     assert len(out) == 1
     assert out[0]["o_custkey"] == 7 and out[0]["n_orders"] == 2
     assert out[0]["total"] == 100.5
+
+
+def test_conversion_lag_planted_funnel(spark):
+    """Three viewers, two converters (1h and 3h lags), one pre-view
+    purchaser (excluded): rate 2/3, mean 2h, median 2h."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_platform_spark.functions.events import (
+        q_conversion_lag_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12)
+
+    def ev(eid, uid, etype, hours):
+        return (eid, t0 + datetime.timedelta(hours=hours), uid, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "view", 0), ev(2, 1, "purchase", 1),     # 1h lag
+        ev(3, 2, "view", 0), ev(4, 2, "purchase", 3),     # 3h lag
+        ev(5, 3, "view", 0),                              # never converts
+        ev(6, 4, "purchase", 0), ev(7, 4, "view", 2),     # purchase BEFORE view
+        ev(8, 4, "view", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        r = q_conversion_lag_stats(spark, d).collect()[0]
+    assert r["n_viewers"] == 4 and r["n_converted"] == 2
+    assert r["conversion_rate"] == 0.5
+    assert r["mean_lag_h"] == 2.0
+    assert r["median_lag_h"] == 2.0
