@@ -465,3 +465,137 @@ GROUP BY c.token, c.exact_count
 """
 
 register("cms_heavy_hitters", q_cms_heavy_hitters, ORACLE_CMS_HEAVY_HITTERS)
+
+
+def q_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical HLL application: audience overlap between event
+    types WITHOUT ever materializing user sets. Per type pair,
+    estimate |A|, |B| from each type's registers, |A∪B| from the
+    element-wise MAX of the two register arrays (the HLL union
+    property), and |A∩B| by inclusion-exclusion (floored at 0 — the
+    estimator can go slightly negative for near-disjoint sets).
+
+    At 100 TB each audience is a 64-register sketch regardless of user
+    cardinality; the pairwise work is |types|² x m registers. The whole
+    estimator — registers, union MAX, harmonic folds — replays bitwise
+    in the oracle, like the single-set op it extends."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.utils.cache import tracked_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = tracked_persist(hll_registers(ev))
+
+    def est_for(frame, keys):
+        return (
+            frame.groupBy(*keys)
+            .agg(
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SHIFT} - r)")).alias(
+                    "z_fp"
+                ),
+                F.count(F.lit(1)).alias("nonzero"),
+            )
+            .select(
+                *keys,
+                F.expr(
+                    f"round(CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M} "
+                    f"/ (CAST(z_fp AS DOUBLE) / {float(1 << _SHIFT)} + ({HLL_M} - nonzero))) "
+                    f"<= 2.5 * {HLL_M} AND nonzero < {HLL_M} "
+                    f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - nonzero)) "
+                    f"ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M} "
+                    f"/ (CAST(z_fp AS DOUBLE) / {float(1 << _SHIFT)} + ({HLL_M} - nonzero))) END, 6)"
+                ).alias("est"),
+            )
+        )
+
+    singles = est_for(regs, ["event_type"])
+    types_a = regs.select(F.col("event_type").alias("ta")).distinct()
+    types_b = regs.select(F.col("event_type").alias("tb")).distinct()
+    pairs = types_a.crossJoin(types_b).filter(F.col("ta") < F.col("tb"))
+    union_regs = (
+        pairs.join(
+            regs,
+            (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    union_est = est_for(union_regs, ["ta", "tb"]).withColumnRenamed("est", "est_union")
+    ea = singles.select(F.col("event_type").alias("ta"), F.col("est").alias("est_a"))
+    eb = singles.select(F.col("event_type").alias("tb"), F.col("est").alias("est_b"))
+    return (
+        union_est.join(ea, "ta")
+        .join(eb, "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.expr(
+                "round(greatest(CAST(0 AS DOUBLE), est_a + est_b - est_union), 6)"
+            ).alias("est_intersection"),
+        )
+    )
+
+
+ORACLE_HLL_AUDIENCE_OVERLAP = f"""
+WITH ev AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+), hashed AS (
+  SELECT event_type, h,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             generate_series(1, {_BUCKET_HEX}),
+             i -> CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT))),
+           (acc, c) -> acc * 16 + c) % {HLL_M} AS bucket,
+         h[{_BUCKET_HEX + 1}:{_BUCKET_HEX + _RHO_HEX}] AS tail
+  FROM ev
+), rho AS (
+  SELECT event_type, bucket,
+         CAST(({_RHO_HEX} - length(ltrim(tail, '0'))) * 4 AS INT)
+         + ({_DIGIT_ZEROS.format(d="ltrim(tail, '0')[1:1]")})
+         + 1 AS rho
+  FROM hashed
+), regs AS (
+  SELECT event_type, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2
+), singles AS (
+  SELECT event_type,
+         round(CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M}
+           / (CAST(SUM(CAST(1 AS BIGINT) << ({_SHIFT} - r)) AS DOUBLE) / {float(1 << _SHIFT)}
+              + ({HLL_M} - COUNT(*)))) <= 2.5 * {HLL_M} AND COUNT(*) < {HLL_M}
+           THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - COUNT(*)))
+           ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M}
+           / (CAST(SUM(CAST(1 AS BIGINT) << ({_SHIFT} - r)) AS DOUBLE) / {float(1 << _SHIFT)}
+              + ({HLL_M} - COUNT(*)))) END, 6) AS est
+  FROM regs GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM (SELECT DISTINCT event_type FROM regs) a,
+       (SELECT DISTINCT event_type FROM regs) b
+  WHERE a.event_type < b.event_type
+), union_regs AS (
+  SELECT p.ta, p.tb, g.bucket, MAX(g.r) AS r
+  FROM pairs p JOIN regs g
+    ON g.event_type = p.ta OR g.event_type = p.tb
+  GROUP BY 1, 2, 3
+), union_est AS (
+  SELECT ta, tb,
+         round(CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M}
+           / (CAST(SUM(CAST(1 AS BIGINT) << ({_SHIFT} - r)) AS DOUBLE) / {float(1 << _SHIFT)}
+              + ({HLL_M} - COUNT(*)))) <= 2.5 * {HLL_M} AND COUNT(*) < {HLL_M}
+           THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - COUNT(*)))
+           ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M}
+           / (CAST(SUM(CAST(1 AS BIGINT) << ({_SHIFT} - r)) AS DOUBLE) / {float(1 << _SHIFT)}
+              + ({HLL_M} - COUNT(*)))) END, 6) AS est_union
+  FROM union_regs GROUP BY 1, 2
+)
+SELECT u.ta AS type_a, u.tb AS type_b,
+       sa.est AS est_a, sb.est AS est_b, u.est_union,
+       round(greatest(CAST(0 AS DOUBLE), sa.est + sb.est - u.est_union), 6)
+         AS est_intersection
+FROM union_est u
+JOIN singles sa ON sa.event_type = u.ta
+JOIN singles sb ON sb.event_type = u.tb
+"""
+
+register("hll_audience_overlap", q_hll_audience_overlap, ORACLE_HLL_AUDIENCE_OVERLAP)

@@ -2963,3 +2963,28 @@ def test_conversion_lag_planted_funnel(spark):
     assert r["conversion_rate"] == 0.5
     assert r["mean_lag_h"] == 2.0
     assert r["median_lag_h"] == 2.0
+
+
+def test_hll_overlap_tracks_exact_intersections(spark):
+    """Each pair's estimated intersection must land within the
+    combined HLL error budget of the exact user-set intersection."""
+    from data_pipeline_platform_spark.functions.sketches import (
+        HLL_M,
+        q_hll_audience_overlap,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_hll_audience_overlap(spark, sf).collect()
+    assert len(rows) == 10  # C(5,2) pairs
+    ev = load_table(spark, sf, "events").select("event_type", "user_id").collect()
+    sets = {}
+    for r in ev:
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    # 1.04/sqrt(m) per sketch; three sketches feed the estimate
+    tol = 3 * 1.04 / (HLL_M ** 0.5)
+    for r in rows:
+        exact = len(sets[r["type_a"]] & sets[r["type_b"]])
+        denom = max(len(sets[r["type_a"]] | sets[r["type_b"]]), 1)
+        assert abs(r["est_intersection"] - exact) / denom <= tol
+        assert r["est_union"] <= r["est_a"] + r["est_b"] + 1e-6
