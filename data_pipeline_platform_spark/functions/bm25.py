@@ -79,19 +79,16 @@ def bm25_scores(docs: DataFrame, query_terms: DataFrame) -> DataFrame:
 def q_bm25_more_like_doc0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 docs by BM25 against doc 0's top-3 tokens (doc 0 itself
     excluded — the more-like-this query)."""
-    from pyspark.sql.window import Window
-
     from data_pipeline_platform_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     post = _postings(docs)
+    # (tf desc, token asc) is a total order over doc 0's postings, so
+    # orderBy+limit (TakeOrderedAndProject) replaces the global window
     qterms = (
         post.filter(F.col("doc_id") == 0)
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("token"))),
-        )
-        .filter(F.col("rk") <= 3)
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(3)
         .select("token")
     )
     scored = bm25_scores(docs, qterms).filter(F.col("doc_id") != 0)

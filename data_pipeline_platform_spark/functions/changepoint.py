@@ -136,11 +136,15 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counted = triples.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    # select the top-K paths with orderBy+limit (parallel
+    # TakeOrderedAndProject); the rank column is then a row_number over
+    # the bounded K-row frame, where it equals the global rank because
+    # (n desc, path asc) is a total order and rank depends only on the
+    # rows above — the path census never serializes through one task
+    top = counted.orderBy(F.desc("n"), F.asc("path")).limit(TOP_PATHS)
     w_rank = Window.orderBy(F.desc("n"), F.asc("path"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= TOP_PATHS)
-        .select("path", "n", F.col("rank").cast("bigint").alias("rank"))
+    return top.select(
+        "path", "n", F.row_number().over(w_rank).cast("bigint").alias("rank")
     )
 
 

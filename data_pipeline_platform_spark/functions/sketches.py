@@ -408,18 +408,10 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
 
-    # candidate selection: the window is over the vocab-sized aggregate,
-    # not the corpus — single-partition is fine (and bounded) there
-    top = (
-        exact.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.desc("exact_count"), F.asc("token"))
-            ),
-        )
-        .filter(F.col("rk") <= CMS_TOP_K)
-        .drop("rk")
-    )
+    # candidate selection: (count desc, token asc) is a total order, so
+    # orderBy+limit compiles to TakeOrderedAndProject — parallel
+    # per-partition top-K over the vocab census, no global window task
+    top = exact.orderBy(F.desc("exact_count"), F.asc("token")).limit(CMS_TOP_K)
     return cms_estimate_for(top, cms_cells(toks)).select(
         "token",
         "exact_count",

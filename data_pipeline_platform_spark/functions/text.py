@@ -522,18 +522,18 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     K rows on the driver side of a window — then BROADCAST back, so
     the per-doc miss count is a broadcast left-anti join + one doc-keyed
     aggregation. The corpus itself shuffles once, keyed on doc_id."""
-    from pyspark.sql.window import Window
-
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    # top-K by (freq desc, token asc) — a total order, so orderBy+limit
+    # (parallel TakeOrderedAndProject) is exactly row_number() <= K
+    # without serializing the vocab census through one window task
     vocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= OOV_VOCAB_K)
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(OOV_VOCAB_K)
         .select("token")
     )
     oov = (

@@ -372,12 +372,17 @@ SELECT c_nationkey, c_custkey, total_spent, rnk FROM ranked WHERE rnk <= 3
 
 def q_count_over(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's one declared window: COUNT(*) OVER ()
-    (sql_transformer.py:85)."""
+    (sql_transformer.py:85).
+
+    COUNT(*) OVER () as a literal window collapses the whole fact onto
+    one task. An empty-over count is just the global count attached to
+    every row, so it is computed as a zero-column count aggregate
+    (parquet row-group metadata scan) broadcast back with a 1-row cross
+    join — both sides stay parallel at any table size.
+    """
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy()
-    return orders.select(
-        "o_orderkey", F.count(F.lit(1)).over(w).alias("total")
-    )
+    n = orders.agg(F.count(F.lit(1)).alias("total"))
+    return orders.select("o_orderkey").crossJoin(F.broadcast(n))
 
 
 ORACLE_COUNT_OVER = "SELECT o_orderkey, COUNT(*) OVER () AS total FROM orders"

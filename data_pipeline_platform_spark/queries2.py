@@ -155,18 +155,51 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number / dense_rank / ntile / percent_rank / cume_dist over a
-    deterministic ordering (unique o_orderkey tie-break)."""
-    orders = _t(spark, sf_dir, "orders")
+    deterministic ordering (unique o_orderkey tie-break), scale-safe.
+
+    The naive form is a global orderBy-without-partitionBy window over
+    the full orders fact — ONE task at 100 TB. Because the output keeps
+    only rn <= 500 and the ordering is total (unique key tie-break), the
+    distribution functions are pure arithmetic on (rn, N):
+
+      * the top-500 rows come from orderBy().limit(500) — compiles to
+        TakeOrderedAndProject, a parallel per-partition top-K + merge;
+      * rn / dense_rank over that bounded 500-row frame equal their
+        global values (both depend only on rows ranked above, all of
+        which are inside the prefix);
+      * with no peers (unique tie-break): percent_rank = (rn-1)/(N-1),
+        cume_dist = rn/N, and ntile(k) is the standard first-(N mod k)-
+        buckets-get-ceil(N/k) formula — N arrives as a broadcast 1-row
+        aggregate, never a global sort.
+
+    The only window left runs over 500 rows, independent of table size.
+    """
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_df = orders.agg(F.count(F.lit(1)).alias("_n"))
+    top = orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(500)
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return orders.select(
+    ranked = top.select(
         "o_orderkey",
         "o_totalprice",
         F.row_number().over(w).cast("long").alias("rn"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-    ).filter(F.col("rn") <= 500)
+    ).crossJoin(F.broadcast(n_df))
+    rn, n = F.col("rn"), F.col("_n")
+    base = F.floor(n / 10)          # bucket floor size
+    rem = n % 10                    # first `rem` buckets get base+1 rows
+    cutoff = rem * (base + F.lit(1))
+    decile = F.when(rn <= cutoff, F.ceil(rn / (base + F.lit(1)))).otherwise(
+        rem + F.ceil((rn - cutoff) / base)
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_totalprice",
+        "rn",
+        "drnk",
+        decile.cast("long").alias("decile"),
+        F.round((rn - F.lit(1)) / (n - F.lit(1)), 6).alias("pct_rank"),
+        F.round(rn / n, 6).alias("cdist"),
+    )
 
 
 ORACLE_WINDOW_DISTRIBUTION = """

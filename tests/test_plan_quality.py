@@ -260,6 +260,57 @@ def test_packing_family_has_no_single_partition_window(spark):
         assert "EvalPython" not in plan, name
 
 
+def test_no_global_window_over_fact_input_registry_wide(spark):
+    """Registry-wide scale gate (r6 verdict item #1): no graded query may
+    run an orderBy-without-partitionBy Window whose input subtree reaches
+    a file relation without passing an aggregate or a limit — that shape
+    collapses the full fact table onto ONE task at 100 TB. Windows over
+    aggregated censuses (vocab, path counts) or limited frames (top-K
+    prefixes) are bounded and allowed.
+
+    Sole exemption: ``pack_sequences`` — its unsharded form is the
+    documented total-order packing semantic for small corpora and has a
+    graded sharded twin (``pack_sequences_sharded``) as the scale path.
+    """
+    import __spark_entry__ as entry
+
+    BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+    EXEMPT = {"pack_sequences"}
+
+    def walk(node):
+        yield node
+        cs = node.children()
+        for i in range(cs.size()):
+            yield from walk(cs.apply(i))
+
+    def fact_reachable(node):
+        name = node.getClass().getSimpleName()
+        if name in BOUNDING:
+            return False
+        if name == "LogicalRelation":
+            return True
+        cs = node.children()
+        return any(fact_reachable(cs.apply(i)) for i in range(cs.size()))
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        if name in EXEMPT:
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan()
+        for node in walk(plan):
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()
+                and fact_reachable(node.children().apply(0))
+            ):
+                offenders.append(name)
+                break
+    assert not offenders, (
+        f"global fact-sized window in: {offenders} — re-express via "
+        "orderBy().limit() / broadcast-count / percentile boundaries"
+    )
+
+
 def test_pack_sequences_shard_col_partitions_window(spark):
     """pack_sequences(shard_col=...) must key-partition the running-sum
     window (parallel at scale), and the unsharded default keeps its
