@@ -460,8 +460,10 @@ def ivf_topk(
 
 
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN twin of cosine_topk (approximate -> rows-only check; the
-    recall test lives in tests/test_extensions.py)."""
+    """IVF ANN twin of cosine_topk backed by Spark-ML KMeans. Not in the
+    graded registry (ML-fit centroids have no SQL-replayable oracle) —
+    covered by the recall test in tests/test_extensions.py; the graded
+    IVF slot is q_cosine_topk_ivf_exact."""
     from data_pipeline_platform_spark.sources.readers import load_table
 
     # raw scan (no spread): the sampled KMeans fit must see a stable
@@ -540,7 +542,12 @@ SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 5
 
 register("cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK)
 register("cosine_topk_batch", q_cosine_topk_batch, ORACLE_COSINE_TOPK_BATCH)
-register("cosine_topk_ivf", q_cosine_topk_ivf)  # approximate -> rows-only
+# q_cosine_topk_ivf (Spark-ML KMeans coarse quantizer) is deliberately
+# NOT registry-graded: its centroids are ML-fit, so no SQL oracle can
+# replay them — grading it would be the registry's one rows-only hole.
+# The graded IVF slot is cosine_topk_ivf_exact (deterministic index
+# build, bitwise); the ML variant keeps its recall + determinism tests
+# in tests/test_extensions.py.
 register("cosine_topk_lsh", q_cosine_topk_lsh, ORACLE_COSINE_TOPK_LSH)
 register("embedding_near_dup", q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP)
 

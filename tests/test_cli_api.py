@@ -370,3 +370,71 @@ def test_http_server_end_to_end(spark, tmp_warehouse):
     finally:
         server.shutdown()
         server.service.shutdown()
+
+
+def test_fastapi_testclient_round_trip(spark, tmp_warehouse):
+    """TestClient round-trip over create_app() covering the ten mirrored
+    reference routes (api/main.py:117-455). Skips where fastapi is not
+    installed (this container); runs under `pip install .[api]` — the
+    stdlib-transport twin above keeps the HTTP seam exercised here."""
+    fastapi = pytest.importorskip("fastapi")  # noqa: F841
+    testclient = pytest.importorskip("fastapi.testclient")
+    import time
+
+    from data_pipeline_platform_spark.api import create_app
+    from data_pipeline_platform_spark.plans.runner import PipelineRunner
+    from data_pipeline_platform_spark.sinks.writers import BatchWriter
+
+    writer = BatchWriter(spark, base_path=tmp_warehouse)
+    app = create_app(PipelineRunner(spark, writer=writer))
+    client = testclient.TestClient(app)
+
+    assert client.get("/").json()["status"] == "ok"
+    assert client.get("/health").json()["status"] == "healthy"
+    assert client.get("/workers").json()["max_workers"] >= 1
+    assert client.get("/workers/health").json()["status"] in ("healthy", "degraded")
+
+    sub = client.post("/pipelines", json={"pipeline_config": {
+        "ingestion": {"path": "/root/testdata/sf0.001/region.parquet",
+                      "format": "parquet"},
+        "persistence": {"table": "fa_out", "strategy": "replace"},
+    }})
+    assert sub.status_code == 200 and sub.json()["status"] == "submitted"
+    pid = sub.json()["pipeline_id"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        st = client.get(f"/pipelines/{pid}/status").json()
+        if st["status"] not in ("running", "submitted", "pending"):
+            break
+        time.sleep(0.25)
+    assert st["status"] == "success" and st["result"]["row_count"] == 5
+
+    ing = client.post("/tasks/ingest", json={
+        "path": "/root/testdata/sf0.001/nation.parquet", "format": "parquet"})
+    assert ing.status_code == 200
+    tid = ing.json()["task_id"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        st = client.get(f"/tasks/{tid}").json()
+        if st["status"] != "pending":
+            break
+        time.sleep(0.25)
+    assert st["status"] == "completed"
+    data_id = st["result"]["data_id"]
+
+    tr = client.post("/tasks/transform", json={
+        "data_id": data_id,
+        "transformation_config": {
+            "type": "sql",
+            "query": "SELECT n_regionkey, COUNT(*) AS n "
+                     "FROM input_data GROUP BY n_regionkey"}})
+    assert tr.status_code == 200
+
+    # error contract parity with the reference routes
+    assert client.post("/pipelines", json={}).status_code == 422
+    assert client.post("/tasks/transform", json={"x": 1}).status_code == 422
+    assert client.post("/tasks/persist", json={}).status_code == 422
+    bad = client.post("/tasks/ingest", json={})
+    assert bad.status_code == 400 and "Query is required" in bad.json()["detail"]
+    assert client.get("/pipelines/zzz/status").json()["status"] == "unknown"
+    assert client.get("/tasks/zzz").json()["status"] == "unknown"

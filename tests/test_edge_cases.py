@@ -267,3 +267,43 @@ def test_knn_classify_singleton_cells_emit_nothing_for_lonely_vectors(spark, tmp
     # vector may or may not share a cell depending on seeding — the
     # contract is simply: no crash, no spurious self-votes
     assert all(isinstance(v, int) for v in out)
+
+
+def test_important_parts_threshold_exact_past_int64(spark):
+    """The Q11-style threshold (value_c * n_li > total_c * 60) multiplies
+    two cents-squared BIGINT sums — near sf100 both products pass 2^63,
+    where BIGINT arithmetic wraps silently (ANSI off) while the DuckDB
+    oracle promotes to HUGEINT. The query compares in decimal(38,0); this
+    pins that the decimal form stays mathematically exact with operands
+    near and beyond 2^63 in both directions, including the strict->
+    boundary."""
+    from pyspark.sql import functions as F
+
+    int64_max = (1 << 63) - 1
+    rows = [
+        # value_c ~0.6*2^63, n_li 1000 -> product 5.5e21, far past 2^63;
+        # total_c*60 = 3.6e20 -> mathematically kept
+        (1, 5_500_000_000_000_000_000, 6_000_000_000_000_000_000, 1000, True),
+        # product mathematically below threshold -> dropped
+        (2, 1_000_000_000_000_000, 6_000_000_000_000_000_000, 1000, False),
+        # exactly equal products (value_c*60 == total_c*60, n_li=60): the
+        # comparison is strict > -> dropped
+        (3, 6_000_000_000_000_000_000, 6_000_000_000_000_000_000, 60, False),
+        # operand itself at int64 max, small multiplier
+        (4, int64_max, int64_max, 61, True),
+    ]
+    df = spark.createDataFrame(
+        [(k, v, t, n) for k, v, t, n, _ in rows],
+        "k long, value_c long, total_c long, n_li long",
+    )
+    kept = {
+        r["k"]
+        for r in df.filter(
+            F.col("value_c").cast("decimal(38,0)") * F.col("n_li")
+            > F.col("total_c").cast("decimal(38,0)") * 60
+        ).collect()
+    }
+    expected = {k for k, v, t, n, keep in rows if keep}
+    # cross-check expected against exact Python integer arithmetic
+    assert expected == {k for k, v, t, n, _ in rows if v * n > t * 60}
+    assert kept == expected

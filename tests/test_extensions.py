@@ -2988,3 +2988,26 @@ def test_hll_overlap_tracks_exact_intersections(spark):
         denom = max(len(sets[r["type_a"]] | sets[r["type_b"]]), 1)
         assert abs(r["est_intersection"] - exact) / denom <= tol
         assert r["est_union"] <= r["est_a"] + r["est_b"] + 1e-6
+
+
+def test_bpe_batched_equals_sequential_trainer(spark):
+    """The batched trainer (prefix-stop top-M selection, one set-fold
+    per round) must produce EXACTLY the sequential trainer's merge list
+    — same pairs, same order, same selection-time counts — in fewer
+    driver round-trips than merges (the r6 verdict's batched-BPE
+    contract)."""
+    from data_pipeline_platform_spark.functions.bpe import (
+        train_merges,
+        train_merges_batched,
+    )
+    from data_pipeline_platform_spark.functions.text import _docs
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        batched = train_merges_batched(_docs(spark, sf))
+        n = len(batched)
+        rounds = max(m[0] for m in batched)
+        assert rounds < n, f"batching degenerated to sequential at {sf}"
+        seq = train_merges(_docs(spark, sf), n_merges=n)
+        assert [(m[1], m[2], m[3], m[4], m[5]) for m in batched] == [
+            tuple(m) for m in seq
+        ], f"batched != sequential at {sf}"
