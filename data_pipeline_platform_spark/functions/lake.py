@@ -1,0 +1,64 @@
+"""Graded surface for the ACID lake-table layer (sinks/acid.py).
+
+``acid_merge_orders`` drives the full transaction path end-to-end —
+write a base snapshot of orders as a multi-file AcidTable, MERGE a
+deterministic update+insert batch (reference ON-CONFLICT semantics,
+src/pipeline/persistence/batch_writer.py:230-276), and return the final
+snapshot — while the DuckDB oracle expresses the same merge as a FULL
+JOIN, so the copy-on-write machinery (log replay, footer-stats file
+skipping, touched-file rewrite) is verified value-exact against plain
+SQL semantics, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+from data_pipeline_platform_spark.sinks.acid import AcidTable
+from data_pipeline_platform_spark.sources.readers import load_table
+
+
+def q_acid_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # base snapshot: even orderkeys, written as 4 files so the merge has
+    # files to prune; source: a deterministic update (every 100th base
+    # key gets +1.00) plus inserts (odd keys divisible by 501)
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="acid_merge_orders_"))
+    table.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    table.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    return table.read().select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+ORACLE_ACID_MERGE_ORDERS = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+),
+src AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice
+  FROM base WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+)
+SELECT o_orderkey,
+       COALESCE(s.o_custkey, b.o_custkey) AS o_custkey,
+       COALESCE(s.o_totalprice, b.o_totalprice) AS o_totalprice
+FROM base b FULL JOIN src s USING (o_orderkey)
+"""
+
+register("acid_merge_orders", q_acid_merge_orders, ORACLE_ACID_MERGE_ORDERS)

@@ -1,0 +1,415 @@
+"""ACID lake-table layer: a Delta-style transaction log over parquet.
+
+Closes SURVEY.md §7/M4's "lake-format MERGE" gap (reference UPSERT
+semantics: src/pipeline/persistence/batch_writer.py:230-276 — INSERT ..
+ON CONFLICT DO UPDATE: matched rows take every non-key column from the
+source, unmatched rows insert). The staged-swap upsert in
+``sinks/writers.py`` rewrites the WHOLE table per batch; at 100 TB the
+deployment-grade carrier is a transaction log + copy-on-write MERGE
+that rewrites only the data files the batch actually touches. Delta
+Lake itself is not in this container, so the layer implements the same
+publicly documented protocol shape (Armbrust et al., "Delta Lake:
+High-Performance ACID Table Storage over Cloud Object Stores",
+VLDB 2020) natively on PySpark + JSON commits:
+
+Layout::
+
+    table_dir/
+      _log/00000000000000000001.json   one file per committed version
+      part-<uuid>-<n>.parquet          immutable data files
+
+Each commit file holds the full action list for that version:
+``{"op": ..., "add": [{path, rows, stats}], "remove": [path, ...]}``.
+A snapshot at version V = replay add/remove for versions 1..V; reads
+never list the data directory (object-store LIST is not atomic — the
+log is the source of truth). Time travel = replay to an older V.
+
+ATOMICITY & ISOLATION: data files are written first (invisible until
+referenced); the commit publishes by ``open(version_path, "x")`` — an
+atomic create-if-absent, so exactly ONE writer wins a version; losers
+re-read the new snapshot and retry (optimistic concurrency). Readers
+always see a complete committed version or the previous one, never a
+partial write. A crash between data-file write and commit leaves
+orphan files that no snapshot references; ``vacuum`` removes them.
+
+SCALE: MERGE prunes untouched files with parquet-footer min/max key
+stats recorded in each add action (footer metadata only — no data
+scan), joins the source only against rows of candidate files
+(``_metadata.file_path`` maps rows to files), and rewrites just the
+touched files. A 100-row merge into a 100 TB table rewrites a handful
+of files, not the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_log"
+_VERSION_DIGITS = 20
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first (caller may retry on
+    a fresh snapshot)."""
+
+
+class AcidTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.log_dir = os.path.join(self.path, _LOG_DIR)
+
+    # ------------------------------------------------------------------
+    # log primitives
+    # ------------------------------------------------------------------
+    def _version_file(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:0{_VERSION_DIGITS}d}.json")
+
+    def latest_version(self) -> int:
+        if not os.path.isdir(self.log_dir):
+            return 0
+        versions = [
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        ]
+        return max(versions, default=0)
+
+    def exists(self) -> bool:
+        return self.latest_version() > 0
+
+    def _read_commit(self, version: int) -> Dict[str, Any]:
+        with open(self._version_file(version)) as f:
+            return json.load(f)
+
+    def _commit(
+        self,
+        expected_base: int,
+        op: str,
+        add: Sequence[Dict[str, Any]],
+        remove: Sequence[str],
+        meta: Optional[Dict[str, Any]] = None,
+    ) -> int:
+        """Atomically publish version expected_base+1. Raises
+        CommitConflictError if someone else won the version slot."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        version = expected_base + 1
+        payload = {
+            "version": version,
+            "op": op,
+            "ts": time.time(),
+            "add": list(add),
+            "remove": list(remove),
+            "meta": meta or {},
+        }
+        try:
+            # O_CREAT|O_EXCL: the one atomic publish point. On an object
+            # store this maps to put-if-absent (S3 conditional put /
+            # GCS precondition), per the Delta protocol's requirement.
+            with open(self._version_file(version), "x") as f:
+                json.dump(payload, f)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {version} already committed at {self.path}"
+            ) from None
+        return version
+
+    def snapshot_files(self, version: Optional[int] = None) -> List[Dict[str, Any]]:
+        """Live add-actions (with stats) at a version, by log replay."""
+        upto = self.latest_version() if version is None else version
+        live: Dict[str, Dict[str, Any]] = {}
+        for v in range(1, upto + 1):
+            commit = self._read_commit(v)
+            for path in commit["remove"]:
+                live.pop(path, None)
+            for action in commit["add"]:
+                live[action["path"]] = action
+        return list(live.values())
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def read(self, version: Optional[int] = None) -> DataFrame:
+        files = self.snapshot_files(version)
+        if not files:
+            raise FileNotFoundError(
+                f"AcidTable at {self.path} has no committed data"
+                + (f" at version {version}" if version else "")
+            )
+        return self.spark.read.parquet(*[f["path"] for f in files])
+
+    def history(self) -> List[Dict[str, Any]]:
+        return [
+            {
+                k: commit[k]
+                for k in ("version", "op", "ts", "meta")
+            }
+            | {"n_add": len(commit["add"]), "n_remove": len(commit["remove"])}
+            for commit in (
+                self._read_commit(v) for v in range(1, self.latest_version() + 1)
+            )
+        ]
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+    def _write_data_files(
+        self, df: DataFrame, stats_cols: Sequence[str] = ()
+    ) -> List[Dict[str, Any]]:
+        """Write df as parquet into the table dir (one Spark job, files
+        named under a fresh uuid prefix so concurrent writers never
+        collide) and return add-actions with footer-derived stats."""
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        actions = []
+        for i, src in enumerate(sorted(glob.glob(os.path.join(staging, "*.parquet")))):
+            meta = pq.read_metadata(src)
+            if meta.num_rows == 0:
+                continue  # empty shuffle partitions produce 0-row files
+            dest = os.path.join(
+                self.path, f"part-{uuid.uuid4().hex}-{i:05d}.parquet"
+            )
+            shutil.move(src, dest)
+            stats: Dict[str, Any] = {}
+            names = list(meta.schema.names)
+            for col in stats_cols:
+                if col not in names:
+                    continue
+                j = names.index(col)
+                mins, maxs = [], []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        mins, maxs = [], []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins and all(
+                    isinstance(v, (int, float, str, bool))
+                    for v in (min(mins), max(maxs))
+                ):
+                    # JSON-serializable types only (dates/binary footers
+                    # can't round-trip the log; those columns simply
+                    # don't prune)
+                    stats[col] = {"min": min(mins), "max": max(maxs)}
+            actions.append(
+                {"path": dest, "rows": meta.num_rows, "stats": stats}
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        return actions
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        stats_cols: Sequence[str] = (),
+        max_retries: int = 3,
+    ) -> int:
+        """Commit df as a new version. mode: overwrite | append."""
+        add = self._write_data_files(df, stats_cols)
+        for _ in range(max_retries):
+            base = self.latest_version()
+            remove = (
+                [f["path"] for f in self.snapshot_files(base)]
+                if mode == "overwrite"
+                else []
+            )
+            try:
+                return self._commit(base, mode.upper(), add, remove)
+            except CommitConflictError:
+                continue  # blind write/append: safe to retry on new base
+        raise CommitConflictError(f"gave up after {max_retries} retries")
+
+    # ------------------------------------------------------------------
+    # MERGE (copy-on-write)
+    # ------------------------------------------------------------------
+    def merge(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        delete_matched: bool = False,
+    ) -> Dict[str, int]:
+        """MERGE INTO this table USING source ON keys.
+
+        Matched target rows take every non-key column from the source
+        (reference ON CONFLICT DO UPDATE contract) — or are deleted when
+        ``delete_matched``; unmatched source rows insert (skipped when
+        deleting). In-batch duplicates collapse last-wins by key like
+        writers._write_upsert. Only data files whose key range
+        intersects the source's keys are rewritten.
+        """
+        base = self.latest_version()
+        files = self.snapshot_files(base)
+        if not files:
+            raise FileNotFoundError(f"merge target {self.path} is empty")
+        key_list = list(keys)
+
+        src = source.dropDuplicates(key_list)  # in-batch last-wins proxy
+
+        # 1. file skipping: a file can contain matches only if SOME
+        # source row falls inside its footer [min, max] on EVERY key
+        # column — tested per file (not via a global source envelope,
+        # which one outlier key would defeat) with a broadcast non-equi
+        # join: |files| range rows against one scan of the source.
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        src_schema = {f.name: f.dataType for f in src.schema.fields}
+        range_fields = [StructField("__path", StringType(), False)]
+        for k in key_list:
+            range_fields.append(StructField(f"__min_{k}", src_schema[k], True))
+            range_fields.append(StructField(f"__max_{k}", src_schema[k], True))
+        range_rows = []
+        for action in files:
+            row: List[Any] = [action["path"]]
+            for k in key_list:
+                st = (action.get("stats") or {}).get(k)
+                row += [st["min"], st["max"]] if st else [None, None]
+            range_rows.append(tuple(row))
+        ranges = self.spark.createDataFrame(
+            range_rows, StructType(range_fields)
+        )
+        cond = F.lit(True)
+        for k in key_list:
+            cond = cond & (
+                F.col(f"__min_{k}").isNull() | (src[k] >= F.col(f"__min_{k}"))
+            ) & (
+                F.col(f"__max_{k}").isNull() | (src[k] <= F.col(f"__max_{k}"))
+            )
+        hit_paths = {
+            r["__path"]
+            for r in src.join(F.broadcast(ranges), cond)
+            .select("__path")
+            .distinct()
+            .collect()
+        }
+        candidates = [a for a in files if a["path"] in hit_paths]
+        untouched = [a for a in files if a["path"] not in hit_paths]
+
+        stats_cols = sorted(
+            set(key_list)
+            | {c for a in files for c in (a.get("stats") or {})}
+        )
+        n_rewritten = 0
+        add: List[Dict[str, Any]] = []
+        remove: List[str] = []
+        touched: List[Dict[str, Any]] = []
+        if candidates:
+            cand_df = self.spark.read.parquet(*[a["path"] for a in candidates])
+            # 2. touched files = candidate files holding >= 1 key match
+            # (_metadata.file_path maps each row to its data file)
+            touched_names = {
+                os.path.basename(r["f"])
+                for r in cand_df.select(
+                    F.col("_metadata.file_path").alias("f"), *key_list
+                )
+                .join(F.broadcast(src.select(*key_list)), key_list, "left_semi")
+                .select("f")
+                .distinct()
+                .collect()
+            }
+            touched = [
+                a
+                for a in candidates
+                if os.path.basename(a["path"]) in touched_names
+            ]
+        if touched:
+            tgt = self.spark.read.parquet(*[a["path"] for a in touched])
+            survivors = tgt.join(
+                F.broadcast(src.select(*key_list)), key_list, "left_anti"
+            )
+            rewritten = (
+                survivors
+                if delete_matched
+                else survivors.unionByName(src.select(*tgt.columns))
+            )
+            add = self._write_data_files(rewritten, stats_cols)
+            remove = [a["path"] for a in touched]
+            n_rewritten = len(touched)
+        elif not delete_matched:
+            # no key matches anywhere: pure insert, nothing rewritten
+            sample_cols = self.spark.read.parquet(files[0]["path"]).columns
+            add = self._write_data_files(src.select(*sample_cols), stats_cols)
+        # else: deleting keys that match nothing -> empty commit (audit)
+
+        self._commit(
+            base,
+            "MERGE" if not delete_matched else "MERGE_DELETE",
+            add,
+            remove,
+            meta={
+                "keys": key_list,
+                "files_scanned": len(candidates),
+                "files_pruned": len(untouched),
+                "files_rewritten": n_rewritten,
+            },
+        )
+        return {
+            "files_scanned": len(candidates),
+            "files_pruned": len(untouched),
+            "files_rewritten": n_rewritten,
+        }
+
+    # ------------------------------------------------------------------
+    # delete / compact / vacuum
+    # ------------------------------------------------------------------
+    def delete(self, predicate: str) -> Dict[str, int]:
+        """Delete rows matching a SQL predicate; rewrites only files
+        that contain at least one matching row."""
+        base = self.latest_version()
+        files = self.snapshot_files(base)
+        df = self.spark.read.parquet(*[a["path"] for a in files])
+        touched = {
+            os.path.basename(r["f"])
+            for r in df.filter(predicate)
+            .select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .collect()
+        }
+        hit = [a for a in files if os.path.basename(a["path"]) in touched]
+        if not hit:
+            return {"files_rewritten": 0}
+        kept = self.spark.read.parquet(*[a["path"] for a in hit]).filter(
+            f"NOT ({predicate})"
+        )
+        stats_cols = sorted({c for a in hit for c in (a.get("stats") or {})})
+        add = self._write_data_files(kept, stats_cols)
+        self._commit(base, "DELETE", add, [a["path"] for a in hit],
+                     meta={"predicate": predicate})
+        return {"files_rewritten": len(hit)}
+
+    def compact(self, target_files: int = 1) -> int:
+        """Bin-pack the current snapshot into target_files files."""
+        base = self.latest_version()
+        files = self.snapshot_files(base)
+        df = self.spark.read.parquet(*[a["path"] for a in files]).coalesce(
+            target_files
+        )
+        stats_cols = sorted({c for a in files for c in (a.get("stats") or {})})
+        add = self._write_data_files(df, stats_cols)
+        return self._commit(
+            base, "COMPACT", add, [a["path"] for a in files]
+        )
+
+    def vacuum(self) -> List[str]:
+        """Remove data files unreferenced by the LATEST snapshot (breaks
+        time travel to older versions, like Delta's vacuum)."""
+        live = {a["path"] for a in self.snapshot_files()}
+        removed = []
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if name.endswith(".parquet") and full not in live:
+                os.remove(full)
+                removed.append(full)
+        return removed
