@@ -13,9 +13,10 @@ Variance control (r6): one sample per query made a 1.3x environment
 drift indistinguishable from a regression (r5's pricing_summary
 2.08->2.79s with zero code change). Each query now runs
 $SPARK_GRAFT_TRIALS times (default 3); the headline number per query is
-the MEDIAN, `queries_min` carries the best case (closest to pure query
-cost on a quiet machine), and `queries_trials` persists every sample so
-a drift can be diagnosed after the fact.
+the MEDIAN. Per-trial samples and best-case timings are written to
+bench_detail.json next to this script (r7: they used to be inlined in
+the stdout line, which overflowed the driver's bounded output tail and
+produced an unparseable bench artifact).
 """
 
 from __future__ import annotations
@@ -140,14 +141,26 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": medians,
-        "queries_min": mins,
-        "queries_trials": samples,
-        "trials": trials,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "trials": trials,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # The driver parses the LAST stdout line and keeps only a bounded tail
+    # of output (r6: the line bloated past that window once queries_trials
+    # was inlined, and the round's bench artifact recorded parsed=null).
+    # Stdout stays minimal; per-trial samples and best-case timings go to a
+    # side file for post-hoc drift diagnosis.
+    detail = dict(out, queries_min=mins, queries_trials=samples)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the contract
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
