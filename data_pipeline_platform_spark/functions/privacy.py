@@ -1,0 +1,211 @@
+"""Privacy-risk analytics over tabular data (extension; no reference
+counterpart — the reference has no privacy surface at all, and the
+nearest op here, `pii_scrub` in functions/corpus.py, redacts free text
+rather than measuring re-identification risk).
+
+A training-data platform that ingests user-derived tables needs the
+classic disclosure-risk measures BEFORE the data ships to a training
+run:
+
+- ``k_anonymity_classes``: group the table by its quasi-identifier (QI)
+  columns into equivalence classes; a record in a class of size < k is
+  re-identifiable by linking those QI values to an external source
+  (Sweeney, "k-Anonymity: a model for protecting privacy", 2002).  Also
+  reports each class's l-diversity (distinct sensitive values —
+  Machanavajjhala et al. 2007): a large class whose sensitive column is
+  constant still leaks by homogeneity.
+- ``k_anonymize_ladder``: the enforcement half — walk a deterministic
+  generalization ladder (coarser and coarser QI encodings) and publish
+  the FIRST level whose minimum class size reaches k.  This is
+  full-domain generalization with a fixed lattice path, the textbook
+  baseline (Samarati 2001); level min-sizes are 1-row aggregates, so
+  choosing the level costs |ladder| dimension-table scans and the
+  driver only ever sees |ladder| integers.
+
+Scale shape: everything is groupBy on the QI projection — map-side
+partial aggregation collapses each task to |classes| rows before the
+exchange, and |classes| is bounded by the QI domain product, not the
+table.  All-integer/string arithmetic; the DuckDB oracles replay
+bitwise.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+
+
+def k_anonymity_classes(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive: str,
+    k: int = 5,
+) -> DataFrame:
+    """One row per QI equivalence class: the QI values, class_size,
+    l_diversity (distinct sensitive values in the class), and at_risk
+    (class smaller than k)."""
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(F.col(sensitive)).alias("l_diversity"),
+        )
+        .select(
+            *qi_cols,
+            "class_size",
+            "l_diversity",
+            (F.col("class_size") < k).alias("at_risk"),
+        )
+    )
+
+
+def k_anonymize_ladder(
+    df: DataFrame,
+    ladder: Sequence[Tuple[str, List[Column]]],
+    k: int,
+) -> DataFrame:
+    """Publish the first generalization level whose min class size >= k.
+
+    ``ladder`` is an ordered list of (level_name, [qi expression
+    Columns aliased to stable names]) from finest to coarsest; the last
+    level should be coarse enough to always qualify (e.g. a constant).
+    Returns the qualifying level's classes as (level, qi1, qi2,
+    class_size).  Raises if no level reaches k — publishing data that
+    misses the target is the one thing this function must never do.
+    """
+    for level_name, exprs in ladder:
+        classes = df.groupBy(*exprs).agg(F.count(F.lit(1)).alias("class_size"))
+        # 1-row aggregate per level; the driver sees one integer
+        min_size = classes.agg(F.min("class_size")).collect()[0][0]
+        if min_size is not None and min_size >= k:
+            qi_names = [c for c in classes.columns if c != "class_size"]
+            return classes.select(
+                F.lit(level_name).alias("level"), *qi_names, "class_size"
+            )
+    raise ValueError(f"no ladder level reaches k={k}")
+
+
+# ---------------------------------------------------------------------------
+# graded queries
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QI = (nation, market segment); sensitive = account-balance
+    kilobucket.  The per-class risk table a release gate would read."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        # exact integer bucketing: cents // 100000 (floor semantics for
+        # negatives differ between engines' integer division, so bucket
+        # on the cents value with explicit floor)
+        F.floor(F.round(F.col("c_acctbal") * 100).cast("bigint") / 100000)
+        .cast("bigint")
+        .alias("bal_kb"),
+    )
+    return k_anonymity_classes(
+        cust, ["c_nationkey", "c_mktsegment"], sensitive="bal_kb", k=5
+    )
+
+
+ORACLE_K_ANONYMITY_CUSTOMER = """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0) AS BIGINT)
+           AS bal_kb
+  FROM customer
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT bal_kb) AS BIGINT) AS l_diversity,
+       COUNT(*) < 5 AS at_risk
+FROM c
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+def q_k_anonymize_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk the generalization ladder (nation, segment) -> (region,
+    segment) -> (region) -> all until every class has >= 60 members and
+    publish that level's classes.  60 is chosen so the finest levels
+    FAIL at the driver's sf and the ladder genuinely walks."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    ladder = [
+        (
+            "nation_segment",
+            [
+                F.col("c_nationkey").cast("bigint").alias("qi1"),
+                F.col("c_mktsegment").alias("qi2"),
+            ],
+        ),
+        (
+            "region_segment",
+            [
+                F.col("n_regionkey").cast("bigint").alias("qi1"),
+                F.col("c_mktsegment").alias("qi2"),
+            ],
+        ),
+        (
+            "region",
+            [
+                F.col("n_regionkey").cast("bigint").alias("qi1"),
+                F.lit("*").alias("qi2"),
+            ],
+        ),
+        (
+            "all",
+            [F.lit(-1).cast("bigint").alias("qi1"), F.lit("*").alias("qi2")],
+        ),
+    ]
+    return k_anonymize_ladder(joined, ladder, k=60)
+
+
+ORACLE_K_ANONYMIZE_CUSTOMER = """
+WITH j AS (
+  SELECT c.c_mktsegment, c.c_nationkey, n.n_regionkey
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+), l1 AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS qi1, c_mktsegment AS qi2, COUNT(*) AS n
+  FROM j GROUP BY 1, 2
+), l2 AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS qi1, c_mktsegment AS qi2, COUNT(*) AS n
+  FROM j GROUP BY 1, 2
+), l3 AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS qi1, '*' AS qi2, COUNT(*) AS n
+  FROM j GROUP BY 1, 2
+), l4 AS (
+  SELECT CAST(-1 AS BIGINT) AS qi1, '*' AS qi2, COUNT(*) AS n FROM j
+), choice AS (
+  SELECT CASE
+    WHEN (SELECT MIN(n) FROM l1) >= 60 THEN 'nation_segment'
+    WHEN (SELECT MIN(n) FROM l2) >= 60 THEN 'region_segment'
+    WHEN (SELECT MIN(n) FROM l3) >= 60 THEN 'region'
+    ELSE 'all' END AS level
+)
+SELECT level, qi1, qi2, CAST(n AS BIGINT) AS class_size
+FROM choice, l1 WHERE level = 'nation_segment'
+UNION ALL
+SELECT level, qi1, qi2, CAST(n AS BIGINT) FROM choice, l2 WHERE level = 'region_segment'
+UNION ALL
+SELECT level, qi1, qi2, CAST(n AS BIGINT) FROM choice, l3 WHERE level = 'region'
+UNION ALL
+SELECT level, qi1, qi2, CAST(n AS BIGINT) FROM choice, l4 WHERE level = 'all'
+"""
+
+
+register("k_anonymity_customer", q_k_anonymity_customer, ORACLE_K_ANONYMITY_CUSTOMER)
+register("k_anonymize_customer", q_k_anonymize_customer, ORACLE_K_ANONYMIZE_CUSTOMER)
