@@ -79,6 +79,12 @@ HEADLINE = [
     "dedup_span_clean",
     # r6 observability flagship (composes gate + overlap + mixture)
     "corpus_health_report",
+    # r7 additions: single-pass DQ gate, SCD2-over-ACID-merge, blocked
+    # record linkage, k-center coreset selection
+    "dq_checks_orders",
+    "scd2_customer_dim",
+    "record_linkage_parts",
+    "kcenter_coreset",
 ]
 
 

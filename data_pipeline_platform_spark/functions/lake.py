@@ -62,3 +62,45 @@ FROM base b FULL JOIN src s USING (o_orderkey)
 """
 
 register("acid_merge_orders", q_acid_merge_orders, ORACLE_ACID_MERGE_ORDERS)
+
+
+def q_acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-data-feed between the base snapshot and the
+    post-MERGE version (Delta CDF shape: insert / delete /
+    update_preimage / update_postimage).  Exercises ``changes()``'s
+    touched-files-only diff: COW survivor rows rewritten with identical
+    values must NOT surface as updates."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="acid_change_feed_"))
+    table.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    table.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    return table.changes(["o_orderkey"], v_from=1, v_to=2)
+
+
+ORACLE_ACID_CHANGE_FEED = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT 'insert' AS change_type, o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+UNION ALL
+SELECT 'update_preimage', o_orderkey, o_custkey, o_totalprice
+FROM base WHERE o_orderkey % 100 = 0
+UNION ALL
+SELECT 'update_postimage', o_orderkey, o_custkey, o_totalprice + 1.0
+FROM base WHERE o_orderkey % 100 = 0
+"""
+
+
+register("acid_change_feed", q_acid_change_feed, ORACLE_ACID_CHANGE_FEED)

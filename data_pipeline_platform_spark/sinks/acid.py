@@ -157,6 +157,83 @@ class AcidTable:
             )
         ]
 
+    def changes(
+        self,
+        keys: Sequence[str],
+        v_from: int,
+        v_to: Optional[int] = None,
+    ) -> DataFrame:
+        """Row-level change feed between two versions (Delta CDF shape):
+        one row per changed row tagged ``change_type`` in (insert,
+        delete, update_preimage, update_postimage).
+
+        Reads ONLY the data files that entered or left the snapshot
+        between the versions — copy-on-write guarantees a key's row
+        lives in exactly one file, so rows in untouched files cannot
+        have changed and are never scanned.  The diff is one full outer
+        join of removed-file rows vs added-file rows on the keys;
+        rewritten-but-identical survivor rows (COW copies) fall out via
+        the value comparison.  Cost scales with the size of the touched
+        files, not the table.
+        """
+        v_to = self.latest_version() if v_to is None else v_to
+        from_paths = {f["path"] for f in self.snapshot_files(v_from)}
+        to_paths = {f["path"] for f in self.snapshot_files(v_to)}
+        removed = sorted(from_paths - to_paths)
+        added = sorted(to_paths - from_paths)
+        key_list = list(keys)
+
+        def _read(paths: List[str]) -> Optional[DataFrame]:
+            return self.spark.read.parquet(*paths) if paths else None
+
+        old, new = _read(removed), _read(added)
+        if old is None and new is None:
+            raise ValueError(
+                f"no data files changed between v{v_from} and v{v_to}"
+            )
+        template = old if old is not None else new
+        cols = template.columns
+        val_cols = [c for c in cols if c not in key_list]
+
+        def _tag(df: DataFrame, tag: str) -> DataFrame:
+            return df.select(F.lit(tag).alias("change_type"), *cols)
+
+        if old is None:
+            return _tag(new, "insert")
+        if new is None:
+            return _tag(old, "delete")
+        # presence markers, not key-null tests: a NULL business key must
+        # not make a row invisible to the classifier
+        o = old.withColumn("__in_old", F.lit(True)).alias("o")
+        n = new.withColumn("__in_new", F.lit(True)).alias("n")
+        cond = F.lit(True)
+        for k in key_list:
+            cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        j = o.join(n, cond, "full_outer")
+        in_old = F.col("o.__in_old").isNotNull()
+        in_new = F.col("n.__in_new").isNotNull()
+        same = F.lit(True)
+        for c in val_cols:
+            same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        inserts = j.filter(~in_old).select(
+            F.lit("insert").alias("change_type"),
+            *[F.col(f"n.{c}").alias(c) for c in cols],
+        )
+        deletes = j.filter(~in_new).select(
+            F.lit("delete").alias("change_type"),
+            *[F.col(f"o.{c}").alias(c) for c in cols],
+        )
+        updated = j.filter(in_old & in_new & ~same)
+        pre = updated.select(
+            F.lit("update_preimage").alias("change_type"),
+            *[F.col(f"o.{c}").alias(c) for c in cols],
+        )
+        post = updated.select(
+            F.lit("update_postimage").alias("change_type"),
+            *[F.col(f"n.{c}").alias(c) for c in cols],
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
     # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------

@@ -179,3 +179,59 @@ def test_merge_matches_sql_merge_oracle(spark, table, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def _changes(table, v_from, v_to=None):
+    return sorted(
+        (r["change_type"], r["k"], r["v"])
+        for r in table.changes(["k"], v_from, v_to).collect()
+    )
+
+
+def test_change_feed_classifies_merge(spark, table):
+    table.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), stats_cols=["k"])
+    table.merge(_df(spark, [(2, "B"), (9, "z")]), keys=["k"])
+    assert _changes(table, 1, 2) == [
+        ("insert", 9, "z"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]
+    # survivor rows (1, 3) were rewritten copy-on-write with identical
+    # values and must NOT appear
+
+
+def test_change_feed_append_and_delete(spark, table):
+    table.write(_df(spark, [(1, "a")]), stats_cols=["k"])
+    table.write(_df(spark, [(2, "b")]), mode="append", stats_cols=["k"])
+    assert _changes(table, 1, 2) == [("insert", 2, "b")]
+    table.delete("k = 1")
+    assert _changes(table, 2, 3) == [("delete", 1, "a")]
+    # spanning feed composes: v1 -> v3 sees the append and the delete
+    assert _changes(table, 1, 3) == [("delete", 1, "a"), ("insert", 2, "b")]
+
+
+def test_change_feed_prunes_untouched_files(spark, table):
+    # two key-ranged files; merge touches only one
+    table.write(
+        _df(spark, [(1, "a"), (2, "b"), (100, "x"), (101, "y")]).repartitionByRange(
+            2, "k"
+        ),
+        stats_cols=["k"],
+    )
+    table.merge(_df(spark, [(1, "A")]), keys=["k"])
+    feed = table.changes(["k"], 1, 2)
+    assert sorted((r["change_type"], r["k"]) for r in feed.collect()) == [
+        ("update_postimage", 1),
+        ("update_preimage", 1),
+    ]
+    # the diff read only the touched files: scan inputs exclude the
+    # 100/101 file (it was neither added nor removed by the merge)
+    scanned = feed.inputFiles()
+    tbl_rows = {r["k"]: r for r in spark.read.parquet(*scanned).collect()}
+    assert 100 not in tbl_rows and 101 not in tbl_rows
+
+
+def test_change_feed_no_changes_raises(spark, table):
+    table.write(_df(spark, [(1, "a")]), stats_cols=["k"])
+    with pytest.raises(ValueError, match="no data files changed"):
+        table.changes(["k"], 1, 1)
