@@ -53,6 +53,7 @@ def _load_all() -> None:
     from data_pipeline_platform_spark.functions import privacy  # noqa: F401
     from data_pipeline_platform_spark.functions import linkage  # noqa: F401
     from data_pipeline_platform_spark.functions import coreset  # noqa: F401
+    from data_pipeline_platform_spark.functions import mmr  # noqa: F401
 
 
 _load_all()

@@ -552,6 +552,56 @@ register("cosine_topk_lsh", q_cosine_topk_lsh, ORACLE_COSINE_TOPK_LSH)
 register("embedding_near_dup", q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP)
 
 
+def hard_negatives(
+    emb: DataFrame, query_vec_id: int, k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: the k corpus
+    vectors MOST similar to the anchor that carry a DIFFERENT label —
+    exactly the negatives that produce useful gradient (Robinson et al.,
+    "Contrastive Learning with Hard Negative Samples", 2021).  Same
+    one-scan broadcast shape as cosine_topk; the label predicate pushes
+    into the scan, so cost is one pass over the (filtered) corpus and a
+    parallel TakeOrderedAndProject."""
+    base = emb.withColumn("vec", _as_double(vec_col))
+    q = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("qvec"), F.col("label").alias("qlabel")
+    )
+    joined = base.crossJoin(F.broadcast(q)).filter(
+        (F.col("vec_id") != query_vec_id) & (F.col("label") != F.col("qlabel"))
+    )
+    scored = joined.withColumn(
+        "cosine",
+        _dot("vec", "qvec")
+        / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qvec", "qvec"))),
+    )
+    return (
+        scored.select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negatives(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+q AS (SELECT vec, label AS qlabel FROM base WHERE vec_id = 0)
+SELECT b.vec_id, b.label,
+       round(list_dot_product(b.vec, q.vec) /
+             (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(q.vec, q.vec))), 6)
+       AS cosine
+FROM base b CROSS JOIN q
+WHERE b.vec_id != 0 AND b.label != q.qlabel
+ORDER BY cosine DESC, b.vec_id
+LIMIT 10
+"""
+
+
+register("hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES)
+
+
 # ---------------------------------------------------------------------------
 # nearest-centroid classification (embedding -> label assignment)
 # ---------------------------------------------------------------------------
