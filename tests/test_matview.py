@@ -1,0 +1,86 @@
+"""Incrementally maintained aggregates (sinks/matview.py): additive
+fold correctness vs one-shot groupBy, new-group inserts, untouched-group
+file pruning, unsupported-agg validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+
+
+@pytest.fixture()
+def view(spark, tmp_path):
+    return MaterializedAgg(
+        spark,
+        str(tmp_path / "mv"),
+        keys=["g"],
+        aggs=[
+            ("n", "count", ""),
+            ("s", "sum", "x"),
+            ("lo", "min", "x"),
+            ("hi", "max", "x"),
+        ],
+    )
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(rows, "g string, x long")
+
+
+def _state(view):
+    return {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in view.read().collect()
+    }
+
+
+def test_incremental_equals_one_shot(spark, view):
+    b1 = _b(spark, [("a", 1), ("a", 5), ("b", 10)])
+    b2 = _b(spark, [("a", 2), ("c", 7)])
+    b3 = _b(spark, [("b", -3), ("c", 7)])
+    for b in (b1, b2, b3):
+        view.update(b)
+    want = {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in b1.unionByName(b2)
+        .unionByName(b3)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+        .collect()
+    }
+    assert _state(view) == want
+
+
+def test_new_group_inserts_and_counts(spark, view):
+    out1 = view.update(_b(spark, [("a", 1)]))
+    assert out1 == {"groups_touched": 1, "files_rewritten": 0}
+    out2 = view.update(_b(spark, [("a", 2), ("z", 9)]))
+    assert out2["groups_touched"] == 2
+    assert _state(view) == {"a": (2, 3, 1, 2), "z": (1, 9, 9, 9)}
+
+
+def test_untouched_groups_prune(spark, view):
+    # many groups spread over several key-ranged files; a one-group batch
+    # must not rewrite them all
+    base = spark.range(0, 400).select(
+        F.concat(F.lit("g"), F.format_string("%03d", F.col("id") % 100)).alias("g"),
+        F.col("id").alias("x"),
+    )
+    view.update(base.repartitionByRange(8, "g"))
+    out = view.update(_b(spark, [("g007", 1000)]))
+    assert out["groups_touched"] == 1
+    assert out["files_rewritten"] <= 2
+    st = _state(view)
+    assert st["g007"][0] == 5 and st["g007"][3] == 1000
+    assert st["g008"] == (4, 8 + 108 + 208 + 308, 8, 308)
+
+
+def test_unsupported_agg_kind_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported agg kinds"):
+        MaterializedAgg(
+            spark, str(tmp_path / "x"), keys=["g"], aggs=[("a", "avg", "x")]
+        )

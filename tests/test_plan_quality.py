@@ -441,3 +441,45 @@ def test_r6_ops_avoid_fact_sized_serial_windows_and_python(spark):
     eo = _physical_plan(q_embedding_outliers(spark, SF))
     assert "Window" not in eo
     assert "BroadcastHashJoin" in eo or "BroadcastNestedLoopJoin" in eo
+
+
+def test_r7_ops_plan_contracts(spark):
+    """The r7 wave's scale contracts:
+
+    - dq_checks content rules share ONE aggregate (a single HashAggregate
+      chain, not one scan per rule) and the FK rule broadcasts the dim;
+    - record linkage joins on the block key — hash/sort join, never a
+      cartesian product — and stays Python-free;
+    - hard_negatives compiles to a parallel TakeOrderedAndProject with
+      the label predicate in the scan stage, not a global Window;
+    - the profile is one pass: exactly one scan of documents."""
+    from data_pipeline_platform_spark.functions.dq import (
+        q_dq_checks_orders,
+        q_dq_profile_documents,
+    )
+    from data_pipeline_platform_spark.functions.linkage import (
+        q_record_linkage_parts,
+    )
+    from data_pipeline_platform_spark.functions.similarity import (
+        q_hard_negatives,
+    )
+
+    checks = _physical_plan(q_dq_checks_orders(spark, SF))
+    assert "BroadcastHashJoin" in checks  # FK keys broadcast
+    assert "CartesianProduct" not in checks and "EvalPython" not in checks
+    # the six content rules ride one aggregation of one orders scan: the
+    # orders parquet appears once outside the FK branch (2 total)
+    assert checks.count("orders.parquet") <= 2
+
+    link = _physical_plan(q_record_linkage_parts(spark, SF))
+    assert "CartesianProduct" not in link
+    assert "BroadcastNestedLoopJoin" not in link
+    assert "EvalPython" not in link
+
+    negs = _physical_plan(q_hard_negatives(spark, SF))
+    assert "TakeOrderedAndProject" in negs
+    assert "Window" not in negs
+
+    prof = _physical_plan(q_dq_profile_documents(spark, SF))
+    assert prof.count("documents.parquet") == 1  # single-pass profile
+    assert "EvalPython" not in prof

@@ -102,6 +102,16 @@ NOTES = {
     "contamination_span_fraction": "benchmark gram set broadcast semi-join; span fold in a doc-keyed window",
     "seasonal_cusum": "decompose subtree + prefix algebra over the calendar-bounded daily frame",
     "pca_variance_explained": "power-iteration subtree + one extra row-local trace pass (exact DECIMAL sums)",
+    # r7 wave
+    "dq_checks_orders": "all six content rules in ONE agg pass (distinct expand included); FK orphans via broadcast anti-join",
+    "dq_profile_documents": "one-pass profile: every per-column stat rides a single agg; struct-array unpivot is row-local",
+    "scd2_customer_dim": "delta batch broadcast against CURRENT rows only; one merge keyed (key, valid_from)",
+    "record_linkage_parts": "ONE block-key equi-join; Jaccard via array built-ins in codegen — no UDF, no cross product",
+    "kcenter_coreset": "k rounds of scan + TakeOrderedAndProject argmax; running min-dist column, localCheckpoint lineage",
+    "mmr_rerank": "corpus cost = broadcast cosine top-N; MMR rounds on the bounded candidate frame",
+    "hard_negatives": "label predicate in the scan stage; parallel TakeOrderedAndProject",
+    "acid_change_feed": "diff reads only files added/removed between versions; full-outer on keys over the touched rows",
+    "k_anonymity_customer": "one QI groupBy; exchange carries |classes| rows (QI domain, not table)",
 }
 
 
