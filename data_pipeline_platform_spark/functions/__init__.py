@@ -55,6 +55,8 @@ def _load_all() -> None:
     from data_pipeline_platform_spark.functions import coreset  # noqa: F401
     from data_pipeline_platform_spark.functions import mmr  # noqa: F401
     # matview's graded query lives in lake.py (already imported above)
+    from data_pipeline_platform_spark.functions import intervals  # noqa: F401
+    from data_pipeline_platform_spark.functions import labelnoise  # noqa: F401
 
 
 _load_all()
