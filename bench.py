@@ -85,6 +85,8 @@ HEADLINE = [
     "scd2_customer_dim",
     "record_linkage_parts",
     "kcenter_coreset",
+    "materialized_agg_orders",
+    "label_noise_screen",
 ]
 
 
