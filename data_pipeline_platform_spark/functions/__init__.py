@@ -57,6 +57,7 @@ def _load_all() -> None:
     # matview's graded query lives in lake.py (already imported above)
     from data_pipeline_platform_spark.functions import intervals  # noqa: F401
     from data_pipeline_platform_spark.functions import labelnoise  # noqa: F401
+    from data_pipeline_platform_spark.functions import augment  # noqa: F401
 
 
 _load_all()
