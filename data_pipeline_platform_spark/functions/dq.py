@@ -61,8 +61,11 @@ def _violation_expr(rule: Dict) -> F.Column:
     """
     kind = rule["rule"]
     col = rule.get("column")
+    zero = F.lit(0).cast("bigint")
     if kind == "not_null":
-        return F.sum(F.col(col).isNull().cast("bigint"))
+        # coalesce: SUM over an EMPTY relation is NULL, and an empty
+        # table violates nothing (hypothesis-found edge)
+        return F.coalesce(F.sum(F.col(col).isNull().cast("bigint")), zero)
     if kind == "unique":
         # surplus non-null duplicates; rides the same single pass via the
         # distinct-agg expand
@@ -78,7 +81,9 @@ def _violation_expr(rule: Dict) -> F.Column:
         bad = ~F.col(col).rlike(rule["pattern"])
         return F.coalesce(F.sum(bad.cast("bigint")), F.lit(0).cast("bigint"))
     if kind == "expr":
-        return F.sum(F.when(F.expr(rule["expr"]), F.lit(0)).otherwise(F.lit(1)))
+        return F.coalesce(
+            F.sum(F.when(F.expr(rule["expr"]), F.lit(0)).otherwise(F.lit(1))), zero
+        )
     raise ValueError(f"unknown rule kind: {kind!r}")
 
 

@@ -446,3 +446,107 @@ def test_winsorize_is_monotone_and_bounded(spark, vals):
     lows = {r["winsorized"] for r in out if r["clipped_low"]}
     highs = {r["winsorized"] for r in out if r["clipped_high"]}
     assert len(lows) <= 1 and len(highs) <= 1
+
+
+BATCHES = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=BATCHES)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_matview_fold_matches_one_shot(spark, tmp_path_factory, batches):
+    """Incremental additive folds over ANY batch sequence equal the
+    one-shot groupBy of the concatenation (count/sum/min/max)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+
+    view = MaterializedAgg(
+        spark,
+        str(tmp_path_factory.mktemp("mv") / "t"),
+        keys=["g"],
+        aggs=[
+            ("n", "count", ""),
+            ("s", "sum", "x"),
+            ("lo", "min", "x"),
+            ("hi", "max", "x"),
+        ],
+    )
+    for b in batches:
+        view.update(spark.createDataFrame(b, "g string, x long"))
+    got = {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in view.read().collect()
+    }
+    allrows = [r for b in batches for r in b]
+    want = {}
+    for g, x in allrows:
+        n, s, lo, hi = want.get(g, (0, 0, None, None))
+        want[g] = (
+            n + 1,
+            s + x,
+            x if lo is None else min(lo, x),
+            x if hi is None else max(hi, x),
+        )
+    assert got == want
+
+
+DQ_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        st.one_of(st.none(), st.sampled_from(["US", "DE", "FR", "XX", "zz"])),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(rows=DQ_ROWS, lo=st.integers(-20, 0), hi=st.integers(1, 30))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dq_violation_counts_match_python(spark, rows, lo, hi):
+    """run_checks violation counts equal an independent Python replay of
+    the documented NULL semantics (content rules skip NULLs; expr counts
+    not-TRUE; unique counts surplus non-null dupes)."""
+    from data_pipeline_platform_spark.functions.dq import run_checks
+
+    df = spark.createDataFrame(rows, "v long, c string")
+    out = {
+        (r["rule"], r["col_name"]): r["violations"]
+        for r in run_checks(
+            df,
+            [
+                {"rule": "not_null", "column": "v"},
+                {"rule": "unique", "column": "v"},
+                {"rule": "in_range", "column": "v", "min": lo, "max": hi},
+                {"rule": "in_set", "column": "c", "values": ["US", "DE", "FR"]},
+                {"rule": "expr", "expr": "v > 0"},
+            ],
+        ).collect()
+    }
+    vs = [v for v, _ in rows]
+    cs = [c for _, c in rows]
+    nn = [v for v in vs if v is not None]
+    assert out[("not_null", "v")] == sum(1 for v in vs if v is None)
+    assert out[("unique", "v")] == len(nn) - len(set(nn))
+    assert out[("in_range", "v")] == sum(1 for v in nn if not (lo <= v <= hi))
+    assert out[("in_set", "c")] == sum(
+        1 for c in cs if c is not None and c not in ("US", "DE", "FR")
+    )
+    assert out[("expr", "v > 0")] == sum(1 for v in vs if not (v is not None and v > 0))
