@@ -151,3 +151,86 @@ SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3 WHERE node LIKE 's%'
 
 
 register("pagerank", q_pagerank, ORACLE_PAGERANK)
+
+
+MAX_HOPS = 3
+
+
+def bfs_hops(edges: DataFrame, seed_expr, max_hops: int = MAX_HOPS) -> DataFrame:
+    """Min-hop BFS from a seed node over undirected (src, dst) edges:
+    returns (part, hops) for every node within ``max_hops``.
+
+    Pregel-as-joins, like pagerank: each round joins the FRONTIER
+    (nodes discovered last round — shrinking, not the full visited set)
+    against the edge list, anti-joins out already-visited nodes, and
+    unions the survivors in at hop h. Min-hop BFS is order-free, so the
+    result is deterministic under any partitioning. localCheckpoint per
+    round keeps the plan linear in rounds; the frontier join keys on
+    node id (broadcast when the frontier is small, shuffle otherwise —
+    AQE's call)."""
+    from data_pipeline_platform_spark.utils.cache import tracked_persist
+
+    und = tracked_persist(
+        edges.select(F.col("src"), F.col("dst"))
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    seed = und.agg(seed_expr.alias("part")).select(
+        "part", F.lit(0).cast("int").alias("hops")
+    )
+    visited = seed.localCheckpoint()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        neighbors = (
+            frontier.join(und, frontier.part == und.src)
+            .select(F.col("dst").alias("part"))
+            .distinct()
+        )
+        fresh = neighbors.join(visited, "part", "left_anti").select(
+            "part", F.lit(h).cast("int").alias("hops")
+        )
+        frontier = fresh.localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return visited
+
+
+def q_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the lowest-id part in the co-purchase graph
+    (edges = frequent itemset pairs) out to 3 hops — the "how local is
+    this community" probe next to copurchase_triangles' density view."""
+    from data_pipeline_platform_spark.functions.basket import q_frequent_itemsets
+
+    edges = q_frequent_itemsets(spark, sf_dir).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    )
+    return bfs_hops(edges, F.min(F.least(F.col("src"), F.col("dst"))))
+
+
+# The recursive CTE enumerates (node, hop) pairs breadth-first with a
+# UNION (distinct) recursion bound, then MIN(hop) collapses paths — the
+# textbook declarative BFS, proving the iterative frontier walk.
+ORACLE_COPURCHASE_HOPS = f"""
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS (
+  SELECT a.l_partkey AS src, c.l_partkey AS dst
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), seed AS (
+  SELECT MIN(LEAST(src, dst)) AS part FROM e
+), walk(part, hop) AS (
+  SELECT part, 0 FROM seed
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN e ON e.src = w.part
+  WHERE w.hop < {MAX_HOPS}
+)
+SELECT part, CAST(MIN(hop) AS INT) AS hops FROM walk GROUP BY part
+"""
+
+
+register("copurchase_hops", q_copurchase_hops, ORACLE_COPURCHASE_HOPS)

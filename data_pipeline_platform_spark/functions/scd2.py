@@ -101,3 +101,90 @@ FROM vers
 
 
 register("scd2_customer_dim", q_scd2_customer_dim, ORACLE_SCD2_CUSTOMER_DIM)
+
+
+def q_scd2_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The point of keeping Type-2 history: enrich facts with the
+    dimension attributes THAT WERE TRUE at fact time, not today's.
+    Orders are assigned a deterministic event epoch (1 + o_orderkey % 3)
+    and joined to the customer dimension version whose
+    [valid_from, valid_to) interval covers that epoch; revenue per
+    (epoch, then-current segment) would silently misattribute every
+    moved customer if joined against only the latest snapshot.
+
+    Plan shape: equi-join on the business key (the selective part), the
+    interval predicate as a post-join filter — version chains are short
+    (<= |batches| rows per key), so the non-equi residual multiplies a
+    bounded per-key frame, never |facts| x |dim|."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = Scd2Table(
+        spark,
+        tempfile.mkdtemp(prefix="scd2_asof_"),
+        keys=["c_custkey"],
+        tracked=["segment"],
+    )
+    for bid, batch in enumerate(_batches(cust), start=1):
+        dim.apply(batch, batch_id=bid)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.lit(1) + F.col("o_orderkey") % 3).cast("bigint").alias("epoch"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    versions = dim.read()
+    joined = orders.join(
+        versions, orders.o_custkey == versions.c_custkey, "inner"
+    ).filter(
+        (F.col("valid_from") <= F.col("epoch"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("epoch")))
+    )
+    return (
+        joined.groupBy("epoch", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("price_c") / 100.0).alias("revenue"),
+        )
+    )
+
+
+ORACLE_SCD2_ASOF_ENRICHMENT = """
+WITH b AS (
+  SELECT c_custkey, 1 AS bid, c_mktsegment AS segment
+  FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_custkey, 2,
+         CASE WHEN c_custkey % 7 = 0 THEN 'M2-' || c_mktsegment
+              ELSE c_mktsegment END
+  FROM customer
+  WHERE c_custkey % 7 = 0 OR (c_custkey % 3 = 0 AND c_custkey % 11 <> 0)
+  UNION ALL
+  SELECT c_custkey, 3,
+         CASE WHEN c_custkey % 21 = 0 THEN 'M3-' || c_mktsegment
+              ELSE c_mktsegment END
+  FROM customer
+  WHERE (c_custkey % 11 = 0 AND c_custkey % 7 <> 0) OR c_custkey % 21 = 0
+), chg AS (
+  SELECT c_custkey, bid, segment,
+         LAG(segment) OVER (PARTITION BY c_custkey ORDER BY bid) AS prev
+  FROM b
+), vers AS (
+  SELECT c_custkey, bid AS valid_from,
+         LEAD(bid) OVER (PARTITION BY c_custkey ORDER BY bid) AS valid_to,
+         segment
+  FROM chg WHERE prev IS NULL OR prev <> segment
+), o AS (
+  SELECT o_custkey, CAST(1 + o_orderkey % 3 AS BIGINT) AS epoch,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o.epoch, v.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS revenue
+FROM o JOIN vers v
+  ON o.o_custkey = v.c_custkey
+ AND v.valid_from <= o.epoch
+ AND (v.valid_to IS NULL OR v.valid_to > o.epoch)
+GROUP BY 1, 2
+"""
+
+
+register("scd2_asof_enrichment", q_scd2_asof_enrichment, ORACLE_SCD2_ASOF_ENRICHMENT)

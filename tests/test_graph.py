@@ -64,3 +64,20 @@ def test_pagerank_mass_is_conserved_approximately(spark):
     out = pagerank_fixed_point(edges).agg(F.sum("rank_fp")).collect()[0][0]
     n = 3
     assert abs(out - n * PR_SCALE) < n * 200 * PR_ITERATIONS
+
+
+def test_bfs_hops_min_distance_and_bound(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus shortcut 1-4: node 4 is 1 hop via shortcut,
+    # node 5 is 2; node 9-8 is a separate component (unreached)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (9, 8)], "src long, dst long"
+    )
+    out = {r["part"]: r["hops"] for r in bfs_hops(edges, F.lit(1), max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # tighter bound truncates the frontier
+    out1 = {r["part"]: r["hops"] for r in bfs_hops(edges, F.lit(1), max_hops=1).collect()}
+    assert out1 == {1: 0, 2: 1, 4: 1}
