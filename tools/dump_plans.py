@@ -112,6 +112,12 @@ NOTES = {
     "hard_negatives": "label predicate in the scan stage; parallel TakeOrderedAndProject",
     "acid_change_feed": "diff reads only files added/removed between versions; full-outer on keys over the touched rows",
     "k_anonymity_customer": "one QI groupBy; exchange carries |classes| rows (QI domain, not table)",
+    "events_in_busy_windows": "binned interval join: hash equi-join on bin + exact re-check, no nested loop",
+    "label_noise_screen": "probes broadcast; one corpus scan; per-probe keyed window (never global)",
+    "materialized_agg_orders": "map-side-combinable partials; merge rewrites only touched-group files",
+    "augment_token_dropout": "pure row-local array lambdas — no exchange, no Python",
+    "scd2_asof_enrichment": "key equi-join carries the selectivity; interval residual on bounded version chains",
+    "copurchase_hops": "shrinking-frontier joins; anti-join visited; linear plan via localCheckpoint",
 }
 
 
