@@ -170,6 +170,40 @@ def explain_command(args: argparse.Namespace) -> int:
     return 0
 
 
+def dq_command(args: argparse.Namespace) -> int:
+    """Run declarative data-quality checks against a parquet path: rules
+    come from a JSON/YAML file (a list of rule dicts, the
+    functions/dq.py vocabulary; foreign_key rules name their reference
+    via ``ref_path``). Prints one JSON line per rule; exit code 1 when
+    any rule fails — the shape a CI data gate wants."""
+    from data_pipeline_platform_spark.functions.dq import run_checks
+    from data_pipeline_platform_spark.session import get_spark
+
+    rules = load_config_file(args.rules)
+    if not isinstance(rules, list):
+        print("rules file must hold a JSON/YAML LIST of rule dicts", file=sys.stderr)
+        return 2
+    spark = get_spark("pipeline-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.path)
+    refs = {}
+    for r in rules:
+        if r.get("rule") == "foreign_key":
+            ref_path = r.get("ref_path")
+            if not ref_path:
+                print("foreign_key rule needs ref_path", file=sys.stderr)
+                return 2
+            r["ref"] = ref_path
+            refs[ref_path] = spark.read.parquet(ref_path)
+    failed = 0
+    for row in run_checks(df, rules, refs=refs).collect():
+        rec = row.asDict()
+        print(json.dumps(rec, default=str))
+        if not rec["passed"]:
+            failed += 1
+    return 1 if failed else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pipeline-cli", description="Spark pipeline CLI")
     sub = p.add_subparsers(dest="command", required=True)
@@ -229,6 +263,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp_ex.add_argument("--list", action="store_true", help="list query names")
     sp_ex.set_defaults(func=explain_command)
+
+    sp_dq = sub.add_parser("dq", help="run declarative data-quality checks")
+    sp_dq.add_argument("path", help="parquet path to check")
+    sp_dq.add_argument("--rules", required=True, help="JSON/YAML rules file")
+    sp_dq.set_defaults(func=dq_command)
 
     return p
 

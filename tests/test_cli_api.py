@@ -438,3 +438,38 @@ def test_fastapi_testclient_round_trip(spark, tmp_warehouse):
     assert bad.status_code == 400 and "Query is required" in bad.json()["detail"]
     assert client.get("/pipelines/zzz/status").json()["status"] == "unknown"
     assert client.get("/tasks/zzz").json()["status"] == "unknown"
+
+
+def test_cli_dq_gate(spark, tmp_path, capsys):
+    """`pipeline-cli dq` runs a rules file against a parquet path,
+    prints one JSON line per rule, and exits nonzero when a rule fails
+    (the CI data-gate contract)."""
+    import json as _json
+
+    from data_pipeline_platform_spark.cli import main
+
+    data = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, "US"), (2, "XX"), (2, "DE")], "id long, c string"
+    ).write.parquet(data)
+    rules = tmp_path / "rules.json"
+    rules.write_text(
+        _json.dumps(
+            [
+                {"rule": "not_null", "column": "id"},
+                {"rule": "unique", "column": "id"},
+                {"rule": "in_set", "column": "c", "values": ["US", "DE"]},
+            ]
+        )
+    )
+    rc = main(["dq", data, "--rules", str(rules)])
+    out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1  # unique and in_set fail
+    by_rule = {r["rule"]: r for r in out}
+    assert by_rule["not_null"]["passed"] is True
+    assert by_rule["unique"]["violations"] == 1
+    assert by_rule["in_set"]["violations"] == 1
+
+    ok_rules = tmp_path / "ok.json"
+    ok_rules.write_text(_json.dumps([{"rule": "not_null", "column": "id"}]))
+    assert main(["dq", data, "--rules", str(ok_rules)]) == 0

@@ -20,6 +20,11 @@ SUBSET = [
     "events_sessionize",
     "text_stats",
     "cosine_topk",
+    # r7 families
+    "dq_checks_orders",
+    "scd2_customer_dim",
+    "record_linkage_parts",
+    "augment_token_dropout",
 ]
 
 
