@@ -58,6 +58,10 @@ def _load_all() -> None:
     from data_pipeline_platform_spark.functions import intervals  # noqa: F401
     from data_pipeline_platform_spark.functions import labelnoise  # noqa: F401
     from data_pipeline_platform_spark.functions import augment  # noqa: F401
+    from data_pipeline_platform_spark.functions import ranktests  # noqa: F401
+    from data_pipeline_platform_spark.functions import retrieval  # noqa: F401
+    from data_pipeline_platform_spark.functions import folds  # noqa: F401
+    # link_prediction_parts lives in basket.py (already imported above)
 
 
 _load_all()

@@ -370,3 +370,87 @@ FROM sizes
 """
 
 register("basket_size_dispersion", q_basket_size_dispersion, ORACLE_BASKET_SIZE_DISPERSION)
+
+
+def q_link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted NEW co-purchase edges by neighbor-set Jaccard:
+    for part pairs at distance 2 in the co-purchase graph (support >=
+    MIN_SUPPORT edges, canonical pa < pb) that are NOT already edges,
+    score |N(a) & N(b)| / |N(a) | N(b)|. The classic common-neighbors
+    recommender, shaped for scale: candidates come from the wedge join
+    (bounded by degree^2 on the dimension-cardinality edge set), never
+    from all part pairs; the head is orderBy().limit —
+    TakeOrderedAndProject, no global window.
+
+    Determinism: jaccard is ONE IEEE division of exact BIGINT counts
+    (identical in both engines); ordering tie-breaks on (a, b)."""
+    edges = q_frequent_itemsets(spark, sf_dir).select("pa", "pb")
+    und = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    wedges = (
+        und.select(F.col("v").alias("x"), F.col("u").alias("a"))
+        .join(und.select(F.col("u").alias("x"), F.col("v").alias("b")), "x")
+        .filter(F.col("a") < F.col("b"))
+    )
+    common = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common_cnt"))
+    cand = common.join(
+        edges, (common.a == edges.pa) & (common.b == edges.pb), "left_anti"
+    )
+    scored = (
+        cand.join(deg.select(F.col("u").alias("a"), F.col("degree").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("degree").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("common_cnt").cast("bigint").alias("common_cnt"),
+            (F.col("deg_a") + F.col("deg_b") - F.col("common_cnt"))
+            .cast("bigint")
+            .alias("union_cnt"),
+            (
+                F.col("common_cnt").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_cnt")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "a", "b").limit(20)
+
+
+ORACLE_LINK_PREDICTION_PARTS = f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_SUPPORT}
+), und AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+), deg AS (
+  SELECT u, COUNT(*) AS degree FROM und GROUP BY 1
+), wedges AS (
+  SELECT w1.u AS a, w2.v AS b
+  FROM und w1 JOIN und w2 ON w1.v = w2.u
+  WHERE w1.u < w2.v
+), common AS (
+  SELECT a, b, COUNT(*) AS common_cnt FROM wedges GROUP BY 1, 2
+), cand AS (
+  SELECT c.* FROM common c
+  ANTI JOIN edges e ON c.a = e.pa AND c.b = e.pb
+)
+SELECT c.a, c.b,
+       CAST(c.common_cnt AS BIGINT) AS common_cnt,
+       CAST(da.degree + db.degree - c.common_cnt AS BIGINT) AS union_cnt,
+       CAST(c.common_cnt AS DOUBLE)
+         / CAST(da.degree + db.degree - c.common_cnt AS DOUBLE) AS jaccard
+FROM cand c
+JOIN deg da ON c.a = da.u
+JOIN deg db ON c.b = db.u
+ORDER BY jaccard DESC, c.a, c.b
+LIMIT 20
+"""
+
+register("link_prediction_parts", q_link_prediction_parts, ORACLE_LINK_PREDICTION_PARTS)

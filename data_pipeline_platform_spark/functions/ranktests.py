@@ -1,0 +1,307 @@
+"""Nonparametric rank tests and inequality measures (extension; no
+reference counterpart — the reference has no statistics ops, see
+SURVEY.md §2.11). Mann-Whitney U / KS two-sample tests across event
+types, and a Gini concentration index of customer revenue per nation.
+
+Scale posture — the value CENSUS, not the value LIST. A rank test
+naively needs a global sort of the fact table (the exact plan class the
+round-6 verdict flagged as a scale-killer). Here `value` is binned to
+exact integer cents first, so the working frame is the (type, bin)
+census: its cardinality is bounded by the value RANGE (~50k bins for
+[0, 500.02]), independent of row count. Ranks, prefix CDFs, and
+pairwise |x_i - x_j| sums are all window algebra over that bounded
+census — one map-side-combinable shuffle against the fact table, then
+bounded-frame windows. At 100 TB the census is the same ~50k rows.
+
+Exactness: midranks are kept doubled (2*midrank is always an integer),
+so rank sums, U statistics, and KS sup-distances are exact BIGINTs;
+each output ratio is a single final IEEE division both engines round
+identically. The Gini pairwise-difference sum accumulates in
+decimal(38,0) — per-row terms fit int64, but the sum is O(n^2 * mean)
+and would overflow at ~sf100 (the `local_supplier_volume` lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_platform_spark.functions import register
+
+
+def _event_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, bin, cnt_a, cnt_b) for every unordered pair of
+    event types, values binned to exact cents. Census-sized: |pairs| x
+    |distinct bins|."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    census = ev.groupBy(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    types = census.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(F.broadcast(types.select(F.col("event_type").alias("type_b"))))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    tagged = census.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    return tagged.groupBy("type_a", "type_b", "bin").agg(
+        F.sum(F.when(F.col("event_type") == F.col("type_a"), F.col("cnt")).otherwise(0))
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("event_type") == F.col("type_b"), F.col("cnt")).otherwise(0))
+        .alias("cnt_b"),
+    )
+
+
+_DUCK_PAIR_CENSUS = """
+census AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM census) a,
+       (SELECT DISTINCT event_type FROM census) b
+  WHERE a.event_type < b.event_type
+), pair_census AS (
+  SELECT p.type_a, p.type_b, c.bin,
+         CAST(SUM(CASE WHEN c.event_type = p.type_a THEN c.cnt ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN c.event_type = p.type_b THEN c.cnt ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM census c JOIN pairs p
+    ON c.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) for every pair of event types on the
+    cent-binned `value`, midrank tie handling. u2_a = 2*U_a (exact
+    BIGINT); auc_a = U_a / (n_a*n_b) is the common-language effect size
+    P(a > b) + 0.5*P(a = b)."""
+    census = _event_pair_census(spark, sf_dir)
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = census.withColumn(
+        "cum_before", F.coalesce(F.sum(F.col("cnt_a") + F.col("cnt_b")).over(w), F.lit(0))
+    ).withColumn(
+        # doubled midrank of every value in this bin: ranks occupy
+        # [cum_before+1, cum_before+t]; midrank = cum_before + (t+1)/2
+        "midrank2",
+        2 * F.col("cum_before") + F.col("cnt_a") + F.col("cnt_b") + 1,
+    )
+    return (
+        ranked.groupBy("type_a", "type_b")
+        .agg(
+            F.sum("cnt_a").alias("n_a"),
+            F.sum("cnt_b").alias("n_b"),
+            F.sum(F.col("cnt_a") * F.col("midrank2")).alias("rank_sum2_a"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.col("rank_sum2_a") - F.col("n_a") * (F.col("n_a") + 1))
+            .cast("bigint")
+            .alias("u2_a"),
+            (
+                (F.col("rank_sum2_a") - F.col("n_a") * (F.col("n_a") + 1)).cast("double")
+                / (2.0 * F.col("n_a") * F.col("n_b"))
+            ).alias("auc_a"),
+        )
+    )
+
+
+ORACLE_MANN_WHITNEY_U = f"""
+WITH {_DUCK_PAIR_CENSUS}, ranked AS (
+  SELECT *,
+         COALESCE(SUM(cnt_a + cnt_b) OVER (
+           PARTITION BY type_a, type_b ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM pair_census
+), summed AS (
+  SELECT type_a, type_b,
+         CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+         CAST(SUM(cnt_a * (2 * cum_before + cnt_a + cnt_b + 1)) AS BIGINT)
+           AS rank_sum2_a
+  FROM ranked GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_a, n_b,
+       CAST(rank_sum2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST(rank_sum2_a - n_a * (n_a + 1) AS DOUBLE) / (2.0 * n_a * n_b) AS auc_a
+FROM summed
+"""
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov sup-distance for every event-type
+    pair on cent-binned values. d_num = max|n_b*F_a - n_a*F_b| over the
+    merged support (exact BIGINT, scaled by n_a*n_b); reject_95 is the
+    large-sample c(0.05)=1.36 decision, computed identically in both
+    engines."""
+    census = _event_pair_census(spark, sf_dir)
+    wc = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("type_a", "type_b")
+    cdf = (
+        census.withColumn("cum_a", F.sum("cnt_a").over(wc))
+        .withColumn("cum_b", F.sum("cnt_b").over(wc))
+        .withColumn("tot_a", F.sum("cnt_a").over(wp))
+        .withColumn("tot_b", F.sum("cnt_b").over(wp))
+    )
+    return (
+        cdf.groupBy("type_a", "type_b")
+        .agg(
+            F.max("tot_a").alias("n_a"),
+            F.max("tot_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("tot_b") - F.col("cum_b") * F.col("tot_a"))
+            ).alias("d_num"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.col("d_num").cast("bigint").alias("d_num"),
+            (F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")).alias(
+                "d_stat"
+            ),
+            (
+                F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
+                > F.lit(1.36)
+                * F.sqrt(
+                    (F.col("n_a") + F.col("n_b")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                )
+            ).alias("reject_95"),
+        )
+    )
+
+
+ORACLE_KS_TEST = f"""
+WITH {_DUCK_PAIR_CENSUS}, cdf AS (
+  SELECT *,
+         SUM(cnt_a) OVER (PARTITION BY type_a, type_b ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cnt_b) OVER (PARTITION BY type_a, type_b ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         SUM(cnt_a) OVER (PARTITION BY type_a, type_b) AS tot_a,
+         SUM(cnt_b) OVER (PARTITION BY type_a, type_b) AS tot_b
+  FROM pair_census
+), summed AS (
+  SELECT type_a, type_b,
+         CAST(MAX(tot_a) AS BIGINT) AS n_a,
+         CAST(MAX(tot_b) AS BIGINT) AS n_b,
+         CAST(MAX(ABS(cum_a * tot_b - cum_b * tot_a)) AS BIGINT) AS d_num
+  FROM cdf GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_a, n_b, d_num,
+       CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d_stat,
+       CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+         > 1.36 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+         AS reject_95
+FROM summed
+"""
+
+
+def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini index of per-customer order revenue within each nation,
+    computed on the whole-dollar revenue census. The pairwise-|diff|
+    sum uses the sorted-census identity
+      sum_ij |x_i - x_j| = 2 * sum_k c_k * (x_k * C_<k - S_<k)
+    (C_<k / S_<k = count / value-sum of strictly-smaller bins), so the
+    window runs over the bounded (nation, dollar-bin) census — never a
+    per-customer global sort. Accumulates in decimal(38,0): per-row
+    terms fit int64 but the O(n^2) sum overflows BIGINT near sf100."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("rev_cents"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.expr("rev_cents DIV 100").alias("x"))
+    )
+    census = per_cust.groupBy("n_name", "x").agg(F.count(F.lit(1)).alias("c"))
+    wb = (
+        Window.partitionBy("n_name")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = census.withColumn(
+        "cum_c", F.coalesce(F.sum("c").over(wb), F.lit(0))
+    ).withColumn("cum_s", F.coalesce(F.sum(F.col("c") * F.col("x")).over(wb), F.lit(0)))
+    return (
+        contrib.groupBy("n_name")
+        .agg(
+            F.sum("c").alias("n_customers"),
+            F.sum(F.col("c") * F.col("x")).alias("total_dollars"),
+            F.sum(
+                (
+                    2
+                    * F.col("c")
+                    * (F.col("x") * F.col("cum_c") - F.col("cum_s"))
+                ).cast("decimal(38,0)")
+            ).alias("pair_diff"),
+        )
+        .select(
+            "n_name",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("total_dollars").cast("bigint").alias("total_dollars"),
+            (
+                F.col("pair_diff").cast("double")
+                / (2.0 * F.col("n_customers").cast("double") * F.col("total_dollars").cast("double"))
+            ).alias("gini"),
+        )
+    )
+
+
+ORACLE_GINI_BY_NATION = """
+WITH per_cust AS (
+  SELECT n.n_name,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) // 100 AS x
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, o.o_custkey
+), census AS (
+  SELECT n_name, x, COUNT(*) AS c FROM per_cust GROUP BY 1, 2
+), contrib AS (
+  SELECT *,
+         COALESCE(SUM(c) OVER (PARTITION BY n_name ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_c,
+         COALESCE(SUM(c * x) OVER (PARTITION BY n_name ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_s
+  FROM census
+)
+SELECT n_name,
+       CAST(SUM(c) AS BIGINT) AS n_customers,
+       CAST(SUM(c * x) AS BIGINT) AS total_dollars,
+       CAST(SUM(CAST(2 * c * (x * cum_c - cum_s) AS DECIMAL(38,0))) AS DOUBLE)
+         / (2.0 * CAST(SUM(c) AS DOUBLE) * CAST(SUM(c * x) AS DOUBLE)) AS gini
+FROM contrib GROUP BY 1
+"""
+
+
+register("mann_whitney_u", q_mann_whitney_u, ORACLE_MANN_WHITNEY_U)
+register("ks_test", q_ks_test, ORACLE_KS_TEST)
+register("gini_by_nation", q_gini_by_nation, ORACLE_GINI_BY_NATION)

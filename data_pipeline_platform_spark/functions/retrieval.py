@@ -1,0 +1,144 @@
+"""Retrieval-quality evaluation (extension; no reference counterpart —
+SURVEY.md §2.11): Average Precision @ 10 and reciprocal rank for a
+label-relevance kNN retrieval over the embeddings table — the eval half
+of the similarity-search family (`cosine_topk`, `knn_classify`).
+
+Exact-rational AP: the usual float accumulation of precision@k is
+summation-order-fragile, but every AP@K term is a rational with
+denominator <= K, so with L = lcm(1..10) = 2520 the sum
+  ap_num = sum_{k<=10, rel_k} hits@k * (L / k)
+is an exact BIGINT in both engines; AP itself is ONE final IEEE
+division by L * min(R, 10). Reciprocal rank is 1.0 / first_rel_rank —
+also a single division. Ranking uses the fixed-point BIGINT distance
+fold (`similarity.FP_SCALE`) with a vec_id tie-break, the house rule
+for anything that orders by distance.
+
+Scale: probes are a fixed bounded panel (vec_id < N_PROBES) broadcast
+against ONE corpus scan; per-probe top-10 is a keyed window
+(WindowGroupLimit pushes the limit before the sort spills), never a
+global window. At 100 TB the corpus scan dominates and parallelizes;
+the eval frame is |probes| x 10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_platform_spark.functions import register
+from data_pipeline_platform_spark.functions.similarity import (
+    _as_double,
+    _dist_fp_sql,
+    _duck_dist_fp,
+)
+
+N_PROBES = 20
+K = 10
+LCM_K = 2520  # lcm(1..10): L/k is an exact integer for every k <= 10
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe retrieval quality: (probe_id, probe_label, n_rel_top10,
+    first_rel_rank, ap_num, ap10, rr) where relevance = same label,
+    candidates ranked by fixed-point L2 distance (ties by vec_id)."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("vec").alias("pvec"),
+    )
+    # total relevant per probe label (excluding the probe itself) for
+    # the AP@K normalizer min(R, K)
+    label_counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("dist_fp", F.expr(_dist_fp_sql("vec", "pvec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist_fp", "vec_id")
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .withColumn("rel", (F.col("label") == F.col("probe_label")).cast("bigint"))
+    )
+    wh = (
+        Window.partitionBy("probe_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = top.withColumn("hits", F.sum("rel").over(wh))
+    per_probe = hits.groupBy("probe_id", "probe_label").agg(
+        F.sum("rel").alias("n_rel_top10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel_rank"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.col("hits") * F.expr(f"{LCM_K} DIV rn"))
+            .otherwise(0)
+        ).alias("ap_num"),
+    )
+    return (
+        per_probe.join(
+            F.broadcast(label_counts), per_probe.probe_label == label_counts.label
+        )
+        .select(
+            "probe_id",
+            "probe_label",
+            F.col("n_rel_top10").cast("bigint").alias("n_rel_top10"),
+            F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
+            F.col("ap_num").cast("bigint").alias("ap_num"),
+            (
+                F.col("ap_num").cast("double")
+                / (F.lit(LCM_K) * F.least(F.col("n_label") - 1, F.lit(K))).cast("double")
+            ).alias("ap10"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel_rank").cast("double"), F.lit(0.0)
+            ).alias("rr"),
+        )
+    )
+
+
+ORACLE_RETRIEVAL_EVAL = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, label AS probe_label, vec AS pvec
+  FROM base WHERE vec_id < {N_PROBES}
+), label_counts AS (
+  SELECT label, COUNT(*) AS n_label FROM base GROUP BY 1
+), scored AS (
+  SELECT b.vec_id, b.label, p.probe_id, p.probe_label,
+         {_duck_dist_fp('b.vec', 'p.pvec')} AS dist_fp
+  FROM base b CROSS JOIN probes p
+  WHERE b.vec_id <> p.probe_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY probe_id ORDER BY dist_fp, vec_id) AS rn
+  FROM scored
+), top AS (
+  SELECT *, CASE WHEN label = probe_label THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE rn <= {K}
+), hits AS (
+  SELECT *, SUM(rel) OVER (PARTITION BY probe_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+  FROM top
+), per_probe AS (
+  SELECT probe_id, probe_label,
+         CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+         CAST(MIN(CASE WHEN rel = 1 THEN rn END) AS BIGINT) AS first_rel_rank,
+         CAST(SUM(CASE WHEN rel = 1 THEN hits * ({LCM_K} // rn) ELSE 0 END) AS BIGINT)
+           AS ap_num
+  FROM hits GROUP BY 1, 2
+)
+SELECT p.probe_id, p.probe_label, p.n_rel_top10, p.first_rel_rank, p.ap_num,
+       CAST(p.ap_num AS DOUBLE)
+         / CAST({LCM_K} * LEAST(lc.n_label - 1, {K}) AS DOUBLE) AS ap10,
+       COALESCE(1.0 / CAST(p.first_rel_rank AS DOUBLE), 0.0) AS rr
+FROM per_probe p JOIN label_counts lc ON p.probe_label = lc.label
+"""
+
+
+register("retrieval_eval", q_retrieval_eval, ORACLE_RETRIEVAL_EVAL)

@@ -25,6 +25,9 @@ SUBSET = [
     "scd2_customer_dim",
     "record_linkage_parts",
     "augment_token_dropout",
+    # r7b wave
+    "mann_whitney_u",
+    "retrieval_eval",
 ]
 
 
