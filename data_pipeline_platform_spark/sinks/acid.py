@@ -237,8 +237,59 @@ class AcidTable:
     # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------
+    # target on-disk size per published file. Real lakes aim for
+    # 128 MiB-1 GiB; the policy below only LOWERS file count, so the
+    # constant trades per-file overhead (commit log entries, footer
+    # reads, task scheduling) against write parallelism.
+    TARGET_FILE_BYTES = 128 * 1024 * 1024
+    # below this total, packing happens driver-side via pyarrow row-group
+    # concat — zero Spark jobs; above it, a coalesce job (which at real
+    # scale rarely triggers because files approach the target size)
+    DRIVER_PACK_BYTES = 64 * 1024 * 1024
+
+    def _binpack_staging(self, staging: str) -> str:
+        """Collapse a fragmented staged write (small-file problem: a
+        32-partition shuffle publishing 32 tiny files per version makes
+        every later snapshot read, merge candidate scan, and footer
+        pass pay 32x overhead). If the staged bytes justify fewer than
+        half the staged files, rewrite at ceil(bytes/target) files.
+        At scale files approach the target size and this pass is a
+        no-op — the rewrite only triggers exactly when it is cheap."""
+        import glob
+        import math
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(staging, "*.parquet")))
+        if len(files) <= 1:
+            return staging
+        total = sum(os.path.getsize(f) for f in files)
+        packed = staging + "-packed"
+        if total <= self.DRIVER_PACK_BYTES:
+            # tiny version: concat row groups driver-side — zero Spark
+            # jobs, the common case for dimension batches and tests
+            os.makedirs(packed, exist_ok=True)
+            out = os.path.join(packed, "part-00000.parquet")
+            schema = pq.read_schema(files[0])
+            with pq.ParquetWriter(out, schema) as w:
+                for f in files:
+                    t = pq.read_table(f)
+                    if t.num_rows:
+                        w.write_table(t.cast(schema))
+            shutil.rmtree(staging, ignore_errors=True)
+            return packed
+        n_target = max(1, math.ceil(total / self.TARGET_FILE_BYTES))
+        if n_target * 2 > len(files):
+            return staging
+        self.spark.read.parquet(staging).coalesce(n_target).write.mode(
+            "overwrite"
+        ).parquet(packed)
+        shutil.rmtree(staging, ignore_errors=True)
+        return packed
+
     def _write_data_files(
-        self, df: DataFrame, stats_cols: Sequence[str] = ()
+        self, df: DataFrame, stats_cols: Sequence[str] = (), binpack: bool = True
     ) -> List[Dict[str, Any]]:
         """Write df as parquet into the table dir (one Spark job, files
         named under a fresh uuid prefix so concurrent writers never
@@ -250,6 +301,8 @@ class AcidTable:
 
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
+        if binpack:
+            staging = self._binpack_staging(staging)
         actions = []
         for i, src in enumerate(sorted(glob.glob(os.path.join(staging, "*.parquet")))):
             meta = pq.read_metadata(src)
@@ -293,9 +346,13 @@ class AcidTable:
         mode: str = "overwrite",
         stats_cols: Sequence[str] = (),
         max_retries: int = 3,
+        binpack: bool = True,
     ) -> int:
-        """Commit df as a new version. mode: overwrite | append."""
-        add = self._write_data_files(df, stats_cols)
+        """Commit df as a new version. mode: overwrite | append.
+        ``binpack=False`` publishes df's partitioning verbatim — for
+        deliberately clustered layouts (range-partitioned key files)
+        whose file boundaries ARE the pruning structure."""
+        add = self._write_data_files(df, stats_cols, binpack=binpack)
         for _ in range(max_retries):
             base = self.latest_version()
             remove = (

@@ -217,6 +217,7 @@ def test_change_feed_prunes_untouched_files(spark, table):
             2, "k"
         ),
         stats_cols=["k"],
+        binpack=False,  # the 2-file range layout IS the fixture
     )
     table.merge(_df(spark, [(1, "A")]), keys=["k"])
     feed = table.changes(["k"], 1, 2)
@@ -235,3 +236,21 @@ def test_change_feed_no_changes_raises(spark, table):
     table.write(_df(spark, [(1, "a")]), stats_cols=["k"])
     with pytest.raises(ValueError, match="no data files changed"):
         table.changes(["k"], 1, 1)
+
+
+def test_write_binpacks_fragmented_versions(spark, table):
+    """A 16-partition shuffle of tiny rows must publish as ONE file
+    (small-file policy), and binpack=False must preserve the caller's
+    layout verbatim."""
+    table.write(_df(spark, [(i, f"v{i}") for i in range(100)]).repartition(16),
+                stats_cols=["k"])
+    files_v1 = table.snapshot_files()
+    assert len(files_v1) == 1
+    # stats survive the pack: the single file carries the full key range
+    assert files_v1[0]["stats"]["k"] == {"min": 0, "max": 99}
+    assert sorted(r["k"] for r in table.read().collect()) == list(range(100))
+
+    t2 = AcidTable(spark, table.path + "-raw")
+    t2.write(_df(spark, [(i, f"v{i}") for i in range(100)]).repartition(16),
+             stats_cols=["k"], binpack=False)
+    assert len(t2.snapshot_files()) == 16
