@@ -682,3 +682,136 @@ FROM scored GROUP BY doc_id
 """
 
 register("heldout_perplexity", q_heldout_perplexity, ORACLE_HELDOUT_PERPLEXITY)
+
+
+_KN_D = 0.75  # absolute discount; 3/4 is exactly representable in binary
+
+
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out scoring under a Kneser-Ney bigram LM — the standard LM
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1999), one rung above
+    `bigram_logprob`'s naive interpolation: the backoff distribution is
+    the CONTINUATION distribution (in how many contexts does w2 appear)
+    rather than raw frequency, which stops high-count-but-fixed-context
+    tokens from leaking probability mass.
+
+        p(w2|w1) = max(c(w1w2) - D, 0)/c(w1.) + D*N1+(w1,.)/c(w1.) * Pc(w2)
+        Pc(w2)   = (N1+(.,w2) + 1) / (n_bigram_types + V + 1)
+
+    The +1 on continuation counts (documented deviation) keeps held-out
+    OOV tokens at finite log-prob — the same add-one discipline as
+    `heldout_perplexity`. Unseen contexts back off to Pc alone.
+
+    Train/test split: trained on every source but src0, scored on src0
+    (the house held-out split). Exactness: all model inputs are integer
+    counts; D = 0.75 is a dyadic rational; each probability is one
+    fixed IEEE expression evaluated identically in both engines, and
+    per-doc sums use the 1e-6 fixed-point ln grid that absorbs
+    cross-engine ln() ulps.
+
+    Scale: bigram stat tables are one explode + groupBy each (map-side
+    combinable); scoring joins the held-out bigrams against them —
+    broadcast here, shuffle joins at web scale where the bigram
+    vocabulary outgrows broadcast range (the bigram_logprob note).
+    """
+    docs = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS))
+    train = docs.filter(F.col("source") != "src0")
+    big_expr = (
+        "zip_with(slice(toks, 1, greatest(0, size(toks) - 1)), "
+        "slice(toks, 2, greatest(0, size(toks) - 1)), "
+        "(a, b) -> struct(a AS w1, b AS w2))"
+    )
+    train_big = train.select(F.explode(F.expr(big_expr)).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    c2 = train_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1ctx"), F.count(F.lit(1)).alias("n1f")
+    )
+    bwd = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    scalars = c2.agg(F.count(F.lit(1)).alias("n_types")).crossJoin(
+        train.select(F.explode("toks").alias("t")).agg(
+            F.countDistinct("t").alias("v_train")
+        )
+    )
+    held = docs.filter(F.col("source") == "src0").select(
+        "doc_id", F.explode(F.expr(big_expr)).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    prob = (
+        "CASE WHEN c1ctx IS NULL THEN "
+        "CAST(coalesce(n1b, 0) + 1 AS DOUBLE) / (n_types + v_train + 1) "
+        "ELSE greatest(CAST(coalesce(c2, 0) AS DOUBLE) - 0.75, 0.0) / c1ctx "
+        "+ (0.75 * n1f / c1ctx) "
+        "* (CAST(coalesce(n1b, 0) + 1 AS DOUBLE) / (n_types + v_train + 1)) END"
+    )
+    scored = (
+        held.join(c2, ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(bwd), "w2", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            F.expr(f"CAST(round(ln({prob}) * {_LP_SCALE}) AS BIGINT)").alias("lp_fp"),
+            F.col("c2").isNull().cast("int").alias("unseen_bigram"),
+            F.col("c1ctx").isNull().cast("int").alias("unseen_context"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("unseen_bigram").cast("bigint").alias("n_unseen_bigram"),
+        F.sum("unseen_context").cast("bigint").alias("n_unseen_context"),
+        (
+            F.sum("lp_fp").cast("double") / F.lit(float(_LP_SCALE)) / F.count(F.lit(1))
+        ).alias("mean_logprob"),
+    )
+
+
+ORACLE_KNESER_NEY_BIGRAM = f"""
+WITH d AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+), train_big AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS p
+        FROM d WHERE source <> 'src0')
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM train_big GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1ctx, COUNT(*) AS n1f
+  FROM c2 GROUP BY 1
+), bwd AS (
+  SELECT w2, COUNT(*) AS n1b FROM c2 GROUP BY 1
+), scalars AS (
+  SELECT (SELECT COUNT(*) FROM c2) AS n_types,
+         (SELECT COUNT(DISTINCT t)
+          FROM (SELECT unnest(toks) AS t FROM d WHERE source <> 'src0'))
+           AS v_train
+), held AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS p
+        FROM d WHERE source = 'src0')
+), scored AS (
+  SELECT h.doc_id,
+         CAST(round(ln(
+           CASE WHEN ctx.c1ctx IS NULL THEN
+             CAST(COALESCE(bwd.n1b, 0) + 1 AS DOUBLE) / (s.n_types + s.v_train + 1)
+           ELSE greatest(CAST(COALESCE(c.c2, 0) AS DOUBLE) - 0.75, 0.0) / ctx.c1ctx
+             + (0.75 * ctx.n1f / ctx.c1ctx)
+             * (CAST(COALESCE(bwd.n1b, 0) + 1 AS DOUBLE) / (s.n_types + s.v_train + 1)) END
+         ) * {_LP_SCALE}) AS BIGINT) AS lp_fp,
+         CASE WHEN c.c2 IS NULL THEN 1 ELSE 0 END AS unseen_bigram,
+         CASE WHEN ctx.c1ctx IS NULL THEN 1 ELSE 0 END AS unseen_context
+  FROM held h
+  LEFT JOIN c2 c ON h.w1 = c.w1 AND h.w2 = c.w2
+  LEFT JOIN ctx ON h.w1 = ctx.w1
+  LEFT JOIN bwd ON h.w2 = bwd.w2
+  CROSS JOIN scalars s
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(unseen_bigram) AS BIGINT) AS n_unseen_bigram,
+       CAST(SUM(unseen_context) AS BIGINT) AS n_unseen_context,
+       CAST(SUM(lp_fp) AS DOUBLE) / {_LP_SCALE} / COUNT(*) AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+
+register("kneser_ney_bigram", q_kneser_ney_bigram, ORACLE_KNESER_NEY_BIGRAM)

@@ -139,3 +139,16 @@ def test_link_prediction_excludes_existing_edges(spark):
         assert r.a < r.b
         assert 1 <= r.common_cnt <= r.union_cnt
         assert r.jaccard == pytest.approx(r.common_cnt / r.union_cnt)
+
+
+def test_kneser_ney_bigram_invariants(spark):
+    """KN probabilities are in (0, 1): mean log-prob strictly negative;
+    an unseen context implies an unseen bigram; every held-out doc
+    (source src0) with >= 2 tokens scores."""
+    from data_pipeline_platform_spark.functions.repetition import q_kneser_ney_bigram
+
+    rows = q_kneser_ney_bigram(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_logprob < 0.0
+        assert r.n_unseen_context <= r.n_unseen_bigram <= r.n_bigrams
