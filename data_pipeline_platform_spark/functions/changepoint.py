@@ -776,3 +776,84 @@ FROM cs
 """
 
 register("seasonal_cusum", q_seasonal_cusum, ORACLE_SEASONAL_CUSUM)
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue: the MEDIAN of all
+    pairwise day-to-day slopes (and the median intercept at that
+    slope) — the estimator that shrugs off the outlier days that drag
+    an OLS fit (`feature_correlations` is the OLS counterpart).
+
+    Scale shape: the fact table reduces ONCE to the daily revenue
+    census (calendar-bounded: ~2.4k rows for the 7-year span,
+    independent of row count), the O(days^2) pair frame (~3M) builds
+    from the census self-join, and both medians use the winsorize
+    posture — exact `percentile` over fixed-point BIGINT slopes, no
+    ordered window. Grows with calendar span squared, never with SF.
+
+    Exactness: slopes are rounded onto a 1e-6 cents/day grid before the
+    median (the fixed-point trick that absorbs division ulps);
+    intercept residuals are exact BIGINTs in the same scaled domain."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("rev"))
+        .select(F.datediff("day", F.lit("1970-01-01").cast("date")).alias("d"), "rev")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    slope_med = pairs.select(
+        F.expr(
+            "CAST(round(CAST(rb - ra AS DOUBLE) / (db - da) * 1000000) AS BIGINT)"
+        ).alias("s_fp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(s_fp, 0.5)").alias("slope_fp"),
+    )
+    resid = daily.crossJoin(F.broadcast(slope_med)).select(
+        "n_pairs",
+        "slope_fp",
+        # residual on the same 1e-6-cents grid; slope_fp is the
+        # percentile's double — re-grid it so the product is exact
+        F.expr(
+            "rev * 1000000 - CAST(round(slope_fp) AS BIGINT) * d"
+        ).alias("ic_fp"),
+    )
+    return resid.groupBy("n_pairs", "slope_fp").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("percentile(ic_fp, 0.5)").alias("ic_med_fp"),
+    ).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (F.col("slope_fp") / 1000000.0 / 100.0).alias("slope_dollars_per_day"),
+        (F.col("ic_med_fp") / 1000000.0 / 100.0).alias("intercept_dollars"),
+    )
+
+
+ORACLE_THEIL_SEN_TREND = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT CAST(round(CAST(b.rev - a.rev AS DOUBLE) / (b.d - a.d) * 1000000)
+              AS BIGINT) AS s_fp
+  FROM daily a JOIN daily b ON a.d < b.d
+), sm AS (
+  SELECT COUNT(*) AS n_pairs, quantile_cont(s_fp, 0.5) AS slope_fp FROM pairs
+), resid AS (
+  SELECT sm.n_pairs, sm.slope_fp,
+         rev * 1000000 - CAST(round(sm.slope_fp) AS BIGINT) * d AS ic_fp
+  FROM daily, sm
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope_fp / 1000000.0 / 100.0 AS slope_dollars_per_day,
+       quantile_cont(ic_fp, 0.5) / 1000000.0 / 100.0 AS intercept_dollars
+FROM resid GROUP BY n_pairs, slope_fp
+"""
+
+register("theil_sen_trend", q_theil_sen_trend, ORACLE_THEIL_SEN_TREND)

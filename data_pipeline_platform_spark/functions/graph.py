@@ -234,3 +234,96 @@ SELECT part, CAST(MIN(hop) AS INT) AS hops FROM walk GROUP BY part
 
 
 register("copurchase_hops", q_copurchase_hops, ORACLE_COPURCHASE_HOPS)
+
+
+LP_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph by SYNCHRONOUS
+    label propagation (Raghavan et al. 2007), made fully deterministic:
+    every node starts as its own label; each round every node adopts
+    the most frequent label among its neighbors, ties broken by the
+    SMALLEST label; LP_ROUNDS fixed rounds. Where connected-components
+    (`dedup_clusters`) merges everything reachable, LP stops at density
+    boundaries — bridges don't fuse communities.
+
+    Pregel-as-joins: one round = labels joined onto the (pre-partitioned,
+    persisted) edge list, a (node, label) count census, and a per-node
+    argmax window — all keyed on node ids, `localCheckpoint` truncating
+    lineage per round (the dedup_clusters posture). The oracle unrolls
+    the identical round as a CTE chain (the CTE round-replay
+    technique), so the output is bitwise including tie decisions.
+
+    Output grain: one row per community with member stats."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_platform_spark.functions.basket import q_frequent_itemsets
+
+    edges = q_frequent_itemsets(spark, sf_dir).select("pa", "pb")
+    und = (
+        edges.select(F.col("pa").alias("v"), F.col("pb").alias("u"))
+        .unionByName(edges.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
+        .repartition("v")
+        .persist()
+    )
+    labels = und.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("nlbl"))
+    for _ in range(LP_ROUNDS):
+        nbr = und.join(
+            labels.select(F.col("v").alias("u"), F.col("lbl").alias("nlbl")), "u"
+        )
+        census = nbr.groupBy("v", "nlbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            census.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", F.col("nlbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    out = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("v").alias("min_member"),
+        F.max("v").alias("max_member"),
+    )
+    return out
+
+
+def _lp_round_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+, c{i} AS (
+  SELECT e.v, p.lbl AS nlbl, COUNT(*) AS cnt
+  FROM und e JOIN {prev} p ON e.u = p.v
+  GROUP BY 1, 2
+), l{i} AS (
+  SELECT v, nlbl AS lbl FROM (
+    SELECT v, nlbl,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, nlbl) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+
+
+ORACLE_LABEL_PROPAGATION = f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+), und AS (
+  SELECT pa AS v, pb AS u FROM e0 UNION ALL SELECT pb, pa FROM e0
+), l0 AS (
+  SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM und)
+){''.join(_lp_round_sql(i) for i in range(1, LP_ROUNDS + 1))}
+SELECT lbl AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(v) AS min_member,
+       MAX(v) AS max_member
+FROM l{LP_ROUNDS} GROUP BY 1
+"""
+
+
+register("label_propagation", q_label_propagation, ORACLE_LABEL_PROPAGATION)

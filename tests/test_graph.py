@@ -81,3 +81,78 @@ def test_bfs_hops_min_distance_and_bound(spark):
     # tighter bound truncates the frontier
     out1 = {r["part"]: r["hops"] for r in bfs_hops(edges, F.lit(1), max_hops=1).collect()}
     assert out1 == {1: 0, 2: 1, 4: 1}
+
+
+def test_label_propagation_partitions_all_nodes(spark):
+    """Every graph node lands in exactly one community; communities are
+    disjoint and cover the node set; member stats are consistent."""
+    from pyspark.sql import functions as F
+    from data_pipeline_platform_spark.functions.basket import q_frequent_itemsets
+    from data_pipeline_platform_spark.functions.graph import q_label_propagation
+    from tests.conftest import SF_DIR
+
+    comm = q_label_propagation(spark, SF_DIR)
+    edges = q_frequent_itemsets(spark, SF_DIR)
+    n_nodes = (
+        edges.select(F.col("pa").alias("p"))
+        .unionByName(edges.select(F.col("pb").alias("p")))
+        .distinct()
+        .count()
+    )
+    rows = comm.collect()
+    assert sum(r.n_members for r in rows) == n_nodes
+    for r in rows:
+        assert r.min_member <= r.max_member
+        assert r.n_members >= 1
+
+
+def test_label_propagation_two_cliques_stay_separate(spark):
+    """Two 3-cliques joined by one bridge edge must resolve to two
+    communities — the density boundary LP respects and CC does not."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from data_pipeline_platform_spark.functions.graph import LP_ROUNDS
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "pa long, pb long",
+    )
+    und = edges.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionByName(
+        edges.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
+    )
+    labels = und.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("nlbl"))
+    for _ in range(LP_ROUNDS):
+        nbr = und.join(labels.select(F.col("v").alias("u"), F.col("lbl").alias("nlbl")), "u")
+        census = nbr.groupBy("v", "nlbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            census.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", F.col("nlbl").alias("lbl"))
+        )
+    got = {r.v: r.lbl for r in labels.collect()}
+    assert len({got[1], got[2], got[3]} | {got[10], got[11], got[12]}) <= 2
+    assert {got[1], got[2]} != {got[11], got[12]} or got[1] != got[11]
+
+
+def test_theil_sen_outlier_resistance(spark):
+    """Theil-Sen on a clean line plus one massive outlier recovers the
+    true slope exactly (the median shrugs the outlier off)."""
+    from pyspark.sql import functions as F
+
+    rows = [(d, 100 + 5 * d) for d in range(30)]
+    rows[15] = (15, 10**6)  # one wrecked day
+    daily = spark.createDataFrame(rows, "d int, rev long")
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    slope = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            F.expr(
+                "CAST(round(CAST(rb - ra AS DOUBLE) / (db - da) * 1000000) AS BIGINT)"
+            ).alias("s_fp")
+        )
+        .agg(F.expr("percentile(s_fp, 0.5)").alias("slope_fp"))
+        .collect()[0]
+    )
+    assert slope.slope_fp == 5_000_000.0  # exactly 5 per day
