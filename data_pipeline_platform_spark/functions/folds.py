@@ -107,3 +107,54 @@ FROM head
 
 register("stratified_kfold", q_stratified_kfold, ORACLE_STRATIFIED_KFOLD)
 register("curriculum_order", q_curriculum_order, ORACLE_CURRICULUM_ORDER)
+
+
+SAMPLE_K = 50
+_AES_SCALE = 1_000_000_000
+
+
+def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-ES (2006): each doc draws u from its content-addressed md5
+    uniform and ranks by key = ln(u)/w (monotone in u^(1/w)), weight
+    w = n_chars; the top-K keys ARE a weighted sample without
+    replacement. The distributed-sampling workhorse: no sequential
+    pass, no rejection loop, one TakeOrderedAndProject.
+
+    Determinism: u = (u16+1)/65536 is a dyadic rational (exact double),
+    keys land on a 1e-9 grid that absorbs cross-engine ln() ulps, and
+    grid ties break by doc_id."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    u16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    )
+    keyed = docs.withColumn("u16", u16).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        # CAST to DOUBLE is load-bearing: a bare 65536.0 literal parses
+        # as DECIMAL in Spark SQL (7-digit division!) but DOUBLE in
+        # DuckDB — the engines would quietly diverge in the 8th digit
+        F.expr(
+            f"CAST(round(ln(CAST(u16 + 1 AS DOUBLE) / 65536) / n_chars "
+            f"* {_AES_SCALE}) AS BIGINT)"
+        ).alias("key_fp"),
+    )
+    return keyed.orderBy(F.col("key_fp").desc(), "doc_id").limit(SAMPLE_K)
+
+
+ORACLE_WEIGHTED_SAMPLE_AES = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 1
+              AS DOUBLE) / 65536) / n_chars * {_AES_SCALE}) AS BIGINT) AS key_fp
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, key_fp
+FROM keyed ORDER BY key_fp DESC, doc_id LIMIT {SAMPLE_K}
+"""
+
+
+register("weighted_sample_aes", q_weighted_sample_aes, ORACLE_WEIGHTED_SAMPLE_AES)

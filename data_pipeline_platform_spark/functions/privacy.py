@@ -209,3 +209,72 @@ SELECT level, qi1, qi2, CAST(n AS BIGINT) FROM choice, l4 WHERE level = 'all'
 
 register("k_anonymity_customer", q_k_anonymity_customer, ORACLE_K_ANONYMITY_CUSTOMER)
 register("k_anonymize_customer", q_k_anonymize_customer, ORACLE_K_ANONYMIZE_CUSTOMER)
+
+
+_DP_EPS = 1.0
+_DP_SCALE = 1_000_000
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-mechanism demo: per-language document
+    counts released through the Laplace mechanism at epsilon = 1
+    (sensitivity 1 for a unit-count query), with the noise drawn by
+    inverse-CDF from the content-addressed md5 uniform of the group
+    key:  lap = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|).
+
+    Content-addressed noise makes the release REPLAYABLE (rerunning the
+    pipeline republishes the identical noisy counts — republication
+    would otherwise spend fresh privacy budget) and lets the oracle
+    replay it bitwise. A production deployment would swap the md5
+    uniform for a secret-seeded PRF: the mechanism, sensitivity
+    accounting, and release shape are exactly this.
+
+    Scale: one map-side-combinable count per group; noise is row-local
+    arithmetic on the |groups|-sized frame."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    u16 = F.conv(F.substring(F.md5(F.concat(F.lit("dp|"), F.col("lang"))), 1, 4), 16, 10).cast(
+        "bigint"
+    )
+    lap = (
+        f"-1.0 / {_DP_EPS} * CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END "
+        f"* ln(1.0 - 2.0 * abs(u - 0.5))"
+    )
+    return (
+        counts.withColumn("u16", u16)
+        # CAST to DOUBLE: bare x.0/x.5 literals are DECIMAL in Spark
+        # SQL (precision-losing division) but DOUBLE in DuckDB
+        .withColumn("u", F.expr("(CAST(u16 AS DOUBLE) + 0.5) / 65536"))
+        .select(
+            "lang",
+            (
+                (F.col("n") * _DP_SCALE + F.expr(f"CAST(round(({lap}) * {_DP_SCALE}) AS BIGINT)"))
+                / float(_DP_SCALE)
+            ).alias("noisy_count"),
+            F.lit(float(_DP_EPS)).alias("epsilon"),
+        )
+    )
+
+
+ORACLE_DP_NOISY_COUNTS = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+), seeded AS (
+  SELECT lang, n,
+         (CAST(('0x' || substr(md5('dp|' || lang), 1, 4))::BIGINT AS DOUBLE) + 0.5)
+           / 65536 AS u
+  FROM counts
+)
+SELECT lang,
+       (n * {_DP_SCALE} + CAST(round((-1.0 / {_DP_EPS}
+          * CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END
+          * ln(1.0 - 2.0 * abs(u - 0.5))) * {_DP_SCALE}) AS BIGINT))
+         / {float(_DP_SCALE)} AS noisy_count,
+       {float(_DP_EPS)} AS epsilon
+FROM seeded
+"""
+
+
+register("dp_noisy_counts", q_dp_noisy_counts, ORACLE_DP_NOISY_COUNTS)

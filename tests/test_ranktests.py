@@ -152,3 +152,61 @@ def test_kneser_ney_bigram_invariants(spark):
     for r in rows:
         assert r.mean_logprob < 0.0
         assert r.n_unseen_context <= r.n_unseen_bigram <= r.n_bigrams
+
+
+def test_weighted_sample_aes_prefers_heavy_docs(spark):
+    """A-ES with weight = n_chars must over-represent long documents:
+    the sample's mean length exceeds the corpus mean, sample is K
+    unique docs."""
+    from data_pipeline_platform_spark.functions.folds import SAMPLE_K, q_weighted_sample_aes
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    rows = q_weighted_sample_aes(spark, SF_DIR).collect()
+    assert len(rows) == SAMPLE_K == len({r.doc_id for r in rows})
+    corpus_mean = (
+        load_table(spark, SF_DIR, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    # keys are valid A-ES keys: ln(u)/w <= 0
+    assert all(r.key_fp <= 0 for r in rows)
+
+
+def test_dp_noisy_counts_bounded_noise(spark):
+    """Laplace(1/eps) inverse-CDF noise from a 16-bit uniform is
+    bounded by b*ln(65536) ~ 11.1; the release must stay within that
+    envelope of the true counts and be replay-identical."""
+    from data_pipeline_platform_spark.functions.privacy import q_dp_noisy_counts
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    rel1 = {r.lang: r.noisy_count for r in q_dp_noisy_counts(spark, SF_DIR).collect()}
+    rel2 = {r.lang: r.noisy_count for r in q_dp_noisy_counts(spark, SF_DIR).collect()}
+    assert rel1 == rel2  # replayable release
+    true = {
+        r.lang: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import math
+
+    bound = math.log(65536.0) + 1e-9
+    for lang, noisy in rel1.items():
+        assert abs(noisy - true[lang]) <= bound
+
+
+def test_hashed_bow_collisions_cancel_not_bias(spark):
+    """Signed hashing: |weight| never exceeds the bucket's term count,
+    and buckets cover [0, N_BUCKETS)."""
+    from data_pipeline_platform_spark.functions.vectorize import (
+        N_BUCKETS,
+        q_hashed_bow_vectors,
+    )
+
+    rows = q_hashed_bow_vectors(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bucket < N_BUCKETS
+        assert abs(r.weight) <= r.n_terms
+        assert (r.n_terms - abs(r.weight)) % 2 == 0  # parity of cancellation
