@@ -206,3 +206,164 @@ GROUP BY 1
 ORACLE_SCORE_CALIBRATION = _oracle_score_calibration()
 
 register("score_calibration", q_score_calibration, ORACLE_SCORE_CALIBRATION)
+
+
+_CONF_ALPHA = 0.1  # 90% target coverage
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018) for
+    order value from a per-segment mean predictor: the distribution-free
+    calibration every deployed regression needs.
+
+    Split: content-addressed md5(o_orderkey) halves (cal = hex 0-7,
+    test = 8-f). Predictor: rounded per-segment calibration mean
+    (any predictor keeps conformal validity). q_hat is the EXACT
+    k = ceil((n_cal+1)*(1-alpha))-th order statistic of the integer
+    cent nonconformity scores, found by TWO-LEVEL distributed
+    selection: a dollar-bin census narrows k to one bin, then a cent
+    census inside that bin alone — the ordered windows span
+    |price range|/100 and <= 100 rows, never the fact table or the
+    full cent domain. Output: one audit row with q_hat and realized
+    test coverage (>= 1-alpha in expectation).
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            (
+                F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1), 16, 10)
+                .cast("bigint")
+                < 8
+            ).alias("is_cal"),
+        )
+    )
+    pred = (
+        base.filter("is_cal")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("CAST(round(CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias(
+                "pred_cents"
+            )
+        )
+    )
+    scored = base.join(F.broadcast(pred), "c_mktsegment").withColumn(
+        "score", F.abs(F.col("cents") - F.col("pred_cents"))
+    )
+    cal = scored.filter("is_cal")
+    kf = F.broadcast(
+        cal.agg(
+            F.expr(
+                f"CAST(ceil((COUNT(*) + 1) * {1.0 - _CONF_ALPHA}) AS BIGINT)"
+            ).alias("k")
+        )
+    )
+    # two-level exact selection (distributed k-th order statistic):
+    # a dollar-bin census narrows k to ONE dollar bin, then the cent
+    # census runs inside that bin only — the ordered windows span
+    # |price range|/100 and <= 100 rows respectively, never the
+    # cent-domain (or fact-table) width
+    wd = Window.orderBy("dollar").rowsBetween(Window.unboundedPreceding, 0)
+    dollar = (
+        cal.groupBy(F.expr("score DIV 100").alias("dollar"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(wd))
+        .crossJoin(kf)
+    )
+    sel = F.broadcast(
+        dollar.filter(F.col("cum") >= F.col("k")).agg(
+            F.min("dollar").alias("bin"), F.max("k").alias("k")
+        )
+    )
+    # rank consumed by bins strictly below the target (bins are sparse,
+    # so "the previous bin" is a max-below, not bin - 1)
+    before = dollar.join(sel, F.col("dollar") < F.col("bin")).agg(
+        F.coalesce(F.max("cum"), F.lit(0)).alias("cum_before")
+    )
+    target_bin = F.broadcast(
+        sel.crossJoin(F.broadcast(before)).select(
+            "bin", (F.col("k") - F.col("cum_before")).alias("k_in")
+        )
+    )
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    q_hat = (
+        cal.join(target_bin, F.expr("score DIV 100 = bin"))
+        .groupBy("score", "k_in")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(wc))
+        .filter(F.col("cum") >= F.col("k_in"))
+        .agg(F.min("score").alias("q_hat_cents"))
+    )
+    test = scored.filter("NOT is_cal").crossJoin(F.broadcast(q_hat))
+    return test.agg(
+        F.max("q_hat_cents").alias("q_hat_cents"),
+        F.count(F.lit(1)).alias("n_test"),
+        (
+            F.sum((F.col("score") <= F.col("q_hat_cents")).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("coverage"),
+        F.lit(1.0 - _CONF_ALPHA).alias("target"),
+    )
+
+
+ORACLE_CONFORMAL_INTERVAL = f"""
+WITH base AS (
+  SELECT o.o_orderkey, c.c_mktsegment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 1))::BIGINT < 8
+           AS is_cal
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), pred AS (
+  SELECT c_mktsegment,
+         CAST(round(CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS BIGINT) AS pred_cents
+  FROM base WHERE is_cal GROUP BY 1
+), scored AS (
+  SELECT b.*, ABS(b.cents - p.pred_cents) AS score
+  FROM base b JOIN pred p USING (c_mktsegment)
+), kval AS (
+  SELECT CAST(ceil((COUNT(*) + 1) * {1.0 - _CONF_ALPHA}) AS BIGINT) AS k
+  FROM scored WHERE is_cal
+), dollar AS (
+  SELECT score // 100 AS dollar, COUNT(*) AS c FROM scored WHERE is_cal GROUP BY 1
+), dranked AS (
+  SELECT dollar,
+         SUM(c) OVER (ORDER BY dollar
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dollar
+), sel AS (
+  SELECT MIN(dollar) AS bin, MAX(k) AS k FROM dranked, kval WHERE cum >= k
+), before AS (
+  SELECT COALESCE(MAX(d.cum), 0) AS cum_before
+  FROM dranked d, sel WHERE d.dollar < sel.bin
+), target_bin AS (
+  SELECT sel.bin, sel.k - before.cum_before AS k_in FROM sel, before
+), cent AS (
+  SELECT s.score, t.k_in, COUNT(*) AS c
+  FROM scored s, target_bin t
+  WHERE s.is_cal AND s.score // 100 = t.bin
+  GROUP BY 1, 2
+), cranked AS (
+  SELECT score, k_in,
+         SUM(c) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cent
+), qh AS (
+  SELECT MIN(score) AS q_hat_cents FROM cranked WHERE cum >= k_in
+)
+SELECT MAX(qh.q_hat_cents) AS q_hat_cents,
+       COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN s.score <= qh.q_hat_cents THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS coverage,
+       {1.0 - _CONF_ALPHA} AS target
+FROM scored s, qh WHERE NOT s.is_cal
+"""
+
+register("conformal_interval", q_conformal_interval, ORACLE_CONFORMAL_INTERVAL)

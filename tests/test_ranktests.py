@@ -210,3 +210,39 @@ def test_hashed_bow_collisions_cancel_not_bias(spark):
         assert 0 <= r.bucket < N_BUCKETS
         assert abs(r.weight) <= r.n_terms
         assert (r.n_terms - abs(r.weight)) % 2 == 0  # parity of cancellation
+
+
+def test_conformal_interval_coverage_and_selection(spark):
+    """Realized coverage must be near the 90% target (conformal
+    guarantee is >= target in expectation; allow sampling slack down to
+    0.85), and q_hat must be a score the calibration set actually
+    produced, verified against a driver-side exact order statistic."""
+    import math
+
+    from data_pipeline_platform_spark.functions.regression import q_conformal_interval
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    row = q_conformal_interval(spark, SF_DIR).collect()[0]
+    assert row.target == 0.9
+    assert 0.85 <= row.coverage <= 1.0
+    # replay the selection in plain python
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    pdf = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .selectExpr(
+            "o_orderkey",
+            "c_mktsegment",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+            "conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 1), 16, 10) "
+            "< 8 AS is_cal",
+        )
+        .toPandas()
+    )
+    cal = pdf[pdf.is_cal]
+    pred = cal.groupby("c_mktsegment").cents.agg(
+        lambda s: int(round(s.sum() / len(s)))
+    )
+    scores = sorted(abs(cal.cents - cal.c_mktsegment.map(pred)))
+    k = math.ceil((len(scores) + 1) * 0.9)
+    assert row.q_hat_cents == scores[k - 1]
