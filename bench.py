@@ -87,6 +87,13 @@ HEADLINE = [
     "kcenter_coreset",
     "materialized_agg_orders",
     "label_noise_screen",
+    # r7b additions: rank tests on the value census, KN language model,
+    # retrieval eval, communities, and conformal calibration
+    "mann_whitney_u",
+    "kneser_ney_bigram",
+    "retrieval_eval",
+    "label_propagation",
+    "conformal_interval",
 ]
 
 
