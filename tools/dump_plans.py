@@ -118,6 +118,17 @@ NOTES = {
     "augment_token_dropout": "pure row-local array lambdas — no exchange, no Python",
     "scd2_asof_enrichment": "key equi-join carries the selectivity; interval residual on bounded version chains",
     "copurchase_hops": "shrinking-frontier joins; anti-join visited; linear plan via localCheckpoint",
+    "mann_whitney_u": "fact reduces ONCE to the cent-bin census; ranks/CDFs are windows over the bounded census, keyed per type-pair",
+    "ks_test": "same census shuffle; sup-distance via keyed prefix windows, no global sort",
+    "gini_by_nation": "per-customer rollup then dollar-bin census; pairwise-|diff| collapses to one per-nation prefix window",
+    "retrieval_eval": "probes broadcast against one corpus scan; per-probe WindowGroupLimit top-10",
+    "kneser_ney_bigram": "three combinable stat censuses; held-out scoring joins them (broadcast at this SF)",
+    "theil_sen_trend": "calendar-bounded daily census self-join; medians are percentile aggregates, no ordered window",
+    "label_propagation": "per-round edge join + (node,label) census + keyed argmax; localCheckpoint keeps the plan linear",
+    "conformal_interval": "two-level census selection: dollar window bounded by price range/100, cent window <= 100 rows",
+    "weighted_sample_aes": "row-local A-ES keys; TakeOrderedAndProject top-K, zero shuffles",
+    "hashed_bow_vectors": "vocabulary-free: one explode + one combinable groupBy, no broadcast dictionary",
+    "link_prediction_parts": "wedge join on the dimension-cardinality edge set; anti-join edges; orderBy/limit head",
 }
 
 
