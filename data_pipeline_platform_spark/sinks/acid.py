@@ -162,6 +162,7 @@ class AcidTable:
         keys: Sequence[str],
         v_from: int,
         v_to: Optional[int] = None,
+        check_unique: bool = True,
     ) -> DataFrame:
         """Row-level change feed between two versions (Delta CDF shape):
         one row per changed row tagged ``change_type`` in (insert,
@@ -175,6 +176,14 @@ class AcidTable:
         rewritten-but-identical survivor rows (COW copies) fall out via
         the value comparison.  Cost scales with the size of the touched
         files, not the table.
+
+        PRECONDITION: ``keys`` uniquely identify a row on each side of
+        the diff — ``write(mode='append')`` enforces no uniqueness, and
+        a duplicate key would fan the diff join out into fabricated
+        update pairs.  With ``check_unique`` (default) the duplicate is
+        detected in the changed files (one agg over the touched rows,
+        same cost class as the diff itself) and raised loudly, matching
+        ``Scd2Table._validate_batch``'s posture.
         """
         v_to = self.latest_version() if v_to is None else v_to
         from_paths = {f["path"] for f in self.snapshot_files(v_from)}
@@ -202,6 +211,22 @@ class AcidTable:
             return _tag(new, "insert")
         if new is None:
             return _tag(old, "delete")
+        if check_unique:
+            for side, df in (("pre", old), ("post", new)):
+                dup = (
+                    df.groupBy(*key_list)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        f"changes() requires unique keys {key_list}; the "
+                        f"{side}-image files between v{v_from} and v{v_to} "
+                        "contain duplicates (pass check_unique=False only "
+                        "if fan-out is acceptable)"
+                    )
         # presence markers, not key-null tests: a NULL business key must
         # not make a row invisible to the classifier
         o = old.withColumn("__in_old", F.lit(True)).alias("o")
@@ -383,6 +408,14 @@ class AcidTable:
         deleting). In-batch duplicates collapse last-wins by key like
         writers._write_upsert. Only data files whose key range
         intersects the source's keys are rewritten.
+
+        NULL keys match null-safely (like ``groupBy``, ``_fold`` and
+        ``changes()``): a source row whose key is NULL updates the
+        existing NULL-key target row instead of inserting a duplicate —
+        the matview/SCD2 "state equals one-shot groupBy" invariant
+        depends on this. Since parquet footer min/max stats do not
+        describe NULLs, a NULL-keyed source row conservatively treats
+        every file as a candidate.
         """
         base = self.latest_version()
         files = self.snapshot_files(base)
@@ -416,10 +449,14 @@ class AcidTable:
         )
         cond = F.lit(True)
         for k in key_list:
+            # NULL source key: footer stats say nothing about NULLs, so
+            # the row may match any file — keep every candidate
             cond = cond & (
-                F.col(f"__min_{k}").isNull() | (src[k] >= F.col(f"__min_{k}"))
-            ) & (
-                F.col(f"__max_{k}").isNull() | (src[k] <= F.col(f"__max_{k}"))
+                src[k].isNull()
+                | (
+                    (F.col(f"__min_{k}").isNull() | (src[k] >= F.col(f"__min_{k}")))
+                    & (F.col(f"__max_{k}").isNull() | (src[k] <= F.col(f"__max_{k}")))
+                )
             )
         hit_paths = {
             r["__path"]
@@ -439,16 +476,28 @@ class AcidTable:
         add: List[Dict[str, Any]] = []
         remove: List[str] = []
         touched: List[Dict[str, Any]] = []
+        def _null_safe_key_cond(left: str, right: str) -> F.Column:
+            c = F.lit(True)
+            for k in key_list:
+                c = c & F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+            return c
+
         if candidates:
             cand_df = self.spark.read.parquet(*[a["path"] for a in candidates])
             # 2. touched files = candidate files holding >= 1 key match
-            # (_metadata.file_path maps each row to its data file)
+            # (_metadata.file_path maps each row to its data file);
+            # eqNullSafe so NULL-key source rows find NULL-key targets
             touched_names = {
                 os.path.basename(r["f"])
                 for r in cand_df.select(
                     F.col("_metadata.file_path").alias("f"), *key_list
                 )
-                .join(F.broadcast(src.select(*key_list)), key_list, "left_semi")
+                .alias("t")
+                .join(
+                    F.broadcast(src.select(*key_list).alias("s")),
+                    _null_safe_key_cond("t", "s"),
+                    "left_semi",
+                )
                 .select("f")
                 .distinct()
                 .collect()
@@ -460,8 +509,10 @@ class AcidTable:
             ]
         if touched:
             tgt = self.spark.read.parquet(*[a["path"] for a in touched])
-            survivors = tgt.join(
-                F.broadcast(src.select(*key_list)), key_list, "left_anti"
+            survivors = tgt.alias("t").join(
+                F.broadcast(src.select(*key_list).alias("s")),
+                _null_safe_key_cond("t", "s"),
+                "left_anti",
             )
             rewritten = (
                 survivors

@@ -100,8 +100,15 @@ class MaterializedAgg:
             return {"groups_touched": part.count(), "files_rewritten": 0}
         cur = self.acid.read()
         # fold ONLY the groups present in this batch: untouched groups'
-        # state rows stay in their files and the merge prunes them
-        touched = cur.join(part.select(*self.keys), self.keys, "left_semi")
+        # state rows stay in their files and the merge prunes them.
+        # eqNullSafe: groupBy emits a NULL group, and its state row must
+        # fold like any other (same null-safe contract as acid.merge)
+        cond = F.lit(True)
+        for k in self.keys:
+            cond = cond & F.col(f"c.{k}").eqNullSafe(F.col(f"p.{k}"))
+        touched = cur.alias("c").join(
+            part.select(*self.keys).alias("p"), cond, "left_semi"
+        )
         folded = self._fold(touched, part)
         stats = self.acid.merge(folded, keys=self.keys)
         return {

@@ -125,6 +125,11 @@ class Scd2Table:
             F.lit(batch_id).cast("bigint").alias("valid_to"),
             F.lit(False).alias("is_current"),
         )
+        # materialize the counts BEFORE the merge commits: they read the
+        # persisted `opens` frame, so a post-commit recount that would
+        # race a concurrent vacuum (superseded files vanishing mid-read)
+        # never happens
+        n_opened, n_closed = opened.count(), closed.count()
         source = closed.unionByName(opened)
         # ONE copy-on-write merge: (keys, valid_from) uniquely addresses a
         # version row — closed rows match and take the new valid_to /
@@ -132,8 +137,8 @@ class Scd2Table:
         # untouched files
         stats = self.acid.merge(source, keys=self.keys + ["valid_from"])
         return {
-            "opened": opened.count(),
-            "closed": closed.count(),
+            "opened": n_opened,
+            "closed": n_closed,
             "files_rewritten": stats["files_rewritten"],
         }
 

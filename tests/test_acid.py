@@ -254,3 +254,48 @@ def test_write_binpacks_fragmented_versions(spark, table):
     t2.write(_df(spark, [(i, f"v{i}") for i in range(100)]).repartition(16),
              stats_cols=["k"], binpack=False)
     assert len(t2.snapshot_files()) == 16
+
+
+def test_merge_null_key_matches_null_target(spark, table):
+    """ADVICE r7: NULL source keys must UPDATE existing NULL-key rows
+    (null-safe match, like groupBy/_fold/changes), not insert dupes."""
+    table.write(_df(spark, [(None, "n"), (1, "a")]), stats_cols=["k"])
+    stats = table.merge(_df(spark, [(None, "N2"), (1, "A")]), keys=["k"])
+    out = {r["k"]: r["v"] for r in table.read().collect()}
+    assert out == {None: "N2", 1: "A"}
+    assert table.read().count() == 2  # no duplicate NULL-key row
+    assert stats["files_rewritten"] >= 1
+
+
+def test_merge_null_key_insert_and_delete(spark, table):
+    table.write(_df(spark, [(1, "a")]), stats_cols=["k"])
+    table.merge(_df(spark, [(None, "n")]), keys=["k"])
+    assert table.read().count() == 2
+    table.merge(_df(spark, [(None, "x")]), keys=["k"], delete_matched=True)
+    assert [r["k"] for r in table.read().collect()] == [1]
+
+
+def test_matview_null_group_key_stays_single_row(spark, tmp_path):
+    """The documented 'state equals one-shot groupBy' invariant for a
+    batch stream containing NULL group keys."""
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+
+    view = MaterializedAgg(
+        spark, str(tmp_path / "mv"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x")],
+    )
+    b1 = spark.createDataFrame([(None, 10), ("a", 1)], "g string, x long")
+    b2 = spark.createDataFrame([(None, 5), ("a", 2)], "g string, x long")
+    view.update(b1)
+    view.update(b2)
+    state = {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
+    assert state == {None: (2, 15), "a": (2, 3)}
+
+
+def test_change_feed_duplicate_keys_raise(spark, table):
+    table.write(_df(spark, [(1, "a"), (1, "b")]), stats_cols=["k"])
+    table.write(_df(spark, [(2, "c")]), mode="overwrite", stats_cols=["k"])
+    with pytest.raises(ValueError, match="unique keys"):
+        table.changes(["k"], 1, 2)
+    # explicit opt-out still works
+    assert table.changes(["k"], 1, 2, check_unique=False).count() >= 1
