@@ -372,11 +372,16 @@ class AcidTable:
         stats_cols: Sequence[str] = (),
         max_retries: int = 3,
         binpack: bool = True,
+        extra_meta: Optional[Dict[str, Any]] = None,
     ) -> int:
         """Commit df as a new version. mode: overwrite | append.
         ``binpack=False`` publishes df's partitioning verbatim — for
         deliberately clustered layouts (range-partitioned key files)
-        whose file boundaries ARE the pruning structure."""
+        whose file boundaries ARE the pruning structure.
+        ``extra_meta`` rides inside the commit record itself — the
+        transactional carrier for application markers (e.g. streaming
+        batch ids): they publish atomically WITH the data or not at all
+        (the Delta txn-action pattern)."""
         add = self._write_data_files(df, stats_cols, binpack=binpack)
         for _ in range(max_retries):
             base = self.latest_version()
@@ -386,7 +391,9 @@ class AcidTable:
                 else []
             )
             try:
-                return self._commit(base, mode.upper(), add, remove)
+                return self._commit(
+                    base, mode.upper(), add, remove, meta=dict(extra_meta or {})
+                )
             except CommitConflictError:
                 continue  # blind write/append: safe to retry on new base
         raise CommitConflictError(f"gave up after {max_retries} retries")
@@ -399,6 +406,7 @@ class AcidTable:
         source: DataFrame,
         keys: Sequence[str],
         delete_matched: bool = False,
+        extra_meta: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, int]:
         """MERGE INTO this table USING source ON keys.
 
@@ -533,7 +541,8 @@ class AcidTable:
             "MERGE" if not delete_matched else "MERGE_DELETE",
             add,
             remove,
-            meta={
+            meta=dict(extra_meta or {})
+            | {
                 "keys": key_list,
                 "files_scanned": len(candidates),
                 "files_pruned": len(untouched),

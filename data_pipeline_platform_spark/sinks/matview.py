@@ -92,11 +92,16 @@ class MaterializedAgg:
             outs.append(fold.alias(name))
         return j.select(*outs)
 
-    def update(self, batch: DataFrame) -> Dict[str, int]:
-        """Fold one append-only fact batch into the state table."""
+    def update(
+        self, batch: DataFrame, commit_meta: Dict[str, object] = None
+    ) -> Dict[str, int]:
+        """Fold one append-only fact batch into the state table.
+        ``commit_meta`` is recorded inside the ACID commit itself —
+        the fold and any application progress marker (streaming batch
+        id) publish in ONE atomic commit (see streaming/matview.py)."""
         part = self._partial(batch)
         if not self.acid.exists():
-            self.acid.write(part, stats_cols=self.keys)
+            self.acid.write(part, stats_cols=self.keys, extra_meta=commit_meta)
             return {"groups_touched": part.count(), "files_rewritten": 0}
         cur = self.acid.read()
         # fold ONLY the groups present in this batch: untouched groups'
@@ -110,7 +115,7 @@ class MaterializedAgg:
             part.select(*self.keys).alias("p"), cond, "left_semi"
         )
         folded = self._fold(touched, part)
-        stats = self.acid.merge(folded, keys=self.keys)
+        stats = self.acid.merge(folded, keys=self.keys, extra_meta=commit_meta)
         return {
             "groups_touched": folded.count(),
             "files_rewritten": stats["files_rewritten"],

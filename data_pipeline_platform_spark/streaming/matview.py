@@ -8,16 +8,24 @@ ACID lake table (queryable mid-stream, time-travelable, survives the
 driver) instead of in the state store.
 
 Exactly-once: ``foreachBatch`` re-delivers a batch after a failure, and
-an additive fold double-counts on replay — so the fold records the last
-applied ``batch_id`` in a sidecar file published with the same atomic
-create-then-rename discipline as the commit log, and skips any batch it
-has already folded.  Replaying a drained stream is then a no-op, which
-is what the equivalence test asserts.
+an additive fold double-counts on replay — so each fold records
+``{stream_id, batch_id}`` INSIDE the ACID commit it publishes (the
+Delta ``txn``-action pattern: data and progress marker commit in one
+atomic O_EXCL publish, so no crash window can separate them), and a
+batch whose id is <= the last committed id FOR THAT STREAM is skipped.
+
+Stream identity is the checkpoint location: Structured Streaming batch
+ids are only meaningful within one checkpoint lineage.  Restarting with
+the SAME checkpoint is exactly-once — replayed batches skip, new data
+(higher batch ids) folds.  Pointing a FRESH checkpoint at a view that
+already holds folds from another stream would re-deliver every source
+batch from id 0 and double-count, so ``fold_batch`` detects that and
+raises; pass ``allow_other_streams=True`` only for the legitimate
+multiple-disjoint-sources-one-view topology.
 """
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Optional
 
@@ -26,16 +34,60 @@ from pyspark.sql import DataFrame
 from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
 
 
-def _last_batch_path(view: MaterializedAgg) -> str:
-    return os.path.join(view.acid.path, "_stream_progress.json")
+def last_folded_batch(view: MaterializedAgg, stream_id: str) -> int:
+    """Highest batch_id committed for ``stream_id``, or -1.
+
+    Reads the commit log newest-first and stops at the first commit
+    carrying the stream's marker — batch ids within a stream are
+    monotone, so the most recent marker IS the max (O(1) commits read
+    in steady state, not O(versions))."""
+    acid = view.acid
+    for v in range(acid.latest_version(), 0, -1):
+        meta = acid._read_commit(v).get("meta") or {}
+        if meta.get("stream_id") == stream_id:
+            return int(meta["batch_id"])
+    return -1
 
 
-def last_folded_batch(view: MaterializedAgg) -> int:
-    try:
-        with open(_last_batch_path(view)) as f:
-            return json.load(f)["batch_id"]
-    except (OSError, json.JSONDecodeError, KeyError):
-        return -1
+def _other_stream_has_folds(view: MaterializedAgg, stream_id: str) -> bool:
+    acid = view.acid
+    for v in range(acid.latest_version(), 0, -1):
+        meta = acid._read_commit(v).get("meta") or {}
+        sid = meta.get("stream_id")
+        if sid is not None and sid != stream_id:
+            return True
+    return False
+
+
+def fold_batch(
+    view: MaterializedAgg,
+    stream_id: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    allow_other_streams: bool = False,
+) -> bool:
+    """Fold one micro-batch idempotently; returns True if folded, False
+    if skipped as a replay.  The {stream_id, batch_id} marker publishes
+    inside the same atomic ACID commit as the fold itself."""
+    if batch_id <= last_folded_batch(view, stream_id):
+        return False  # replayed batch: already committed, skip
+    if (
+        batch_id == 0
+        and not allow_other_streams
+        and _other_stream_has_folds(view, stream_id)
+    ):
+        raise RuntimeError(
+            f"stream {stream_id!r} starts at batch 0 but the view at "
+            f"{view.acid.path} already holds folds from another stream. "
+            "A fresh checkpoint re-delivers the whole source and would "
+            "double-count; reuse the original checkpoint, start a fresh "
+            "view, or pass allow_other_streams=True for genuinely "
+            "disjoint sources."
+        )
+    if batch_df.isEmpty():
+        return False  # nothing to fold; replaying an empty batch is a no-op
+    view.update(batch_df, commit_meta={"stream_id": stream_id, "batch_id": batch_id})
+    return True
 
 
 def stream_materialize(
@@ -43,21 +95,20 @@ def stream_materialize(
     view: MaterializedAgg,
     checkpoint: str,
     trigger: Optional[Dict[str, Any]] = None,
+    stream_id: Optional[str] = None,
+    allow_other_streams: bool = False,
 ):
     """Start the fold; returns the StreamingQuery.  Default trigger is
     availableNow (drain the backlog and stop — the test-and-backfill
     mode); pass e.g. ``{"processingTime": "30 seconds"}`` to run
-    continuously."""
+    continuously.  ``stream_id`` defaults to the (absolute) checkpoint
+    path — the identity batch ids are scoped to."""
     trigger = {"availableNow": True} if trigger is None else trigger
+    sid = stream_id if stream_id is not None else os.path.abspath(checkpoint)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_folded_batch(view):
-            return  # replayed batch: already folded, skip (exactly-once)
-        view.update(batch_df)
-        tmp = _last_batch_path(view) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, _last_batch_path(view))
+        fold_batch(view, sid, batch_df, batch_id,
+                   allow_other_streams=allow_other_streams)
 
     return (
         stream_df.writeStream.foreachBatch(_fold)

@@ -1,12 +1,14 @@
 """Streaming materialized-view maintenance (streaming/matview.py):
-drained-stream state equals the one-shot batch groupBy, and replays are
-no-ops."""
+drained-stream state equals the one-shot batch groupBy, replayed
+batches are no-ops (marker rides inside the ACID commit — no crash
+window), and checkpoint/view mispairing fails loudly."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
 from data_pipeline_platform_spark.streaming.matview import (
+    fold_batch,
     last_folded_batch,
     stream_materialize,
 )
@@ -42,6 +44,10 @@ def _drain(spark, src, view, ckpt):
     return q
 
 
+def _state(view):
+    return {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
+
+
 def test_drained_stream_equals_batch_groupby(spark, tmp_path, source_dir):
     src, df = source_dir
     view = _view(spark, tmp_path)
@@ -54,18 +60,64 @@ def test_drained_stream_equals_batch_groupby(spark, tmp_path, source_dir):
         .collect()
     }
     assert got == want
-    assert last_folded_batch(view) >= 1  # multiple micro-batches folded
+    import os
+
+    sid = os.path.abspath(str(tmp_path / "ckpt"))
+    assert last_folded_batch(view, sid) >= 1  # multiple micro-batches folded
 
 
-def test_replay_is_noop(spark, tmp_path, source_dir):
+def test_fold_batch_replay_is_noop_and_marker_is_atomic(spark, tmp_path):
+    """Crash-replay simulation: the SAME (stream, batch_id) folding
+    twice commits exactly once — the progress marker lives INSIDE the
+    fold's ACID commit, so there is no fold-then-marker crash window."""
+    view = _view(spark, tmp_path)
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "g string, x long")
+    b1 = spark.createDataFrame([("a", 10)], "g string, x long")
+    assert fold_batch(view, "s1", b0, 0) is True
+    assert fold_batch(view, "s1", b1, 1) is True
+    versions = view.acid.latest_version()
+    before = _state(view)
+    # foreachBatch re-delivery after a simulated crash: same ids again
+    assert fold_batch(view, "s1", b0, 0) is False
+    assert fold_batch(view, "s1", b1, 1) is False
+    assert view.acid.latest_version() == versions  # no new commits
+    assert _state(view) == before
+    # the marker is in the commit meta, not a sidecar
+    metas = [c["meta"] for c in view.acid.history()]
+    assert {"stream_id": "s1", "batch_id": 1} == {
+        k: metas[-1][k] for k in ("stream_id", "batch_id")
+    }
+
+
+def test_same_checkpoint_restart_folds_only_new_data(spark, tmp_path, source_dir):
+    """The r7-ADVICE data-loss scenario: new source files arriving
+    after a drain must fold on a SAME-checkpoint restart (batch ids
+    continue from the checkpoint; the per-stream guard admits them)."""
     src, df = source_dir
     view = _view(spark, tmp_path)
-    _drain(spark, src, view, str(tmp_path / "ckpt1"))
-    before = {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
-    n_versions = view.acid.latest_version()
-    # a FRESH checkpoint re-delivers every micro-batch from scratch; the
-    # batch-id guard must skip them all (no double counts)
-    _drain(spark, src, view, str(tmp_path / "ckpt2"))
-    after = {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
-    assert after == before
-    assert view.acid.latest_version() == n_versions  # no new commits
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, src, view, ckpt)
+    late = spark.createDataFrame([("a", 100), ("d", 1)], "g string, x long")
+    late.coalesce(1).write.mode("append").parquet(src)
+    _drain(spark, src, view, ckpt)
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in df.unionByName(late)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    assert _state(view) == want
+
+
+def test_fresh_checkpoint_against_folded_view_raises(spark, tmp_path):
+    """A fresh checkpoint restarts batch ids at 0 and re-delivers the
+    whole source — folding it into existing state would double-count,
+    so the mispairing is rejected loudly."""
+    view = _view(spark, tmp_path)
+    b = spark.createDataFrame([("a", 1)], "g string, x long")
+    fold_batch(view, "s1", b, 0)
+    with pytest.raises(RuntimeError, match="another stream"):
+        fold_batch(view, "s2", b, 0)
+    # disjoint-sources escape hatch
+    assert fold_batch(view, "s2", b, 0, allow_other_streams=True) is True
