@@ -44,12 +44,21 @@ def interval_join(
     [start_col, end_col], BIGINT) via fixed-width binning + exact
     re-check.  Returns point rows joined to their covering interval
     rows; a point inside k overlapping intervals yields k rows (true
-    join semantics)."""
-    if how != "inner":
-        raise ValueError("interval_join supports inner joins")
+    join semantics).  ``how='left'`` keeps uncovered points with NULL
+    interval columns (one row per uncovered point).
+
+    Correctness of 'left' under binning: a point lives in exactly ONE
+    bin, and an interval's exploded copy for that bin is unique, so a
+    (point, interval) pair meets at most once — folding the exact range
+    predicate into the join condition therefore gives textbook left-join
+    semantics with no duplicate null-extension and no fan-out.  The bin
+    equality stays the extractable equi-key (hash join, not BNLJ); the
+    range predicate rides along as the join filter."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join supports inner/left, got {how!r}")
     binned_points = points.withColumn(
         "__bin", F.floor(F.col(point_col) / bin_size).cast("bigint")
-    )
+    ).alias("p")
     exploded = intervals.withColumn(
         "__bin",
         F.explode(
@@ -58,14 +67,15 @@ def interval_join(
                 F.floor(F.col(end_col) / bin_size).cast("bigint"),
             )
         ),
+    ).alias("i")
+    cond = (
+        (F.col("p.__bin") == F.col("i.__bin"))  # the ONE equi-key
+        & (F.col(f"p.{point_col}") >= F.col(f"i.{start_col}"))
+        & (F.col(f"p.{point_col}") <= F.col(f"i.{end_col}"))
     )
-    return (
-        binned_points.join(exploded, "__bin")  # the ONE equi-join
-        .filter(
-            (F.col(point_col) >= F.col(start_col))
-            & (F.col(point_col) <= F.col(end_col))
-        )
-        .drop("__bin")
+    return binned_points.join(exploded, cond, how).select(
+        *[F.col(f"p.{c}") for c in points.columns],
+        *[F.col(f"i.{c}") for c in intervals.columns],
     )
 
 

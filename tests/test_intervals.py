@@ -71,3 +71,34 @@ def test_label_disagreement_flags_planted_error(spark):
     assert all(not r["suspected"] for v, r in out.items() if v != 10)
     # the planted point also poisons ONE neighbor's count at most
     assert out[100]["n_diff"] <= 1
+
+
+def test_interval_join_left_keeps_uncovered_points(spark):
+    pts = spark.createDataFrame([(1,), (5,), (50,)], "p long")
+    ivs = spark.createDataFrame([(0, 2, "a"), (4, 6, "b"), (5, 9, "c")],
+                                "s long, e long, tag string")
+    out = interval_join(pts, ivs, "p", "s", "e", bin_size=4, how="left")
+    rows = sorted((r["p"], r["tag"]) for r in out.collect())
+    # 1 -> a; 5 -> b and c (two rows); 50 -> uncovered, ONE null row
+    assert rows == [(1, "a"), (5, "b"), (5, "c"), (50, None)]
+    nulls = out.filter("tag IS NULL").collect()
+    assert len(nulls) == 1 and nulls[0]["s"] is None and nulls[0]["e"] is None
+
+
+def test_interval_join_left_no_duplicate_null_extension(spark):
+    # a bin containing intervals that all FAIL the exact check must
+    # still yield exactly one null-extended row for the point
+    pts = spark.createDataFrame([(3,)], "p long")
+    ivs = spark.createDataFrame([(0, 1, "a"), (0, 2, "b")],
+                                "s long, e long, tag string")
+    out = interval_join(pts, ivs, "p", "s", "e", bin_size=4, how="left")
+    assert [(r["p"], r["tag"]) for r in out.collect()] == [(3, None)]
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    pts = spark.createDataFrame([(1,)], "p long")
+    ivs = spark.createDataFrame([(0, 2)], "s long, e long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        interval_join(pts, ivs, "p", "s", "e", bin_size=4, how="full")
