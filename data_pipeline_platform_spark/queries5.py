@@ -43,14 +43,15 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: dims broadcast into the fact scan, ONE agg exchange on
     p_partkey, ONE scan of the fact table for the revenue subtree. The
-    global total comes from an unpartitioned window over the per-part
-    aggregate — that funnels the frame to a single partition, which is
-    exactly right here: the frame is bounded by |parts touched by one
-    nation's suppliers| (a dimension-sized set even at 100 TB), and the
-    alternative (re-aggregating into a scalar and joining back)
-    re-executes the whole fact subtree — Spark does not reuse uncached
-    sibling plans. The lineitem count-star is a second, column-pruned
-    scan (parquet row-group metadata only) broadcast as a 1-row frame.
+    per-part aggregate is persisted, and the global total is a 1-row
+    re-aggregation of the PERSISTED frame broadcast back via crossJoin
+    (the same pattern as n_li below) — one extra job over cached
+    dimension-sized data, no re-execution of the fact subtree, and no
+    single-task funnel: the previously used empty-partitionBy window
+    would funnel the whole per-part frame ("parts touched by one
+    nation" — hundreds of millions of rows at sf100k) through ONE task.
+    The lineitem count-star is a second, column-pruned scan (parquet
+    row-group metadata only) broadcast as a 1-row frame.
     The threshold compares exact decimal(38,0) products (value*n_li >
     total*60) — DuckDB promotes the same products to HUGEINT, so Spark
     and the oracle accept identical part sets at every SF with no int64
@@ -60,15 +61,18 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     value_c = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
 
-    per_part = (
+    from data_pipeline_platform_spark.utils.cache import tracked_persist
+
+    per_part = tracked_persist(
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(value_c).alias("value_c"))
     )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
     n_li = li.agg(F.count(F.lit(1)).alias("n_li"))
     return (
-        per_part.withColumn("total_c", F.sum("value_c").over(Window.partitionBy()))
+        per_part.crossJoin(F.broadcast(total))
         .crossJoin(F.broadcast(n_li))
         # both products in decimal(38,0): value_c and total_c are
         # cents-squared sums (~1e14 per part at sf0.01, growing with SF),
