@@ -94,3 +94,29 @@ def test_registry_order_is_stable_registration_order():
     assert len(names_a) == len(set(names_a))
     # relational core leads; extension families follow it
     assert names_a.index("pricing_summary") < names_a.index("dedup_exact")
+
+
+# the driver grades the FIRST 50 registrations — the SURVEY §2
+# relational core. Pin the exact ordered prefix so a future import-order
+# change cannot silently swap the graded sample (r7 verdict item #8).
+GRADED_PREFIX_50 = [
+    "pricing_summary", "revenue_by_segment_year", "filter_family",
+    "filter_contains", "map_apply", "add_columns_revenue",
+    "rename_select_drop", "global_count", "group_size", "group_agg_naming",
+    "multi_join_revenue", "window_rank", "count_over", "running_sum",
+    "orderby_limit", "set_ops", "anti_join", "semi_join", "left_join_nulls",
+    "sql_transform_upper", "param_filter", "extract_year", "schema_validate",
+    "upsert_merge", "distinct_count", "case_when_bucketing", "having",
+    "subquery_in", "string_functions", "date_functions",
+    "math_null_functions", "window_lag_lead", "window_distribution",
+    "window_first_last", "rollup_revenue", "cube_counts", "pivot_segments",
+    "top_unshipped", "forecast_revenue", "exists_correlated",
+    "small_quantity_parts", "conditional_distinct", "value_statistics",
+    "argmin_supplier", "array_functions", "posexplode_tokens",
+    "nation_volume", "returned_items", "promo_revenue_share",
+    "bracket_predicates",
+]
+
+
+def test_registry_prefix_is_the_relational_core():
+    assert list(se.queries())[:50] == GRADED_PREFIX_50
