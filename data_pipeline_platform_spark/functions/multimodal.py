@@ -578,3 +578,338 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         kernel, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# compressed-container METADATA extraction (r7 verdict item #3)
+# ---------------------------------------------------------------------------
+# Full pixel/sample decode of JPEG/MP3/H.264 needs codec libraries this
+# container lacks (decoded=false remains the honest posture there), but
+# the *header metadata* a curation pipeline audits — image dimensions,
+# audio bitrate/duration, video track layout — is pure row-local byte
+# parsing, implementable stdlib-only. These parsers walk the real
+# container grammars (JPEG marker segments, MPEG audio frame headers,
+# ISO-BMFF boxes), so genuine files parse identically to the in-repo
+# fixtures.
+
+_MP3_BITRATES_V1L3 = {  # MPEG-1 Layer III bitrate index -> kbps
+    1: 32, 2: 40, 3: 48, 4: 56, 5: 64, 6: 80, 7: 96, 8: 112,
+    9: 128, 10: 160, 11: 192, 12: 224, 13: 256, 14: 320,
+}
+_MP3_RATES_V1 = {0: 44100, 1: 48000, 2: 32000}  # MPEG-1 sample-rate index
+
+
+def _jpeg_metadata(content: bytes):
+    """Walk JPEG marker segments to the first SOF0/1/2 (baseline,
+    extended-sequential, progressive) and return (width, height,
+    n_components). Raises on non-JPEG / truncated streams."""
+    import struct
+
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        (seg_len,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            body = content[pos + 4 : pos + 2 + seg_len]
+            _precision, height, width, n_comp = struct.unpack(">BHHB", body[:6])
+            return width, height, n_comp
+        if marker == 0xDA:  # SOS: entropy data follows; SOF must precede
+            break
+        pos += 2 + seg_len
+    raise ValueError("no SOF marker before scan data")
+
+
+def _mp3_metadata(content: bytes):
+    """Census of MPEG-1 Layer III frames: skips a leading ID3v2 tag,
+    then walks frame headers (sync + bitrate/sample-rate indices, frame
+    length = 144*bitrate/sample_rate + padding). Returns (sample_rate,
+    first-frame bitrate kbps, n_frames, duration_ms) with duration from
+    the 1152-samples-per-frame constant. Raises if no valid frame."""
+    import struct
+
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        size = 0
+        for b in content[6:10]:  # syncsafe 7-bit bytes
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    sample_rate = bitrate_kbps = None
+    n_frames = 0
+    while pos + 4 <= len(content):
+        b0, b1, b2, _b3 = content[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 0x3  # 3 = MPEG-1
+        layer = (b1 >> 1) & 0x3    # 1 = Layer III
+        if version != 3 or layer != 1:
+            raise ValueError("only MPEG-1 Layer III supported")
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if br_idx not in _MP3_BITRATES_V1L3 or sr_idx not in _MP3_RATES_V1:
+            raise ValueError("bad bitrate/sample-rate index")
+        kbps = _MP3_BITRATES_V1L3[br_idx]
+        sr = _MP3_RATES_V1[sr_idx]
+        if sample_rate is None:
+            sample_rate, bitrate_kbps = sr, kbps
+        frame_len = (144 * kbps * 1000) // sr + padding
+        n_frames += 1
+        pos += frame_len
+    if not n_frames:
+        raise ValueError("no MPEG audio frame found")
+    duration_ms = (n_frames * 1152 * 1000) // sample_rate
+    return sample_rate, bitrate_kbps, n_frames, duration_ms
+
+
+def _mp4_metadata(content: bytes):
+    """ISO-BMFF box walk: find moov, read mvhd (timescale, duration —
+    version 0 and 1 layouts), count trak boxes. Returns (duration_ms,
+    n_tracks). Raises on non-MP4 payloads."""
+    import struct
+
+    def boxes(buf, pos, end):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # box extends to EOF
+                size = end - pos
+            if size < hdr:
+                raise ValueError("bad box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    top = {t: (s, e) for t, s, e in boxes(content, 0, len(content))}
+    if b"moov" not in top or b"ftyp" not in top:
+        raise ValueError("not an ISO-BMFF/MP4 stream")
+    duration_ms = None
+    n_tracks = 0
+    s, e = top[b"moov"]
+    for btype, bs, be in boxes(content, s, e):
+        if btype == b"mvhd":
+            version = content[bs]
+            if version == 1:
+                timescale, duration = struct.unpack(
+                    ">IQ", content[bs + 20 : bs + 32]
+                )
+            else:
+                timescale, duration = struct.unpack(
+                    ">II", content[bs + 12 : bs + 20]
+                )
+            duration_ms = (duration * 1000) // timescale
+        elif btype == b"trak":
+            n_tracks += 1
+    if duration_ms is None:
+        raise ValueError("moov without mvhd")
+    return duration_ms, n_tracks
+
+
+# -- fixture builders (the write side of the same container grammars) -------
+
+def make_jpeg_header_bytes(width: int, height: int, n_components: int = 3) -> bytes:
+    """Minimal structurally valid JPEG prefix: SOI + JFIF APP0 + SOF0
+    with the given dimensions (no scan data — metadata extraction never
+    reads past SOF, exactly like real thumbnailers)."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof_body = struct.pack(">BHHB", 8, height, width, n_components)
+    for comp in range(n_components):
+        sof_body += struct.pack(">BBB", comp + 1, 0x11, 0)
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+        + b"\xff\xd9"
+    )
+
+
+def make_mp3_bytes(
+    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100,
+    id3_tag: bool = False,
+) -> bytes:
+    """MPEG-1 Layer III frame stream: n_frames correct-length frames
+    (zeroed audio payload), optionally behind an ID3v2 tag."""
+    br_idx = {v: k for k, v in _MP3_BITRATES_V1L3.items()}[bitrate_kbps]
+    sr_idx = {v: k for k, v in _MP3_RATES_V1.items()}[sample_rate]
+    header = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+    frame_len = (144 * bitrate_kbps * 1000) // sample_rate
+    frame = header + b"\x00" * (frame_len - 4)
+    tag = b""
+    if id3_tag:
+        body = b"\x00" * 32
+        sz = len(body)
+        syncsafe = bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        tag = b"ID3\x04\x00\x00" + syncsafe + body
+    return tag + frame * n_frames
+
+
+def make_mp4_bytes(
+    duration_units: int, n_tracks: int = 1, timescale: int = 600
+) -> bytes:
+    """Minimal ISO-BMFF stream: ftyp + moov(mvhd v0 + n empty trak
+    boxes) — the boxes a duration/track audit walks."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = (
+        b"\x00\x00\x00\x00"              # version 0 + flags
+        + struct.pack(">II", 0, 0)        # ctime, mtime
+        + struct.pack(">II", timescale, duration_units)
+        + b"\x00" * 80                    # rate/volume/matrix/next_track
+    )
+    moov_body = box(b"mvhd", mvhd) + box(b"trak", b"") * n_tracks
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", moov_body)
+
+
+MEDIA_METADATA_SCHEMA = (
+    "media_id long, container string, width int, height int, "
+    "n_components int, sample_rate int, bitrate_kbps int, n_frames int, "
+    "duration_ms long, n_tracks int, parsed boolean"
+)
+
+
+def extract_media_metadata(df: DataFrame) -> DataFrame:
+    """Binary -> container metadata in ONE Arrow-batched mapInPandas pass
+    (blob dropped in-stage). Dispatches on magic bytes: JPEG SOF
+    dimensions, MP3 frame census, MP4 box walk; unknown payloads yield
+    parsed=false audit rows. All outputs are integers, so a SQL oracle
+    can replay the container math bitwise."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "media_id", "container", "width", "height", "n_components",
+            "sample_rate", "bitrate_kbps", "n_frames", "duration_ms",
+            "n_tracks", "parsed",
+        )
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                out = dict.fromkeys(cols)
+                out["media_id"] = mid
+                try:
+                    if raw[:2] == b"\xff\xd8":
+                        w, h, nc = _jpeg_metadata(raw)
+                        out |= {"container": "jpeg", "width": w, "height": h,
+                                "n_components": nc, "parsed": True}
+                    elif raw[:3] == b"ID3" or (
+                        len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+                    ):
+                        sr, kbps, nf, dur = _mp3_metadata(raw)
+                        out |= {"container": "mp3", "sample_rate": sr,
+                                "bitrate_kbps": kbps, "n_frames": nf,
+                                "duration_ms": dur, "parsed": True}
+                    elif raw[4:8] == b"ftyp":
+                        dur, nt = _mp4_metadata(raw)
+                        out |= {"container": "mp4", "duration_ms": dur,
+                                "n_tracks": nt, "parsed": True}
+                    else:
+                        out |= {"container": "unknown", "parsed": False}
+                except Exception:
+                    out |= {"container": "unknown", "parsed": False}
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=MEDIA_METADATA_SCHEMA
+    )
+
+
+def q_multimodal_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata extraction under the correctness gate: each
+    document row becomes a REAL JPEG/MP3/MP4 byte stream (parameters
+    derived from doc_id), built and then re-parsed by the genuine
+    byte-walkers inside one mapInPandas stage — schema, Arrow batching,
+    magic-byte dispatch, parser grammar all exercised, no test double.
+    The oracle replays the same parameter derivations plus the container
+    math (MP3 frame duration = n*1152*1000//sr; MP4 duration_units*1000
+    //timescale) in pure integer SQL, so a builder/parser disagreement
+    anywhere breaks the hash."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    # orderBy before limit: TakeOrderedAndProject gives a DETERMINISTIC
+    # 512-doc panel (a bare limit picks whatever partitions answer first)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy(
+        "doc_id"
+    ).limit(512)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                kind = d % 3
+                if kind == 0:
+                    blob = make_jpeg_header_bytes(
+                        160 + d % 640, 120 + d % 480, 1 + d % 3
+                    )
+                elif kind == 1:
+                    blob = make_mp3_bytes(
+                        n_frames=1 + d % 7,
+                        bitrate_kbps=[64, 128, 192, 256][d % 4],
+                        sample_rate=[44100, 48000, 32000][d % 3],
+                        id3_tag=(d % 2 == 0),
+                    )
+                else:
+                    blob = make_mp4_bytes(
+                        duration_units=600 * (1 + d % 30) + d % 600,
+                        n_tracks=1 + d % 3,
+                    )
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(kernel, schema="media_id long, content binary")
+    return extract_media_metadata(media)
+
+
+# doc_id % 3 == 1 implies doc_id % 2 alternates per doc, so half the MP3
+# payloads carry an ID3v2 tag the parser must skip — graded implicitly:
+# a skip bug breaks n_frames for those rows.
+ORACLE_MULTIMODAL_CONTAINER_METADATA = """
+WITH d AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 512
+), p AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         [44100, 48000, 32000][doc_id % 3 + 1] AS sr,
+         [64, 128, 192, 256][doc_id % 4 + 1] AS kbps,
+         1 + doc_id % 7 AS nf,
+         600 * (1 + doc_id % 30) + doc_id % 600 AS dur_units
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CASE kind WHEN 0 THEN 'jpeg' WHEN 1 THEN 'mp3' ELSE 'mp4' END AS container,
+       CASE WHEN kind = 0 THEN CAST(160 + doc_id % 640 AS INT) END AS width,
+       CASE WHEN kind = 0 THEN CAST(120 + doc_id % 480 AS INT) END AS height,
+       CASE WHEN kind = 0 THEN CAST(1 + doc_id % 3 AS INT) END AS n_components,
+       CASE WHEN kind = 1 THEN CAST(sr AS INT) END AS sample_rate,
+       CASE WHEN kind = 1 THEN CAST(kbps AS INT) END AS bitrate_kbps,
+       CASE WHEN kind = 1 THEN CAST(nf AS INT) END AS n_frames,
+       CASE WHEN kind = 1 THEN CAST((nf * 1152 * 1000) // sr AS BIGINT)
+            WHEN kind = 2 THEN CAST((dur_units * 1000) // 600 AS BIGINT)
+       END AS duration_ms,
+       CASE WHEN kind = 2 THEN CAST(1 + doc_id % 3 AS INT) END AS n_tracks,
+       TRUE AS parsed
+FROM p
+"""
+
+register(
+    "multimodal_container_metadata",
+    q_multimodal_container_metadata,
+    ORACLE_MULTIMODAL_CONTAINER_METADATA,
+)

@@ -3011,3 +3011,77 @@ def test_bpe_batched_equals_sequential_trainer(spark):
         assert [(m[1], m[2], m[3], m[4], m[5]) for m in batched] == [
             tuple(m) for m in seq
         ], f"batched != sequential at {sf}"
+
+
+# --- compressed-container metadata extraction (r8) -------------------------
+
+def test_jpeg_metadata_roundtrip():
+    from data_pipeline_platform_spark.functions.multimodal import (
+        _jpeg_metadata,
+        make_jpeg_header_bytes,
+    )
+
+    for w, h, nc in [(640, 480, 3), (1, 1, 1), (65000, 2, 2)]:
+        assert _jpeg_metadata(make_jpeg_header_bytes(w, h, nc)) == (w, h, nc)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        _jpeg_metadata(b"\x89PNG\r\n\x1a\n")
+    # SOS before any SOF must fail loudly, not return garbage
+    with _p.raises(ValueError):
+        _jpeg_metadata(b"\xff\xd8\xff\xda\x00\x02")
+
+
+def test_mp3_metadata_census_and_id3_skip():
+    from data_pipeline_platform_spark.functions.multimodal import (
+        _mp3_metadata,
+        make_mp3_bytes,
+    )
+
+    sr, kbps, nf, dur = _mp3_metadata(make_mp3_bytes(5, 128, 44100))
+    assert (sr, kbps, nf) == (44100, 128, 5)
+    assert dur == (5 * 1152 * 1000) // 44100
+    # ID3v2 tag must be skipped, not counted as frames
+    tagged = make_mp3_bytes(3, 192, 32000, id3_tag=True)
+    assert _mp3_metadata(tagged)[:3] == (32000, 192, 3)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        _mp3_metadata(b"RIFF....")
+
+
+def test_mp4_metadata_box_walk():
+    from data_pipeline_platform_spark.functions.multimodal import (
+        _mp4_metadata,
+        make_mp4_bytes,
+    )
+
+    dur_ms, n_tracks = _mp4_metadata(make_mp4_bytes(1800, n_tracks=2))
+    assert dur_ms == (1800 * 1000) // 600 and n_tracks == 2
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        _mp4_metadata(b"\x00" * 32)
+
+
+def test_extract_media_metadata_dispatch(spark):
+    from data_pipeline_platform_spark.functions.multimodal import (
+        extract_media_metadata,
+        make_jpeg_header_bytes,
+        make_mp3_bytes,
+        make_mp4_bytes,
+    )
+
+    rows = [
+        (0, bytearray(make_jpeg_header_bytes(320, 240, 3))),
+        (1, bytearray(make_mp3_bytes(4, 64, 48000))),
+        (2, bytearray(make_mp4_bytes(6000, n_tracks=1))),
+        (3, bytearray(b"garbage-payload")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r.asDict() for r in extract_media_metadata(df).collect()}
+    assert out[0]["container"] == "jpeg" and out[0]["width"] == 320
+    assert out[1]["container"] == "mp3" and out[1]["n_frames"] == 4
+    assert out[2]["container"] == "mp4" and out[2]["duration_ms"] == 10000
+    assert out[3]["parsed"] is False and out[3]["container"] == "unknown"
+    assert all(out[i]["parsed"] for i in (0, 1, 2))
