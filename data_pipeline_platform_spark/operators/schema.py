@@ -212,8 +212,10 @@ class SchemaRegistry:
     The reference uses a ``schema_versions`` DB table with ON CONFLICT
     upsert + in-memory cache + last-10 history. Here: a JSON directory
     (one file per schema name holding all versions) — same upsert-latest
-    semantics, no DB dependency. At cluster scale this would be a Delta
-    table; the interface is identical.
+    semantics, no DB dependency. ``AcidSchemaRegistry`` below is the
+    deployment-grade backend on the repo's own ACID table format; this
+    JSON backend stays as the zero-Spark fallback (CLI contexts where no
+    session exists yet).
     """
 
     HISTORY_LIMIT = 10
@@ -274,3 +276,97 @@ class SchemaRegistry:
                 return json.load(f)
         except (OSError, json.JSONDecodeError):
             return []
+
+
+class AcidSchemaRegistry:
+    """Schema registry on the ACID lake layer (sinks/acid.py): versions
+    are ROWS in an AcidTable keyed (name, version), and ``register`` is
+    one MERGE commit — so schema history gets the same atomicity, audit
+    trail, and time travel as the data it describes.
+
+    Semantics preserved from the reference's DB-backed registry
+    (schema_validator.py:291-375): re-registering an existing (name,
+    version) upserts it (ON CONFLICT DO UPDATE == AcidTable.merge),
+    ``load`` with no version returns the latest (ORDER BY version DESC
+    LIMIT 1), and loads cache. Beyond the reference: ``history`` is the
+    FULL version list (the JSON backend's last-10 trim was a file-size
+    bound that no longer applies), and ``table_version=`` time-travels
+    the whole registry to any past commit — "what did this schema say
+    when batch N loaded?" is one read, no log archaeology.
+
+    Scale: the registry is metadata-sized (|schemas| x |versions| rows);
+    merge's footer stats prune on (name, version) like any dimension.
+    """
+
+    _DDL = "name string, version bigint, schema_json string, registered_at double"
+
+    def __init__(self, spark, path: str):
+        from data_pipeline_platform_spark.sinks.acid import AcidTable
+
+        self.spark = spark
+        self.acid = AcidTable(spark, path)
+        self._cache: Dict[str, SchemaDefinition] = {}
+
+    def register(self, schema: SchemaDefinition) -> None:
+        """Upsert (name, version) in one atomic MERGE commit."""
+        src = self.spark.createDataFrame(
+            [
+                (
+                    schema.name,
+                    int(schema.version),
+                    json.dumps(schema.model_dump()),
+                    time.time(),
+                )
+            ],
+            self._DDL,
+        )
+        if not self.acid.exists():
+            self.acid.write(src, stats_cols=["name", "version"])
+        else:
+            self.acid.merge(src, keys=["name", "version"])
+        self._cache[f"{schema.name}@{schema.version}"] = schema
+
+    def load(
+        self,
+        name: str,
+        version: Optional[int] = None,
+        table_version: Optional[int] = None,
+    ) -> SchemaDefinition:
+        """Load by name; no ``version`` => latest. ``table_version``
+        time-travels the registry itself (cache bypassed — the cache
+        only ever answers for the current snapshot)."""
+        key = f"{name}@{version}"
+        if version is not None and table_version is None and key in self._cache:
+            return self._cache[key]
+        try:
+            df = self.acid.read(version=table_version).filter(F.col("name") == name)
+        except FileNotFoundError:
+            raise KeyError(f"unknown schema: {name}") from None
+        if version is None:
+            rows = df.orderBy(F.col("version").desc()).limit(1).collect()
+        else:
+            rows = df.filter(F.col("version") == int(version)).limit(1).collect()
+        if not rows:
+            raise KeyError(
+                f"unknown schema: {name}"
+                if version is None
+                else f"unknown version {version} for schema {name}"
+            )
+        schema = SchemaDefinition(**json.loads(rows[0]["schema_json"]))
+        if table_version is None:
+            self._cache[f"{name}@{schema.version}"] = schema
+        return schema
+
+    def history(self, name: str) -> List[Dict[str, Any]]:
+        try:
+            df = self.acid.read().filter(F.col("name") == name)
+        except FileNotFoundError:
+            return []
+        return [
+            {"version": r["version"], "registered_at": r["registered_at"]}
+            for r in df.orderBy("version").collect()
+        ]
+
+    def table_history(self) -> List[Dict[str, Any]]:
+        """The registry's own commit log (who changed what, when)."""
+        return self.acid.history()

@@ -126,3 +126,45 @@ def test_struct_type_bridge():
     st = schema.to_struct_type()
     assert st.fields[0].dataType.simpleString() == "array<float>"
     assert st.fields[1].dataType.simpleString() == "timestamp"
+
+
+def test_acid_registry_upsert_latest_and_time_travel(spark, tmp_path):
+    """The JSON-backend contract on the ACID backend, plus what the lake
+    layer adds: registry-wide time travel and a commit audit trail."""
+    from data_pipeline_platform_spark.operators.schema import AcidSchemaRegistry
+
+    reg = AcidSchemaRegistry(spark, str(tmp_path / "reg"))
+    s1 = _schema(ColumnSchema(name="a", dtype="int"))
+    s1.version = 1
+    reg.register(s1)
+    s2 = s1.model_copy(update={"version": 2})
+    reg.register(s2)
+    assert reg.load("s").version == 2  # latest by default
+    assert reg.load("s", version=1).version == 1
+    assert [h["version"] for h in reg.history("s")] == [1, 2]
+    with pytest.raises(KeyError):
+        reg.load("nope")
+    with pytest.raises(KeyError):
+        reg.load("s", version=99)
+
+    # upsert: re-registering version 2 with a changed column REPLACES it
+    s2b = s2.model_copy(
+        update={"columns": [ColumnSchema(name="a", dtype="double")]}
+    )
+    reg.register(s2b)
+    assert reg.load("s", version=2, table_version=None).columns[0].dtype == "double"
+    assert len(reg.history("s")) == 2  # still two versions, not three
+
+    # time travel: the registry as of commit 2 still holds the OLD v2
+    assert reg.load("s", version=2, table_version=2).columns[0].dtype == "int"
+    ops = [h["op"] for h in reg.table_history()]
+    assert ops[0] == "OVERWRITE" and "MERGE" in ops[1:]
+
+
+def test_acid_registry_cache_serves_current_snapshot(spark, tmp_path):
+    from data_pipeline_platform_spark.operators.schema import AcidSchemaRegistry
+
+    reg = AcidSchemaRegistry(spark, str(tmp_path / "reg2"))
+    s1 = _schema(ColumnSchema(name="a", dtype="int"))
+    reg.register(s1)
+    assert reg.load("s", version=1) is reg._cache["s@1"]
