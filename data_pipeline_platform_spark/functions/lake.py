@@ -163,3 +163,84 @@ register(
     q_materialized_agg_orders,
     ORACLE_MATERIALIZED_AGG_ORDERS,
 )
+
+
+def q_cdf_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The medallion bronze->silver hop end-to-end (streaming/cdf.py):
+    a bronze AcidTable takes three commits — base write, ON-CONFLICT
+    merge (updates + inserts), delete-matched merge — and after EACH
+    commit a ChangeFeedConsumer folds the row-level change feed into a
+    silver count/sum view WITH retraction (updates subtract their
+    preimage, deletes subtract entirely). The silver state must equal
+    the one-shot groupBy over the FINAL bronze snapshot — which is
+    exactly what the oracle computes from plain SQL, so the whole chain
+    (CDF diff, signed fold, atomic in-commit progress marker,
+    zero-count drop) is value-graded, not just unit-tested."""
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+    from data_pipeline_platform_spark.streaming.cdf import ChangeFeedConsumer
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price_c") + F.lit(100)).alias("price_c"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+    )
+    deletes = base.filter(F.col("o_orderkey") % 300 == 0)
+
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="cdf_bronze_"))
+    view = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="cdf_silver_"),
+        keys=["o_orderpriority"],
+        aggs=[("n_orders", "count", ""), ("sum_price_c", "sum", "price_c")],
+    )
+    consumer = ChangeFeedConsumer(
+        bronze, source_keys=["o_orderkey"], view=view, count_col="n_orders"
+    )
+    bronze.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    consumer.process_available()
+    bronze.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    consumer.process_available()
+    bronze.merge(deletes, keys=["o_orderkey"], delete_matched=True)
+    consumer.process_available()
+    return consumer.state().select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("sum_price_c") / 100.0).alias("sum_price"),
+    )
+
+
+ORACLE_CDF_INCREMENTAL_VIEW = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), upd AS (
+  SELECT o_orderkey, o_orderpriority,
+         price_c + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM base
+), kept AS (
+  SELECT * FROM upd WHERE o_orderkey % 300 <> 0
+), ins AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+), final AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM ins
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price
+FROM final
+GROUP BY o_orderpriority
+"""
+
+register("cdf_incremental_view", q_cdf_incremental_view, ORACLE_CDF_INCREMENTAL_VIEW)

@@ -121,11 +121,69 @@ class MaterializedAgg:
             "files_rewritten": stats["files_rewritten"],
         }
 
+    def update_changes(
+        self, feed: DataFrame, commit_meta: Dict[str, object] = None
+    ) -> Dict[str, int]:
+        """Fold a row-level change feed (``AcidTable.changes()`` shape:
+        change_type in insert / delete / update_preimage /
+        update_postimage) with RETRACTION: insert/postimage rows add,
+        delete/preimage rows subtract. Requires every agg to be
+        additive-INVERTIBLE — count/sum only (min/max cannot retract;
+        the module docstring's "different algebra" case is exactly
+        this, and it raises rather than corrupting state).
+
+        A group whose count is retracted to zero keeps a zero-count
+        state row (removing it would need a second commit and break the
+        single-atomic-commit exactly-once contract); readers drop them
+        via ``read(drop_empty_on=...)``, restoring "state equals
+        one-shot groupBy over the final snapshot" exactly."""
+        non_invertible = [a for a in self.aggs if a[1] in ("min", "max")]
+        if non_invertible:
+            raise ValueError(
+                f"change-feed folding needs invertible aggs; {non_invertible} "
+                "are min/max — maintain those by recompute, not retraction"
+            )
+        sign = (
+            F.when(F.col("change_type").isin("insert", "update_postimage"), F.lit(1))
+            .when(F.col("change_type").isin("delete", "update_preimage"), F.lit(-1))
+        )
+        exprs = []
+        for name, kind, col in self.aggs:
+            if kind == "count":
+                exprs.append(F.sum(sign).cast("bigint").alias(name))
+            else:  # sum
+                exprs.append(F.sum(sign * F.col(col)).alias(name))
+        part = feed.groupBy(*self.keys).agg(*exprs)
+        if not self.acid.exists():
+            self.acid.write(part, stats_cols=self.keys, extra_meta=commit_meta)
+            return {"groups_touched": part.count(), "files_rewritten": 0}
+        cur = self.acid.read()
+        cond = F.lit(True)
+        for k in self.keys:
+            cond = cond & F.col(f"c.{k}").eqNullSafe(F.col(f"p.{k}"))
+        touched = cur.alias("c").join(
+            part.select(*self.keys).alias("p"), cond, "left_semi"
+        )
+        folded = self._fold(touched, part)
+        stats = self.acid.merge(folded, keys=self.keys, extra_meta=commit_meta)
+        return {
+            "groups_touched": folded.count(),
+            "files_rewritten": stats["files_rewritten"],
+        }
+
     # ------------------------------------------------------------------
-    def read(self, derive: Dict[str, Tuple[str, str]] = None) -> DataFrame:
+    def read(
+        self,
+        derive: Dict[str, Tuple[str, str]] = None,
+        drop_empty_on: str = None,
+    ) -> DataFrame:
         """State table, optionally with derived ratio columns:
-        ``derive={'avg_x': ('sum_x', 'n')}`` adds sum_x / n as avg_x."""
+        ``derive={'avg_x': ('sum_x', 'n')}`` adds sum_x / n as avg_x.
+        ``drop_empty_on``: name of a count agg — rows where it is 0 are
+        groups fully retracted by a change feed (see update_changes)."""
         df = self.acid.read()
+        if drop_empty_on is not None:
+            df = df.filter(F.col(drop_empty_on) > 0)
         for out, (num, den) in (derive or {}).items():
             df = df.withColumn(out, F.col(num) / F.col(den))
         return df
