@@ -53,6 +53,11 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
 _VERSION_DIGITS = 20
+#: write a full-state checkpoint every N commits so snapshot reads replay
+#: O(interval) commits from the newest checkpoint instead of O(versions)
+#: from genesis — the Delta checkpoint-parquet pattern (JSON here; the
+#: content is the same live add-action set)
+_CHECKPOINT_INTERVAL = 10
 
 
 class CommitConflictError(RuntimeError):
@@ -119,13 +124,54 @@ class AcidTable:
             raise CommitConflictError(
                 f"version {version} already committed at {self.path}"
             ) from None
+        if version % _CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(version)
         return version
 
+    def _checkpoint_file(self, version: int) -> str:
+        return os.path.join(
+            self.log_dir, f"{version:0{_VERSION_DIGITS}d}.checkpoint.json"
+        )
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Best-effort full-state checkpoint (atomic create; a loser or
+        a crash mid-write leaves replay-from-log correct)."""
+        live = self.snapshot_files(version)
+        tmp = self._checkpoint_file(version) + f".tmp-{uuid.uuid4().hex}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(live, f)
+            os.rename(tmp, self._checkpoint_file(version))
+        except OSError:
+            pass  # checkpoints are an optimization, never a correctness need
+
+    def _latest_checkpoint_at_or_before(self, version: int) -> int:
+        if not os.path.isdir(self.log_dir):
+            return 0
+        cands = [
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json") and f.split(".")[0].isdigit()
+        ]
+        cands = [v for v in cands if v <= version]
+        return max(cands, default=0)
+
     def snapshot_files(self, version: Optional[int] = None) -> List[Dict[str, Any]]:
-        """Live add-actions (with stats) at a version, by log replay."""
+        """Live add-actions (with stats) at a version: start from the
+        newest checkpoint at-or-before it, replay only the commits
+        after — O(checkpoint interval) work regardless of table age."""
         upto = self.latest_version() if version is None else version
         live: Dict[str, Dict[str, Any]] = {}
-        for v in range(1, upto + 1):
+        start = 1
+        ckpt = self._latest_checkpoint_at_or_before(upto)
+        if ckpt:
+            try:
+                with open(self._checkpoint_file(ckpt)) as f:
+                    live = {a["path"]: a for a in json.load(f)}
+                start = ckpt + 1
+            except (OSError, json.JSONDecodeError):
+                live, start = {}, 1  # corrupt checkpoint: fall back to full replay
+        for v in range(start, upto + 1):
             commit = self._read_commit(v)
             for path in commit["remove"]:
                 live.pop(path, None)
@@ -583,17 +629,57 @@ class AcidTable:
                      meta={"predicate": predicate})
         return {"files_rewritten": len(hit)}
 
-    def compact(self, target_files: int = 1) -> int:
-        """Bin-pack the current snapshot into target_files files."""
+    def compact(
+        self, target_files: int = 1, cluster_by: Optional[Sequence[str]] = None
+    ) -> int:
+        """Bin-pack the current snapshot into target_files files.
+        ``cluster_by``: range-partition + sort the rewrite on those
+        columns so each published file holds a disjoint key range —
+        footer min/max stats then prune maximally on later MERGEs
+        (the OPTIMIZE ... ZORDER role for the 1-D common case)."""
         base = self.latest_version()
         files = self.snapshot_files(base)
-        df = self.spark.read.parquet(*[a["path"] for a in files]).coalesce(
-            target_files
-        )
+        df = self.spark.read.parquet(*[a["path"] for a in files])
         stats_cols = sorted({c for a in files for c in (a.get("stats") or {})})
-        add = self._write_data_files(df, stats_cols)
+        if cluster_by:
+            cluster = [str(c) for c in cluster_by]
+            df = df.repartitionByRange(target_files, *cluster).sortWithinPartitions(
+                *cluster
+            )
+            stats_cols = sorted(set(stats_cols) | set(cluster))
+            # binpack=False: the range layout IS the pruning structure
+            add = self._write_data_files(df, stats_cols, binpack=False)
+        else:
+            add = self._write_data_files(df.coalesce(target_files), stats_cols)
         return self._commit(
-            base, "COMPACT", add, [a["path"] for a in files]
+            base,
+            "COMPACT",
+            add,
+            [a["path"] for a in files],
+            meta={"cluster_by": list(cluster_by or [])},
+        )
+
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: publish a NEW commit whose live file set
+        equals the target version's — history stays intact (the restore
+        is itself a version; time travel still reaches everything).
+        Raises if the target's data files were already vacuumed."""
+        base = self.latest_version()
+        if not 1 <= version <= base:
+            raise ValueError(f"cannot restore to v{version} (latest is v{base})")
+        target = self.snapshot_files(version)
+        missing = [a["path"] for a in target if not os.path.exists(a["path"])]
+        if missing:
+            raise FileNotFoundError(
+                f"restore to v{version} impossible: {len(missing)} data "
+                f"file(s) vacuumed, e.g. {missing[0]}"
+            )
+        target_paths = {a["path"] for a in target}
+        current_paths = {a["path"] for a in self.snapshot_files(base)}
+        add = [a for a in target if a["path"] not in current_paths]
+        remove = sorted(current_paths - target_paths)
+        return self._commit(
+            base, "RESTORE", add, remove, meta={"restored_to": version}
         )
 
     def vacuum(self) -> List[str]:

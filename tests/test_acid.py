@@ -299,3 +299,69 @@ def test_change_feed_duplicate_keys_raise(spark, table):
         table.changes(["k"], 1, 2)
     # explicit opt-out still works
     assert table.changes(["k"], 1, 2, check_unique=False).count() >= 1
+
+
+def test_restore_publishes_new_version_keeping_history(spark, table):
+    table.write(_df(spark, [(1, "a"), (2, "b")]), stats_cols=["k"])
+    table.merge(_df(spark, [(2, "B2"), (3, "c")]), keys=["k"])
+    table.delete("k = 1")
+    v = table.restore(1)
+    assert v == 4  # restore is itself a commit
+    assert {(r["k"], r["v"]) for r in table.read().collect()} == {(1, "a"), (2, "b")}
+    # history intact: v3 still readable
+    assert {r["k"] for r in table.read(version=3).collect()} == {2, 3}
+    ops = [h["op"] for h in table.history()]
+    assert ops[-1] == "RESTORE" and table.history()[-1]["meta"]["restored_to"] == 1
+    with pytest.raises(ValueError):
+        table.restore(99)
+
+
+def test_restore_after_vacuum_raises(spark, table):
+    table.write(_df(spark, [(1, "a")]), stats_cols=["k"])
+    table.write(_df(spark, [(9, "z")]), mode="overwrite", stats_cols=["k"])
+    table.vacuum()  # drops v1's file
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.restore(1)
+
+
+def test_clustered_compact_improves_merge_pruning(spark, table):
+    """After compact(cluster_by=['k']), files hold disjoint key ranges,
+    so a narrow merge prunes all but one file."""
+    # interleaved layout: both files span the whole key range
+    lo = [(i, f"v{i}") for i in range(0, 100, 2)]
+    hi = [(i, f"v{i}") for i in range(1, 100, 2)]
+    table.write(_df(spark, lo).repartition(1), stats_cols=["k"], binpack=False)
+    table.write(_df(spark, hi).repartition(1), mode="append", stats_cols=["k"],
+                binpack=False)
+    stats_before = table.merge(_df(spark, [(4, "X")]), keys=["k"])
+    assert stats_before["files_pruned"] == 0  # interleaved: nothing prunes
+    table.compact(target_files=2, cluster_by=["k"])
+    assert len(table.snapshot_files()) == 2
+    stats_after = table.merge(_df(spark, [(6, "Y")]), keys=["k"])
+    assert stats_after["files_pruned"] == 1  # disjoint ranges: half pruned
+    out = {r["k"]: r["v"] for r in table.read().collect()}
+    assert out[4] == "X" and out[6] == "Y" and len(out) == 100
+
+
+def test_checkpoint_accelerated_snapshot_matches_full_replay(spark, table):
+    """After > _CHECKPOINT_INTERVAL commits a checkpoint exists, snapshot
+    reads start from it, and the state matches exact fold expectations."""
+    import os as _os
+
+    from data_pipeline_platform_spark.sinks import acid as acid_mod
+
+    for i in range(12):
+        table.write(_df(spark, [(i, f"v{i}")]), mode="append", stats_cols=["k"])
+    ckpts = [
+        f for f in _os.listdir(table.log_dir) if f.endswith(".checkpoint.json")
+    ]
+    assert ckpts, "no checkpoint written after 12 commits"
+    assert table._latest_checkpoint_at_or_before(12) == 10
+    # snapshot via checkpoint equals state: all 12 rows
+    assert sorted(r["k"] for r in table.read().collect()) == list(range(12))
+    # time travel BEFORE the checkpoint still replays from genesis
+    assert sorted(r["k"] for r in table.read(version=5).collect()) == list(range(5))
+    # a corrupt checkpoint falls back to full replay
+    with open(_os.path.join(table.log_dir, ckpts[0]), "w") as f:
+        f.write("not json")
+    assert sorted(r["k"] for r in table.read().collect()) == list(range(12))
