@@ -94,6 +94,11 @@ HEADLINE = [
     "retrieval_eval",
     "label_propagation",
     "conformal_interval",
+    # r8 additions: the medallion CDF hop, the census-shaped skyline,
+    # and the text-format ingest path
+    "cdf_incremental_view",
+    "skyline_parts",
+    "ingest_roundtrip",
 ]
 
 

@@ -129,6 +129,14 @@ NOTES = {
     "weighted_sample_aes": "row-local A-ES keys; TakeOrderedAndProject top-K, zero shuffles",
     "hashed_bow_vectors": "vocabulary-free: one explode + one combinable groupBy, no broadcast dictionary",
     "link_prediction_parts": "wedge join on the dimension-cardinality edge set; anti-join edges; orderBy/limit head",
+    # r8 wave
+    "important_parts": "per-part agg persisted (InMemoryTableScan x2); scalar total = 1-row agg broadcast back — no empty-partitionBy window funnel",
+    "skyline_parts": "per-cent min census + exclusive running-min over the census; parts join the broadcast census — never the O(n^2) dominance self-join",
+    "order_gap_islands": "customer-partitioned row_number window; two combinable groupBys; no global ordering",
+    "mad_outliers": "two scalar percentile aggregates broadcast back (1-row frames); no window at all",
+    "cdf_incremental_view": "CDF diff reads only entered/left files; silver fold merges only touched groups; marker rides the fold commit",
+    "multimodal_container_metadata": "one Arrow-batched mapInPandas stage (build + parse); no shuffle before it",
+    "ingest_roundtrip": "explicit-schema text scans; union + one agg exchange",
 }
 
 
