@@ -76,3 +76,46 @@ def test_mad_cut_is_exact(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     out = q_mad_outliers(spark, str(tmp_path)).collect()[0]
     assert out["n"] == 10 and out["n_outliers"] == 1
+
+
+def test_grid_density_clusters_semantics(spark, tmp_path):
+    """Hand-built grid: two dense blobs joined by an adjacent dense
+    cell merge into ONE cluster; an isolated dense cell is its own
+    cluster; a point next to a core cell is border; a lone far point
+    is noise (NULL)."""
+    import itertools
+
+    from data_pipeline_platform_spark.functions.density import (
+        q_grid_density_clusters,
+    )
+
+    def pt(vid, cx, cy, jitter=0.01):
+        # place inside cell (cx, cy) at scale 20 -> coords in
+        # [cx/20, (cx+1)/20)
+        x = cx / 20.0 + jitter
+        y = cy / 20.0 + jitter
+        return (vid, [float(x), float(y)] + [0.0] * 62)
+
+    rows = []
+    vid = 0
+    # blob A: cells (0,0) and (1,0) with 3 points each (core, adjacent)
+    for cell in [(0, 0), (1, 0)]:
+        for _ in range(3):
+            rows.append(pt(vid, *cell)); vid += 1
+    # isolated dense cell (5,5)
+    for _ in range(3):
+        rows.append(pt(vid, 5, 5)); vid += 1
+    # border point: cell (2,0) single point, adjacent to core (1,0)
+    rows.append(pt(vid, 2, 0)); border_id = vid; vid += 1
+    # noise: far away single point
+    rows.append(pt(vid, -9, -9)); noise_id = vid; vid += 1
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["vec_id"]: r["cluster"] for r in
+           q_grid_density_clusters(spark, str(tmp_path)).collect()}
+    blob_a = {out[i] for i in range(6)}
+    assert len(blob_a) == 1  # the two adjacent core cells merged
+    assert out[6] == out[7] == out[8] != next(iter(blob_a))  # isolated blob
+    assert out[border_id] == next(iter(blob_a))  # border joins blob A
+    assert out[noise_id] is None  # noise
