@@ -119,3 +119,20 @@ def test_grid_density_clusters_semantics(spark, tmp_path):
     assert out[6] == out[7] == out[8] != next(iter(blob_a))  # isolated blob
     assert out[border_id] == next(iter(blob_a))  # border joins blob A
     assert out[noise_id] is None  # noise
+
+
+def test_rake_scores_match_hand_computation(spark, tmp_path):
+    """One tiny doc, hand-computed RAKE: phrases split at stopwords,
+    word score = degree/freq, phrase score = sum of member scores."""
+    from data_pipeline_platform_spark.functions.rake import q_rake_keywords
+
+    # phrases: "join merge", "join", "merge" -> freq(join)=2, deg(join)=3
+    # (len2 + len1); freq(merge)=2, deg(merge)=3
+    # scores: join = merge = 1.5 -> "join merge" = 3.0, singles = 1.5
+    df = spark.createDataFrame(
+        [(0, "join merge the join a merge")], "doc_id long, text string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["phrase"]: (r["n_occ"], r["score"]) for r in
+           q_rake_keywords(spark, str(tmp_path)).collect()}
+    assert out == {"join merge": (1, 3.0), "join": (1, 1.5), "merge": (1, 1.5)}
