@@ -94,9 +94,11 @@ HEADLINE = [
     "retrieval_eval",
     "label_propagation",
     "conformal_interval",
-    # r8 additions: the medallion CDF hop, the census-shaped skyline,
-    # and the text-format ingest path
-    "cdf_incremental_view",
+    # r8 additions: the census-shaped skyline and the text-format ingest
+    # path. cdf_incremental_view is deliberately NOT here: its ~14s is
+    # six sequential ACID commits of driver-side fixture building (local
+    # filesystem commit latency), not a data hot path — it stays under
+    # the parity gate where its correctness is graded.
     "skyline_parts",
     "ingest_roundtrip",
 ]
