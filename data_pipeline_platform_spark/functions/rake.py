@@ -14,8 +14,10 @@ final frame groups by phrase with an occurrence count.
 
 Scale shape: one positional explode (row-local), one doc-partitioned
 window for the islands, two combinable groupBys (phrase stats, word
-stats), one broadcast-sized join of phrase words to word scores at this
-vocab, and a TakeOrderedAndProject head. No global window, no UDF.
+stats), one w-keyed join of phrase words to word scores (AQE picks
+broadcast only when the vocab side is actually small — at corpus scale
+word scores are vocabulary-sized and must shuffle), and a
+TakeOrderedAndProject head. No global window, no UDF.
 """
 
 from __future__ import annotations
@@ -58,8 +60,11 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
         .select("w", F.expr(f"deg * {_FP} DIV freq").alias("score_fp"))
     )
+    # no broadcast hint: word scores are VOCABULARY-sized (unbounded at
+    # corpus scale) — AQE broadcasts when the actual build side is small
+    # and shuffles on w otherwise
     psc = (
-        pw.join(F.broadcast(wscore), "w")
+        pw.join(wscore, "w")
         .groupBy("doc_id", "grp", "phrase")
         .agg(F.sum("score_fp").alias("fp"))
     )
