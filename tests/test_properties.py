@@ -550,3 +550,101 @@ def test_dq_violation_counts_match_python(spark, rows, lo, hi):
         1 for c in cs if c is not None and c not in ("US", "DE", "FR")
     )
     assert out[("expr", "v > 0")] == sum(1 for v in vs if not (v is not None and v > 0))
+
+
+# --- r8: skyline / islands / interval-left vs python models ----------------
+
+SKY_ROWS = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pts=SKY_ROWS)
+@SETTINGS
+def test_skyline_census_matches_bruteforce_model(spark, pts):
+    """The census-shaped skyline equals brute-force dominance for ANY
+    point multiset (ties, duplicates, collinear runs included)."""
+    from data_pipeline_platform_spark.functions.robust import q_skyline_parts
+
+    rows = [(i, p / 100.0, s) for i, (p, s) in enumerate(pts)]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sky_prop_")
+    spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    got = {r["p_partkey"] for r in q_skyline_parts(spark, d).collect()}
+    want = {
+        i
+        for i, (p, s) in enumerate(pts)
+        if not any(
+            q <= p and t <= s and (q < p or t < s) for (q, t) in pts
+        )
+    }
+    assert got == want
+
+
+@given(
+    days=st.lists(st.integers(0, 20), min_size=1, max_size=15),
+)
+@SETTINGS
+def test_gap_islands_match_python_model(spark, days):
+    from data_pipeline_platform_spark.functions.robust import q_order_gap_islands
+
+    import datetime
+    import tempfile
+
+    rows = [
+        (1, datetime.datetime(1970, 1, 1) + datetime.timedelta(days=x))
+        for x in days
+    ]
+    d = tempfile.mkdtemp(prefix="isl_prop_")
+    spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/orders.parquet")
+    uniq = sorted(set(days))
+    islands = []
+    run = [uniq[0]]
+    for x in uniq[1:]:
+        if x == run[-1] + 1:
+            run.append(x)
+        else:
+            islands.append(run)
+            run = [x]
+    islands.append(run)
+    longest = max(len(r) for r in islands)
+    out = q_order_gap_islands(spark, d).collect()
+    if longest < 2:
+        assert out == []
+    else:
+        r = out[0]
+        assert (r["n_islands"], r["longest_streak"], r["active_days"]) == (
+            len(islands), longest, len(uniq),
+        )
+
+
+@given(
+    points=st.lists(st.integers(0, 30), min_size=1, max_size=12),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 10)), max_size=8
+    ),
+    bin_size=st.integers(1, 7),
+)
+@SETTINGS
+def test_interval_join_left_matches_nested_loop_model(spark, points, ivs, bin_size):
+    from data_pipeline_platform_spark.functions.intervals import interval_join
+
+    pts = spark.createDataFrame([(p,) for p in points], "p long")
+    intervals = spark.createDataFrame(
+        [(s, s + w, i) for i, (s, w) in enumerate(ivs)],
+        "s long, e long, iv long",
+    )
+    out = interval_join(pts, intervals, "p", "s", "e", bin_size, how="left")
+    got = sorted((r["p"], r["iv"]) for r in out.collect())
+    want = []
+    for p in points:
+        hits = [i for i, (s, w) in enumerate(ivs) if s <= p <= s + w]
+        want += [(p, i) for i in hits] or [(p, None)]
+    assert got == sorted(want, key=lambda t: (t[0], t[1] if t[1] is not None else -1))
