@@ -857,3 +857,100 @@ FROM resid GROUP BY n_pairs, slope_fp
 """
 
 register("theil_sen_trend", q_theil_sen_trend, ORACLE_THEIL_SEN_TREND)
+
+
+ACF_MAX_LAG = 7
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags
+    1..ACF_MAX_LAG — the standard seasonality/forecastability probe
+    (a weekly cycle shows up as a spike at lag 7) that sits upstream
+    of seasonality_decompose's model choice.
+
+    Determinism: the classic estimator r_k = sum_t((x_t-mu)(x_{t+k}-mu))
+    / sum_t((x_t-mu)^2) is computed with the mean CLEARED OF DIVISION —
+    multiply through by n^2 so every centered term is the exact integer
+    n*x_t - S (cents). The cross-products live in DECIMAL(38,0) on
+    Spark / HUGEINT in DuckDB (~1e24 per term, past BIGINT), both
+    order-free exact sums; the single final num/den division happens in
+    doubles converted from exact integers, rounded to 6 dp (the one
+    deterministic-division rule).
+
+    Scale: one fact-sized date rollup; everything after runs on the
+    CALENDAR-BOUNDED daily frame (~3.7k rows/decade — the
+    seasonality_decompose constant-frame argument). The lag pairing is
+    an idx equi-join of that small frame against itself, never a
+    window over fact data."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("DAY", "o_orderdate").alias("day")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("x")
+    )
+    idx = daily.withColumn(
+        "idx", F.row_number().over(Window.orderBy("day"))
+    ).select("idx", "x")
+    tot = idx.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    # centered term scaled by n: c_t = n*x_t - S, exact BIGINT
+    cent = idx.crossJoin(F.broadcast(tot)).select(
+        "idx", (F.col("n") * F.col("x") - F.col("s")).alias("c")
+    )
+    den = cent.agg(
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))")).alias(
+            "den"
+        )
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = cent.select(F.col("idx").alias("ia"), F.col("c").alias("ca"))
+    b = cent.select(F.col("idx").alias("ib"), F.col("c").alias("cb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                F.expr("CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))")
+            ).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.expr("round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)").alias("acf"),
+    )
+
+
+ORACLE_ACF_DAILY_REVENUE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS idx, x FROM daily
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s FROM idx
+), cent AS (
+  SELECT idx, tot.n * x - tot.s AS c FROM idx, tot
+), den AS (
+  SELECT SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS den FROM cent
+), lags AS (
+  SELECT CAST(range AS INT) AS lag FROM range(1, {ACF_MAX_LAG + 1})
+), pairs AS (
+  SELECT l.lag,
+         SUM(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS num,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM cent a CROSS JOIN lags l
+  JOIN cent b ON b.idx = a.idx + l.lag
+  GROUP BY 1
+)
+SELECT p.lag, p.n_pairs,
+       round(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
+FROM pairs p, den d
+"""
+
+
+register("acf_daily_revenue", q_acf_daily_revenue, ORACLE_ACF_DAILY_REVENUE)

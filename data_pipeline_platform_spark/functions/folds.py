@@ -158,3 +158,79 @@ FROM keyed ORDER BY key_fp DESC, doc_id LIMIT {SAMPLE_K}
 
 
 register("weighted_sample_aes", q_weighted_sample_aes, ORACLE_WEIGHTED_SAMPLE_AES)
+
+
+def q_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic minority-class oversampling to parity: every
+    language class in the corpus is replicated up to EXACTLY the
+    majority-class count — the classic class-imbalance fix for
+    training-mix construction, made replayable.
+
+    Mechanics: per class, every row gets floor(maj/n) replicas and the
+    md5-first (maj mod n) rows get one extra — content-addressed
+    ordering (the deterministic_sample technique), so replica
+    assignment is stable under partitioning, corpus order, and engine.
+    The replication itself is explode(sequence(1, replicas)) — a
+    narrow, shuffle-free row multiplier.
+
+    Scale: the ranking window partitions BY CLASS (never global); class
+    sizes and the majority count are a category-bounded broadcast
+    frame. Output is the per-class census proving n_after == majority
+    for every class."""
+    from pyspark.sql import Window
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    maj = per.agg(F.max("n_before").alias("maj"))
+    ranked = docs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    reps = (
+        ranked.join(F.broadcast(per), "lang")
+        .crossJoin(F.broadcast(maj))
+        .withColumn(
+            "replicas",
+            F.expr("maj div n_before + CASE WHEN rk <= maj % n_before THEN 1 ELSE 0 END"),
+        )
+    )
+    exploded = reps.select(
+        "lang", "n_before", F.explode(F.expr("sequence(1, replicas)")).alias("i")
+    )
+    return exploded.groupBy("lang", "n_before").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+
+
+ORACLE_CLASS_REBALANCE = """
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before FROM documents GROUP BY 1
+), maj AS (
+  SELECT MAX(n_before) AS maj FROM per
+), ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+), reps AS (
+  SELECT r.lang, p.n_before,
+         m.maj // p.n_before
+           + CASE WHEN r.rk <= m.maj % p.n_before THEN 1 ELSE 0 END AS replicas
+  FROM ranked r JOIN per p USING (lang) CROSS JOIN maj m
+), exploded AS (
+  SELECT lang, n_before, unnest(generate_series(1, CAST(replicas AS BIGINT))) AS i
+  FROM reps
+)
+SELECT lang, n_before, CAST(COUNT(*) AS BIGINT) AS n_after
+FROM exploded GROUP BY 1, 2
+"""
+
+
+register("class_rebalance", q_class_rebalance, ORACLE_CLASS_REBALANCE)

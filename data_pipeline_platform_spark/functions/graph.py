@@ -327,3 +327,181 @@ FROM l{LP_ROUNDS} GROUP BY 1
 
 
 register("label_propagation", q_label_propagation, ORACLE_LABEL_PROPAGATION)
+
+
+K_CORE_K = 3
+K_CORE_ROUNDS = 6
+
+
+def k_core(edges: DataFrame, k: int = K_CORE_K, rounds: int = K_CORE_ROUNDS) -> DataFrame:
+    """k-core of an undirected edge list (``v``, ``u``): iteratively
+    peel every node whose CURRENT degree is below k, re-deriving
+    degrees on the shrunken graph each round; returns the surviving
+    (node, core_degree) frame.
+
+    Determinism: both engines run the SAME FIXED round count — the
+    peel is idempotent once converged, so extra rounds are free no-ops
+    and the two sides cannot drift even mid-convergence (the CTE
+    round-replay technique, like label_propagation). A unit test pins
+    actual convergence within the budget at test scale.
+
+    Shape: each round is one degree census (groupBy on node id) + two
+    semi-joins filtering the edge list to surviving endpoints — all
+    keyed on node ids, so a src-bucketed edge table keeps every round
+    co-located at cluster scale. The edge frame SHRINKS monotonically;
+    localCheckpoint per round truncates the linearly-growing lineage
+    (the connected-components posture)."""
+    cur = edges
+    for r in range(rounds):
+        deg = cur.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        cur = (
+            cur.join(keep, "v", "left_semi")
+            .join(keep.select(F.col("v").alias("u")), "u", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return cur.groupBy(F.col("v").alias("part")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph: the dense backbone left after
+    iteratively shedding weakly-connected parts — the standard
+    community-mining preprocessing step (peel before expensive
+    triangle/cluster work touches the graph)."""
+    from data_pipeline_platform_spark.functions.basket import q_frequent_itemsets
+
+    edges = q_frequent_itemsets(spark, sf_dir).select("pa", "pb")
+    und = edges.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionByName(
+        edges.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
+    )
+    return k_core(und)
+
+
+def _kcore_round_sql(i: int) -> str:
+    prev = f"g{i - 1}"
+    return f"""
+, keep{i} AS MATERIALIZED (
+  SELECT v FROM {prev} GROUP BY v HAVING COUNT(*) >= {K_CORE_K}
+), g{i} AS MATERIALIZED (
+  SELECT e.v, e.u FROM {prev} e
+  JOIN keep{i} kv ON e.v = kv.v
+  JOIN keep{i} ku ON e.u = ku.v
+)"""
+
+
+ORACLE_K_CORE = f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+), g0 AS (
+  SELECT pa AS v, pb AS u FROM e0 UNION ALL SELECT pb, pa FROM e0
+){''.join(_kcore_round_sql(i) for i in range(1, K_CORE_ROUNDS + 1))}
+SELECT v AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM g{K_CORE_ROUNDS} GROUP BY v
+"""
+
+
+register("k_core", q_k_core, ORACLE_K_CORE)
+
+
+HITS_SCALE = 1_000_000_000
+HITS_ITERATIONS = 2
+
+
+def q_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) hub/authority scores over the directed
+    customer->supplier purchase graph: customers are hubs (they point
+    at the suppliers they buy from), suppliers are authorities. Output:
+    supplier authority scores after HITS_ITERATIONS full iterations.
+
+    Determinism: all-integer fixed-point. Scores start at HITS_SCALE;
+    each half-step is an exact BIGINT sum over in/out edges, then
+    renormalized as ``score * SCALE div max(score)`` — max is order-free
+    and truncating integer division matches DuckDB's ``//`` on
+    nonnegative values (the pagerank trick, with max-normalization
+    standing in for the L2 norm, which would need a sqrt). The
+    ``score * SCALE`` product can reach degree * SCALE^2 (~1e22), past
+    BIGINT — it runs in DECIMAL(38,0) on Spark and HUGEINT in DuckDB,
+    both exact 128-bit-class integers. The oracle replays the identical
+    half-steps as a CTE chain.
+
+    Shape: each half-step is one equi-join (scores onto the edge list)
+    + one groupBy on the opposite endpoint — node-id keyed shuffles,
+    bucketing-friendly, no global window anywhere; the normalizing max
+    is a 1-row agg cross-joined back (broadcast)."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.utils.cache import tracked_persist
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # distinct (cust, supp) edges: dimension-product bounded, persisted
+    # because every half-step re-joins it (same rationale as pagerank)
+    edges = tracked_persist(
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    hubs = edges.select("c").distinct().select("c", F.lit(HITS_SCALE).alias("h"))
+    auth = None
+    for _ in range(HITS_ITERATIONS):
+        raw_a = (
+            edges.join(hubs, "c").groupBy("s").agg(F.sum("h").alias("a"))
+        )
+        max_a = raw_a.agg(F.max("a").alias("ma"))
+        auth = raw_a.crossJoin(F.broadcast(max_a)).select(
+            "s",
+            F.expr(
+                f"CAST((CAST(a AS DECIMAL(28,0)) * {HITS_SCALE}) div ma AS BIGINT)"
+            ).alias("a"),
+        )
+        raw_h = edges.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
+        max_h = raw_h.agg(F.max("h").alias("mh"))
+        hubs = raw_h.crossJoin(F.broadcast(max_h)).select(
+            "c",
+            F.expr(
+                f"CAST((CAST(h AS DECIMAL(28,0)) * {HITS_SCALE}) div mh AS BIGINT)"
+            ).alias("h"),
+        )
+    return auth.select(F.col("s").alias("supplier"), F.col("a").alias("authority_fp"))
+
+
+def _hits_round_sql(i: int) -> str:
+    prev_h = f"h{i - 1}"
+    return f"""
+, ra{i} AS MATERIALIZED (
+  SELECT e.s, SUM(h.h) AS a FROM e JOIN {prev_h} h ON e.c = h.c GROUP BY e.s
+), a{i} AS MATERIALIZED (
+  SELECT s,
+         CAST((CAST(a AS HUGEINT) * {HITS_SCALE})
+              // (SELECT MAX(a) FROM ra{i}) AS BIGINT) AS a
+  FROM ra{i}
+), rh{i} AS MATERIALIZED (
+  SELECT e.c, SUM(a.a) AS h FROM e JOIN a{i} a ON e.s = a.s GROUP BY e.c
+), h{i} AS MATERIALIZED (
+  SELECT c,
+         CAST((CAST(h AS HUGEINT) * {HITS_SCALE})
+              // (SELECT MAX(h) FROM rh{i}) AS BIGINT) AS h
+  FROM rh{i}
+)"""
+
+
+ORACLE_HITS_AUTHORITY = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), h0 AS (
+  SELECT c, CAST({HITS_SCALE} AS BIGINT) AS h FROM (SELECT DISTINCT c FROM e)
+){''.join(_hits_round_sql(i) for i in range(1, HITS_ITERATIONS + 1))}
+SELECT s AS supplier, CAST(a AS BIGINT) AS authority_fp
+FROM a{HITS_ITERATIONS}
+"""
+
+
+register("hits_authority", q_hits_authority, ORACLE_HITS_AUTHORITY)

@@ -79,3 +79,96 @@ HAVING CAST(SUM(sign) AS BIGINT) <> 0
 
 
 register("hashed_bow_vectors", q_hashed_bow_vectors, ORACLE_HASHED_BOW_VECTORS)
+
+
+def q_woe_iv_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value encoding of the order
+    priority against the "order had a returned item" outcome — the
+    standard supervised categorical encoder (credit-scoring lineage)
+    for turning high-cardinality categories into monotone risk scores
+    before model training.
+
+    Determinism: all counts are exact; the odds ratio feeding ln() is
+    one double division of exact BIGINT cross-products
+    (good_i*badT)/(bad_i*goodT), ln applied per output row and rounded
+    to 6 dp (the round-after-transcendental rule); the IV term reuses
+    the ROUNDED woe so both engines multiply identical doubles.
+
+    Scale: label derivation is a semi-join shape (distinct returned
+    orderkeys onto orders), the encoder itself is one groupBy over the
+    category — bin stats are category-bounded, totals a broadcast
+    1-row frame."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("is_bad", F.lit(1))
+    )
+    labeled = orders.join(returned, "o_orderkey", "left").select(
+        "o_orderpriority", F.coalesce("is_bad", F.lit(0)).alias("is_bad")
+    )
+    bins = labeled.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(F.expr("1 - is_bad")).alias("n_good"),
+        F.sum("is_bad").alias("n_bad"),
+    )
+    tot = bins.agg(
+        F.sum("n_good").alias("good_t"), F.sum("n_bad").alias("bad_t")
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "woe",
+            F.expr(
+                "CASE WHEN n_good > 0 AND n_bad > 0 THEN "
+                "round(ln(CAST(n_good * bad_t AS DOUBLE) / (n_bad * good_t)), 6) "
+                "END"
+            ),
+        )
+        .select(
+            "priority",
+            "n_good",
+            "n_bad",
+            "woe",
+            F.expr(
+                "round((CAST(n_good AS DOUBLE) / good_t"
+                " - CAST(n_bad AS DOUBLE) / bad_t) * woe, 6)"
+            ).alias("iv_term"),
+        )
+    )
+
+
+ORACLE_WOE_IV_PRIORITY = """
+WITH labeled AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN r.o_orderkey IS NULL THEN 0 ELSE 1 END AS is_bad
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT l_orderkey AS o_orderkey
+             FROM lineitem WHERE l_returnflag = 'R') r
+    ON o.o_orderkey = r.o_orderkey
+), bins AS (
+  SELECT o_orderpriority AS priority,
+         SUM(1 - is_bad) AS n_good,
+         SUM(is_bad) AS n_bad
+  FROM labeled GROUP BY 1
+), tot AS (
+  SELECT SUM(n_good) AS good_t, SUM(n_bad) AS bad_t FROM bins
+), woed AS (
+  SELECT b.priority, b.n_good, b.n_bad, t.good_t, t.bad_t,
+         CASE WHEN b.n_good > 0 AND b.n_bad > 0 THEN
+           round(ln(CAST(b.n_good * t.bad_t AS DOUBLE)
+                    / (b.n_bad * t.good_t)), 6)
+         END AS woe
+  FROM bins b, tot t
+)
+SELECT priority, n_good, n_bad, woe,
+       round((CAST(n_good AS DOUBLE) / good_t
+              - CAST(n_bad AS DOUBLE) / bad_t) * woe, 6) AS iv_term
+FROM woed
+"""
+
+
+register("woe_iv_priority", q_woe_iv_priority, ORACLE_WOE_IV_PRIORITY)

@@ -1,0 +1,75 @@
+"""Independent-model checks for the r8b feature-engineering wave:
+ACF vs numpy, WOE/IV vs a pandas reimplementation, class rebalance
+invariants. These verify SEMANTICS against a third implementation —
+the DuckDB oracle handles engine parity separately."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_acf_matches_numpy(spark):
+    """The exact-integer ACF must agree with a straight float numpy
+    computation of the same estimator to ~1e-6 (the output rounding)."""
+    from data_pipeline_platform_spark.functions.changepoint import (
+        ACF_MAX_LAG,
+        q_acf_daily_revenue,
+    )
+
+    out = {r["lag"]: (r["n_pairs"], r["acf"]) for r in q_acf_daily_revenue(spark, SF).collect()}
+    daily = (
+        pd.read_parquet(f"{SF}/orders.parquet")
+        .assign(day=lambda d: pd.to_datetime(d["o_orderdate"]).dt.floor("D"),
+                cents=lambda d: (d["o_totalprice"] * 100).round().astype("int64"))
+        .groupby("day")["cents"].sum().sort_index().to_numpy(dtype=np.float64)
+    )
+    n = len(daily)
+    c = daily - daily.mean()
+    den = float((c * c).sum())
+    for k in range(1, ACF_MAX_LAG + 1):
+        expect = float((c[:-k] * c[k:]).sum()) / den
+        n_pairs, acf = out[k]
+        assert n_pairs == n - k
+        assert acf == pytest.approx(expect, abs=2e-6)
+
+
+def test_woe_iv_matches_pandas(spark):
+    """WOE/IV per priority vs a pandas reimplementation of the
+    encoder, and sanity: total IV is nonnegative."""
+    from data_pipeline_platform_spark.functions.vectorize import q_woe_iv_priority
+
+    out = q_woe_iv_priority(spark, SF).toPandas().set_index("priority")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    bad_keys = set(li.loc[li["l_returnflag"] == "R", "l_orderkey"])
+    orders["is_bad"] = orders["o_orderkey"].isin(bad_keys).astype(int)
+    bins = orders.groupby("o_orderpriority")["is_bad"].agg(["count", "sum"])
+    bins["n_good"] = bins["count"] - bins["sum"]
+    good_t, bad_t = bins["n_good"].sum(), bins["sum"].sum()
+    iv_total = 0.0
+    for prio, row in bins.iterrows():
+        g, b = row["n_good"], row["sum"]
+        woe = np.log((g / good_t) / (b / bad_t))
+        iv = ((g / good_t) - (b / bad_t)) * round(woe, 6)
+        assert out.loc[prio, "n_good"] == g
+        assert out.loc[prio, "n_bad"] == b
+        assert out.loc[prio, "woe"] == pytest.approx(woe, abs=2e-6)
+        assert out.loc[prio, "iv_term"] == pytest.approx(iv, abs=2e-6)
+        iv_total += iv
+    assert iv_total >= 0
+
+
+def test_class_rebalance_reaches_parity(spark):
+    """Every class lands at EXACTLY the majority count, and the
+    replication is deterministic across runs."""
+    from data_pipeline_platform_spark.functions.folds import q_class_rebalance
+
+    a = q_class_rebalance(spark, SF).toPandas().sort_values("lang").reset_index(drop=True)
+    maj = a["n_before"].max()
+    assert (a["n_after"] == maj).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert dict(zip(a["lang"], a["n_before"])) == docs["lang"].value_counts().to_dict()
+    b = q_class_rebalance(spark, SF).toPandas().sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

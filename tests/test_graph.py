@@ -156,3 +156,62 @@ def test_theil_sen_outlier_resistance(spark):
         .collect()[0]
     )
     assert slope.slope_fp == 5_000_000.0  # exactly 5 per day
+
+
+def test_k_core_peels_chain_keeps_clique(spark):
+    """A 4-clique with a pendant chain: the 3-core is exactly the
+    clique (every member at degree 3); the chain — and the clique
+    member's pendant edge with it — peels away over the rounds."""
+    from data_pipeline_platform_spark.functions.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    chain = [(3, 10), (10, 3), (10, 11), (11, 10), (11, 12), (12, 11)]
+    edges = spark.createDataFrame(clique + chain, ["v", "u"])
+    out = {r["part"]: r["core_degree"] for r in k_core(edges, k=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_converges_within_round_budget(spark):
+    """The graded query's fixed K_CORE_ROUNDS must be PAST convergence
+    at test scale: one extra round changes nothing (the idempotence the
+    determinism note relies on)."""
+    from data_pipeline_platform_spark.functions.basket import q_frequent_itemsets
+    from data_pipeline_platform_spark.functions.graph import K_CORE_ROUNDS, k_core
+
+    edges = q_frequent_itemsets(spark, SF).select("pa", "pb")
+    und = edges.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionByName(
+        edges.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
+    )
+    at_budget = sorted(map(tuple, k_core(und, rounds=K_CORE_ROUNDS).collect()))
+    one_more = sorted(map(tuple, k_core(und, rounds=K_CORE_ROUNDS + 1).collect()))
+    assert at_budget == one_more and len(at_budget) > 0
+
+
+def test_hits_authority_max_is_scale_and_popular_supplier_wins(spark):
+    """Invariants on the graded HITS output at sf0.001: normalization
+    pins max authority to exactly HITS_SCALE, and the supplier with the
+    most distinct customers holds it (authority = customer mass on a
+    bipartite graph)."""
+    from data_pipeline_platform_spark.functions.graph import (
+        HITS_SCALE,
+        q_hits_authority,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    out = {r["supplier"]: r["authority_fp"] for r in q_hits_authority(spark, SF).collect()}
+    assert max(out.values()) == HITS_SCALE
+    assert all(0 < v <= HITS_SCALE for v in out.values())
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    deg = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .count()
+        .collect()
+    )
+    top_deg = max(r["count"] for r in deg)
+    top_suppliers = {r["l_suppkey"] for r in deg if r["count"] == top_deg}
+    best_auth = max(out, key=out.get)
+    assert best_auth in top_suppliers
