@@ -62,3 +62,39 @@ GROUP BY 1, 2
 """
 
 register("ingest_roundtrip", q_ingest_roundtrip, ORACLE_INGEST_ROUNDTRIP)
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC exit-and-re-enter for the columnar-interchange path (Hive
+    ecosystems hand off ORC the way warehouses hand off parquet): the
+    orders slice leaves through Spark's native ORC writer, re-enters
+    through ingest_files' schema-pinned ORC reader, and is aggregated
+    per (year, status) — the oracle computes the same aggregate from
+    the original parquet, so type round-trip drift in the ORC path
+    breaks the hash. ORC is lossless for these types (BIGINT, string,
+    date, exact cents), same posture as the CSV/JSONL twin."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    orc_dir = tempfile.mkdtemp(prefix="ingest_orc_")
+    o.write.mode("overwrite").orc(orc_dir)
+    back = ingest_files(spark, orc_dir, "orc", _SCHEMA)
+    return back.groupBy(F.year("d").alias("order_year"), "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents") / 100.0).alias("total_price"),
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS order_year,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+register("orc_roundtrip", q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP)

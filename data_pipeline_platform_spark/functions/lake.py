@@ -244,3 +244,98 @@ GROUP BY o_orderpriority
 """
 
 register("cdf_incremental_view", q_cdf_incremental_view, ORACLE_CDF_INCREMENTAL_VIEW)
+
+
+def q_acid_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style predicate DELETE through the ACID layer: write orders
+    as a multi-file snapshot, ``delete()`` every 7th key, return the
+    surviving snapshot aggregated per status. Exercises the
+    touched-file resolution (_metadata.file_path) and the COW rewrite —
+    only files containing a matching row are rewritten, the rest carry
+    over by reference — verified value-exact against plain NOT(pred)
+    SQL. The right-to-be-forgotten path a lakehouse needs at 100 TB:
+    cost scales with files TOUCHED, not table size."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="acid_delete_orders_"))
+    table.write(orders.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    table.delete("o_orderkey % 7 = 0")
+    return (
+        table.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")) / 100.0
+            ).alias("total_price"),
+        )
+    )
+
+
+ORACLE_ACID_DELETE_ORDERS = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+WHERE NOT (o_orderkey % 7 = 0)
+GROUP BY o_orderstatus
+"""
+
+
+register("acid_delete_orders", q_acid_delete_orders, ORACLE_ACID_DELETE_ORDERS)
+
+
+def q_acid_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level statistics SERVED FROM THE TRANSACTION LOG: write
+    orders as an AcidTable with footer stats on (o_orderkey,
+    o_totalprice), then answer count/min/max from the commit log's
+    add-action metadata alone — zero data files opened (the
+    Delta/Iceberg metadata-only query path; at 100 TB this is the
+    difference between a driver-side log read and a full scan). The
+    oracle computes the same stats FROM THE DATA, so a footer/stats
+    drift anywhere in the write path breaks the hash."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="acid_stats_orders_"))
+    table.write(
+        orders.repartition(4, "o_orderkey"),
+        stats_cols=["o_orderkey", "o_totalprice"],
+    )
+    files = table.snapshot_files()
+    # file-list-bounded driver frame (the Delta pattern): one row per
+    # data file, aggregated to table stats without touching the files
+    rows = [
+        (
+            int(a["rows"]),
+            int(a["stats"]["o_orderkey"]["min"]),
+            int(a["stats"]["o_orderkey"]["max"]),
+            float(a["stats"]["o_totalprice"]["min"]),
+            float(a["stats"]["o_totalprice"]["max"]),
+        )
+        for a in files
+    ]
+    per_file = spark.createDataFrame(
+        rows, "rows bigint, k_min bigint, k_max bigint, p_min double, p_max double"
+    )
+    return per_file.agg(
+        F.sum("rows").alias("n_rows"),
+        F.min("k_min").alias("orderkey_min"),
+        F.max("k_max").alias("orderkey_max"),
+        F.min("p_min").alias("price_min"),
+        F.max("p_max").alias("price_max"),
+    )
+
+
+ORACLE_ACID_STATS_ORDERS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_orderkey) AS orderkey_min,
+       MAX(o_orderkey) AS orderkey_max,
+       MIN(o_totalprice) AS price_min,
+       MAX(o_totalprice) AS price_max
+FROM orders
+"""
+
+
+register("acid_stats_orders", q_acid_stats_orders, ORACLE_ACID_STATS_ORDERS)

@@ -163,7 +163,7 @@ def ingest_files(
     contract_table: str = None,
     **options,
 ):
-    """Read a JSONL / CSV / parquet file source with an EXPLICIT schema,
+    """Read a JSONL / CSV / parquet / ORC file source with an EXPLICIT schema,
     normalized through the same contract as the parquet tables.
 
     Schema is required for text formats by design: inference costs a
@@ -195,6 +195,8 @@ def ingest_files(
         )
     elif fmt == "parquet":
         df = spark.read.schema(schema).options(**options).parquet(path)
+    elif fmt == "orc":
+        df = spark.read.schema(schema).options(**options).orc(path)
     else:
         raise ValueError(f"ingest_files: unsupported format {fmt!r}")
     if contract_table is not None:

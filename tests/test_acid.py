@@ -365,3 +365,44 @@ def test_checkpoint_accelerated_snapshot_matches_full_replay(spark, table):
     with open(_os.path.join(table.log_dir, ckpts[0]), "w") as f:
         f.write("not json")
     assert sorted(r["k"] for r in table.read().collect()) == list(range(12))
+
+
+def test_delete_rewrites_only_touched_files(spark, table):
+    """delete() must resolve touched files via row-group membership and
+    carry untouched files over BY REFERENCE — the predicate here hits
+    one of two disjoint key ranges written as separate commits."""
+    table.write(_df(spark, [(1, "a"), (2, "b")]), stats_cols=["k"])
+    table.write(_df(spark, [(100, "x"), (101, "y")]), mode="append", stats_cols=["k"])
+    before = {a["path"] for a in table.snapshot_files()}
+    out = table.delete("k >= 100 AND k % 2 = 0")
+    assert out["files_rewritten"] == 1
+    after = {a["path"] for a in table.snapshot_files()}
+    # the low-range file is the SAME physical file in the new snapshot
+    kept_low = {p for p in before if p in after}
+    assert len(kept_low) >= 1
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 2, 101]
+
+
+def test_delete_no_match_is_metadata_noop(spark, table):
+    table.write(_df(spark, [(1, "a")]), stats_cols=["k"])
+    v = table.latest_version()
+    assert table.delete("k = 999") == {"files_rewritten": 0}
+    assert table.latest_version() == v  # no empty commit published
+
+
+def test_log_stats_equal_data_stats(spark, table):
+    """The add-action footer stats must agree with the data — the
+    contract the metadata-only stats query (q_acid_stats_orders) and
+    merge's file pruning both stand on."""
+    table.write(
+        _df(spark, [(5, "a"), (17, "b"), (2, "c")]).repartition(2, "k"),
+        stats_cols=["k"],
+    )
+    files = table.snapshot_files()
+    log_min = min(a["stats"]["k"]["min"] for a in files)
+    log_max = max(a["stats"]["k"]["max"] for a in files)
+    log_rows = sum(a["rows"] for a in files)
+    data = table.read().agg({"k": "min"}).collect()[0][0], table.read().agg(
+        {"k": "max"}
+    ).collect()[0][0], table.read().count()
+    assert (log_min, log_max, log_rows) == data

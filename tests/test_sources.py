@@ -341,3 +341,20 @@ def test_ingest_files_rejects_unknown_format(spark):
 
     with _pytest.raises(ValueError, match="unsupported format"):
         ingest_files(spark, "/nope", "avro", None)
+
+
+def test_ingest_files_orc_round_trips_orders_slice(spark, tmp_path):
+    """ingest_files' ORC branch: schema-pinned read-back of a Spark
+    ORC write is value-identical for lossless types."""
+    from data_pipeline_platform_spark.sources.readers import ingest_files
+
+    df = spark.createDataFrame(
+        [(1, "O", 123456, "1995-03-05"), (2, "F", 999, "1997-11-30")],
+        "o_orderkey long, o_orderstatus string, cents long, ds string",
+    ).selectExpr("o_orderkey", "o_orderstatus", "cents", "CAST(ds AS DATE) AS d")
+    path = str(tmp_path / "orc")
+    df.write.orc(path)
+    back = ingest_files(
+        spark, path, "orc", "o_orderkey bigint, o_orderstatus string, cents bigint, d date"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
