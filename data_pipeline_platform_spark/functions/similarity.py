@@ -1555,3 +1555,117 @@ FROM arr a JOIN arr b ON a.label = b.label AND a.half = 1 AND b.half = 0
 """
 
 register("embedding_split_drift", q_embedding_split_drift, ORACLE_EMBEDDING_SPLIT_DRIFT)
+
+
+MATRYOSHKA_DIM = 16
+MATRYOSHKA_K = 10
+MATRYOSHKA_PROBE_MOD = 25
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval (Kusupati et al. 2022
+    shape): for a broadcast probe panel, compare exact cosine top-k
+    under the FULL embedding vs the first-MATRYOSHKA_DIM prefix, and
+    report per-probe recall@k of the truncated index — the measurement
+    that decides how many dimensions a 100 TB ANN index actually needs
+    (a 16/64 prefix cuts index memory and bandwidth 4x; this query says
+    what it costs in recall).
+
+    Shape: ONE corpus scan crossed with the broadcast probe panel
+    (|probes| = |corpus| / MATRYOSHKA_PROBE_MOD sampled by key, the
+    retrieval_eval posture); both cosines compute per row JVM-side
+    (sequential zip_with fold — the engine-shared order); per-probe
+    ranks come from keyed windows (WindowGroupLimit pushes the k), so
+    nothing global ever materializes. Recall is an exact overlap count
+    divided once.
+
+    Determinism: both cosines round to 6 dp BEFORE ranking with vec_id
+    tie-break (the cosine_topk rule); the overlap count is exact."""
+    from pyspark.sql.window import Window
+
+    base = _emb(spark, sf_dir).withColumn("vec", _as_double("embedding"))
+    probes = base.filter(F.col("vec_id") % MATRYOSHKA_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("vec").alias("qfull"),
+        F.expr(f"slice(vec, 1, {MATRYOSHKA_DIM})").alias("qtrunc"),
+    )
+    cands = base.select(
+        "vec_id",
+        "vec",
+        F.expr(f"slice(vec, 1, {MATRYOSHKA_DIM})").alias("tvec"),
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                _dot("vec", "qfull")
+                / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qfull", "qfull"))),
+                6,
+            ).alias("cos_full"),
+            F.round(
+                _dot("tvec", "qtrunc")
+                / (F.sqrt(_dot("tvec", "tvec")) * F.sqrt(_dot("qtrunc", "qtrunc"))),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.col("cos_full").desc(), "vec_id")
+    wt = Window.partitionBy("probe_id").orderBy(F.col("cos_trunc").desc(), "vec_id")
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    return (
+        ranked.filter(F.col("rf") <= MATRYOSHKA_K)
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN rt <= {MATRYOSHKA_K} THEN 1 ELSE 0 END")
+            ).alias("n_overlap")
+        )
+        .select(
+            "probe_id",
+            "n_overlap",
+            F.expr(f"CAST(n_overlap AS DOUBLE) / {MATRYOSHKA_K}").alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE_MATRYOSHKA_RECALL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, vec AS qfull, vec[1:{MATRYOSHKA_DIM}] AS qtrunc
+  FROM base WHERE vec_id % {MATRYOSHKA_PROBE_MOD} = 0
+), scored AS (
+  SELECT p.probe_id, b.vec_id,
+         round(list_dot_product(b.vec, p.qfull) /
+               (sqrt(list_dot_product(b.vec, b.vec))
+                * sqrt(list_dot_product(p.qfull, p.qfull))), 6) AS cos_full,
+         round(list_dot_product(b.vec[1:{MATRYOSHKA_DIM}], p.qtrunc) /
+               (sqrt(list_dot_product(b.vec[1:{MATRYOSHKA_DIM}],
+                                      b.vec[1:{MATRYOSHKA_DIM}]))
+                * sqrt(list_dot_product(p.qtrunc, p.qtrunc))), 6) AS cos_trunc
+  FROM base b CROSS JOIN probes p
+  WHERE b.vec_id != p.probe_id
+), ranked AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_full DESC, vec_id) AS rf,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_trunc DESC, vec_id) AS rt
+  FROM scored
+)
+SELECT probe_id,
+       SUM(CASE WHEN rt <= {MATRYOSHKA_K} THEN 1 ELSE 0 END) AS n_overlap,
+       CAST(SUM(CASE WHEN rt <= {MATRYOSHKA_K} THEN 1 ELSE 0 END) AS DOUBLE)
+         / {MATRYOSHKA_K} AS recall_at_k
+FROM ranked
+WHERE rf <= {MATRYOSHKA_K}
+GROUP BY probe_id
+"""
+
+
+register("matryoshka_recall", q_matryoshka_recall, ORACLE_MATRYOSHKA_RECALL)

@@ -73,3 +73,45 @@ def test_class_rebalance_reaches_parity(spark):
     assert dict(zip(a["lang"], a["n_before"])) == docs["lang"].value_counts().to_dict()
     b = q_class_rebalance(spark, SF).toPandas().sort_values("lang").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    """A synthetic corpus where one word is adjacent to everything:
+    the hub must out-rank the leaves (importance flows to it)."""
+    from data_pipeline_platform_spark.functions.graph import pagerank_fixed_point
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("hub alpha hub beta hub gamma hub delta",), ("alpha beta",)], ["text"]
+    )
+    toks = docs.select(F.split("text", " ").alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a, b))"
+            )
+        ).alias("p")
+    ).select(F.least("p.a", "p.b").alias("w1"), F.greatest("p.a", "p.b").alias("w2"))
+    e0 = pairs.filter(F.col("w1") != F.col("w2")).distinct()
+    edges = e0.select(F.col("w1").alias("src"), F.col("w2").alias("dst")).unionByName(
+        e0.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    )
+    out = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(edges).collect()}
+    assert max(out, key=out.get) == "hub"
+
+
+def test_matryoshka_recall_bounds_and_self_consistency(spark):
+    """recall in [0,1]; 20 probes at sf0.001; and the truncated ranking
+    of an UNTRUNCATED prefix (dim=64 == full) would be recall 1 — here
+    we check the weaker invariant that overlap counts are <= k."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        MATRYOSHKA_K,
+        q_matryoshka_recall,
+    )
+
+    rows = q_matryoshka_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= MATRYOSHKA_K
+        assert r["recall_at_k"] == r["n_overlap"] / MATRYOSHKA_K
