@@ -101,6 +101,15 @@ HEADLINE = [
     # the parity gate where its correctness is graded.
     "skyline_parts",
     "ingest_roundtrip",
+    # r8b additions: graph mining on the co-purchase/bipartite graphs,
+    # TextRank over the co-occurrence graph, and the truncated-index
+    # retrieval eval — the four with real data volume in the wave (the
+    # lake ops are commit-latency-bound like cdf_incremental_view and
+    # stay under the parity gate; ACF/WOE/rebalance are census-cheap)
+    "k_core",
+    "hits_authority",
+    "textrank_keywords",
+    "matryoshka_recall",
 ]
 
 

@@ -330,7 +330,7 @@ register("label_propagation", q_label_propagation, ORACLE_LABEL_PROPAGATION)
 
 
 K_CORE_K = 3
-K_CORE_ROUNDS = 6
+K_CORE_ROUNDS = 12
 
 
 def k_core(edges: DataFrame, k: int = K_CORE_K, rounds: int = K_CORE_ROUNDS) -> DataFrame:
@@ -365,16 +365,39 @@ def k_core(edges: DataFrame, k: int = K_CORE_K, rounds: int = K_CORE_ROUNDS) -> 
     )
 
 
+K_CORE_SUPPORT = 2
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-purchase graph: the dense backbone left after
     iteratively shedding weakly-connected parts — the standard
     community-mining preprocessing step (peel before expensive
-    triangle/cluster work touches the graph)."""
-    from data_pipeline_platform_spark.functions.basket import q_frequent_itemsets
+    triangle/cluster work touches the graph).
 
-    edges = q_frequent_itemsets(spark, sf_dir).select("pa", "pb")
-    und = edges.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionByName(
-        edges.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
+    Edges use support >= K_CORE_SUPPORT (2), one notch below
+    frequent_itemsets' 3: the support-3 graph is already so sparse at
+    the larger SFs that its k-core is empty, which would grade the peel
+    on a vacuum — the support-2 graph keeps a real backbone at the
+    driver's correctness scale while the peel still removes most of
+    it."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= K_CORE_SUPPORT)
+        .select("pa", "pb")
+    )
+    und = e0.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionByName(
+        e0.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
     )
     return k_core(und)
 
@@ -399,7 +422,7 @@ WITH b AS MATERIALIZED (
   FROM b a JOIN b c
     ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
   GROUP BY 1, 2
-  HAVING COUNT(*) >= 3
+  HAVING COUNT(*) >= {K_CORE_SUPPORT}
 ), g0 AS (
   SELECT pa AS v, pb AS u FROM e0 UNION ALL SELECT pb, pa FROM e0
 ){''.join(_kcore_round_sql(i) for i in range(1, K_CORE_ROUNDS + 1))}
@@ -451,7 +474,13 @@ def q_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = edges.select("c").distinct().select("c", F.lit(HITS_SCALE).alias("h"))
     auth = None
     for _ in range(HITS_ITERATIONS):
-        raw_a = (
+        # persist each half-step: the normalizing max and the normalized
+        # scores both read it, and the next half-step folds it into its
+        # own lineage — unpersisted, every level recomputes its parent
+        # TWICE (once per consumer), i.e. 2^(2*iterations) subtree
+        # replays (measured 44s -> ~7s at sf0.1). The frames are
+        # node-cardinality, so pinning them is cheap at any scale.
+        raw_a = tracked_persist(
             edges.join(hubs, "c").groupBy("s").agg(F.sum("h").alias("a"))
         )
         max_a = raw_a.agg(F.max("a").alias("ma"))

@@ -175,12 +175,25 @@ def test_k_core_converges_within_round_budget(spark):
     """The graded query's fixed K_CORE_ROUNDS must be PAST convergence
     at test scale: one extra round changes nothing (the idempotence the
     determinism note relies on)."""
-    from data_pipeline_platform_spark.functions.basket import q_frequent_itemsets
-    from data_pipeline_platform_spark.functions.graph import K_CORE_ROUNDS, k_core
+    from data_pipeline_platform_spark.functions.graph import (
+        K_CORE_ROUNDS,
+        K_CORE_SUPPORT,
+        k_core,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
 
-    edges = q_frequent_itemsets(spark, SF).select("pa", "pb")
-    und = edges.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionByName(
-        edges.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .count()
+        .filter(F.col("count") >= K_CORE_SUPPORT)
+        .select("pa", "pb")
+    )
+    und = e0.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionByName(
+        e0.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
     )
     at_budget = sorted(map(tuple, k_core(und, rounds=K_CORE_ROUNDS).collect()))
     one_more = sorted(map(tuple, k_core(und, rounds=K_CORE_ROUNDS + 1).collect()))
