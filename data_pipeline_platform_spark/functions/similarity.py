@@ -1669,3 +1669,111 @@ GROUP BY probe_id
 
 
 register("matryoshka_recall", q_matryoshka_recall, ORACLE_MATRYOSHKA_RECALL)
+
+
+RRF_K = 60
+RRF_TOP = 10
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the full-dim and
+    truncated-dim cosine rankings: score = 1/(K+rank_full) +
+    1/(K+rank_trunc), fused top-RRF_TOP per probe. The standard
+    zero-tuning ensemble for hybrid retrieval (here: cheap truncated
+    index fused with the exact ranking — the production pattern is
+    BM25 + dense, the algebra is identical).
+
+    Determinism: ranks come from the matryoshka windows (rounded
+    cosines, vec_id tie-break); each RRF term is one exact double
+    division of integers and their sum is a PER-ROW two-term add (no
+    cross-row float accumulation), rounded to 6 dp before the final
+    ranking with vec_id tie-break."""
+    from pyspark.sql.window import Window
+
+    base = _emb(spark, sf_dir).withColumn("vec", _as_double("embedding"))
+    probes = base.filter(F.col("vec_id") % MATRYOSHKA_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("vec").alias("qfull"),
+        F.expr(f"slice(vec, 1, {MATRYOSHKA_DIM})").alias("qtrunc"),
+    )
+    cands = base.select(
+        "vec_id", "vec", F.expr(f"slice(vec, 1, {MATRYOSHKA_DIM})").alias("tvec")
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                _dot("vec", "qfull")
+                / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qfull", "qfull"))),
+                6,
+            ).alias("cos_full"),
+            F.round(
+                _dot("tvec", "qtrunc")
+                / (F.sqrt(_dot("tvec", "tvec")) * F.sqrt(_dot("qtrunc", "qtrunc"))),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.col("cos_full").desc(), "vec_id")
+    wt = Window.partitionBy("probe_id").orderBy(F.col("cos_trunc").desc(), "vec_id")
+    fused = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rt", F.row_number().over(wt)
+    ).select(
+        "probe_id",
+        "vec_id",
+        F.expr(
+            f"round(CAST(1.0 AS DOUBLE) / ({RRF_K} + rf) + CAST(1.0 AS DOUBLE) / ({RRF_K} + rt), 6)"
+        ).alias("rrf"),
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.col("rrf").desc(), "vec_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wr))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select("probe_id", "vec_id", "rrf", "fused_rank")
+    )
+
+
+ORACLE_RRF_FUSION = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, vec AS qfull, vec[1:{MATRYOSHKA_DIM}] AS qtrunc
+  FROM base WHERE vec_id % {MATRYOSHKA_PROBE_MOD} = 0
+), scored AS (
+  SELECT p.probe_id, b.vec_id,
+         round(list_dot_product(b.vec, p.qfull) /
+               (sqrt(list_dot_product(b.vec, b.vec))
+                * sqrt(list_dot_product(p.qfull, p.qfull))), 6) AS cos_full,
+         round(list_dot_product(b.vec[1:{MATRYOSHKA_DIM}], p.qtrunc) /
+               (sqrt(list_dot_product(b.vec[1:{MATRYOSHKA_DIM}],
+                                      b.vec[1:{MATRYOSHKA_DIM}]))
+                * sqrt(list_dot_product(p.qtrunc, p.qtrunc))), 6) AS cos_trunc
+  FROM base b CROSS JOIN probes p
+  WHERE b.vec_id != p.probe_id
+), ranked AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_full DESC, vec_id) AS rf,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_trunc DESC, vec_id) AS rt
+  FROM scored
+), fused AS (
+  SELECT probe_id, vec_id,
+         round(1.0 / ({RRF_K} + rf) + 1.0 / ({RRF_K} + rt), 6) AS rrf
+  FROM ranked
+)
+SELECT probe_id, vec_id, rrf, fused_rank
+FROM (
+  SELECT probe_id, vec_id, rrf,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY rrf DESC, vec_id) AS fused_rank
+  FROM fused
+)
+WHERE fused_rank <= {RRF_TOP}
+"""
+
+
+register("rrf_fusion", q_rrf_fusion, ORACLE_RRF_FUSION)

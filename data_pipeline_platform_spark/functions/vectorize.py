@@ -172,3 +172,116 @@ FROM woed
 
 
 register("woe_iv_priority", q_woe_iv_priority, ORACLE_WOE_IV_PRIORITY)
+
+
+STUMP_BIN_CENTS = 10_000  # 100-dollar candidate-split grid
+
+
+def q_decision_stump_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single split of order price predicting "order had a
+    returned item" by information gain — the decision-stump / tree-node
+    primitive. The distributed-training shape: candidate splits live on
+    a VALUE-DOMAIN-bounded bin census (100-dollar grid over the price
+    domain), so finding the best split is one fact pass + a census
+    cumulative — exactly how large-scale tree learners (XGBoost-style
+    histogram split finding) evaluate thresholds at 100 TB.
+
+    Determinism: bin counts and cumulative good/bad are exact BIGINTs
+    (ordered window over the bin census only); each candidate's gain is
+    computed from those integers with an IDENTICAL double expression in
+    both engines (ln per candidate — round-after-transcendental),
+    rounded to 6 dp, argmax tie-broken on the smaller threshold."""
+    from pyspark.sql import Window
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("is_bad", F.lit(1))
+    )
+    labeled = orders.join(returned, "o_orderkey", "left").select(
+        F.expr(
+            f"CAST(round(o_totalprice * 100) AS BIGINT) div {STUMP_BIN_CENTS}"
+        ).alias("bin"),
+        F.coalesce("is_bad", F.lit(0)).alias("is_bad"),
+    )
+    census = labeled.groupBy("bin").agg(
+        F.sum(F.expr("1 - is_bad")).alias("g"), F.sum("is_bad").alias("b")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = census.agg(F.sum("g").alias("gt"), F.sum("b").alias("bt"))
+    cum = (
+        census.withColumn("gl", F.sum("g").over(w))
+        .withColumn("bl", F.sum("b").over(w))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("gl") + F.col("bl") < F.col("gt") + F.col("bt"))
+    )
+    ent = (
+        "CASE WHEN {x} > 0 AND {y} > 0 THEN "
+        "-(CAST({x} AS DOUBLE) / ({x} + {y})) * ln(CAST({x} AS DOUBLE) / ({x} + {y}))"
+        " - (CAST({y} AS DOUBLE) / ({x} + {y})) * ln(CAST({y} AS DOUBLE) / ({x} + {y}))"
+        " ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    gain_sql = (
+        f"round({ent.format(x='gt', y='bt')}"
+        f" - (CAST(gl + bl AS DOUBLE) / (gt + bt)) * ({ent.format(x='gl', y='bl')})"
+        f" - (CAST(gt - gl + bt - bl AS DOUBLE) / (gt + bt))"
+        f" * ({ent.format(x='(gt - gl)', y='(bt - bl)')}), 6)"
+    )
+    scored = cum.select(
+        (F.expr(f"(bin + 1) * {STUMP_BIN_CENTS}") / 100.0).alias("threshold"),
+        (F.col("gl") + F.col("bl")).alias("n_left"),
+        (F.col("gt") - F.col("gl") + F.col("bt") - F.col("bl")).alias("n_right"),
+        F.expr(gain_sql).alias("gain"),
+    )
+    return scored.orderBy(F.col("gain").desc(), "threshold").limit(1)
+
+
+def _duck_ent(x: str, y: str) -> str:
+    return (
+        f"CASE WHEN {x} > 0 AND {y} > 0 THEN "
+        f"-(CAST({x} AS DOUBLE) / ({x} + {y})) * ln(CAST({x} AS DOUBLE) / ({x} + {y}))"
+        f" - (CAST({y} AS DOUBLE) / ({x} + {y})) * ln(CAST({y} AS DOUBLE) / ({x} + {y}))"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+ORACLE_DECISION_STUMP_PRICE = f"""
+WITH labeled AS (
+  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) // {STUMP_BIN_CENTS} AS bin,
+         CASE WHEN r.o_orderkey IS NULL THEN 0 ELSE 1 END AS is_bad
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT l_orderkey AS o_orderkey
+             FROM lineitem WHERE l_returnflag = 'R') r
+    ON o.o_orderkey = r.o_orderkey
+), census AS (
+  SELECT bin, SUM(1 - is_bad) AS g, SUM(is_bad) AS b FROM labeled GROUP BY 1
+), tot AS (
+  SELECT SUM(g) AS gt, SUM(b) AS bt FROM census
+), cum AS (
+  SELECT bin,
+         SUM(g) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS gl,
+         SUM(b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS bl,
+         t.gt, t.bt
+  FROM census, tot t
+), cand AS (
+  SELECT * FROM cum WHERE gl + bl < gt + bt
+)
+SELECT (bin + 1) * {STUMP_BIN_CENTS} / 100.0 AS threshold,
+       CAST(gl + bl AS BIGINT) AS n_left,
+       CAST(gt - gl + bt - bl AS BIGINT) AS n_right,
+       round({_duck_ent('gt', 'bt')}
+             - (CAST(gl + bl AS DOUBLE) / (gt + bt)) * ({_duck_ent('gl', 'bl')})
+             - (CAST(gt - gl + bt - bl AS DOUBLE) / (gt + bt))
+               * ({_duck_ent('(gt - gl)', '(bt - bl)')}), 6) AS gain
+FROM cand
+ORDER BY gain DESC, threshold
+LIMIT 1
+"""
+
+
+register("decision_stump_price", q_decision_stump_price, ORACLE_DECISION_STUMP_PRICE)

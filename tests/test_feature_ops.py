@@ -115,3 +115,63 @@ def test_matryoshka_recall_bounds_and_self_consistency(spark):
     for r in rows:
         assert 0 <= r["n_overlap"] <= MATRYOSHKA_K
         assert r["recall_at_k"] == r["n_overlap"] / MATRYOSHKA_K
+
+
+def test_rrf_fusion_contains_consensus_docs(spark):
+    """A doc in both top-10 lists must out-score a doc in neither; the
+    fused list is exactly RRF_TOP per probe with dense ranks 1..top."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        RRF_TOP,
+        q_rrf_fusion,
+    )
+
+    pdf = q_rrf_fusion(spark, "/root/testdata/sf0.001").toPandas()
+    assert set(pdf.groupby("probe_id")["fused_rank"].apply(
+        lambda s: tuple(sorted(s))
+    )) == {tuple(range(1, RRF_TOP + 1))}
+    # rrf scores decrease with fused_rank within a probe
+    for _, grp in pdf.groupby("probe_id"):
+        srt = grp.sort_values("fused_rank")["rrf"].tolist()
+        assert srt == sorted(srt, reverse=True)
+
+
+def test_decision_stump_matches_sklearn_free_reimpl(spark):
+    """The chosen split must equal an independent numpy scan over every
+    candidate threshold (entropy gain, same 100-dollar grid)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_platform_spark.functions.vectorize import (
+        STUMP_BIN_CENTS,
+        q_decision_stump_price,
+    )
+
+    out = q_decision_stump_price(spark, "/root/testdata/sf0.001").collect()[0]
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    bad_keys = set(li.loc[li["l_returnflag"] == "R", "l_orderkey"])
+    is_bad = orders["o_orderkey"].isin(bad_keys).to_numpy(dtype=int)
+    bins = ((orders["o_totalprice"] * 100).round().astype("int64") // STUMP_BIN_CENTS).to_numpy()
+
+    def H(g, b):
+        if g == 0 or b == 0:
+            return 0.0
+        n = g + b
+        return -(g / n) * np.log(g / n) - (b / n) * np.log(b / n)
+
+    best = None
+    G, B = int((is_bad == 0).sum()), int(is_bad.sum())
+    for t in np.unique(bins):
+        left = bins <= t
+        gl, bl = int(((is_bad == 0) & left).sum()), int((is_bad[left] == 1).sum())
+        if gl + bl == 0 or gl + bl == G + B:
+            continue
+        gain = H(G, B) - ((gl + bl) / (G + B)) * H(gl, bl) - (
+            (G + B - gl - bl) / (G + B)
+        ) * H(G - gl, B - bl)
+        key = (round(gain, 6), -(t + 1))
+        if best is None or key > best[0]:
+            best = (key, t, gl + bl, gain)
+    assert out["threshold"] == (best[1] + 1) * STUMP_BIN_CENTS / 100.0
+    assert out["n_left"] == best[2]
+    assert out["gain"] == round(best[3], 6)
