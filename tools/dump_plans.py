@@ -137,6 +137,14 @@ NOTES = {
     "cdf_incremental_view": "CDF diff reads only entered/left files; silver fold merges only touched groups; marker rides the fold commit",
     "multimodal_container_metadata": "one Arrow-batched mapInPandas stage (build + parse); no shuffle before it",
     "ingest_roundtrip": "explicit-schema text scans; union + one agg exchange",
+    # r8b wave
+    "k_core": "per-round node-keyed degree census + two semi-joins on a monotonically shrinking edge frame; localCheckpoint per round",
+    "hits_authority": "per half-step: one node-keyed join+agg over the PERSISTED edge list, 1-row max broadcast back; no 2^iters lineage replay",
+    "textrank_keywords": "narrow zip_with tokenize; PageRank iterations touch only the vocabulary-bounded word graph",
+    "matryoshka_recall": "one corpus scan x broadcast probe panel; both cosines per row JVM-side; keyed windows only",
+    "rrf_fusion": "same scan shape as matryoshka_recall; fusion is per-row arithmetic + one keyed rank window",
+    "decision_stump_price": "fact pass -> dollar-bin census; cumulative + gain scan run on the census; argmax via orderBy/limit 1",
+    "acf_daily_revenue": "one date rollup; centering/lag joins on the calendar-bounded daily frame",
 }
 
 
