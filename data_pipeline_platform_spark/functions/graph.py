@@ -534,3 +534,123 @@ FROM a{HITS_ITERATIONS}
 
 
 register("hits_authority", q_hits_authority, ORACLE_HITS_AUTHORITY)
+
+
+# --- single-source weighted shortest path (Bellman-Ford rounds) --------------
+
+SP_ROUNDS = 4
+
+
+def q_nation_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest path over the bilateral nation
+    trade graph: nodes = nations, undirected edge weight = the MINIMUM
+    line-item revenue (exact cents) ever traded between the two
+    nations, source = the lowest nation key present. ``SP_ROUNDS``
+    fixed Bellman-Ford relaxation rounds — each round joins the
+    current distance frame against the edge list and min-combines, so
+    the result after round r is exactly "cheapest path using <= r
+    edges" (order-free, deterministic under any partitioning; min is
+    the idempotent combiner).
+
+    Scale: the edge build is the one fact-fact join (orders x lineitem)
+    with all dims broadcast — the trade_matrix shape. The iterative
+    frame is node-keyed; each round is ONE shuffle keyed on node id
+    (AQE broadcasts the frontier while it is small). On a
+    billion-node graph the same loop holds: distances are (node,
+    BIGINT) rows, never driver-side. localCheckpoint per round keeps
+    the plan linear in rounds (the HITS lineage lesson).
+
+    Exactness: weights and path sums are BIGINT cents end-to-end; no
+    floats anywhere.
+    """
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.utils.cache import tracked_persist
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("rev_c"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    directed = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("int").alias("a"),
+            F.col("c_nationkey").cast("int").alias("b"),
+        )
+        .agg(F.min("rev_c").alias("w"))
+    )
+    edges = tracked_persist(
+        directed.select("a", "b", "w")
+        .unionByName(
+            directed.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.min("w").alias("w"))
+    )
+    dist = (
+        edges.agg(F.min(F.least(F.col("src"), F.col("dst"))).alias("node"))
+        .select("node", F.lit(0).cast("bigint").alias("dist_c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(SP_ROUNDS):
+        relaxed = dist.join(edges, dist["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist_c") + F.col("w")).alias("dist_c")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist_c").alias("dist_c"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("node").cast("int").alias("node"), "dist_c")
+
+
+def _sp_round_sql(i: int) -> str:
+    return f""", d{i} AS (
+  SELECT node, MIN(dist_c) AS dist_c FROM (
+    SELECT node, dist_c FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist_c + e.w AS dist_c
+    FROM d{i - 1} d JOIN e ON e.src = d.node
+  ) GROUP BY node
+)"""
+
+
+# The oracle unrolls the exact same SP_ROUNDS relaxation rounds as
+# chained CTEs — a declarative round-replay of the iterative frontier
+# loop (the hits_authority/k_core oracle pattern), so both engines
+# compute "cheapest path using <= SP_ROUNDS edges" identically.
+ORACLE_NATION_SHORTEST_PATH = f"""
+WITH directed AS (
+  SELECT CAST(s.s_nationkey AS INT) AS a, CAST(c.c_nationkey AS INT) AS b,
+         MIN(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS w
+  FROM orders o
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT a AS src, b AS dst, w FROM directed
+    UNION ALL
+    SELECT b AS src, a AS dst, w FROM directed
+  ) GROUP BY 1, 2
+), d0 AS (
+  SELECT MIN(LEAST(src, dst)) AS node, CAST(0 AS BIGINT) AS dist_c FROM e
+){''.join(_sp_round_sql(i) for i in range(1, SP_ROUNDS + 1))}
+SELECT CAST(node AS INT) AS node, dist_c FROM d{SP_ROUNDS}
+"""
+
+
+register("nation_shortest_path", q_nation_shortest_path, ORACLE_NATION_SHORTEST_PATH)

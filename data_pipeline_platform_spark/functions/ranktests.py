@@ -302,6 +302,96 @@ FROM contrib GROUP BY 1
 """
 
 
+def q_roc_auc_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of extended price as a ranking score for the
+    "line item was returned" label (l_returnflag = 'R'), per line
+    status — the binary-classifier twin of ``mann_whitney_u`` (AUC IS
+    the Mann-Whitney common-language effect size P(score_pos >
+    score_neg) + 0.5 P(=)).
+
+    Same census posture as the other rank tests: cent-binned score
+    census per status group (cardinality bounded by the price DOMAIN,
+    not row count), doubled midranks so the rank sum and 2U are exact
+    BIGINTs, ONE IEEE division per output row for the AUC itself;
+    gini_coef = 2*AUC - 1 is pure arithmetic on that quotient. Windows
+    are partitioned by l_linestatus (plan-gate clean); the census
+    groupBy is one map-side-combinable shuffle against lineitem.
+    """
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    census = li.groupBy(
+        F.col("l_linestatus").alias("grp"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("bin"),
+    ).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("cnt_pos"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("cnt_neg"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = census.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(F.col("cnt_pos") + F.col("cnt_neg")).over(w), F.lit(0)),
+    ).withColumn(
+        "midrank2",
+        2 * F.col("cum_before") + F.col("cnt_pos") + F.col("cnt_neg") + 1,
+    )
+    per_grp = ranked.groupBy("grp").agg(
+        F.sum("cnt_pos").alias("n_pos"),
+        F.sum("cnt_neg").alias("n_neg"),
+        F.sum(F.col("cnt_pos") * F.col("midrank2")).alias("rank_sum2_pos"),
+    )
+    auc = (
+        (F.col("rank_sum2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (2.0 * F.col("n_pos") * F.col("n_neg"))
+    )
+    return per_grp.select(
+        "grp",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        (F.col("rank_sum2_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("bigint")
+        .alias("u2_pos"),
+        auc.alias("roc_auc"),
+        (2.0 * auc - 1.0).alias("gini_coef"),
+    )
+
+
+ORACLE_ROC_AUC_RETURNS = """
+WITH census AS (
+  SELECT l_linestatus AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS bin,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cnt_pos,
+         SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS cnt_neg
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT *,
+         COALESCE(SUM(cnt_pos + cnt_neg) OVER (
+           PARTITION BY grp ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM census
+), summed AS (
+  SELECT grp,
+         CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt_neg) AS BIGINT) AS n_neg,
+         CAST(SUM(cnt_pos * (2 * cum_before + cnt_pos + cnt_neg + 1)) AS BIGINT)
+           AS rank_sum2_pos
+  FROM ranked GROUP BY 1
+)
+SELECT grp, n_pos, n_neg,
+       CAST(rank_sum2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2_pos,
+       CAST(rank_sum2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+         / (2.0 * n_pos * n_neg) AS roc_auc,
+       2.0 * (CAST(rank_sum2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+         / (2.0 * n_pos * n_neg)) - 1.0 AS gini_coef
+FROM summed
+"""
+
+
 register("mann_whitney_u", q_mann_whitney_u, ORACLE_MANN_WHITNEY_U)
 register("ks_test", q_ks_test, ORACLE_KS_TEST)
 register("gini_by_nation", q_gini_by_nation, ORACLE_GINI_BY_NATION)
+register("roc_auc_returns", q_roc_auc_returns, ORACLE_ROC_AUC_RETURNS)

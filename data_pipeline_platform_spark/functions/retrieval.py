@@ -141,4 +141,123 @@ FROM per_probe p JOIN label_counts lc ON p.probe_label = lc.label
 """
 
 
+# NDCG@10 discount weights: w_i = round(1e15 / log2(i + 1)), computed
+# ONCE here and embedded as the SAME integer literals in both the Spark
+# expression and the DuckDB oracle — so no engine ever evaluates log2 at
+# query time and libm ulp drift is impossible. idcg prefix m = sum of
+# the first m weights (binary relevance: the ideal ranking is all
+# relevant docs first).
+import math as _math
+
+_NDCG_W = [round(1e15 / _math.log2(i + 1)) for i in range(1, K + 1)]
+_NDCG_PREFIX = [sum(_NDCG_W[: m + 1]) for m in range(K)]
+
+
+def _case_by_rank(var: str, values: list) -> str:
+    """CASE <var> WHEN 1 THEN v1 ... END — identical text for both engines."""
+    whens = " ".join(f"WHEN {i + 1} THEN CAST({v} AS BIGINT)" for i, v in enumerate(values))
+    return f"CASE {var} {whens} END"
+
+
+def q_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per probe for the same label-relevance kNN retrieval as
+    ``retrieval_eval``: dcg_num = sum over relevant top-10 hits of the
+    scaled integer discount w_rn; idcg_num = prefix sum of the first
+    min(R, 10) weights (ideal ranking = all relevant first); ndcg10 is
+    ONE final IEEE division. All integer arithmetic until that division
+    (max dcg_num = 10 * 1e15 << 2^63), so both engines agree bitwise.
+
+    Scale: identical shape to retrieval_eval — broadcast bounded probe
+    panel x ONE corpus scan, per-probe keyed top-10 window
+    (WindowGroupLimit), |probes| x 10 eval frame.
+    """
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("vec").alias("pvec"),
+    )
+    label_counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("dist_fp", F.expr(_dist_fp_sql("vec", "pvec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist_fp", "vec_id")
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .withColumn("rel", (F.col("label") == F.col("probe_label")).cast("bigint"))
+        .withColumn("disc", F.expr(_case_by_rank("rn", _NDCG_W)))
+    )
+    per_probe = top.groupBy("probe_id", "probe_label").agg(
+        F.sum("rel").alias("n_rel_top10"),
+        F.sum(F.col("rel") * F.col("disc")).alias("dcg_num"),
+    )
+    return (
+        per_probe.join(
+            F.broadcast(label_counts), per_probe.probe_label == label_counts.label
+        )
+        .withColumn(
+            "idcg_num",
+            F.expr(_case_by_rank(f"LEAST(n_label - 1, {K})", _NDCG_PREFIX)),
+        )
+        .select(
+            "probe_id",
+            "probe_label",
+            F.col("n_rel_top10").cast("bigint").alias("n_rel_top10"),
+            F.col("dcg_num").cast("bigint").alias("dcg_num"),
+            F.col("idcg_num").cast("bigint").alias("idcg_num"),
+            (F.col("dcg_num").cast("double") / F.col("idcg_num").cast("double")).alias(
+                "ndcg10"
+            ),
+        )
+    )
+
+
+ORACLE_NDCG_RETRIEVAL = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, label AS probe_label, vec AS pvec
+  FROM base WHERE vec_id < {{n_probes}}
+), label_counts AS (
+  SELECT label, COUNT(*) AS n_label FROM base GROUP BY 1
+), scored AS (
+  SELECT b.vec_id, b.label, p.probe_id, p.probe_label,
+         {{dist}} AS dist_fp
+  FROM base b CROSS JOIN probes p
+  WHERE b.vec_id <> p.probe_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY probe_id ORDER BY dist_fp, vec_id) AS rn
+  FROM scored
+), top AS (
+  SELECT *, CASE WHEN label = probe_label THEN 1 ELSE 0 END AS rel,
+         {{disc_case}} AS disc
+  FROM ranked WHERE rn <= {{k}}
+), per_probe AS (
+  SELECT probe_id, probe_label,
+         CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+         CAST(SUM(rel * disc) AS BIGINT) AS dcg_num
+  FROM top GROUP BY 1, 2
+)
+SELECT p.probe_id, p.probe_label, p.n_rel_top10, p.dcg_num,
+       CAST({{idcg_case}} AS BIGINT) AS idcg_num,
+       CAST(p.dcg_num AS DOUBLE) / CAST({{idcg_case}} AS DOUBLE) AS ndcg10
+FROM per_probe p JOIN label_counts lc ON p.probe_label = lc.label
+""".format(
+    n_probes=N_PROBES,
+    k=K,
+    dist=_duck_dist_fp("b.vec", "p.pvec"),
+    disc_case=_case_by_rank("rn", _NDCG_W),
+    idcg_case=_case_by_rank(f"LEAST(lc.n_label - 1, {K})", _NDCG_PREFIX),
+)
+
+
 register("retrieval_eval", q_retrieval_eval, ORACLE_RETRIEVAL_EVAL)
+register("ndcg_retrieval", q_ndcg_retrieval, ORACLE_NDCG_RETRIEVAL)
