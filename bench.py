@@ -110,6 +110,17 @@ HEADLINE = [
     "hits_authority",
     "textrank_keywords",
     "matryoshka_recall",
+    # r8c/r8d additions: classifier eval on the price census, the
+    # fact-fact-join shortest path, and the three whole-table audit
+    # reports (full-content fingerprints, FK orphan walk, join-skew
+    # profile) — all real-data-volume scans; pr_curve/ndcg share the
+    # shapes of roc_auc/retrieval_eval and stay under the parity gate
+    "roc_auc_returns",
+    "nation_shortest_path",
+    "table_fingerprint",
+    "fk_orphan_profile",
+    "join_skew_profile",
+    "mutual_information_pairs",
 ]
 
 

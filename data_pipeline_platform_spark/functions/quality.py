@@ -276,3 +276,147 @@ JOIN ct USING (o_orderpriority), gt
 """
 
 register("chi2_independence", q_chi2_independence, ORACLE_CHI2_INDEPENDENCE)
+
+
+# (pair name, table, x column, y column) — categorical pairs within a
+# single table, so each MI is one scan + one cell census
+_MI_PAIRS = [
+    ("orders.priority~status", "orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem.returnflag~linestatus", "lineitem", "l_returnflag", "l_linestatus"),
+    ("customer.mktsegment~nationkey", "customer", "c_mktsegment", "c_nationkey"),
+]
+
+_MI_SCALE = 1_000_000  # 1e-6 ln() grid: absorbs cross-engine libm ulps
+
+
+def q_mutual_information_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between categorical column pairs —
+    the dependence screen next to ``chi2_independence`` (MI gives an
+    effect size in bits/nats where chi2 gives a test statistic).
+
+    Exactness (the bigram_logprob idiom): each cell's pointwise term
+    ln((n_xy * N) / (n_x * n_y)) is computed as ONE double ln, rounded
+    to the 1e-6 fixed-point grid, multiplied by the exact BIGINT cell
+    count, and summed as integers — order-free, so both engines agree
+    bitwise; MI itself is one final division by (grid * N). Entropy of
+    each marginal gets the same treatment, and nmi = mi / min(hx, hy)
+    is arithmetic on those quotients.
+
+    Scale: one map-side-combinable cell census per table scan;
+    marginals derive from the cell frame (|X| x |Y| rows, bounded by
+    the category domains) and broadcast back."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    frames = []
+    for name, table, cx, cy in _MI_PAIRS:
+        cells = (
+            load_table(spark, sf_dir, table)
+            .groupBy(
+                F.col(cx).cast("string").alias("x"),
+                F.col(cy).cast("string").alias("y"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        xm = cells.groupBy("x").agg(F.sum("n").alias("nx"))
+        ym = cells.groupBy("y").agg(F.sum("n").alias("ny"))
+        tot = cells.agg(F.sum("n").alias("nt"))
+        joined = (
+            cells.join(F.broadcast(xm), "x")
+            .join(F.broadcast(ym), "y")
+            .crossJoin(F.broadcast(tot))
+        )
+        mi_fp = joined.agg(
+            F.max("nt").alias("n_total"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(
+                F.expr(
+                    f"CAST(round(ln(CAST(n AS DOUBLE) * CAST(nt AS DOUBLE) "
+                    f"/ (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * {_MI_SCALE}) "
+                    f"AS BIGINT) * n"
+                )
+            ).alias("mi_fp"),
+        )
+        hx_fp = xm.crossJoin(F.broadcast(tot)).agg(
+            F.sum(
+                F.expr(
+                    f"CAST(round(ln(CAST(nt AS DOUBLE) / CAST(nx AS DOUBLE)) "
+                    f"* {_MI_SCALE}) AS BIGINT) * nx"
+                )
+            ).alias("hx_fp")
+        )
+        hy_fp = ym.crossJoin(F.broadcast(tot)).agg(
+            F.sum(
+                F.expr(
+                    f"CAST(round(ln(CAST(nt AS DOUBLE) / CAST(ny AS DOUBLE)) "
+                    f"* {_MI_SCALE}) AS BIGINT) * ny"
+                )
+            ).alias("hy_fp")
+        )
+        frames.append(
+            mi_fp.crossJoin(F.broadcast(hx_fp))
+            .crossJoin(F.broadcast(hy_fp))
+            .select(
+                F.lit(name).alias("pair"),
+                F.col("n_total").cast("bigint").alias("n_total"),
+                F.col("n_cells").cast("bigint").alias("n_cells"),
+                F.col("mi_fp").cast("bigint").alias("mi_fp"),
+                (
+                    F.col("mi_fp").cast("double")
+                    / (F.lit(float(_MI_SCALE)) * F.col("n_total").cast("double"))
+                ).alias("mi_nats"),
+                (
+                    F.col("mi_fp").cast("double")
+                    / F.least(F.col("hx_fp"), F.col("hy_fp")).cast("double")
+                ).alias("nmi"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _duck_mi(name: str, table: str, cx: str, cy: str) -> str:
+    return f"""
+SELECT '{name}' AS pair, n_total, n_cells, mi_fp,
+       CAST(mi_fp AS DOUBLE) / ({_MI_SCALE}.0 * CAST(n_total AS DOUBLE)) AS mi_nats,
+       CAST(mi_fp AS DOUBLE) / CAST(LEAST(
+         (SELECT SUM(CAST(round(ln(CAST(nt AS DOUBLE) / CAST(nx AS DOUBLE)) * {_MI_SCALE}) AS BIGINT) * nx)
+          FROM (SELECT x, SUM(n) AS nx FROM cells_{table} GROUP BY 1) xm,
+               (SELECT SUM(n) AS nt FROM cells_{table}) t),
+         (SELECT SUM(CAST(round(ln(CAST(nt AS DOUBLE) / CAST(ny AS DOUBLE)) * {_MI_SCALE}) AS BIGINT) * ny)
+          FROM (SELECT y, SUM(n) AS ny FROM cells_{table} GROUP BY 1) ym,
+               (SELECT SUM(n) AS nt FROM cells_{table}) t)
+       ) AS DOUBLE) AS nmi
+FROM (
+  SELECT CAST(MAX(nt) AS BIGINT) AS n_total, COUNT(*) AS n_cells,
+         CAST(SUM(CAST(round(ln(CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)
+           / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * {_MI_SCALE}) AS BIGINT) * n) AS BIGINT) AS mi_fp
+  FROM cells_{table} c
+  JOIN (SELECT x, SUM(n) AS nx FROM cells_{table} GROUP BY 1) xm USING (x)
+  JOIN (SELECT y, SUM(n) AS ny FROM cells_{table} GROUP BY 1) ym USING (y),
+       (SELECT SUM(n) AS nt FROM cells_{table}) t
+)"""
+
+
+_MI_CELL_CTES = ", ".join(
+    f"""cells_{table} AS (
+  SELECT CAST({cx} AS VARCHAR) AS x, CAST({cy} AS VARCHAR) AS y, COUNT(*) AS n
+  FROM {table} GROUP BY 1, 2
+)"""
+    for _, table, cx, cy in _MI_PAIRS
+)
+
+ORACLE_MUTUAL_INFORMATION_PAIRS = (
+    "WITH "
+    + _MI_CELL_CTES
+    + " "
+    + " UNION ALL ".join(_duck_mi(*p) for p in _MI_PAIRS)
+)
+
+
+register(
+    "mutual_information_pairs",
+    q_mutual_information_pairs,
+    ORACLE_MUTUAL_INFORMATION_PAIRS,
+)

@@ -391,7 +391,80 @@ FROM summed
 """
 
 
+def q_pr_curve_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve for the same classifier as
+    ``roc_auc_returns`` (price ranks return-likelihood), thresholded at
+    100-dollar buckets: predict positive when the score bucket >= b.
+    tp/fp/fn are exact suffix-sum BIGINTs over the bucket census
+    (window partitioned by status group, ordered by bucket DESC);
+    precision and recall are ONE IEEE division each. Output is
+    |groups| x |buckets| — bounded by the price DOMAIN / 100."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    census = li.groupBy(
+        F.col("l_linestatus").alias("grp"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT) DIV 10000").alias(
+            "bucket"
+        ),
+    ).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("cnt_pos"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("cnt_neg"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("grp")
+    return (
+        census.withColumn("tp", F.sum("cnt_pos").over(w))
+        .withColumn("fp", F.sum("cnt_neg").over(w))
+        .withColumn("n_pos", F.sum("cnt_pos").over(wp))
+        .select(
+            "grp",
+            "bucket",
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            (F.col("n_pos") - F.col("tp")).cast("bigint").alias("fn"),
+            (
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+            ).alias("precision"),
+            (F.col("tp").cast("double") / F.col("n_pos").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+ORACLE_PR_CURVE_RETURNS = """
+WITH census AS (
+  SELECT l_linestatus AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS bucket,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cnt_pos,
+         SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS cnt_neg
+  FROM lineitem GROUP BY 1, 2
+), suff AS (
+  SELECT *,
+         SUM(cnt_pos) OVER (PARTITION BY grp ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(cnt_neg) OVER (PARTITION BY grp ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+         SUM(cnt_pos) OVER (PARTITION BY grp) AS n_pos
+  FROM census
+)
+SELECT grp, bucket,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(n_pos - tp AS BIGINT) AS fn,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall
+FROM suff
+"""
+
+
 register("mann_whitney_u", q_mann_whitney_u, ORACLE_MANN_WHITNEY_U)
 register("ks_test", q_ks_test, ORACLE_KS_TEST)
 register("gini_by_nation", q_gini_by_nation, ORACLE_GINI_BY_NATION)
 register("roc_auc_returns", q_roc_auc_returns, ORACLE_ROC_AUC_RETURNS)
+register("pr_curve_returns", q_pr_curve_returns, ORACLE_PR_CURVE_RETURNS)
