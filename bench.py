@@ -121,6 +121,11 @@ HEADLINE = [
     "fk_orphan_profile",
     "join_skew_profile",
     "mutual_information_pairs",
+    # r8e additions: the two with real data volume (full-corpus token
+    # explosions). zipf/spearman/kendall/calibration are census-cheap
+    # and stay under the parity gate.
+    "keyness_dunning",
+    "js_divergence_sources",
 ]
 
 
