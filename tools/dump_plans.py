@@ -145,6 +145,16 @@ NOTES = {
     "rrf_fusion": "same scan shape as matryoshka_recall; fusion is per-row arithmetic + one keyed rank window",
     "decision_stump_price": "fact pass -> dollar-bin census; cumulative + gain scan run on the census; argmax via orderBy/limit 1",
     "acf_daily_revenue": "one date rollup; centering/lag joins on the calendar-bounded daily frame",
+    # r8c/r8d wave
+    "roc_auc_returns": "cent-census groupBy is the only fact shuffle; midrank windows partitioned by status over the census",
+    "nation_shortest_path": "Bellman-Ford rounds as node-keyed min-agg joins; localCheckpoint keeps the plan linear in rounds",
+    "table_fingerprint": "one map-side-combinable scan per table; 1-row unions, no data-row shuffle",
+    "fk_orphan_profile": "distinct child keys anti-joined to parent keys per edge — keys move, rows never do",
+    "join_skew_profile": "per-key size census then scalar percentile aggregates; report precedes the expensive join",
+    "mutual_information_pairs": "one cell census per pair; MI arithmetic on the broadcast category-bounded frame",
+    # r8e wave
+    "keyness_dunning": "ONE token census shuffle; 1-row totals broadcast; row-local G2; TakeOrderedAndProject top-50 — no window",
+    "js_divergence_sources": "(source,token) census is the single fact shuffle; token-keyed marginal join co-located with it; source totals broadcast",
 }
 
 
