@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_platform_spark.functions import register
+from data_pipeline_platform_spark.utils.cache import tracked_persist
 
 _JSD_S = 1_000_000_000_000  # 1e12 fixed-point grid for ln contributions
 
@@ -74,7 +75,7 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("a"))
     )
-    st = st.persist()
+    st = tracked_persist(st)
     tok_tot = st.groupBy("tok").agg(F.sum("a").alias("ct"))
     src_tot = st.groupBy("source").agg(F.sum("a").alias("ns"))
     grand = src_tot.agg(F.sum("ns").alias("n"))

@@ -377,30 +377,33 @@ def q_mutual_information_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_mi(name: str, table: str, cx: str, cy: str) -> str:
+    # CTE name keyed by the full (table, x, y) triple: a second pair on
+    # the same table must not collide with this one's cell census
+    cte = f"cells_{table}_{cx}_{cy}"
     return f"""
 SELECT '{name}' AS pair, n_total, n_cells, mi_fp,
        CAST(mi_fp AS DOUBLE) / ({_MI_SCALE}.0 * CAST(n_total AS DOUBLE)) AS mi_nats,
        CAST(mi_fp AS DOUBLE) / CAST(LEAST(
          (SELECT SUM(CAST(round(ln(CAST(nt AS DOUBLE) / CAST(nx AS DOUBLE)) * {_MI_SCALE}) AS BIGINT) * nx)
-          FROM (SELECT x, SUM(n) AS nx FROM cells_{table} GROUP BY 1) xm,
-               (SELECT SUM(n) AS nt FROM cells_{table}) t),
+          FROM (SELECT x, SUM(n) AS nx FROM {cte} GROUP BY 1) xm,
+               (SELECT SUM(n) AS nt FROM {cte}) t),
          (SELECT SUM(CAST(round(ln(CAST(nt AS DOUBLE) / CAST(ny AS DOUBLE)) * {_MI_SCALE}) AS BIGINT) * ny)
-          FROM (SELECT y, SUM(n) AS ny FROM cells_{table} GROUP BY 1) ym,
-               (SELECT SUM(n) AS nt FROM cells_{table}) t)
+          FROM (SELECT y, SUM(n) AS ny FROM {cte} GROUP BY 1) ym,
+               (SELECT SUM(n) AS nt FROM {cte}) t)
        ) AS DOUBLE) AS nmi
 FROM (
   SELECT CAST(MAX(nt) AS BIGINT) AS n_total, COUNT(*) AS n_cells,
          CAST(SUM(CAST(round(ln(CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)
            / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * {_MI_SCALE}) AS BIGINT) * n) AS BIGINT) AS mi_fp
-  FROM cells_{table} c
-  JOIN (SELECT x, SUM(n) AS nx FROM cells_{table} GROUP BY 1) xm USING (x)
-  JOIN (SELECT y, SUM(n) AS ny FROM cells_{table} GROUP BY 1) ym USING (y),
-       (SELECT SUM(n) AS nt FROM cells_{table}) t
+  FROM {cte} c
+  JOIN (SELECT x, SUM(n) AS nx FROM {cte} GROUP BY 1) xm USING (x)
+  JOIN (SELECT y, SUM(n) AS ny FROM {cte} GROUP BY 1) ym USING (y),
+       (SELECT SUM(n) AS nt FROM {cte}) t
 )"""
 
 
 _MI_CELL_CTES = ", ".join(
-    f"""cells_{table} AS (
+    f"""cells_{table}_{cx}_{cy} AS (
   SELECT CAST({cx} AS VARCHAR) AS x, CAST({cy} AS VARCHAR) AS y, COUNT(*) AS n
   FROM {table} GROUP BY 1, 2
 )"""

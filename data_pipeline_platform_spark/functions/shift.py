@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_pipeline_platform_spark.functions import register
+from data_pipeline_platform_spark.utils.cache import tracked_persist
 
 _DEC = "DECIMAL(38,0)"
 
@@ -59,7 +60,7 @@ def q_ks_wasserstein_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = docs.groupBy("source", F.col("n_chars").alias("len_bin")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    sv = sv.persist()
+    sv = tracked_persist(sv)
     vals = sv.groupBy("len_bin").agg(F.sum("c").alias("ct"))
     srcs = sv.groupBy("source").agg(F.sum("c").alias("ns"))
     grand = srcs.agg(F.sum("ns").alias("n"))

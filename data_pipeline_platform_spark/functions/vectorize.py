@@ -88,10 +88,12 @@ def q_woe_iv_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     for turning high-cardinality categories into monotone risk scores
     before model training.
 
-    Determinism: all counts are exact; the odds ratio feeding ln() is
-    one double division of exact BIGINT cross-products
-    (good_i*badT)/(bad_i*goodT), ln applied per output row and rounded
-    to 6 dp (the round-after-transcendental rule); the IV term reuses
+    Determinism: all counts are exact; the odds cross-products
+    good_i*badT and bad_i*goodT evaluate in DECIMAL(38,0) (the
+    keyness.py idiom — raw BIGINT would wrap silently in non-ANSI
+    Spark beyond ~9.2e18 while DuckDB errors), the ratio feeding ln()
+    is one double division, ln applied per output row and rounded to
+    6 dp (the round-after-transcendental rule); the IV term reuses
     the ROUNDED woe so both engines multiply identical doubles.
 
     Scale: label derivation is a semi-join shape (distinct returned
@@ -124,7 +126,8 @@ def q_woe_iv_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "woe",
             F.expr(
                 "CASE WHEN n_good > 0 AND n_bad > 0 THEN "
-                "round(ln(CAST(n_good * bad_t AS DOUBLE) / (n_bad * good_t)), 6) "
+                "round(ln(CAST(CAST(n_good AS DECIMAL(38,0)) * bad_t AS DOUBLE)"
+                " / CAST(CAST(n_bad AS DECIMAL(38,0)) * good_t AS DOUBLE)), 6) "
                 "END"
             ),
         )
@@ -159,8 +162,8 @@ WITH labeled AS (
 ), woed AS (
   SELECT b.priority, b.n_good, b.n_bad, t.good_t, t.bad_t,
          CASE WHEN b.n_good > 0 AND b.n_bad > 0 THEN
-           round(ln(CAST(b.n_good * t.bad_t AS DOUBLE)
-                    / (b.n_bad * t.good_t)), 6)
+           round(ln(CAST(CAST(b.n_good AS DECIMAL(38,0)) * t.bad_t AS DOUBLE)
+                    / CAST(CAST(b.n_bad AS DECIMAL(38,0)) * t.good_t AS DOUBLE)), 6)
          END AS woe
   FROM bins b, tot t
 )
