@@ -1,0 +1,358 @@
+"""Medallion-architecture graded surface: min/max under the change
+feed, and the silver→gold second hop (extension; no reference
+counterpart — the reference recomputes every aggregate from scratch
+per run, see SURVEY.md §2.11).
+
+- ``cdf_minmax_view``: the bronze→silver hop where the silver view
+  carries MIN/MAX aggregates through a retracting change feed. The
+  delete commit removes every priority group's CURRENT maximum-price
+  rows (plus key churn), so the stored extremes are invalidated and
+  ``MaterializedAgg.update_changes`` must re-aggregate exactly the
+  threatened groups from the version-pinned bronze snapshot
+  (sinks/matview.py: touched-group recompute). The drained silver
+  state must bitwise-equal the one-shot groupBy over the FINAL bronze
+  snapshot — which is what the oracle computes from plain SQL.
+- ``medallion_two_hop``: bronze→silver→gold — the silver view's own
+  backing ACID table is itself a change-feed source, and a second
+  ``ChangeFeedConsumer`` folds silver's row-level changes into a gold
+  rollup (customer buckets), each hop's progress marker inside its own
+  atomic commit (exactly-once per hop, so exactly-once end-to-end).
+  Gold's ``n_active_custs`` is a signed fold of the has-orders
+  INDICATOR — a non-linear function of silver state that only the
+  preimage/postimage algebra can maintain incrementally.
+
+Scale: each hop's cost is the size of the files the upstream commit
+touched, never the table; the min/max recompute adds one column-pruned
+snapshot scan restricted by a broadcast semi-join, and ONLY on folds
+where a retraction ties-or-beats a stored extreme. Gold's input is the
+silver state (|customer groups| rows), so the second hop is
+dimension-sized regardless of fact volume.
+
+Determinism: every aggregate is exact integer (cents), divisions by
+100.0 happen once at the read edge on identical BIGINTs in both
+engines.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions import register
+from data_pipeline_platform_spark.sinks.acid import AcidTable
+from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+from data_pipeline_platform_spark.sources.readers import load_table
+from data_pipeline_platform_spark.streaming.cdf import ChangeFeedConsumer
+
+
+def _orders_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+
+
+def q_cdf_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze→silver with MIN/MAX in the silver view: base write, ON-
+    CONFLICT merge (updates + inserts), then a delete that removes each
+    priority group's current max-price rows AND every 300th key — the
+    exact scenario update_changes' touched-group recompute exists for
+    (the retracted value WAS the stored extreme; a surviving duplicate
+    can only be found by re-aggregating the group from bronze)."""
+    orders = _orders_cents(spark, sf_dir).drop("o_custkey")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price_c") + F.lit(100)).alias("price_c"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+    )
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="cdfmm_bronze_"))
+    view = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="cdfmm_silver_"),
+        keys=["o_orderpriority"],
+        aggs=[
+            ("n_orders", "count", ""),
+            ("sum_price_c", "sum", "price_c"),
+            ("min_price_c", "min", "price_c"),
+            ("max_price_c", "max", "price_c"),
+        ],
+    )
+    consumer = ChangeFeedConsumer(
+        bronze, source_keys=["o_orderkey"], view=view, count_col="n_orders"
+    )
+    bronze.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    consumer.process_available()
+    bronze.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    consumer.process_available()
+    # doom every group's CURRENT max-price rows (all ties) + key churn
+    snap = bronze.read()
+    gmax = snap.groupBy("o_orderpriority").agg(F.max("price_c").alias("__mx"))
+    doomed = (
+        snap.join(F.broadcast(gmax), "o_orderpriority")
+        .filter((F.col("price_c") == F.col("__mx")) | (F.col("o_orderkey") % 300 == 0))
+        .select(*snap.columns)
+    )
+    bronze.merge(doomed, keys=["o_orderkey"], delete_matched=True)
+    consumer.process_available()
+    return consumer.state().select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("sum_price_c") / 100.0).alias("sum_price"),
+        (F.col("min_price_c") / 100.0).alias("min_price"),
+        (F.col("max_price_c") / 100.0).alias("max_price"),
+    )
+
+
+ORACLE_CDF_MINMAX_VIEW = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), upd AS (
+  SELECT o_orderkey, o_orderpriority,
+         price_c + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM base
+), ins AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+), merged AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM ins
+), gmax AS (
+  SELECT o_orderpriority, MAX(price_c) AS mx FROM merged GROUP BY 1
+), kept AS (
+  SELECT m.* FROM merged m JOIN gmax g USING (o_orderpriority)
+  WHERE NOT (m.price_c = g.mx OR m.o_orderkey % 300 = 0)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price,
+       MIN(price_c) / 100.0 AS min_price,
+       MAX(price_c) / 100.0 AS max_price
+FROM kept
+GROUP BY o_orderpriority
+"""
+
+register("cdf_minmax_view", q_cdf_minmax_view, ORACLE_CDF_MINMAX_VIEW)
+
+
+def q_medallion_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained exactly-once hops: bronze orders → silver per-customer
+    count/sum → gold per-bucket rollup. The gold consumer reads the
+    SILVER view's own ACID change feed (silver state rows are unique by
+    customer key, so they diff cleanly), derives its group key and the
+    has-orders indicator with a row-local feed_transform, and folds
+    preimage/postimage pairs — so a customer whose orders fully retract
+    moves gold's n_active_custs down by exactly one while n_custs_seen
+    (silver state rows ever created — zero-count rows persist by the
+    single-commit-atomicity contract) stays."""
+    orders = _orders_cents(spark, sf_dir).drop("o_orderpriority")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("price_c") + F.lit(100)).alias("price_c"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+    )
+    deletes = base.filter(F.col("o_orderkey") % 300 == 0)
+
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="m2h_bronze_"))
+    silver = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="m2h_silver_"),
+        keys=["o_custkey"],
+        aggs=[("n_orders", "count", ""), ("sum_price_c", "sum", "price_c")],
+    )
+    hop1 = ChangeFeedConsumer(
+        bronze, source_keys=["o_orderkey"], view=silver, count_col="n_orders"
+    )
+    gold = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="m2h_gold_"),
+        keys=["cust_bucket"],
+        aggs=[
+            ("n_custs_seen", "count", ""),
+            ("n_active_custs", "sum", "has_orders"),
+            ("total_orders", "sum", "n_orders"),
+            ("total_price_c", "sum", "sum_price_c"),
+        ],
+    )
+    hop2 = ChangeFeedConsumer(
+        silver.acid,
+        source_keys=["o_custkey"],
+        view=gold,
+        count_col="n_custs_seen",
+        feed_transform=lambda df: df.withColumn(
+            "cust_bucket", F.col("o_custkey") % 10
+        ).withColumn(
+            "has_orders", (F.col("n_orders") > 0).cast("bigint")
+        ),
+    )
+    for commit in (
+        lambda: bronze.write(
+            base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"]
+        ),
+        lambda: bronze.merge(updates.unionByName(inserts), keys=["o_orderkey"]),
+        lambda: bronze.merge(deletes, keys=["o_orderkey"], delete_matched=True),
+    ):
+        commit()
+        hop1.process_available()
+        hop2.process_available()
+    return hop2.state().select(
+        "cust_bucket",
+        "n_custs_seen",
+        "n_active_custs",
+        "total_orders",
+        (F.col("total_price_c") / 100.0).alias("total_price"),
+    )
+
+
+ORACLE_MEDALLION_TWO_HOP = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), upd AS (
+  SELECT o_orderkey, o_custkey,
+         price_c + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM base
+), kept AS (
+  SELECT * FROM upd WHERE o_orderkey % 300 <> 0
+), ins AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+), final AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM ins
+), seen AS (
+  SELECT DISTINCT o_custkey FROM (
+    SELECT o_custkey FROM base UNION ALL SELECT o_custkey FROM ins
+  )
+), silver AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(price_c) AS sum_price_c
+  FROM final GROUP BY 1
+)
+SELECT b.cust_bucket,
+       b.n_custs_seen,
+       COALESCE(g.n_active_custs, 0) AS n_active_custs,
+       COALESCE(g.total_orders, 0) AS total_orders,
+       COALESCE(g.total_price_c, 0) / 100.0 AS total_price
+FROM (
+  SELECT o_custkey % 10 AS cust_bucket, CAST(COUNT(*) AS BIGINT) AS n_custs_seen
+  FROM seen GROUP BY 1
+) b
+LEFT JOIN (
+  SELECT o_custkey % 10 AS cust_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_active_custs,
+         CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+         CAST(SUM(sum_price_c) AS BIGINT) AS total_price_c
+  FROM silver GROUP BY 1
+) g USING (cust_bucket)
+"""
+
+register("medallion_two_hop", q_medallion_two_hop, ORACLE_MEDALLION_TWO_HOP)
+
+
+def q_matview_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained JOIN view (sinks/joinview.py): silver =
+    bronze orders ⋈ customer dim (inner). The update commit moves some
+    orders to NEW customers — including custkey 0, which matches no
+    customer, so those rows must LEAVE the inner-join view (the
+    postimage-anti-dim delete path) — and the delete commit removes
+    keys outright. Every fold costs |changed rows| ⋈ broadcast dim plus
+    a touched-files-only state rewrite in ONE atomic commit (upserts +
+    deletes together); the final state must equal the one-shot join
+    over the final bronze snapshot."""
+    from data_pipeline_platform_spark.sinks.joinview import MaterializedJoin
+
+    orders = _orders_cents(spark, sf_dir).drop("o_orderpriority")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    # updates: +100 price; every 500th key reassigns to custkey 0 (no
+    # such customer — the row leaves the view), the rest of the %100
+    # keys reassign to a low custkey (guaranteed present in the dim)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 500 == 0, F.lit(0))
+        .otherwise((F.col("o_orderkey") % 7) + 1)
+        .alias("o_custkey"),
+        (F.col("price_c") + F.lit(100)).alias("price_c"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+    )
+    deletes = base.filter(F.col("o_orderkey") % 300 == 0)
+
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="mvj_bronze_"))
+    view = MaterializedJoin(
+        spark,
+        tempfile.mkdtemp(prefix="mvj_silver_"),
+        row_keys=["o_orderkey"],
+        dim=customer,
+        on=[("o_custkey", "c_custkey")],
+        how="inner",
+    )
+    consumer = ChangeFeedConsumer(bronze, source_keys=["o_orderkey"], view=view)
+    for commit in (
+        lambda: bronze.write(
+            base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"]
+        ),
+        lambda: bronze.merge(updates.unionByName(inserts), keys=["o_orderkey"]),
+        lambda: bronze.merge(deletes, keys=["o_orderkey"], delete_matched=True),
+    ):
+        commit()
+        consumer.process_available()
+    return consumer.state().select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("price_c") / 100.0).alias("price"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+
+
+ORACLE_MATVIEW_JOIN_ORDERS_CUSTOMER = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), upd AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN
+           CASE WHEN o_orderkey % 500 = 0 THEN 0
+                ELSE (o_orderkey % 7) + 1 END
+         ELSE o_custkey END AS o_custkey,
+         price_c + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM base
+), kept AS (
+  SELECT * FROM upd WHERE o_orderkey % 300 <> 0
+), ins AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+), final AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM ins
+)
+SELECT f.o_orderkey, f.o_custkey, f.price_c / 100.0 AS price,
+       c.c_mktsegment, c.c_nationkey
+FROM final f JOIN customer c ON f.o_custkey = c.c_custkey
+"""
+
+register(
+    "matview_join_orders_customer",
+    q_matview_join_orders_customer,
+    ORACLE_MATVIEW_JOIN_ORDERS_CUSTOMER,
+)

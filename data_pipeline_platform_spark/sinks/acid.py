@@ -453,6 +453,7 @@ class AcidTable:
         keys: Sequence[str],
         delete_matched: bool = False,
         extra_meta: Optional[Dict[str, Any]] = None,
+        delete_keys: Optional[DataFrame] = None,
     ) -> Dict[str, int]:
         """MERGE INTO this table USING source ON keys.
 
@@ -463,6 +464,15 @@ class AcidTable:
         writers._write_upsert. Only data files whose key range
         intersects the source's keys are rewritten.
 
+        ``delete_keys`` (a frame of the key columns): rows matching
+        these keys are REMOVED in the SAME commit the source upserts
+        publish in — the one-atomic-commit shape incremental view
+        maintenance needs (a change-feed batch nets each key to either
+        an upsert or a delete; applying them in two commits would open
+        a crash window between them). A key in both ``source`` and
+        ``delete_keys`` resolves to the source row (delete-then-upsert
+        order). Mutually exclusive with ``delete_matched``.
+
         NULL keys match null-safely (like ``groupBy``, ``_fold`` and
         ``changes()``): a source row whose key is NULL updates the
         existing NULL-key target row instead of inserting a duplicate —
@@ -471,6 +481,8 @@ class AcidTable:
         describe NULLs, a NULL-keyed source row conservatively treats
         every file as a candidate.
         """
+        if delete_matched and delete_keys is not None:
+            raise ValueError("delete_matched and delete_keys are exclusive")
         base = self.latest_version()
         files = self.snapshot_files(base)
         if not files:
@@ -478,6 +490,13 @@ class AcidTable:
         key_list = list(keys)
 
         src = source.dropDuplicates(key_list)  # in-batch last-wins proxy
+        # keys whose target rows leave the snapshot OR take new values —
+        # the probe that decides which files are candidates/touched
+        probe = src.select(*key_list)
+        if delete_keys is not None:
+            probe = probe.unionByName(
+                delete_keys.select(*key_list).dropDuplicates(key_list)
+            ).dropDuplicates(key_list)
 
         # 1. file skipping: a file can contain matches only if SOME
         # source row falls inside its footer [min, max] on EVERY key
@@ -506,15 +525,15 @@ class AcidTable:
             # NULL source key: footer stats say nothing about NULLs, so
             # the row may match any file — keep every candidate
             cond = cond & (
-                src[k].isNull()
+                probe[k].isNull()
                 | (
-                    (F.col(f"__min_{k}").isNull() | (src[k] >= F.col(f"__min_{k}")))
-                    & (F.col(f"__max_{k}").isNull() | (src[k] <= F.col(f"__max_{k}")))
+                    (F.col(f"__min_{k}").isNull() | (probe[k] >= F.col(f"__min_{k}")))
+                    & (F.col(f"__max_{k}").isNull() | (probe[k] <= F.col(f"__max_{k}")))
                 )
             )
         hit_paths = {
             r["__path"]
-            for r in src.join(F.broadcast(ranges), cond)
+            for r in probe.join(F.broadcast(ranges), cond)
             .select("__path")
             .distinct()
             .collect()
@@ -548,7 +567,7 @@ class AcidTable:
                 )
                 .alias("t")
                 .join(
-                    F.broadcast(src.select(*key_list).alias("s")),
+                    F.broadcast(probe.alias("s")),
                     _null_safe_key_cond("t", "s"),
                     "left_semi",
                 )
@@ -564,7 +583,7 @@ class AcidTable:
         if touched:
             tgt = self.spark.read.parquet(*[a["path"] for a in touched])
             survivors = tgt.alias("t").join(
-                F.broadcast(src.select(*key_list).alias("s")),
+                F.broadcast(probe.alias("s")),
                 _null_safe_key_cond("t", "s"),
                 "left_anti",
             )
@@ -578,8 +597,11 @@ class AcidTable:
             n_rewritten = len(touched)
         elif not delete_matched:
             # no key matches anywhere: pure insert, nothing rewritten
+            # (delete_keys that match nothing are a no-op by definition)
             sample_cols = self.spark.read.parquet(files[0]["path"]).columns
-            add = self._write_data_files(src.select(*sample_cols), stats_cols)
+            insert_src = src.select(*sample_cols)
+            if delete_keys is None or not insert_src.isEmpty():
+                add = self._write_data_files(insert_src, stats_cols)
         # else: deleting keys that match nothing -> empty commit (audit)
 
         self._commit(

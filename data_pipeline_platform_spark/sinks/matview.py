@@ -14,9 +14,12 @@ durable and time-travelable by ``AcidTable``.
 Correctness contract: after any sequence of ``update`` batches the
 state table equals the one-shot groupBy over the union of all batches —
 the graded query checks exactly that against a DuckDB oracle.  AVG is
-deliberately NOT state (sum/count derive it at read time); MIN/MAX are
-valid under append-only feeds and this class refuses deletes by design
-(retractions need a different algebra — see the CDF + recompute path).
+deliberately NOT state (sum/count derive it at read time); MIN/MAX fold
+freely under append-only feeds, and under a retracting change feed they
+are maintained by touched-group recompute against the upstream snapshot
+(``update_changes(snapshot=...)``) — count/sum keep the cheap signed
+fold, and only groups whose retracted value ties-or-beats the stored
+extreme pay a snapshot re-aggregation.
 
 Scale shape: the partial agg is map-side combinable (exchange carries
 |groups-in-batch| rows); the merge's footer stats prune every state
@@ -122,26 +125,46 @@ class MaterializedAgg:
         }
 
     def update_changes(
-        self, feed: DataFrame, commit_meta: Dict[str, object] = None
+        self,
+        feed: DataFrame,
+        commit_meta: Dict[str, object] = None,
+        snapshot: DataFrame = None,
     ) -> Dict[str, int]:
         """Fold a row-level change feed (``AcidTable.changes()`` shape:
         change_type in insert / delete / update_preimage /
         update_postimage) with RETRACTION: insert/postimage rows add,
-        delete/preimage rows subtract. Requires every agg to be
-        additive-INVERTIBLE — count/sum only (min/max cannot retract;
-        the module docstring's "different algebra" case is exactly
-        this, and it raises rather than corrupting state).
+        delete/preimage rows subtract. count/sum fold invertibly; MIN/
+        MAX are maintained by TOUCHED-GROUP RECOMPUTE against
+        ``snapshot`` (the upstream table's post-commit state, e.g.
+        ``AcidTable.read(version=v_to)``): inserted values fold with
+        least/greatest for free, and a group re-aggregates from the
+        snapshot ONLY when a retracted value ties-or-beats its stored
+        extreme (the retracted row may have BEEN the min/max — a
+        duplicate elsewhere in the group can only be discovered by
+        looking). Views with min/max aggs must pass ``snapshot``; it
+        is read lazily and, when no fold in the batch needs recompute
+        (pure inserts, or retractions that never touch an extreme),
+        never scanned at all.
+
+        Scale shape of the recompute: the candidate-group set is
+        |groups-needing-recompute| rows (driver-decided, broadcast), so
+        the cost is one column-pruned snapshot scan restricted by a
+        broadcast semi-join — and only on batches that actually retract
+        an extreme. With the snapshot clustered/partitioned by group
+        key the semi-join prunes files too.
 
         A group whose count is retracted to zero keeps a zero-count
         state row (removing it would need a second commit and break the
-        single-atomic-commit exactly-once contract); readers drop them
-        via ``read(drop_empty_on=...)``, restoring "state equals
-        one-shot groupBy over the final snapshot" exactly."""
-        non_invertible = [a for a in self.aggs if a[1] in ("min", "max")]
-        if non_invertible:
+        single-atomic-commit exactly-once contract) with NULL min/max
+        (the recompute finds no rows); readers drop them via
+        ``read(drop_empty_on=...)``, restoring "state equals one-shot
+        groupBy over the final snapshot" exactly."""
+        minmax = [a for a in self.aggs if a[1] in ("min", "max")]
+        if minmax and snapshot is None:
             raise ValueError(
-                f"change-feed folding needs invertible aggs; {non_invertible} "
-                "are min/max — maintain those by recompute, not retraction"
+                f"change-feed folding of min/max aggs {minmax} needs the "
+                "upstream post-commit snapshot for touched-group recompute "
+                "— pass snapshot=source.read(version=v_to)"
             )
         sign = (
             F.when(F.col("change_type").isin("insert", "update_postimage"), F.lit(1))
@@ -151,12 +174,26 @@ class MaterializedAgg:
         for name, kind, col in self.aggs:
             if kind == "count":
                 exprs.append(F.sum(sign).cast("bigint").alias(name))
-            else:  # sum
+            elif kind == "sum":
                 exprs.append(F.sum(sign * F.col(col)).alias(name))
+            else:
+                # insert-side extreme folds for free; retract-side
+                # extreme decides whether the stored extreme is at risk
+                ins = F.when(sign == 1, F.col(col))
+                ret = F.when(sign == -1, F.col(col))
+                agg = F.min if kind == "min" else F.max
+                exprs.append(agg(ins).alias(name))
+                exprs.append(agg(ret).alias(f"__ret_{name}"))
         part = feed.groupBy(*self.keys).agg(*exprs)
+        state_cols = list(self.keys) + [a[0] for a in self.aggs]
         if not self.acid.exists():
-            self.acid.write(part, stats_cols=self.keys, extra_meta=commit_meta)
-            return {"groups_touched": part.count(), "files_rewritten": 0}
+            # a fresh view's first feed is insert-only by construction
+            # (changes() of an initial write emits only inserts), so the
+            # insert-side extremes ARE the group extremes
+            first = part.select(*state_cols)
+            self.acid.write(first, stats_cols=self.keys, extra_meta=commit_meta)
+            return {"groups_touched": first.count(), "files_rewritten": 0,
+                    "groups_recomputed": 0}
         cur = self.acid.read()
         cond = F.lit(True)
         for k in self.keys:
@@ -164,11 +201,72 @@ class MaterializedAgg:
         touched = cur.alias("c").join(
             part.select(*self.keys).alias("p"), cond, "left_semi"
         )
-        folded = self._fold(touched, part)
-        stats = self.acid.merge(folded, keys=self.keys, extra_meta=commit_meta)
+        j = touched.alias("c").join(part.alias("p"), cond, "full_outer")
+        outs: List[F.Column] = [
+            F.coalesce(F.col(f"c.{k}"), F.col(f"p.{k}")).alias(k) for k in self.keys
+        ]
+        at_risk = F.lit(False)
+        for name, kind, _ in self.aggs:
+            a, b = F.col(f"c.{name}"), F.col(f"p.{name}")
+            if kind in ("count", "sum"):
+                fold = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(a + b)
+            else:
+                comb = F.least if kind == "min" else F.greatest
+                # least/greatest skip NULLs, matching the two-state fold
+                fold = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(comb(a, b))
+                ret = F.col(f"p.__ret_{name}")
+                beats = (ret <= a) if kind == "min" else (ret >= a)
+                at_risk = at_risk | (ret.isNotNull() & (a.isNull() | beats))
+            outs.append(fold.alias(name))
+        folded = j.select(*outs, at_risk.alias("__recompute"))
+        folded = folded.persist()
+        try:
+            n_rec = folded.filter(F.col("__recompute")).count()
+            if n_rec == 0:
+                final = folded.drop("__recompute")
+            else:
+                rec_keys = folded.filter(F.col("__recompute")).select(*self.keys)
+                rcond = F.lit(True)
+                for k in self.keys:
+                    rcond = rcond & F.col(f"s.{k}").eqNullSafe(F.col(f"r.{k}"))
+                rec_aggs = [
+                    (F.min(F.col(c)) if kind == "min" else F.max(F.col(c))).alias(n)
+                    for n, kind, c in self.aggs
+                    if kind in ("min", "max")
+                ]
+                recomputed = (
+                    snapshot.alias("s")
+                    .join(F.broadcast(rec_keys).alias("r"), rcond, "left_semi")
+                    .groupBy(*self.keys)
+                    .agg(*rec_aggs)
+                )
+                fcond = F.lit(True)
+                for k in self.keys:
+                    fcond = fcond & F.col(f"f.{k}").eqNullSafe(F.col(f"g.{k}"))
+                fj = folded.alias("f").join(
+                    F.broadcast(recomputed).alias("g"), fcond, "left"
+                )
+                fouts = [F.col(f"f.{k}").alias(k) for k in self.keys]
+                for name, kind, _ in self.aggs:
+                    if kind in ("min", "max"):
+                        # recompute wins where flagged; a group fully
+                        # retracted from the snapshot recomputes to NULL
+                        fouts.append(
+                            F.when(F.col("f.__recompute"), F.col(f"g.{name}"))
+                            .otherwise(F.col(f"f.{name}"))
+                            .alias(name)
+                        )
+                    else:
+                        fouts.append(F.col(f"f.{name}").alias(name))
+                final = fj.select(*fouts)
+            stats = self.acid.merge(final, keys=self.keys, extra_meta=commit_meta)
+            n_groups = folded.count()
+        finally:
+            folded.unpersist(blocking=False)
         return {
-            "groups_touched": folded.count(),
+            "groups_touched": n_groups,
             "files_rewritten": stats["files_rewritten"],
+            "groups_recomputed": n_rec,
         }
 
     # ------------------------------------------------------------------

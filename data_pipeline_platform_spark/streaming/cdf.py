@@ -14,13 +14,16 @@ atomic commit, and ``process_available`` resumes from the marker, so a
 crash replays nothing and skips nothing.
 
 Retraction: updates/deletes in the feed SUBTRACT their preimage
-(``MaterializedAgg.update_changes``), which restricts silver to
-invertible aggregates (count/sum — min/max would need recompute). A
-group retracted to zero keeps a zero-count state row (single-commit
-atomicity); ``state()`` drops those, restoring "silver equals the
-one-shot groupBy over the current bronze snapshot" exactly — the
-contract the graded twin (functions/lake.py: cdf_incremental_view)
-checks against a DuckDB oracle.
+(``MaterializedAgg.update_changes``); count/sum fold invertibly, and
+min/max aggregates are maintained by touched-group recompute against a
+version-pinned bronze snapshot — only groups whose retracted value
+ties-or-beats the stored extreme pay a snapshot re-aggregation (pure
+inserts never scan bronze). A group retracted to zero keeps a
+zero-count state row (single-commit atomicity); ``state()`` drops
+those, restoring "silver equals the one-shot groupBy over the current
+bronze snapshot" exactly — the contract the graded twins
+(functions/lake.py: cdf_incremental_view, cdf_minmax_view) check
+against a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -38,21 +41,42 @@ class ChangeFeedConsumer:
         source: AcidTable,
         source_keys: Sequence[str],
         view: MaterializedAgg,
-        count_col: str,
+        count_col: str = None,
+        feed_transform=None,
     ):
         """``source_keys``: the bronze table's unique ROW key (what
         ``changes()`` diffs on) — distinct from ``view.keys``, the
         silver GROUP key. ``count_col``: the view's count aggregate,
         used both to drop fully-retracted groups at read time and to
-        sanity-check the agg set early (update_changes re-validates)."""
-        if not any(a[0] == count_col and a[1] == "count" for a in view.aggs):
+        sanity-check the agg set early (update_changes re-validates);
+        omit it only for row-level views (``MaterializedJoin``), which
+        physically remove retracted rows.
+        ``feed_transform``: optional ROW-LOCAL projection applied to
+        the change feed (and the recompute snapshot) before folding —
+        derive the view's group key / agg inputs from source columns
+        (e.g. a bucket of a key, an indicator flag). Must be
+        deterministic, per-row, and independent of ``change_type``:
+        it is applied identically to preimage and postimage rows, so
+        any cross-row or change-aware logic would corrupt the signed
+        fold."""
+        if count_col is not None and not any(
+            a[0] == count_col and a[1] == "count"
+            for a in getattr(view, "aggs", [])
+        ):
             raise ValueError(
                 f"count_col {count_col!r} is not a count aggregate of the view"
+            )
+        if count_col is None and hasattr(view, "aggs"):
+            raise ValueError(
+                "aggregate views need count_col (zero-count rows must drop "
+                "at read time); only row-level views (MaterializedJoin, "
+                "which physically removes retracted rows) may omit it"
             )
         self.source = source
         self.source_keys = list(source_keys)
         self.view = view
         self.count_col = count_col
+        self.feed_transform = feed_transform
         self.stream_id = f"cdf:{source.path}"
 
     def last_processed_version(self) -> int:
@@ -69,9 +93,18 @@ class ChangeFeedConsumer:
         if v_to <= v_from:
             return {"v_from": v_from, "v_to": v_to, "versions_behind": 0}
         feed = self.source.changes(self.source_keys, v_from=v_from, v_to=v_to)
+        # version-pinned post-span snapshot: min/max recompute (if the
+        # view has any) must see exactly the state the feed diffs to,
+        # even if the bronze table advances concurrently. Lazy — never
+        # scanned unless a retraction actually threatens an extreme.
+        snapshot = self.source.read(version=v_to)
+        if self.feed_transform is not None:
+            feed = self.feed_transform(feed)
+            snapshot = self.feed_transform(snapshot)
         stats = self.view.update_changes(
             feed,
             commit_meta={"stream_id": self.stream_id, "batch_id": v_to},
+            snapshot=snapshot,
         )
         return {
             "v_from": v_from,

@@ -1,7 +1,8 @@
 """Change-feed consumer (streaming/cdf.py): the bronze->silver hop —
 silver equals one-shot groupBy over the bronze snapshot after any
 sequence of writes/merges/deletes, replays are no-ops, retraction
-drops emptied groups, and min/max aggs are rejected."""
+drops emptied groups, min/max aggs maintain by touched-group
+recompute, and the silver->gold second hop chains exactly-once."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -82,15 +83,198 @@ def test_group_retracted_to_zero_disappears(spark, tmp_path):
     assert view.read().filter("g = 'b'").collect()[0]["n"] == 0
 
 
-def test_min_max_aggs_rejected_for_retraction(spark, tmp_path):
+def test_min_max_without_snapshot_rejected(spark, tmp_path):
     bronze = AcidTable(spark, str(tmp_path / "b2"))
     view = MaterializedAgg(
         spark, str(tmp_path / "s2"), keys=["g"],
         aggs=[("n", "count", ""), ("hi", "max", "x")],
     )
-    consumer = ChangeFeedConsumer(bronze, ["k"], view, count_col="n")
     bronze.write(_df(spark, [(1, "a", 1)]), stats_cols=["k"])
-    with pytest.raises(ValueError, match="invertible"):
-        consumer.process_available()
+    feed = bronze.changes(["k"], v_from=0, v_to=1)
+    with pytest.raises(ValueError, match="snapshot"):
+        view.update_changes(feed)  # direct call, no snapshot provided
     with pytest.raises(ValueError, match="count aggregate"):
         ChangeFeedConsumer(bronze, ["k"], view, count_col="hi")
+
+
+def _minmax_setup(spark, tmp_path):
+    bronze = AcidTable(spark, str(tmp_path / "bmm"))
+    view = MaterializedAgg(
+        spark, str(tmp_path / "smm"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x"),
+              ("lo", "min", "x"), ("hi", "max", "x")],
+    )
+    consumer = ChangeFeedConsumer(bronze, ["k"], view, count_col="n")
+    return bronze, view, consumer
+
+
+def _want_minmax(spark, bronze):
+    return {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in bronze.read().groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+            F.min("x").alias("lo"), F.max("x").alias("hi"),
+        ).collect()
+    }
+
+
+def _got_minmax(consumer):
+    return {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in consumer.state().collect()
+    }
+
+
+def test_minmax_tracks_bronze_through_extreme_deletes(spark, tmp_path):
+    bronze, view, consumer = _minmax_setup(spark, tmp_path)
+    bronze.write(
+        _df(spark, [(1, "a", 10), (2, "a", 5), (3, "a", 10), (4, "b", 7)]),
+        stats_cols=["k"],
+    )
+    consumer.process_available()
+    assert _got_minmax(consumer) == _want_minmax(spark, bronze)
+
+    # delete ONE of a's two max rows: recompute must find the surviving
+    # duplicate (fold alone cannot — this is the non-invertible case)
+    bronze.merge(_df(spark, [(1, "a", 10)]), keys=["k"], delete_matched=True)
+    stats = consumer.process_available()
+    assert stats["groups_recomputed"] == 1
+    assert _got_minmax(consumer) == _want_minmax(spark, bronze)
+    assert _got_minmax(consumer)["a"] == (2, 15, 5, 10)
+
+    # delete the last max holder: extreme actually drops
+    bronze.merge(_df(spark, [(3, "a", 10)]), keys=["k"], delete_matched=True)
+    consumer.process_available()
+    assert _got_minmax(consumer)["a"] == (1, 5, 5, 5)
+
+    # delete a's min: min recompute path
+    bronze.merge(_df(spark, [(2, "a", 5)]), keys=["k"], delete_matched=True)
+    consumer.process_available()
+    assert _got_minmax(consumer) == {"b": (1, 7, 7, 7)}
+    # fully-retracted group: zero count, NULL extremes in raw state
+    raw = view.read().filter("g = 'a'").collect()[0]
+    assert raw["n"] == 0 and raw["lo"] is None and raw["hi"] is None
+
+
+def test_minmax_insert_only_fold_skips_recompute(spark, tmp_path):
+    bronze, view, consumer = _minmax_setup(spark, tmp_path)
+    bronze.write(_df(spark, [(1, "a", 10)]), stats_cols=["k"])
+    consumer.process_available()
+    # pure insert: extremes fold with least/greatest, no snapshot scan
+    bronze.merge(_df(spark, [(2, "a", 99), (3, "a", 1)]), keys=["k"])
+    stats = consumer.process_available()
+    assert stats["groups_recomputed"] == 0
+    assert _got_minmax(consumer)["a"] == (3, 110, 1, 99)
+
+
+def test_minmax_safe_retraction_skips_recompute(spark, tmp_path):
+    bronze, view, consumer = _minmax_setup(spark, tmp_path)
+    bronze.write(_df(spark, [(1, "a", 10), (2, "a", 5), (3, "a", 7)]),
+                 stats_cols=["k"])
+    consumer.process_available()
+    # retract a strictly interior value: neither extreme threatened
+    bronze.merge(_df(spark, [(3, "a", 7)]), keys=["k"], delete_matched=True)
+    stats = consumer.process_available()
+    assert stats["groups_recomputed"] == 0
+    assert _got_minmax(consumer)["a"] == (2, 15, 5, 10)
+
+
+def test_minmax_update_moves_extreme(spark, tmp_path):
+    bronze, view, consumer = _minmax_setup(spark, tmp_path)
+    bronze.write(_df(spark, [(1, "a", 10), (2, "a", 5)]), stats_cols=["k"])
+    consumer.process_available()
+    # update the max holder DOWN: preimage retracts the extreme
+    # (recompute), postimage inserts the new value (fold)
+    bronze.merge(_df(spark, [(1, "a", 6)]), keys=["k"])
+    stats = consumer.process_available()
+    assert stats["groups_recomputed"] == 1
+    assert _got_minmax(consumer)["a"] == (2, 11, 5, 6)
+    assert _got_minmax(consumer) == _want_minmax(spark, bronze)
+
+
+def test_minmax_replay_is_noop(spark, tmp_path):
+    bronze, view, consumer = _minmax_setup(spark, tmp_path)
+    bronze.write(_df(spark, [(1, "a", 10), (2, "a", 5)]), stats_cols=["k"])
+    consumer.process_available()
+    bronze.merge(_df(spark, [(1, "a", 10)]), keys=["k"], delete_matched=True)
+    consumer.process_available()
+    before = _got_minmax(consumer)
+    versions = view.acid.latest_version()
+    # fresh consumer (crash restart): marker read from the commit log
+    c2 = ChangeFeedConsumer(bronze, ["k"], view, count_col="n")
+    assert c2.process_available()["versions_behind"] == 0
+    assert view.acid.latest_version() == versions
+    assert _got_minmax(c2) == before
+
+
+def _two_hop_setup(spark, tmp_path):
+    bronze = AcidTable(spark, str(tmp_path / "th_b"))
+    silver = MaterializedAgg(
+        spark, str(tmp_path / "th_s"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x")],
+    )
+    hop1 = ChangeFeedConsumer(bronze, ["k"], silver, count_col="n")
+    gold = MaterializedAgg(
+        spark, str(tmp_path / "th_g"), keys=["bucket"],
+        aggs=[("n_groups", "count", ""), ("active", "sum", "has_rows"),
+              ("total", "sum", "s")],
+    )
+    hop2 = ChangeFeedConsumer(
+        silver.acid, ["g"], gold, count_col="n_groups",
+        feed_transform=lambda df: df.withColumn(
+            "bucket", F.substring("g", 1, 1)
+        ).withColumn("has_rows", (F.col("n") > 0).cast("bigint")),
+    )
+    return bronze, silver, hop1, gold, hop2
+
+
+def _gold_got(hop2):
+    return {
+        r["bucket"]: (r["n_groups"], r["active"], r["total"])
+        for r in hop2.state().collect()
+    }
+
+
+def test_two_hop_tracks_bronze(spark, tmp_path):
+    bronze, silver, hop1, gold, hop2 = _two_hop_setup(spark, tmp_path)
+    bronze.write(
+        _df(spark, [(1, "a1", 10), (2, "a2", 5), (3, "b1", 7)]),
+        stats_cols=["k"],
+    )
+    hop1.process_available()
+    hop2.process_available()
+    assert _gold_got(hop2) == {"a": (2, 2, 15), "b": (1, 1, 7)}
+
+    # update + insert ripple through both hops
+    bronze.merge(_df(spark, [(2, "a2", 50), (4, "b2", 1)]), keys=["k"])
+    hop1.process_available()
+    hop2.process_available()
+    assert _gold_got(hop2) == {"a": (2, 2, 60), "b": (2, 2, 8)}
+
+    # fully retract group a2: gold's indicator fold drops active by 1,
+    # n_groups (state rows ever) stays — the zero-count-row contract
+    bronze.merge(_df(spark, [(2, "a2", 0)]), keys=["k"], delete_matched=True)
+    hop1.process_available()
+    hop2.process_available()
+    assert _gold_got(hop2) == {"a": (2, 1, 10), "b": (2, 2, 8)}
+
+
+def test_two_hop_crash_between_hops_is_exactly_once(spark, tmp_path):
+    bronze, silver, hop1, gold, hop2 = _two_hop_setup(spark, tmp_path)
+    bronze.write(_df(spark, [(1, "a1", 10), (3, "b1", 7)]), stats_cols=["k"])
+    hop1.process_available()
+    hop2.process_available()
+    bronze.merge(_df(spark, [(1, "a1", 20)]), keys=["k"])
+    hop1.process_available()
+    # CRASH before hop2 runs; restart re-creates both consumers
+    h1b = ChangeFeedConsumer(bronze, ["k"], silver, count_col="n")
+    h2b = ChangeFeedConsumer(
+        silver.acid, ["g"], gold, count_col="n_groups",
+        feed_transform=hop2.feed_transform,
+    )
+    assert h1b.process_available()["versions_behind"] == 0  # hop1 replay: no-op
+    assert h2b.process_available()["versions_behind"] == 1  # hop2 catches up
+    assert _gold_got(h2b) == {"a": (1, 1, 20), "b": (1, 1, 7)}
+    # second restart: both no-op, state unchanged
+    assert h2b.process_available()["versions_behind"] == 0
+    assert _gold_got(h2b) == {"a": (1, 1, 20), "b": (1, 1, 7)}

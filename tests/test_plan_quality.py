@@ -308,6 +308,12 @@ def test_no_global_window_over_fact_input_registry_wide(spark):
         "label", "cluster", "cell", "fold", "shard", "seg", "nation",
         "region", "priority", "mode", "kind", "side", "tag", "len",
         "source", "life", "dollar", "date_trunc", "hour",
+        # calendar keys (o_orderdate etc.): bounded by the 7-year TPC-H
+        # date span at every scale factor
+        "date",
+        # nation/region business names: 25/5 distinct by the TPC-H spec
+        # at every scale factor (value-domain, not data-volume, bounded)
+        "n_name", "r_name",
     )
 
     import re
@@ -355,7 +361,61 @@ def test_no_global_window_over_fact_input_registry_wide(spark):
         cs = node.children()
         return any(fact_reachable(cs.apply(i)) for i in range(cs.size()))
 
+    # ---- nested-loop twin (r8 verdict item #7): a cross/non-equi Join
+    # whose BOTH sides descend from unbounded file input plans as a
+    # BroadcastNestedLoopJoin / CartesianProduct — a row×row blow-up at
+    # 100 TB. One-sided nested loops are fine — that's the deliberate
+    # "broadcast a 1-row/census frame" idiom (crossJoin(broadcast(agg))).
+    # Checked on the LOGICAL plan (same alias-aware census machinery as
+    # the window walk). Two extra bounding rules this check needs:
+    # - POINT/PANEL FILTER: =, <, <= or IN against a numeric literal on
+    #   an id/key column selects a constant-size frame (one probe
+    #   vector, a fixed panel `vec_id < N_PROBES`) however big the
+    #   corpus grows;
+    # - n_name/r_name grouping keys are value-domain bounded (25
+    #   nations / 5 regions by the TPC-H spec at every scale factor).
+    NL_EXEMPT: dict = {
+        # query -> justification (census frames normally bound one side
+        # via a grouped aggregate on a value-domain key, probe panels
+        # via point filters — both recognized by the walk)
+        "grid_density_clusters": (
+            "neighbor join (|Δcx|<=1 & |Δcy|<=1) runs on the grid-CELL "
+            "census — groupBy(cx, cy) where cx/cy are floor(coord*SCALE) "
+            "grid ids, value-domain bounded at <= (2*_GRID_SCALE)^2 rows "
+            "regardless of corpus size (functions/density.py:54); the "
+            "alias names carry no census fragment the walk can match"
+        ),
+    }
+    POINT_FILTER = re.compile(r"\w*(?:_id|key)`?\s*(?:=|<|<=|in)\s*[\(\d]", re.I)
+
+    def _filter_is_point(node) -> bool:
+        return bool(POINT_FILTER.search(node.condition().sql().lower()))
+
+    def _join_is_nested_loop(node) -> bool:
+        cond = node.condition()
+        if cond.isEmpty():
+            return True
+        sql = cond.get().sql()
+        if "<=>" in sql:
+            return False  # null-safe equality extracts to equi keys
+        # any plain equality conjunct gives the planner a hash key
+        return not re.search(r"(?<![<>!=])=(?!=)", sql)
+
+    def nl_fact_reachable(node):
+        kind = node.getClass().getSimpleName()
+        if kind == "Filter" and _filter_is_point(node):
+            return False
+        if kind in BOUNDING:
+            return False
+        if kind == "Aggregate" and _agg_is_bounded(node):
+            return False
+        if kind == "LogicalRelation":
+            return True
+        cs = node.children()
+        return any(nl_fact_reachable(cs.apply(i)) for i in range(cs.size()))
+
     offenders = []
+    nl_offenders = []
     for name, fn in entry.queries().items():
         if name in EXEMPT:
             continue
@@ -368,10 +428,28 @@ def test_no_global_window_over_fact_input_registry_wide(spark):
             ):
                 offenders.append(name)
                 break
+        if name in NL_EXEMPT:
+            continue
+        for node in walk(plan):
+            if (
+                node.getClass().getSimpleName() == "Join"
+                and _join_is_nested_loop(node)
+            ):
+                cs = node.children()
+                if all(nl_fact_reachable(cs.apply(i))
+                       for i in range(cs.size())):
+                    nl_offenders.append(name)
+                    break
     assert not offenders, (
         f"global data-scaled window in: {offenders} — re-express via "
         "orderBy().limit() / persisted 1-row agg + broadcast crossJoin / "
         "percentile boundaries"
+    )
+    assert not nl_offenders, (
+        f"both-sides-unbounded nested-loop join in: {nl_offenders} — "
+        "bound one side (census groupBy / limit / scalar agg / point "
+        "filter) or rewrite as an equi-join; add to NL_EXEMPT only with "
+        "a justification"
     )
 
 
