@@ -126,6 +126,11 @@ HEADLINE = [
     # and stay under the parity gate.
     "keyness_dunning",
     "js_divergence_sources",
+    # r9 addition: the HLL sketch build is a full-corpus token explosion
+    # + register shuffle (real data volume). The medallion/join-view
+    # queries are commit-latency-bound fixtures like cdf_incremental_view
+    # and stay under the parity gate.
+    "hll_distinct_sources",
 ]
 
 

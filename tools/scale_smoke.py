@@ -33,6 +33,15 @@ HEAVY = [
     "dedup_levenshtein",
     "dedup_simhash",
     "scd2_asof_enrichment",
+    # r8 additions (r8 verdict item #8): the iterative graph loops and
+    # the two whole-schema audits
+    "hits_authority",
+    "k_core",
+    "nation_shortest_path",
+    "table_fingerprint",
+    "fk_orphan_profile",
+    # r9 additions: the sketch build is the one new fact-sized scan
+    "hll_distinct_sources",
 ]
 
 
