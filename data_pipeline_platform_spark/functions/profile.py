@@ -167,5 +167,70 @@ FROM (
 ORACLE_JOIN_SKEW_PROFILE = " UNION ALL ".join(_duck_skew(*s) for s in _SKEW_KEYS)
 
 
+N_SALT = 8
+
+
+def q_salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remediation `join_skew_profile` implies: a SALTED shuffle
+    join + two-phase aggregation on the profile's fact-side key
+    (events.user_id). A hot key funnels its whole row set through one
+    reducer in a plain shuffle join; salting splits it N_SALT ways:
+
+    - fact side gets a DETERMINISTIC salt (event_id % N_SALT — never a
+      rand(): replays and retries must land rows on the same salt);
+    - the dim side replicates N_SALT times (explode over the salt
+      domain), so (key, salt) covers exactly the same matches;
+    - the join is FORCED to a shuffle merge join (merge hint — at
+      100 TB both sides are too big to broadcast, which is the only
+      regime where salting matters), keyed on (user_id, salt): the hot
+      key's rows now spread over N_SALT partitions
+      (tests/test_plan_quality.py asserts the salt is in the join key);
+    - phase-1 aggregates per (segment, salt), phase-2 folds the salt
+      out — exact integer cents, so the result is BITWISE equal to the
+      unsalted join+groupBy the oracle computes.
+
+    Scale: shuffle volume is unchanged (each fact row still moves
+    once; the dim pays x N_SALT replication — dim-sized, negligible),
+    but the maximum reducer load drops by ~N_SALT on the hot keys —
+    the difference between a straggler task and an even stage."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("val_c"),
+        F.expr(f"pmod(event_id, {N_SALT})").alias("salt"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("bigint"))
+    )
+    joined = ev.join(dim.hint("merge"), ["user_id", "salt"])
+    partial = joined.groupBy("c_mktsegment", "salt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val_c").alias("s")
+    )
+    return partial.groupBy("c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        (F.sum("s") / 100.0).alias("total_value"),
+    )
+
+
+ORACLE_SALTED_SKEW_JOIN_EVENTS = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 register("fk_orphan_profile", q_fk_orphan_profile, ORACLE_FK_ORPHAN_PROFILE)
 register("join_skew_profile", q_join_skew_profile, ORACLE_JOIN_SKEW_PROFILE)
+register(
+    "salted_skew_join_events",
+    q_salted_skew_join_events,
+    ORACLE_SALTED_SKEW_JOIN_EVENTS,
+)

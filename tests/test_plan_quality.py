@@ -625,3 +625,29 @@ def test_r7_ops_plan_contracts(spark):
     prof = _physical_plan(q_dq_profile_documents(spark, SF))
     assert prof.count("documents.parquet") == 1  # single-pass profile
     assert "EvalPython" not in prof
+
+
+def test_salted_skew_join_splits_hot_keys(spark):
+    """salted_skew_join_events (r8 verdict item #4): the mitigation
+    join_skew_profile implies must actually reshape the plan — a
+    shuffle merge join keyed on (user_id, salt) so a hot key's rows
+    spread over N_SALT partitions (no broadcast: the only regime where
+    salting matters is both-sides-too-big), and the phase-1 aggregate
+    keeps the salt in its grouping key so the hot group splits too."""
+    import re
+
+    from data_pipeline_platform_spark.functions.profile import (
+        q_salted_skew_join_events,
+    )
+
+    plan = _physical_plan(q_salted_skew_join_events(spark, SF))
+    m = re.search(r"SortMergeJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert m, f"expected a shuffle merge join, got:\n{plan[:800]}"
+    assert "salt" in m.group(1) and "salt" in m.group(2)
+    assert "user_id" in m.group(1)
+    assert "BroadcastHashJoin" not in plan
+    # phase-1 partial agg groups by (segment, salt); the final fold
+    # drops the salt
+    assert re.search(r"HashAggregate\(keys=\[c_mktsegment#\d+, salt#\d+", plan)
+    # deterministic salt: no rand()/monotonically_increasing_id anywhere
+    assert "rand(" not in plan and "monotonically" not in plan
