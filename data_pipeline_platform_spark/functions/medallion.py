@@ -356,3 +356,97 @@ register(
     q_matview_join_orders_customer,
     ORACLE_MATVIEW_JOIN_ORDERS_CUSTOMER,
 )
+
+
+def q_matview_join_dim_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-side churn through the join view
+    (``MaterializedJoin.update_dim_changes``): the customer dim is
+    itself an ACID table taking three commits — segment renames, GDPR
+    deletes, partial re-inserts — and a dim-side ChangeFeedConsumer
+    folds each into the orders⋈customer LEFT view FROM STATE ALONE
+    (bronze is written once and never re-read). Deleted customers NULL
+    their orders' dim columns; re-inserted ones revive them — the two
+    cases an inner view cannot maintain, which is why the class refuses
+    inner here. Final state must equal the one-shot LEFT join of bronze
+    against the final dim."""
+    from data_pipeline_platform_spark.sinks.joinview import MaterializedJoin
+
+    orders = _orders_cents(spark, sf_dir).drop("o_orderpriority")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="mvd_bronze_"))
+    dim = AcidTable(spark, tempfile.mkdtemp(prefix="mvd_dim_"))
+    dim.write(customer.repartition(2, "c_custkey"), stats_cols=["c_custkey"])
+    view = MaterializedJoin(
+        spark,
+        tempfile.mkdtemp(prefix="mvd_silver_"),
+        row_keys=["o_orderkey"],
+        dim=lambda: dim.read(),  # live snapshot for any bronze-side fold
+        on=[("o_custkey", "c_custkey")],
+        how="left",
+    )
+    rows_c = ChangeFeedConsumer(bronze, source_keys=["o_orderkey"], view=view)
+    dim_c = ChangeFeedConsumer(
+        dim, source_keys=["c_custkey"], view=view, dim_side=True
+    )
+    bronze.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    rows_c.process_available()
+    # the view was built against dim v1; start the dim consumer there
+    # rather than replaying the initial full-insert feed as churn
+    assert dim_c.last_processed_version() == 0
+    renames = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("CHURNED").alias("c_mktsegment"), "c_nationkey"
+    )
+    deletes = customer.filter(F.col("c_custkey") % 7 == 0)
+    reinserts = customer.filter(F.col("c_custkey") % 14 == 0).select(
+        "c_custkey", F.lit("REBORN").alias("c_mktsegment"), "c_nationkey"
+    )
+    # fold the v1->v2 span only (v0->v1 is the initial load the view
+    # already reflects): publish a no-op marker first
+    view.acid._commit(
+        view.acid.latest_version(), "DIM_BASELINE", [], [],
+        meta={"stream_id": dim_c.stream_id, "batch_id": 1},
+    )
+    for commit in (
+        lambda: dim.merge(renames, keys=["c_custkey"]),
+        lambda: dim.merge(deletes, keys=["c_custkey"], delete_matched=True),
+        lambda: dim.merge(reinserts, keys=["c_custkey"]),
+    ):
+        commit()
+        dim_c.process_available()
+    return dim_c.state().select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("price_c") / 100.0).alias("price"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+
+
+ORACLE_MATVIEW_JOIN_DIM_CHURN = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), fdim AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 14 = 0 THEN 'REBORN'
+              WHEN c_custkey % 10 = 0 THEN 'CHURNED'
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_nationkey
+  FROM customer
+  WHERE c_custkey % 7 <> 0 OR c_custkey % 14 = 0
+)
+SELECT b.o_orderkey, b.o_custkey, b.price_c / 100.0 AS price,
+       d.c_mktsegment, d.c_nationkey
+FROM base b LEFT JOIN fdim d ON b.o_custkey = d.c_custkey
+"""
+
+register(
+    "matview_join_dim_churn",
+    q_matview_join_dim_churn,
+    ORACLE_MATVIEW_JOIN_DIM_CHURN,
+)

@@ -23,6 +23,16 @@ Maintenance algebra per feed row:
   ``how='left'`` every bronze row keeps a state row (dim columns
   NULL), so only explicit deletes remove.
 
+DIMENSION-side churn (``update_dim_changes``, ``how='left'`` only):
+Δ(R ⋈ S) when S changes = R ⋈ ΔS — and because every state row
+already carries its bronze join key, the delta applies FROM STATE
+ALONE, no bronze re-scan ever: a dim insert/postimage rewrites the dim
+columns of the state rows whose join key matches (including rows that
+were NULL because the key was previously absent); a dim delete NULLs
+them. Inner views are refused: they physically dropped the
+non-matching bronze rows, so a later dim insert has nothing to revive
+— use ``how='left'`` when the dimension churns.
+
 Upserts and deletes publish in ONE atomic ACID commit
 (``AcidTable.merge(delete_keys=...)``), carrying the change-feed
 progress marker — the same exactly-once discipline as
@@ -61,18 +71,24 @@ class MaterializedJoin:
     ):
         """``row_keys``: the bronze row key (state is unique by it).
         ``on``: (bronze_col, dim_col) equi-join pairs. ``how``: inner
-        or left. The dim frame is captured lazily — pass the CURRENT
-        dimension snapshot; dimension churn requires re-deriving the
-        view (dim-side delta maintenance is a different algebra)."""
+        or left. ``dim``: the dimension frame, or a CALLABLE returning
+        it — pass ``lambda: dim_table.read()`` when the dimension
+        itself churns, so bronze-side folds always join the current
+        snapshot (dim-side folds never read it; see
+        ``update_dim_changes``)."""
         if how not in ("inner", "left"):
             raise ValueError(f"how must be inner or left, got {how!r}")
         self.spark = spark
         self.row_keys = list(row_keys)
-        self.dim = dim
+        self._dim = dim
         self.on = [tuple(p) for p in on]
         self.how = how
         self.broadcast_dim = broadcast_dim
         self.acid = AcidTable(spark, path)
+
+    @property
+    def dim(self) -> DataFrame:
+        return self._dim() if callable(self._dim) else self._dim
 
     # ------------------------------------------------------------------
     def _join(self, delta: DataFrame) -> DataFrame:
@@ -118,6 +134,71 @@ class MaterializedJoin:
             keys=self.row_keys,
             delete_keys=deletes,
             extra_meta=commit_meta,
+        )
+        return {"rows_upserted": upserts.count(), **stats}
+
+    def update_dim_changes(
+        self,
+        feed: DataFrame,
+        commit_meta: Dict[str, object] = None,
+        snapshot: DataFrame = None,  # unused; ChangeFeedConsumer duck-type
+    ) -> Dict[str, int]:
+        """Fold one DIMENSION change-feed batch (``AcidTable.changes()``
+        keyed by the dim key) into the join view in one atomic commit —
+        from state alone, the bronze table is never read:
+
+        - insert / update_postimage dim rows REWRITE the dim columns of
+          every state row whose join key matches (a key that was absent
+          revives its NULL rows — this is why inner views are refused);
+        - delete dim rows NULL the dim columns of matching state rows.
+
+        Cost: state rows matching the churned keys (broadcast semi /
+        equi joins against the dim-delta), COW rewrite of touched state
+        files only."""
+        if self.how != "left":
+            raise ValueError(
+                "dim-side maintenance needs how='left': an inner view "
+                "physically dropped the non-matching bronze rows, so a "
+                "dim insert has nothing to revive — re-derive the view "
+                "or build it as a left join"
+            )
+        state = self.acid.read()
+        dim_cols = list(self.dim.columns)
+        bronze_cols = [c for c in state.columns if c not in dim_cols]
+        dtypes = {f.name: f.dataType for f in state.schema.fields}
+        post = feed.filter(
+            F.col("change_type").isin("insert", "update_postimage")
+        ).drop("change_type")
+        dels = feed.filter(F.col("change_type") == "delete")
+        cond = F.lit(True)
+        for bc, dc in self.on:
+            cond = cond & (F.col(f"s.{bc}") == F.col(f"p.{dc}"))
+        matched = (
+            state.alias("s")
+            .join(F.broadcast(post).alias("p"), cond)
+            .select(
+                *[F.col(f"s.{c}").alias(c) for c in bronze_cols],
+                *[F.col(f"p.{c}").alias(c) for c in dim_cols],
+            )
+        )
+        dcond = F.lit(True)
+        for bc, dc in self.on:
+            dcond = dcond & (F.col(f"s.{bc}") == F.col(f"d.{dc}"))
+        nulled = (
+            state.alias("s")
+            .join(
+                F.broadcast(dels.select(*[dc for _, dc in self.on])).alias("d"),
+                dcond,
+                "left_semi",
+            )
+            .select(
+                *bronze_cols,
+                *[F.lit(None).cast(dtypes[c]).alias(c) for c in dim_cols],
+            )
+        )
+        upserts = matched.unionByName(nulled)
+        stats = self.acid.merge(
+            upserts, keys=self.row_keys, extra_meta=commit_meta
         )
         return {"rows_upserted": upserts.count(), **stats}
 

@@ -43,6 +43,7 @@ class ChangeFeedConsumer:
         view: MaterializedAgg,
         count_col: str = None,
         feed_transform=None,
+        dim_side: bool = False,
     ):
         """``source_keys``: the bronze table's unique ROW key (what
         ``changes()`` diffs on) — distinct from ``view.keys``, the
@@ -58,7 +59,11 @@ class ChangeFeedConsumer:
         deterministic, per-row, and independent of ``change_type``:
         it is applied identically to preimage and postimage rows, so
         any cross-row or change-aware logic would corrupt the signed
-        fold."""
+        fold. ``dim_side``: this consumer watches the DIMENSION table
+        of a ``MaterializedJoin`` (source = the dim's AcidTable,
+        source_keys = the dim key) and folds via
+        ``update_dim_changes`` — the same exactly-once marker
+        discipline, a second independent stream_id on the same view."""
         if count_col is not None and not any(
             a[0] == count_col and a[1] == "count"
             for a in getattr(view, "aggs", [])
@@ -72,11 +77,14 @@ class ChangeFeedConsumer:
                 "at read time); only row-level views (MaterializedJoin, "
                 "which physically removes retracted rows) may omit it"
             )
+        if dim_side and not hasattr(view, "update_dim_changes"):
+            raise ValueError("dim_side consumers need a MaterializedJoin view")
         self.source = source
         self.source_keys = list(source_keys)
         self.view = view
         self.count_col = count_col
         self.feed_transform = feed_transform
+        self.dim_side = dim_side
         self.stream_id = f"cdf:{source.path}"
 
     def last_processed_version(self) -> int:
@@ -101,7 +109,12 @@ class ChangeFeedConsumer:
         if self.feed_transform is not None:
             feed = self.feed_transform(feed)
             snapshot = self.feed_transform(snapshot)
-        stats = self.view.update_changes(
+        fold = (
+            self.view.update_dim_changes
+            if self.dim_side
+            else self.view.update_changes
+        )
+        stats = fold(
             feed,
             commit_meta={"stream_id": self.stream_id, "batch_id": v_to},
             snapshot=snapshot,

@@ -172,3 +172,113 @@ def test_merge_delete_keys_exclusive_with_delete_matched(spark, tmp_path):
             delete_matched=True,
             delete_keys=spark.createDataFrame([(1,)], "k long"),
         )
+
+
+def _dim_table(spark, tmp_path, name="dimacid"):
+    t = AcidTable(spark, str(tmp_path / name))
+    t.write(
+        spark.createDataFrame(
+            [(1, "BUILDING"), (2, "MACHINERY"), (3, "FURNITURE")],
+            "c_id long, seg string",
+        ),
+        stats_cols=["c_id"],
+    )
+    return t
+
+
+def _dim_rows(spark, rows):
+    return spark.createDataFrame(rows, "c_id long, seg string")
+
+
+def test_dim_churn_update_delete_reinsert(spark, tmp_path):
+    bronze = AcidTable(spark, str(tmp_path / "dcb"))
+    dim = _dim_table(spark, tmp_path)
+    view = MaterializedJoin(
+        spark, str(tmp_path / "dcv"), row_keys=["k"],
+        dim=lambda: dim.read(), on=[("cust", "c_id")], how="left",
+    )
+    rows_c = ChangeFeedConsumer(bronze, ["k"], view)
+    dim_c = ChangeFeedConsumer(dim, ["c_id"], view, dim_side=True)
+    bronze.write(
+        _facts(spark, [(1, 1, 10), (2, 2, 5), (3, 2, 7), (4, 9, 1)]),
+        stats_cols=["k"],
+    )
+    rows_c.process_available()
+    # baseline marker: the view reflects dim v1 already
+    view.acid._commit(
+        view.acid.latest_version(), "DIM_BASELINE", [], [],
+        meta={"stream_id": dim_c.stream_id, "batch_id": 1},
+    )
+
+    def got():
+        return {r["k"]: (r["cust"], r["seg"]) for r in dim_c.state().collect()}
+
+    # rename: every order of cust 2 sees the new segment
+    dim.merge(_dim_rows(spark, [(2, "RENAMED")]), keys=["c_id"])
+    dim_c.process_available()
+    assert got() == {1: (1, "BUILDING"), 2: (2, "RENAMED"),
+                     3: (2, "RENAMED"), 4: (9, None)}
+
+    # GDPR delete: cust 1's orders NULL their dim columns
+    dim.merge(_dim_rows(spark, [(1, "X")]), keys=["c_id"], delete_matched=True)
+    dim_c.process_available()
+    assert got()[1] == (1, None)
+
+    # late insert of cust 9: the NULL row revives — the case that
+    # forces how='left'
+    dim.merge(_dim_rows(spark, [(9, "LATE")]), keys=["c_id"])
+    dim_c.process_available()
+    assert got()[4] == (9, "LATE")
+    # end state equals the one-shot left join against the final dim
+    want = {
+        r["k"]: (r["cust"], r["seg"])
+        for r in bronze.read().join(
+            dim.read(), F.col("cust") == F.col("c_id"), "left"
+        ).collect()
+    }
+    assert got() == want
+
+
+def test_dim_churn_refused_for_inner(spark, tmp_path):
+    dim = _dim_table(spark, tmp_path, "dimacid2")
+    view = MaterializedJoin(
+        spark, str(tmp_path / "dcv2"), row_keys=["k"],
+        dim=lambda: dim.read(), on=[("cust", "c_id")], how="inner",
+    )
+    feed = dim.changes(["c_id"], v_from=0, v_to=1)
+    with pytest.raises(ValueError, match="left"):
+        view.update_dim_changes(feed)
+    with pytest.raises(ValueError, match="MaterializedJoin"):
+        from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+        agg = MaterializedAgg(
+            spark, str(tmp_path / "nope"), keys=["g"], aggs=[("n", "count", "")]
+        )
+        ChangeFeedConsumer(dim, ["c_id"], agg, count_col="n", dim_side=True)
+
+
+def test_dim_churn_replay_is_noop(spark, tmp_path):
+    bronze = AcidTable(spark, str(tmp_path / "dcb3"))
+    dim = _dim_table(spark, tmp_path, "dimacid3")
+    view = MaterializedJoin(
+        spark, str(tmp_path / "dcv3"), row_keys=["k"],
+        dim=lambda: dim.read(), on=[("cust", "c_id")], how="left",
+    )
+    ChangeFeedConsumer(bronze, ["k"], view)  # construction only
+    bronze.write(_facts(spark, [(1, 1, 10)]), stats_cols=["k"])
+    ChangeFeedConsumer(bronze, ["k"], view).process_available()
+    dim_c = ChangeFeedConsumer(dim, ["c_id"], view, dim_side=True)
+    view.acid._commit(
+        view.acid.latest_version(), "DIM_BASELINE", [], [],
+        meta={"stream_id": dim_c.stream_id, "batch_id": 1},
+    )
+    dim.merge(_dim_rows(spark, [(1, "NEW")]), keys=["c_id"])
+    dim_c.process_available()
+    versions = view.acid.latest_version()
+    # crash restart on BOTH consumers: no double-apply
+    assert ChangeFeedConsumer(
+        dim, ["c_id"], view, dim_side=True
+    ).process_available()["versions_behind"] == 0
+    assert ChangeFeedConsumer(
+        bronze, ["k"], view
+    ).process_available()["versions_behind"] == 0
+    assert view.acid.latest_version() == versions
