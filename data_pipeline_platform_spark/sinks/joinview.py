@@ -100,6 +100,25 @@ class MaterializedJoin:
             cond = cond & (delta[bc] == dim[dc])
         return delta.join(dim, cond, self.how)
 
+    def update(
+        self, batch: DataFrame, commit_meta: Dict[str, object] = None
+    ) -> Dict[str, int]:
+        """Append-only fold: join one micro-batch of NEW bronze rows
+        against the dim and upsert under the row key. This is the
+        streaming-enrichment entry — ``streaming.matview.fold_batch``
+        / ``stream_materialize`` drive it unchanged (same duck type as
+        ``MaterializedAgg.update``), marker inside the atomic commit."""
+        upserts = self._join(batch)
+        if not self.acid.exists():
+            self.acid.write(
+                upserts, stats_cols=self.row_keys, extra_meta=commit_meta
+            )
+            return {"rows_upserted": upserts.count(), "files_rewritten": 0}
+        stats = self.acid.merge(
+            upserts, keys=self.row_keys, extra_meta=commit_meta
+        )
+        return {"rows_upserted": upserts.count(), **stats}
+
     def update_changes(
         self,
         feed: DataFrame,
