@@ -450,3 +450,106 @@ register(
     q_matview_join_dim_churn,
     ORACLE_MATVIEW_JOIN_DIM_CHURN,
 )
+
+
+def q_medallion_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic star-schema medallion: bronze orders → silver
+    ENRICHMENT JOIN (orders ⋈ customer, left) → gold AGGREGATE
+    (revenue per market segment) — a JOIN view's own ACID change feed
+    driving a retracting aggregate view, each hop exactly-once. The
+    custkey-0 reassignment sends rows to the NULL-segment group (left
+    join), exercising the null-safe group fold end-to-end; deletes
+    retract through BOTH hops. Gold must equal the one-shot
+    join+groupBy over the final bronze."""
+    from data_pipeline_platform_spark.sinks.joinview import MaterializedJoin
+
+    orders = _orders_cents(spark, sf_dir).drop("o_orderpriority")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 500 == 0, F.lit(0))
+        .otherwise((F.col("o_orderkey") % 7) + 1)
+        .alias("o_custkey"),
+        (F.col("price_c") + F.lit(100)).alias("price_c"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+    )
+    deletes = base.filter(F.col("o_orderkey") % 300 == 0)
+
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="mja_bronze_"))
+    silver = MaterializedJoin(
+        spark,
+        tempfile.mkdtemp(prefix="mja_silver_"),
+        row_keys=["o_orderkey"],
+        dim=customer,
+        on=[("o_custkey", "c_custkey")],
+        how="left",
+    )
+    hop1 = ChangeFeedConsumer(bronze, source_keys=["o_orderkey"], view=silver)
+    gold = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="mja_gold_"),
+        keys=["c_mktsegment"],
+        aggs=[("n_orders", "count", ""), ("sum_price_c", "sum", "price_c")],
+    )
+    hop2 = ChangeFeedConsumer(
+        silver.acid,
+        source_keys=["o_orderkey"],
+        view=gold,
+        count_col="n_orders",
+    )
+    for commit in (
+        lambda: bronze.write(
+            base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"]
+        ),
+        lambda: bronze.merge(updates.unionByName(inserts), keys=["o_orderkey"]),
+        lambda: bronze.merge(deletes, keys=["o_orderkey"], delete_matched=True),
+    ):
+        commit()
+        hop1.process_available()
+        hop2.process_available()
+    return hop2.state().select(
+        "c_mktsegment",
+        "n_orders",
+        (F.col("sum_price_c") / 100.0).alias("sum_price"),
+    )
+
+
+ORACLE_MEDALLION_JOIN_THEN_AGG = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), upd AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN
+           CASE WHEN o_orderkey % 500 = 0 THEN 0
+                ELSE (o_orderkey % 7) + 1 END
+         ELSE o_custkey END AS o_custkey,
+         price_c + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM base
+), kept AS (
+  SELECT * FROM upd WHERE o_orderkey % 300 <> 0
+), ins AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+), final AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM ins
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(f.price_c) / 100.0 AS sum_price
+FROM final f LEFT JOIN customer c ON f.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+register(
+    "medallion_join_then_agg",
+    q_medallion_join_then_agg,
+    ORACLE_MEDALLION_JOIN_THEN_AGG,
+)
