@@ -4,9 +4,12 @@ ops, see SURVEY.md §2.11). Flajolet et al., "HyperLogLog: the analysis
 of a near-optimal cardinality estimation algorithm" (AofA 2007).
 
 ``hll_distinct_sources``: per-source estimate of the distinct-token
-count over ``documents`` — the approximate-aggregation member the
-profiling family was missing (CMS covers frequency, HLL covers
-cardinality). The registers are a plain DataFrame:
+count over ``documents``. Companion to ``hll_distinct_users``
+(functions/sketches.py — inline per-event-type estimate with an exact
+twin); THIS module factors the sketch into a reusable register API
+whose frames MERGE across shards (``hll_merge``: max-fold, with the
+merge-equals-union property test) — the piece a 100 TB profiler
+actually composes with. The registers are a plain DataFrame:
 
     groupBy(source, bucket).agg(max(rho))
 

@@ -173,8 +173,12 @@ N_SALT = 8
 def q_salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remediation `join_skew_profile` implies: a SALTED shuffle
     join + two-phase aggregation on the profile's fact-side key
-    (events.user_id). A hot key funnels its whole row set through one
-    reducer in a plain shuffle join; salting splits it N_SALT ways:
+    (events.user_id). Companion to `salted_skew_join`
+    (functions/scale.py — event_type, the 5-value census key); THIS
+    variant salts the profile's actual row key, forces the shuffle
+    join (no broadcast escape), and is pinned by a plan-quality gate.
+    A hot key funnels its whole row set through one reducer in a plain
+    shuffle join; salting splits it N_SALT ways:
 
     - fact side gets a DETERMINISTIC salt (event_id % N_SALT — never a
       rand(): replays and retries must land rows on the same salt);
