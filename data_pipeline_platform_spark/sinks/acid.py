@@ -454,8 +454,15 @@ class AcidTable:
         delete_matched: bool = False,
         extra_meta: Optional[Dict[str, Any]] = None,
         delete_keys: Optional[DataFrame] = None,
+        max_retries: int = 3,
     ) -> Dict[str, int]:
-        """MERGE INTO this table USING source ON keys.
+        """MERGE INTO this table USING source ON keys, with optimistic
+        concurrency: a losing writer re-reads the NEW snapshot and
+        re-runs the whole candidate/touched/rewrite resolution against
+        it (the Delta OCC loop — same discipline as ``write``; data
+        files staged by a lost attempt become unreferenced orphans that
+        ``vacuum`` removes). Raises CommitConflictError only after
+        ``max_retries`` consecutive losses.
 
         Matched target rows take every non-key column from the source
         (reference ON CONFLICT DO UPDATE contract) — or are deleted when
@@ -483,6 +490,24 @@ class AcidTable:
         """
         if delete_matched and delete_keys is not None:
             raise ValueError("delete_matched and delete_keys are exclusive")
+        for attempt in range(max_retries):
+            try:
+                return self._merge_attempt(
+                    source, keys, delete_matched, extra_meta, delete_keys
+                )
+            except CommitConflictError:
+                if attempt == max_retries - 1:
+                    raise
+        raise CommitConflictError(f"gave up after {max_retries} retries")
+
+    def _merge_attempt(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        delete_matched: bool,
+        extra_meta: Optional[Dict[str, Any]],
+        delete_keys: Optional[DataFrame],
+    ) -> Dict[str, int]:
         base = self.latest_version()
         files = self.snapshot_files(base)
         if not files:

@@ -406,3 +406,64 @@ def test_log_stats_equal_data_stats(spark, table):
         {"k": "max"}
     ).collect()[0][0], table.read().count()
     assert (log_min, log_max, log_rows) == data
+
+
+def test_merge_retries_on_commit_conflict(spark, tmp_path):
+    """OCC loop: a competing writer steals the version slot between
+    merge's snapshot read and its commit; merge must re-resolve against
+    the NEW snapshot and succeed, leaving the loser attempt's staged
+    files as vacuum-able orphans."""
+    t = AcidTable(spark, str(tmp_path / "occ"))
+    t.write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, x long"),
+        stats_cols=["k"],
+    )
+    orig = t._write_data_files
+    state = {"fired": False}
+
+    def hijack(df, stats_cols=(), binpack=True):
+        files = orig(df, stats_cols, binpack=binpack)
+        if not state["fired"]:
+            state["fired"] = True
+            # competing writer (separate handle) wins the version slot
+            # AFTER this attempt staged its files but BEFORE its commit
+            AcidTable(spark, t.path).write(
+                spark.createDataFrame([(9, 90)], "k long, x long"),
+                mode="append",
+                stats_cols=["k"],
+            )
+        return files
+
+    t._write_data_files = hijack
+    stats = t.merge(
+        spark.createDataFrame([(2, 99)], "k long, x long"), keys=["k"]
+    )
+    assert stats["files_rewritten"] >= 1
+    got = {r["k"]: r["x"] for r in t.read().collect()}
+    # the merge applied AND the competing append survived
+    assert got == {1: 10, 2: 99, 9: 90}
+    # versions: base write, competing append, winning merge attempt
+    assert t.latest_version() == 3
+    # the lost attempt's staged files are orphans; vacuum removes them
+    assert len(t.vacuum()) >= 1
+
+
+def test_merge_gives_up_after_max_retries(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "occ2"))
+    t.write(spark.createDataFrame([(1, 10)], "k long, x long"), stats_cols=["k"])
+    orig = t._write_data_files
+
+    def always_lose(df, stats_cols=(), binpack=True):
+        files = orig(df, stats_cols, binpack=binpack)
+        AcidTable(spark, t.path).write(
+            spark.createDataFrame([(1, -1)], "k long, x long"),
+            mode="append", stats_cols=["k"],
+        )
+        return files
+
+    t._write_data_files = always_lose
+    with pytest.raises(CommitConflictError):
+        t.merge(
+            spark.createDataFrame([(1, 99)], "k long, x long"),
+            keys=["k"], max_retries=2,
+        )

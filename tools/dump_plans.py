@@ -155,6 +155,9 @@ NOTES = {
     # r8e wave
     "keyness_dunning": "ONE token census shuffle; 1-row totals broadcast; row-local G2; TakeOrderedAndProject top-50 — no window",
     "js_divergence_sources": "(source,token) census is the single fact shuffle; token-keyed marginal join co-located with it; source totals broadcast",
+    # r9 wave
+    "hll_distinct_sources": "register build = ONE map-side-combinable (source,bucket) MAX shuffle; reduced payload |sources|x1024; estimator is census-sized arithmetic",
+    "salted_skew_join_events": "SortMergeJoin keyed (user_id, salt) — hot key spreads over 8 partitions; phase-1 agg keeps the salt, final fold drops it; no broadcast, no rand",
 }
 
 
