@@ -212,7 +212,10 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
 def minhash_signatures(
-    shingled: DataFrame, n_hashes: int = N_HASHES, id_col: str = "doc_id"
+    shingled: DataFrame,
+    n_hashes: int = N_HASHES,
+    id_col: str = "doc_id",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Min-hash signatures as one array column ``sig`` (entry i =
     min over shingles of xxhash64(shingle, i)), computed in a single
@@ -230,15 +233,14 @@ def minhash_signatures(
         f"(acc, s) -> zip_with(acc, sequence(0, {n_hashes - 1}), "
         f"(a, seed) -> least(a, xxhash64(s, seed))))"
     )
-    return shingled.select(id_col, F.expr(sig).alias("sig"))
+    return shingled.select(id_col, *extra_cols, F.expr(sig).alias("sig"))
 
 
-def lsh_band_keys(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, band, sig) LSH keys: one-pass minhash signature, then each
-    band's rows hash into a single 64-bit bucket key. Two docs collide
-    in a band iff their signature rows agree there — the equi-join key
-    both the self-dedup and the cross-corpus decontamination use."""
-    mh = minhash_signatures(shingled, id_col=id_col)
+def bands_from_signatures(mh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, sig) band-bucket keys from a frame that already
+    carries a ``sig`` signature array — the projection the persisted
+    signature index (functions/dedup_index.py) replays without
+    re-shingling history."""
     # bands directly from the signature array — sig[i] is 0-based
     band_structs = (
         f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, xxhash64("
@@ -248,6 +250,16 @@ def lsh_band_keys(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return mh.select(
         id_col, F.explode(F.expr(band_structs)).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def lsh_band_keys(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, sig) LSH keys: one-pass minhash signature, then each
+    band's rows hash into a single 64-bit bucket key. Two docs collide
+    in a band iff their signature rows agree there — the equi-join key
+    both the self-dedup and the cross-corpus decontamination use."""
+    return bands_from_signatures(
+        minhash_signatures(shingled, id_col=id_col), id_col=id_col
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

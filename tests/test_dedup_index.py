@@ -1,0 +1,90 @@
+"""IncrementalLshIndex (functions/dedup_index.py): batched ingestion
+equals one-shot LSH, replays are no-ops, and a crash between the pairs
+commit and the index commit heals on replay."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.functions.dedup import (
+    q_dedup_minhash_lsh,
+)
+from data_pipeline_platform_spark.functions.dedup_index import (
+    IncrementalLshIndex,
+    _last_batch,
+)
+from data_pipeline_platform_spark.utils.cache import release_tracked
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()}
+
+
+def _index(spark, tmp_path, tag=""):
+    return IncrementalLshIndex(
+        spark, str(tmp_path / f"idx{tag}"), str(tmp_path / f"prs{tag}")
+    )
+
+
+def test_batched_ingestion_equals_one_shot(spark, tmp_path):
+    docs = _docs(spark)
+    idx = _index(spark, tmp_path)
+    for b in range(3):
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+    got = _pairs(idx.all_pairs())
+    want = _pairs(q_dedup_minhash_lsh(spark, SF))
+    release_tracked()
+    assert got == want
+    assert len(got) > 0  # the fixture plants near-dups
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    docs = _docs(spark)
+    idx = _index(spark, tmp_path, "r")
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 0), batch_id=0)
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)
+    pv, iv = idx.pairs.latest_version(), idx.index.latest_version()
+    before = _pairs(idx.all_pairs())
+    stats = idx.add_batch(docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)
+    assert stats["new_pairs"] == 0
+    assert (idx.pairs.latest_version(), idx.index.latest_version()) == (pv, iv)
+    assert _pairs(idx.all_pairs()) == before
+
+
+def test_crash_between_pairs_and_index_commits_heals(spark, tmp_path):
+    docs = _docs(spark)
+    idx = _index(spark, tmp_path, "c")
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 0), batch_id=0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+
+    # simulate: pairs commit published, crash before the index commit
+    orig_write = idx.index.write
+    idx.index.write = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash")
+    )
+    try:
+        idx.add_batch(b1, batch_id=1)
+    except RuntimeError:
+        pass
+    assert _last_batch(idx.pairs) == 1
+    assert _last_batch(idx.index) == 0  # index missed the batch
+    idx.index.write = orig_write
+
+    # replay: pairs append skips, index append completes
+    pv = idx.pairs.latest_version()
+    idx.add_batch(b1, batch_id=1)
+    assert idx.pairs.latest_version() == pv  # no duplicate pairs commit
+    assert _last_batch(idx.index) == 1
+
+    # and the final state still equals one-shot over batches 0+1
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 2), batch_id=2)
+    got = _pairs(idx.all_pairs())
+    want = _pairs(q_dedup_minhash_lsh(spark, SF))
+    release_tracked()
+    assert got == want
