@@ -65,6 +65,11 @@ class CommitConflictError(RuntimeError):
     a fresh snapshot)."""
 
 
+class ConstraintViolationError(ValueError):
+    """An incoming batch (or, at ADD CONSTRAINT time, the existing
+    snapshot) violates a table CHECK constraint."""
+
+
 class AcidTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -178,6 +183,90 @@ class AcidTable:
             for action in commit["add"]:
                 live[action["path"]] = action
         return list(live.values())
+
+    # ------------------------------------------------------------------
+    # CHECK constraints (the Delta table-constraint pattern: stored in
+    # the commit log, enforced on every data-adding write)
+    # ------------------------------------------------------------------
+    def constraints(self, version: Optional[int] = None) -> Dict[str, str]:
+        """name -> SQL predicate, from replaying SET/DROP_CONSTRAINT
+        commits (metadata-only; a production variant folds these into
+        the checkpoint like Delta's protocol state). Incremental per
+        handle: only commits newer than the last scan are read —
+        commits are immutable, so the cache can never be stale."""
+        upto = self.latest_version() if version is None else version
+        cached_v, cached = getattr(self, "_constraint_cache", (0, {}))
+        if version is not None and upto < cached_v:
+            cached_v, cached = 0, {}  # historical ask: replay from genesis
+        out = dict(cached)
+        for v in range(cached_v + 1, upto + 1):
+            commit = self._read_commit(v)
+            meta = commit.get("meta") or {}
+            if commit["op"] == "SET_CONSTRAINT":
+                out[meta["name"]] = meta["expr"]
+            elif commit["op"] == "DROP_CONSTRAINT":
+                out.pop(meta["name"], None)
+        if version is None:
+            self._constraint_cache = (upto, dict(out))
+        return out
+
+    def add_constraint(
+        self, name: str, expr: str, validate_existing: bool = True
+    ) -> int:
+        """Publish a CHECK constraint (SQL predicate over the table's
+        columns; NULL predicates pass, per SQL CHECK semantics). With
+        ``validate_existing`` the CURRENT snapshot is scanned first and
+        the constraint is refused if any row violates it — otherwise
+        later writers would be blamed for historic rows."""
+        if validate_existing and self.exists():
+            bad = self.read().filter(f"NOT ({expr})").limit(1).count()
+            if bad:
+                raise ConstraintViolationError(
+                    f"existing rows violate CHECK {name!r} ({expr}); "
+                    "clean the data or pass validate_existing=False"
+                )
+        return self._commit(
+            self.latest_version(), "SET_CONSTRAINT", [], [],
+            meta={"name": name, "expr": expr},
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        return self._commit(
+            self.latest_version(), "DROP_CONSTRAINT", [], [],
+            meta={"name": name},
+        )
+
+    def _validate_constraints(self, df: DataFrame) -> None:
+        """One batch-sized violation probe per active constraint —
+        write-time enforcement, so readers never need to re-check."""
+        for name, expr in self.constraints().items():
+            if df.filter(f"NOT ({expr})").limit(1).count():
+                raise ConstraintViolationError(
+                    f"incoming batch violates CHECK {name!r} ({expr})"
+                )
+
+    # ------------------------------------------------------------------
+    # shallow clone
+    # ------------------------------------------------------------------
+    def clone(self, dest_path: str) -> "AcidTable":
+        """Zero-copy snapshot clone (Delta SHALLOW CLONE): the clone's
+        v1 REFERENCES this table's current live data files, so cloning
+        a 100 TB table is one metadata commit. The clone's own COW
+        rewrites land under its own directory, and its ``vacuum`` only
+        scans its own directory — it can never delete source files.
+        Caveat (same as Delta shallow clones): ``vacuum`` on the SOURCE
+        does not know about clones; run it only after clones are
+        rewritten or dropped. Active CHECK constraints carry over."""
+        dest = AcidTable(self.spark, dest_path)
+        if dest.exists():
+            raise FileExistsError(f"clone target {dest.path} is not empty")
+        dest._commit(0, "CLONE", self.snapshot_files(), [],
+                     meta={"source": self.path,
+                           "source_version": self.latest_version()})
+        for name, expr in self.constraints().items():
+            dest._commit(dest.latest_version(), "SET_CONSTRAINT", [], [],
+                         meta={"name": name, "expr": expr})
+        return dest
 
     # ------------------------------------------------------------------
     # reads
@@ -428,6 +517,7 @@ class AcidTable:
         transactional carrier for application markers (e.g. streaming
         batch ids): they publish atomically WITH the data or not at all
         (the Delta txn-action pattern)."""
+        self._validate_constraints(df)
         add = self._write_data_files(df, stats_cols, binpack=binpack)
         for _ in range(max_retries):
             base = self.latest_version()
@@ -490,6 +580,8 @@ class AcidTable:
         """
         if delete_matched and delete_keys is not None:
             raise ValueError("delete_matched and delete_keys are exclusive")
+        if not delete_matched:
+            self._validate_constraints(source)
         for attempt in range(max_retries):
             try:
                 return self._merge_attempt(

@@ -467,3 +467,64 @@ def test_merge_gives_up_after_max_retries(spark, tmp_path):
             spark.createDataFrame([(1, 99)], "k long, x long"),
             keys=["k"], max_retries=2,
         )
+
+
+def _kx(spark, rows):
+    return spark.createDataFrame(rows, "k long, x long")
+
+
+def test_check_constraints_enforced_on_write_and_merge(spark, tmp_path):
+    from data_pipeline_platform_spark.sinks.acid import ConstraintViolationError
+
+    t = AcidTable(spark, str(tmp_path / "chk"))
+    t.write(_kx(spark, [(1, 10), (2, 20)]), stats_cols=["k"])
+    t.add_constraint("x_nonneg", "x >= 0")
+    assert t.constraints() == {"x_nonneg": "x >= 0"}
+    # violating append refused BEFORE any data file publishes
+    v = t.latest_version()
+    with pytest.raises(ConstraintViolationError, match="x_nonneg"):
+        t.write(_kx(spark, [(3, -1)]), mode="append", stats_cols=["k"])
+    with pytest.raises(ConstraintViolationError, match="x_nonneg"):
+        t.merge(_kx(spark, [(1, -5)]), keys=["k"])
+    assert t.latest_version() == v  # nothing committed
+    # clean rows pass; delete-merges never add rows and skip the probe
+    t.merge(_kx(spark, [(3, 30)]), keys=["k"])
+    t.merge(_kx(spark, [(1, 0)]), keys=["k"], delete_matched=True)
+    assert {r["k"]: r["x"] for r in t.read().collect()} == {2: 20, 3: 30}
+    # drop re-opens the gate
+    t.drop_constraint("x_nonneg")
+    t.write(_kx(spark, [(9, -9)]), mode="append", stats_cols=["k"])
+    assert t.read().filter("x < 0").count() == 1
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    from data_pipeline_platform_spark.sinks.acid import ConstraintViolationError
+
+    t = AcidTable(spark, str(tmp_path / "chk2"))
+    t.write(_kx(spark, [(1, -1)]), stats_cols=["k"])
+    with pytest.raises(ConstraintViolationError, match="existing"):
+        t.add_constraint("x_nonneg", "x >= 0")
+    t.add_constraint("x_nonneg", "x >= 0", validate_existing=False)
+    assert "x_nonneg" in t.constraints()
+
+
+def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    import os
+
+    t = AcidTable(spark, str(tmp_path / "src"))
+    t.write(_kx(spark, [(1, 10), (2, 20), (3, 30)]), stats_cols=["k"])
+    t.add_constraint("x_nonneg", "x >= 0")
+    c = t.clone(str(tmp_path / "dst"))
+    # zero-copy: no parquet under the clone dir, content identical
+    assert not [f for f in os.listdir(c.path) if f.endswith(".parquet")]
+    assert {r["k"]: r["x"] for r in c.read().collect()} == {1: 10, 2: 20, 3: 30}
+    assert c.constraints() == {"x_nonneg": "x >= 0"}
+    # clone diverges without touching the source
+    c.merge(_kx(spark, [(2, 99)]), keys=["k"])
+    assert {r["k"]: r["x"] for r in c.read().collect()} == {1: 10, 2: 99, 3: 30}
+    assert {r["k"]: r["x"] for r in t.read().collect()} == {1: 10, 2: 20, 3: 30}
+    # clone vacuum scans only its own dir: source files survive
+    c.vacuum()
+    assert {r["k"]: r["x"] for r in t.read().collect()} == {1: 10, 2: 20, 3: 30}
+    with pytest.raises(FileExistsError):
+        t.clone(str(tmp_path / "dst"))
