@@ -48,10 +48,10 @@ from data_pipeline_platform_spark.sinks.acid import AcidTable
 _STREAM = "lsh"
 
 
-def _last_batch(table: AcidTable) -> int:
+def _last_batch(table: AcidTable, stream: str = _STREAM) -> int:
     for v in range(table.latest_version(), 0, -1):
         meta = table._read_commit(v).get("meta") or {}
-        if meta.get("stream_id") == _STREAM:
+        if meta.get("stream_id") == stream:
             return int(meta["batch_id"])
     return -1
 
@@ -165,3 +165,129 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_incremental_lsh", q_dedup_incremental_lsh, ORACLE_DEDUP_MINHASH_LSH)
+
+
+_EMB_STREAM = "emb-lsh"
+
+
+class IncrementalEmbeddingIndex:
+    """The vector twin of ``IncrementalLshIndex``: an ACID-backed
+    (vec_id, vec) store whose hyperplane band keys are a deterministic
+    projection (seeded planes — functions/similarity.py), so each new
+    embedding batch discovers near-dup pairs against history with one
+    (band_idx, band_val) equi-join and an exact-cosine verify on
+    collisions only. Band collision is pairwise, so batched discovery
+    equals the one-shot banded pass exactly — the graded twin shares
+    `embedding_near_dup`'s plane-replaying oracle."""
+
+    def __init__(self, spark: SparkSession, index_path: str, pairs_path: str):
+        self.spark = spark
+        self.index = AcidTable(spark, index_path)
+        self.pairs = AcidTable(spark, pairs_path)
+
+    def add_batch(self, emb: DataFrame, batch_id: int) -> Dict[str, int]:
+        """``emb``: (vec_id, vec array<double>) rows new to the corpus."""
+        from data_pipeline_platform_spark.functions.similarity import (
+            ND_THRESHOLD,
+            _dot,
+            with_hyperplane_bands,
+        )
+
+        prepared = emb.select("vec_id", "vec").persist()
+        try:
+            new_bands = with_hyperplane_bands(prepared)
+            in_batch = (
+                new_bands.groupBy("band_idx", "band_val")
+                .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+                .filter(F.size("ids") > 1)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "flatten(transform(ids, (x, i) -> "
+                            "transform(slice(ids, i + 2, size(ids)), y -> "
+                            "struct(x AS id_a, y AS id_b))))"
+                        )
+                    ).alias("p")
+                )
+                .select("p.id_a", "p.id_b")
+            )
+            if self.index.exists():
+                old = self.index.read()
+                old_bands = with_hyperplane_bands(old).select(
+                    F.col("vec_id").alias("old_id"), "band_idx", "band_val"
+                )
+                cross = new_bands.join(
+                    old_bands, ["band_idx", "band_val"]
+                ).select(
+                    F.least("vec_id", "old_id").alias("id_a"),
+                    F.greatest("vec_id", "old_id").alias("id_b"),
+                )
+                candidates = in_batch.unionByName(cross).distinct()
+                lookup = old.unionByName(prepared)
+            else:
+                candidates = in_batch.distinct()
+                lookup = prepared
+            x = lookup.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+            y = lookup.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+            verified = (
+                candidates.join(x, "id_a")
+                .join(y, "id_b")
+                .withColumn(
+                    "cosine",
+                    _dot("va", "vb")
+                    / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))),
+                )
+                .filter(F.col("cosine") >= ND_THRESHOLD)
+                .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+            )
+            marker = {"stream_id": _EMB_STREAM, "batch_id": batch_id}
+            n_pairs = 0
+            if batch_id > _last_batch(self.pairs, _EMB_STREAM):
+                n_pairs = verified.count()
+                self.pairs.write(verified, mode="append", extra_meta=marker)
+            if batch_id > _last_batch(self.index, _EMB_STREAM):
+                self.index.write(prepared, mode="append", extra_meta=marker)
+        finally:
+            prepared.unpersist(blocking=False)
+        return {"batch_id": batch_id, "new_pairs": n_pairs}
+
+    def all_pairs(self) -> DataFrame:
+        return self.pairs.read()
+
+
+def q_embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three embedding-ingestion batches (vec_id % 3) through the
+    persisted vector index; accumulated pairs must bitwise-equal the
+    one-shot banded pass — the SAME plane-replaying oracle
+    `embedding_near_dup` grades against."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+    )
+
+    base = _emb(spark, sf_dir).select(
+        "vec_id", _as_double("embedding").alias("vec")
+    )
+    idx = IncrementalEmbeddingIndex(
+        spark,
+        tempfile.mkdtemp(prefix="embidx_"),
+        tempfile.mkdtemp(prefix="embpairs_"),
+    )
+    for b in range(3):
+        idx.add_batch(base.filter(F.col("vec_id") % 3 == b), batch_id=b)
+    return idx.all_pairs()
+
+
+def _register_embedding_incremental() -> None:
+    from data_pipeline_platform_spark.functions.similarity import (
+        ORACLE_EMBEDDING_NEAR_DUP,
+    )
+
+    register(
+        "embedding_incremental_near_dup",
+        q_embedding_incremental_near_dup,
+        ORACLE_EMBEDDING_NEAR_DUP,
+    )
+
+
+_register_embedding_incremental()

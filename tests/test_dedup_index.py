@@ -88,3 +88,34 @@ def test_crash_between_pairs_and_index_commits_heals(spark, tmp_path):
     want = _pairs(q_dedup_minhash_lsh(spark, SF))
     release_tracked()
     assert got == want
+
+
+def test_embedding_batched_equals_one_shot(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_platform_spark.functions.dedup_index import (
+        IncrementalEmbeddingIndex,
+    )
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+        q_embedding_near_dup,
+    )
+
+    base = _emb(spark, SF).select("vec_id", _as_double("embedding").alias("vec"))
+    idx = IncrementalEmbeddingIndex(
+        spark, str(tmp_path / "eidx"), str(tmp_path / "eprs")
+    )
+    for b in range(3):
+        idx.add_batch(base.filter(F2.col("vec_id") % 3 == b), batch_id=b)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in idx.all_pairs().collect()}
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in q_embedding_near_dup(spark, SF).collect()
+    }
+    release_tracked()
+    assert got == want and len(got) > 0
+    # replay no-op
+    pv = idx.pairs.latest_version()
+    assert idx.add_batch(base.filter(F2.col("vec_id") % 3 == 2), 2)["new_pairs"] == 0
+    assert idx.pairs.latest_version() == pv
