@@ -278,3 +278,27 @@ def test_two_hop_crash_between_hops_is_exactly_once(spark, tmp_path):
     # second restart: both no-op, state unchanged
     assert h2b.process_available()["versions_behind"] == 0
     assert _gold_got(h2b) == {"a": (1, 1, 20), "b": (1, 1, 7)}
+
+
+def test_minmax_recompute_handles_null_group_key(spark, tmp_path):
+    """A NULL group key must fold and RECOMPUTE like any other group —
+    the broadcast semi/equi joins in the recompute path are eqNullSafe,
+    matching groupBy's NULL-group semantics."""
+    bronze, view, consumer = _minmax_setup(spark, tmp_path)
+    bronze.write(
+        spark.createDataFrame(
+            [(1, None, 10), (2, None, 5), (3, "a", 7)], "k long, g string, x long"
+        ),
+        stats_cols=["k"],
+    )
+    consumer.process_available()
+    assert _got_minmax(consumer)[None] == (2, 15, 5, 10)
+    # delete the NULL group's max holder: recompute must find the rest
+    bronze.merge(
+        spark.createDataFrame([(1, None, 10)], "k long, g string, x long"),
+        keys=["k"], delete_matched=True,
+    )
+    stats = consumer.process_available()
+    assert stats["groups_recomputed"] == 1
+    assert _got_minmax(consumer) == _want_minmax(spark, bronze)
+    assert _got_minmax(consumer)[None] == (1, 5, 5, 5)
