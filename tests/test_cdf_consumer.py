@@ -302,3 +302,45 @@ def test_minmax_recompute_handles_null_group_key(spark, tmp_path):
     assert stats["groups_recomputed"] == 1
     assert _got_minmax(consumer) == _want_minmax(spark, bronze)
     assert _got_minmax(consumer)[None] == (1, 5, 5, 5)
+
+
+def test_two_hop_gold_minmax_recomputes_against_silver(spark, tmp_path):
+    """MIN/MAX in the GOLD hop: when a silver group's sum is retracted
+    downward, gold's max-over-sums must recompute against the SILVER
+    snapshot (the consumer passes the version-pinned upstream state
+    through feed_transform into update_changes). Gold aggregates silver
+    STATE rows — zero-count rows included, by the persistence contract."""
+    bronze = AcidTable(spark, str(tmp_path / "gb"))
+    silver = MaterializedAgg(
+        spark, str(tmp_path / "gs"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x")],
+    )
+    hop1 = ChangeFeedConsumer(bronze, ["k"], silver, count_col="n")
+    gold = MaterializedAgg(
+        spark, str(tmp_path / "gg"), keys=["bucket"],
+        aggs=[("n_groups", "count", ""), ("hi_sum", "max", "s")],
+    )
+    hop2 = ChangeFeedConsumer(
+        silver.acid, ["g"], gold, count_col="n_groups",
+        feed_transform=lambda df: df.withColumn(
+            "bucket", F.substring("g", 1, 1)
+        ),
+    )
+    bronze.write(
+        _df(spark, [(1, "a1", 10), (2, "a2", 5), (3, "b1", 7)]),
+        stats_cols=["k"],
+    )
+    hop1.process_available()
+    hop2.process_available()
+    got = {r["bucket"]: r["hi_sum"] for r in hop2.state().collect()}
+    assert got == {"a": 10, "b": 7}
+
+    # retract the max-holding silver group's rows: gold recompute finds
+    # the surviving group's sum (a2=5) via the silver snapshot
+    bronze.merge(_df(spark, [(1, "a1", 0)]), keys=["k"], delete_matched=True)
+    hop1.process_available()
+    stats = hop2.process_available()
+    assert stats["groups_recomputed"] == 1
+    got = {r["bucket"]: r["hi_sum"] for r in hop2.state().collect()}
+    # a1's state row persists with s=0, so max over {0, 5} is 5
+    assert got == {"a": 5, "b": 7}
