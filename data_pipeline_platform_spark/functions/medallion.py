@@ -553,3 +553,100 @@ register(
     q_medallion_join_then_agg,
     ORACLE_MEDALLION_JOIN_THEN_AGG,
 )
+
+
+def q_medallion_dim_churn_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full maintenance matrix in one chain: a CHURNING DIMENSION
+    ripples through the silver join view (dim-side folds from state
+    alone) and on through the gold aggregate (the join view's change
+    feed retracts rows from their old segment group and adds them to
+    the new one — including into the NULL-segment group when their
+    customer is deleted, and back out when re-inserted). Bronze is
+    written once and never re-read; gold must equal the one-shot
+    join+groupBy of static bronze against the FINAL dim."""
+    from data_pipeline_platform_spark.sinks.joinview import MaterializedJoin
+
+    orders = _orders_cents(spark, sf_dir).drop("o_orderpriority")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="mdr_bronze_"))
+    dim = AcidTable(spark, tempfile.mkdtemp(prefix="mdr_dim_"))
+    dim.write(customer, stats_cols=["c_custkey"])
+    silver = MaterializedJoin(
+        spark,
+        tempfile.mkdtemp(prefix="mdr_silver_"),
+        row_keys=["o_orderkey"],
+        dim=lambda: dim.read(),
+        on=[("o_custkey", "c_custkey")],
+        how="left",
+    )
+    hop1 = ChangeFeedConsumer(bronze, source_keys=["o_orderkey"], view=silver)
+    dim_c = ChangeFeedConsumer(
+        dim, source_keys=["c_custkey"], view=silver, dim_side=True
+    )
+    gold = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="mdr_gold_"),
+        keys=["c_mktsegment"],
+        aggs=[("n_orders", "count", ""), ("sum_price_c", "sum", "price_c")],
+    )
+    hop2 = ChangeFeedConsumer(
+        silver.acid, source_keys=["o_orderkey"], view=gold, count_col="n_orders"
+    )
+    bronze.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    hop1.process_available()
+    hop2.process_available()
+    silver.acid._commit(
+        silver.acid.latest_version(), "DIM_BASELINE", [], [],
+        meta={"stream_id": dim_c.stream_id, "batch_id": 1},
+    )
+    renames = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("CHURNED").alias("c_mktsegment")
+    )
+    deletes = customer.filter(F.col("c_custkey") % 7 == 0)
+    reinserts = customer.filter(F.col("c_custkey") % 14 == 0).select(
+        "c_custkey", F.lit("REBORN").alias("c_mktsegment")
+    )
+    for commit in (
+        lambda: dim.merge(renames, keys=["c_custkey"]),
+        lambda: dim.merge(deletes, keys=["c_custkey"], delete_matched=True),
+        lambda: dim.merge(reinserts, keys=["c_custkey"]),
+    ):
+        commit()
+        dim_c.process_available()
+        hop2.process_available()
+    return hop2.state().select(
+        "c_mktsegment",
+        "n_orders",
+        (F.col("sum_price_c") / 100.0).alias("sum_price"),
+    )
+
+
+ORACLE_MEDALLION_DIM_CHURN_ROLLUP = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), fdim AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 14 = 0 THEN 'REBORN'
+              WHEN c_custkey % 10 = 0 THEN 'CHURNED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+  WHERE c_custkey % 7 <> 0 OR c_custkey % 14 = 0
+)
+SELECT d.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(b.price_c) / 100.0 AS sum_price
+FROM base b LEFT JOIN fdim d ON b.o_custkey = d.c_custkey
+GROUP BY d.c_mktsegment
+"""
+
+register(
+    "medallion_dim_churn_rollup",
+    q_medallion_dim_churn_rollup,
+    ORACLE_MEDALLION_DIM_CHURN_ROLLUP,
+)
