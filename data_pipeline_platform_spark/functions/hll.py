@@ -158,3 +158,30 @@ FROM per
 """
 
 register("hll_distinct_sources", q_hll_distinct_sources, ORACLE_HLL_DISTINCT_SOURCES)
+
+
+def q_hll_distinct_sources_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE path under the correctness gate: registers built on two
+    disjoint corpus shards (doc_id parity — the per-day/per-shard
+    ingestion shape), merged by max-fold, then estimated. Graded against
+    the SAME one-shot oracle as `hll_distinct_sources`, proving
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly — not just in
+    the unit test."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    shards = [
+        docs.filter(F.col("doc_id") % 2 == p).select(
+            "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        for p in (0, 1)
+    ]
+    merged = hll_merge(*[hll_registers(s, "tok", keys=["source"]) for s in shards])
+    return hll_estimate(merged, keys=["source"])
+
+
+register(
+    "hll_distinct_sources_sharded",
+    q_hll_distinct_sources_sharded,
+    ORACLE_HLL_DISTINCT_SOURCES,
+)
