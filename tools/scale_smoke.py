@@ -40,8 +40,13 @@ HEAVY = [
     "nation_shortest_path",
     "table_fingerprint",
     "fk_orphan_profile",
-    # r9 additions: the sketch build is the one new fact-sized scan
+    # r9 additions: the sketch builds, the salted shuffle join, and the
+    # incremental indexes (expect copy-inflation super-linearity on the
+    # replica — see SCALE.md's 586x-output control evidence)
     "hll_distinct_sources",
+    "hll_distinct_sources_sharded",
+    "salted_skew_join_events",
+    "dedup_incremental_lsh",
 ]
 
 
