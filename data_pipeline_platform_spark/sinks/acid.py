@@ -602,11 +602,30 @@ class AcidTable:
     ) -> Dict[str, int]:
         base = self.latest_version()
         files = self.snapshot_files(base)
-        if not files:
+        if not files and base == 0:
             raise FileNotFoundError(f"merge target {self.path} is empty")
         key_list = list(keys)
 
         src = source.dropDuplicates(key_list)  # in-batch last-wins proxy
+        if not files:
+            # the table EXISTS but its current snapshot holds no rows
+            # (e.g. every row was deleted): MERGE degenerates to pure
+            # insert, delete_matched to an audit no-op commit
+            add = (
+                []
+                if delete_matched
+                else self._write_data_files(src, key_list)
+            )
+            self._commit(
+                base,
+                "MERGE" if not delete_matched else "MERGE_DELETE",
+                add,
+                [],
+                meta=dict(extra_meta or {})
+                | {"keys": key_list, "files_scanned": 0,
+                   "files_pruned": 0, "files_rewritten": 0},
+            )
+            return {"files_scanned": 0, "files_pruned": 0, "files_rewritten": 0}
         # keys whose target rows leave the snapshot OR take new values —
         # the probe that decides which files are candidates/touched
         probe = src.select(*key_list)

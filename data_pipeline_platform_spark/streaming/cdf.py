@@ -100,12 +100,33 @@ class ChangeFeedConsumer:
         v_to = self.source.latest_version()
         if v_to <= v_from:
             return {"v_from": v_from, "v_to": v_to, "versions_behind": 0}
+        # metadata-only span (SET_CONSTRAINT, no-op merge-deletes,
+        # application markers): no data file entered or left the
+        # snapshot, so there is nothing to fold — report a no-op
+        # WITHOUT publishing a marker commit (the next data commit's
+        # span subsumes this one; re-checking costs one file-set
+        # comparison, never a scan)
+        before = {f["path"] for f in self.source.snapshot_files(v_from)}
+        after = {f["path"] for f in self.source.snapshot_files(v_to)}
+        if before == after:
+            return {
+                "v_from": v_from,
+                "v_to": v_to,
+                "versions_behind": v_to - v_from,
+                "metadata_only": True,
+            }
         feed = self.source.changes(self.source_keys, v_from=v_from, v_to=v_to)
         # version-pinned post-span snapshot: min/max recompute (if the
         # view has any) must see exactly the state the feed diffs to,
         # even if the bronze table advances concurrently. Lazy — never
         # scanned unless a retraction actually threatens an extreme.
-        snapshot = self.source.read(version=v_to)
+        # A span that empties the table entirely has no snapshot files;
+        # the recompute must still run (against zero rows -> NULL
+        # extremes), so fall back to an empty frame in the feed's shape.
+        try:
+            snapshot = self.source.read(version=v_to)
+        except FileNotFoundError:
+            snapshot = feed.drop("change_type").limit(0)
         if self.feed_transform is not None:
             feed = self.feed_transform(feed)
             snapshot = self.feed_transform(snapshot)

@@ -528,3 +528,24 @@ def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
     assert {r["k"]: r["x"] for r in t.read().collect()} == {1: 10, 2: 20, 3: 30}
     with pytest.raises(FileExistsError):
         t.clone(str(tmp_path / "dst"))
+
+
+def test_merge_into_emptied_table_inserts(spark, tmp_path):
+    """MERGE into a table whose current snapshot has zero rows (all
+    deleted) degenerates to pure insert; delete_matched to an audit
+    no-op — never a FileNotFoundError (the table EXISTS; only a
+    never-created target is an error)."""
+    t = AcidTable(spark, str(tmp_path / "emptied"))
+    t.write(_kx(spark, [(1, 10)]), stats_cols=["k"])
+    t.merge(_kx(spark, [(1, 10)]), keys=["k"], delete_matched=True)
+    with pytest.raises(FileNotFoundError):
+        t.read()  # snapshot is truly empty
+    t.merge(_kx(spark, [(2, 20)]), keys=["k"], delete_matched=True)  # audit no-op
+    stats = t.merge(_kx(spark, [(3, 30)]), keys=["k"])
+    assert stats["files_rewritten"] == 0
+    assert {r["k"]: r["x"] for r in t.read().collect()} == {3: 30}
+    # and the never-created case still raises
+    with pytest.raises(FileNotFoundError):
+        AcidTable(spark, str(tmp_path / "nope")).merge(
+            _kx(spark, [(1, 1)]), keys=["k"]
+        )

@@ -344,3 +344,37 @@ def test_two_hop_gold_minmax_recomputes_against_silver(spark, tmp_path):
     got = {r["bucket"]: r["hi_sum"] for r in hop2.state().collect()}
     # a1's state row persists with s=0, so max over {0, 5} is 5
     assert got == {"a": 5, "b": 7}
+
+
+def test_metadata_only_span_is_noop(spark, tmp_path):
+    """SET_CONSTRAINT / no-op merge-delete commits change no data
+    files; the consumer must report a no-op, not crash in changes()."""
+    bronze, view, consumer = _setup(spark, tmp_path)
+    bronze.write(_df(spark, [(1, "a", 1)]), stats_cols=["k"])
+    consumer.process_available()
+    bronze.add_constraint("x_small", "x < 1000")
+    bronze.merge(_df(spark, [(99, "z", 0)]), keys=["k"], delete_matched=True)
+    out = consumer.process_available()
+    assert out.get("metadata_only") is True
+    assert out["versions_behind"] == 2
+    assert _got(consumer) == _want(spark, bronze)
+    # a later data commit folds the whole span normally
+    bronze.merge(_df(spark, [(2, "b", 5)]), keys=["k"])
+    consumer.process_available()
+    assert _got(consumer) == _want(spark, bronze)
+
+
+def test_full_table_delete_folds_to_empty_state(spark, tmp_path):
+    """Deleting EVERY bronze row: the minmax recompute snapshot has no
+    files; the fold must still land (zero counts, NULL extremes) and
+    state() must read empty."""
+    bronze, view, consumer = _minmax_setup(spark, tmp_path)
+    bronze.write(_df(spark, [(1, "a", 10), (2, "b", 5)]), stats_cols=["k"])
+    consumer.process_available()
+    bronze.merge(
+        _df(spark, [(1, "a", 0), (2, "b", 0)]), keys=["k"], delete_matched=True
+    )
+    consumer.process_available()
+    assert _got_minmax(consumer) == {}
+    raw = {r["g"]: (r["n"], r["lo"], r["hi"]) for r in view.read().collect()}
+    assert raw == {"a": (0, None, None), "b": (0, None, None)}

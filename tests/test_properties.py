@@ -648,3 +648,80 @@ def test_interval_join_left_matches_nested_loop_model(spark, points, ivs, bin_si
         hits = [i for i, (s, w) in enumerate(ivs) if s <= p <= s + w]
         want += [(p, i) for i in hits] or [(p, None)]
     assert got == sorted(want, key=lambda t: (t[0], t[1] if t[1] is not None else -1))
+
+
+# --------------------------------------------------------------------------
+# fold algebra under RANDOM operation sequences: after every bronze
+# commit + fold, the count/sum/min/max silver state must equal the
+# one-shot groupBy over the live bronze snapshot — the invariant the
+# medallion graded queries check on one fixed script, here checked on
+# hypothesis-generated scripts (updates that move extremes, deletes of
+# extreme holders, inserts, no-op deletes, repeated keys).
+_CDF_ROW = st.tuples(
+    st.integers(min_value=1, max_value=9),            # key
+    st.sampled_from(["a", "b", None]),                # group (incl. NULL)
+    st.integers(min_value=-40, max_value=40),         # value
+)
+_CDF_OP = st.tuples(
+    st.sampled_from(["upsert", "delete"]),
+    st.lists(_CDF_ROW, min_size=1, max_size=4, unique_by=lambda r: r[0]),
+)
+
+
+@given(
+    base=st.lists(_CDF_ROW, min_size=1, max_size=6, unique_by=lambda r: r[0]),
+    ops=st.lists(_CDF_OP, min_size=1, max_size=3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minmax_cdf_fold_matches_oneshot_under_random_ops(
+    spark, tmp_path_factory, base, ops
+):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sinks.acid import AcidTable
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+    from data_pipeline_platform_spark.streaming.cdf import ChangeFeedConsumer
+
+    tmp = tmp_path_factory.mktemp("cdfprop")
+    bronze = AcidTable(spark, str(tmp / "b"))
+    view = MaterializedAgg(
+        spark, str(tmp / "s"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x"),
+              ("lo", "min", "x"), ("hi", "max", "x")],
+    )
+    consumer = ChangeFeedConsumer(bronze, ["k"], view, count_col="n")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, g string, x long")
+
+    def check():
+        got = {
+            r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in consumer.state().collect()
+        }
+        try:
+            snap = bronze.read()
+        except FileNotFoundError:
+            snap = None  # every row deleted: one-shot is the empty dict
+        want = {} if snap is None else {
+            r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in snap.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+                F.min("x").alias("lo"), F.max("x").alias("hi"),
+            ).collect()
+        }
+        assert got == want
+
+    bronze.write(frame(base), stats_cols=["k"])
+    consumer.process_available()
+    check()
+    for kind, rows in ops:
+        bronze.merge(frame(rows), keys=["k"], delete_matched=(kind == "delete"))
+        out = consumer.process_available()
+        if not out.get("metadata_only"):  # delete matching nothing
+            check()
+    check()
