@@ -274,11 +274,29 @@ class AcidTable:
     def read(self, version: Optional[int] = None) -> DataFrame:
         files = self.snapshot_files(version)
         if not files:
+            upto = self.latest_version() if version is None else version
+            if upto > 0:
+                # the table EXISTS but this snapshot holds no rows
+                # (e.g. every row deleted): read as an EMPTY frame, the
+                # schema recovered from any historical data file still
+                # on disk (COW keeps removed files until vacuum)
+                empty = self._empty_frame(upto)
+                if empty is not None:
+                    return empty
             raise FileNotFoundError(
                 f"AcidTable at {self.path} has no committed data"
                 + (f" at version {version}" if version else "")
             )
         return self.spark.read.parquet(*[f["path"] for f in files])
+
+    def _empty_frame(self, upto: int) -> Optional[DataFrame]:
+        for v in range(upto, 0, -1):
+            commit = self._read_commit(v)
+            paths = [a["path"] for a in commit["add"]] + list(commit["remove"])
+            for p in paths:
+                if os.path.exists(p):
+                    return self.spark.read.parquet(p).limit(0)
+        return None  # fully vacuumed history: schema unrecoverable
 
     def history(self) -> List[Dict[str, Any]]:
         return [

@@ -538,8 +538,11 @@ def test_merge_into_emptied_table_inserts(spark, tmp_path):
     t = AcidTable(spark, str(tmp_path / "emptied"))
     t.write(_kx(spark, [(1, 10)]), stats_cols=["k"])
     t.merge(_kx(spark, [(1, 10)]), keys=["k"], delete_matched=True)
-    with pytest.raises(FileNotFoundError):
-        t.read()  # snapshot is truly empty
+    # an existing-but-emptied table reads as an EMPTY frame with the
+    # historical schema (never FileNotFoundError — that's reserved for
+    # never-created tables)
+    assert t.read().count() == 0
+    assert t.read().columns == ["k", "x"]
     t.merge(_kx(spark, [(2, 20)]), keys=["k"], delete_matched=True)  # audit no-op
     stats = t.merge(_kx(spark, [(3, 30)]), keys=["k"])
     assert stats["files_rewritten"] == 0

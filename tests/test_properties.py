@@ -725,3 +725,107 @@ def test_minmax_cdf_fold_matches_oneshot_under_random_ops(
         if not out.get("metadata_only"):  # delete matching nothing
             check()
     check()
+
+
+# --------------------------------------------------------------------------
+# join-view maintenance under RANDOM scripts: bronze upserts/deletes
+# and dimension renames/deletes/re-inserts interleave; after every
+# fold the LEFT join view must equal the one-shot bronze ⋈ dim of the
+# LIVE snapshots.
+_JV_FACT = st.tuples(
+    st.integers(min_value=1, max_value=8),   # row key
+    st.integers(min_value=1, max_value=5),   # join key (dim has 1..3)
+    st.integers(min_value=0, max_value=99),  # payload
+)
+_JV_OP = st.one_of(
+    st.tuples(st.just("fact_upsert"),
+              st.lists(_JV_FACT, min_size=1, max_size=3, unique_by=lambda r: r[0])),
+    st.tuples(st.just("fact_delete"),
+              st.lists(_JV_FACT, min_size=1, max_size=2, unique_by=lambda r: r[0])),
+    st.tuples(st.just("dim_upsert"),
+              st.lists(st.tuples(st.integers(1, 5), st.sampled_from(["X", "Y", "Z"])),
+                       min_size=1, max_size=2, unique_by=lambda r: r[0])),
+    st.tuples(st.just("dim_delete"),
+              st.lists(st.tuples(st.integers(1, 5), st.just("_")),
+                       min_size=1, max_size=2, unique_by=lambda r: r[0])),
+)
+
+
+@given(
+    base=st.lists(_JV_FACT, min_size=1, max_size=5, unique_by=lambda r: r[0]),
+    ops=st.lists(_JV_OP, min_size=1, max_size=3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_join_view_matches_oneshot_under_random_churn(
+    spark, tmp_path_factory, base, ops
+):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sinks.acid import AcidTable
+    from data_pipeline_platform_spark.sinks.joinview import MaterializedJoin
+    from data_pipeline_platform_spark.streaming.cdf import ChangeFeedConsumer
+
+    tmp = tmp_path_factory.mktemp("jvprop")
+    bronze = AcidTable(spark, str(tmp / "b"))
+    dim = AcidTable(spark, str(tmp / "d"))
+    dim.write(
+        spark.createDataFrame([(1, "A"), (2, "B"), (3, "C")], "c_id long, seg string"),
+        stats_cols=["c_id"],
+    )
+    view = MaterializedJoin(
+        spark, str(tmp / "v"), row_keys=["k"],
+        dim=lambda: dim.read(), on=[("cust", "c_id")], how="left",
+    )
+    rows_c = ChangeFeedConsumer(bronze, ["k"], view)
+    dim_c = ChangeFeedConsumer(dim, ["c_id"], view, dim_side=True)
+
+    def facts(rows):
+        return spark.createDataFrame(rows, "k long, cust long, x long")
+
+    def dims(rows):
+        return spark.createDataFrame(rows, "c_id long, seg string")
+
+    def check():
+        got = {
+            r["k"]: (r["cust"], r["x"], r["seg"])
+            for r in view.read().collect()
+        }
+        try:
+            snap = bronze.read()
+        except FileNotFoundError:
+            assert got == {}
+            return
+        try:
+            d = dim.read()
+        except FileNotFoundError:
+            d = dims([]).limit(0)
+        want = {
+            r["k"]: (r["cust"], r["x"], r["seg"])
+            for r in snap.join(d, F.col("cust") == F.col("c_id"), "left").collect()
+        }
+        assert got == want
+
+    bronze.write(facts(base), stats_cols=["k"])
+    rows_c.process_available()
+    # dim consumer baseline: the view already reflects dim v1
+    view.acid._commit(
+        view.acid.latest_version(), "DIM_BASELINE", [], [],
+        meta={"stream_id": dim_c.stream_id, "batch_id": dim.latest_version()},
+    )
+    check()
+    for kind, rows in ops:
+        if kind == "fact_upsert":
+            bronze.merge(facts(rows), keys=["k"])
+        elif kind == "fact_delete":
+            bronze.merge(facts(rows), keys=["k"], delete_matched=True)
+        elif kind == "dim_upsert":
+            dim.merge(dims(rows), keys=["c_id"])
+        else:
+            dim.merge(dims(rows), keys=["c_id"], delete_matched=True)
+        rows_c.process_available()
+        dim_c.process_available()
+        check()
