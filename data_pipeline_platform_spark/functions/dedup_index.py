@@ -142,7 +142,13 @@ class IncrementalLshIndex:
         return {"batch_id": batch_id, "new_pairs": n_pairs}
 
     def all_pairs(self) -> DataFrame:
-        return self.pairs.read()
+        try:
+            return self.pairs.read()
+        except FileNotFoundError:
+            # every batch yielded zero pairs: a valid, empty result
+            return self.spark.createDataFrame(
+                [], "doc_a long, doc_b long, jaccard double"
+            )
 
 
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +258,12 @@ class IncrementalEmbeddingIndex:
         return {"batch_id": batch_id, "new_pairs": n_pairs}
 
     def all_pairs(self) -> DataFrame:
-        return self.pairs.read()
+        try:
+            return self.pairs.read()
+        except FileNotFoundError:
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
 
 
 def q_embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

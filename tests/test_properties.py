@@ -829,3 +829,56 @@ def test_join_view_matches_oneshot_under_random_churn(
         rows_c.process_available()
         dim_c.process_available()
         check()
+
+
+# --------------------------------------------------------------------------
+# incremental-index batching invariance: for ANY partition of the
+# corpus into ingestion batches, the accumulated near-dup pair set
+# equals single-batch ingestion — the property that makes the
+# persisted index trustworthy for daily feeds.
+_DOC_WORDS = ["red", "blue", "fox", "dog", "run", "sky"]
+_DOC = st.lists(st.sampled_from(_DOC_WORDS), min_size=3, max_size=8).map(" ".join)
+
+
+@given(
+    texts=st.lists(_DOC, min_size=2, max_size=10),
+    assign=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lsh_index_batching_invariance(spark, tmp_path_factory, texts, assign):
+    from data_pipeline_platform_spark.functions.dedup_index import (
+        IncrementalLshIndex,
+    )
+
+    tmp = tmp_path_factory.mktemp("lshprop")
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    one = IncrementalLshIndex(spark, str(tmp / "i1"), str(tmp / "p1"))
+    one.add_batch(df, batch_id=0)
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in one.all_pairs().collect()
+    }
+
+    many = IncrementalLshIndex(spark, str(tmp / "i2"), str(tmp / "p2"))
+    batches = [
+        [d for i, d in enumerate(docs) if assign[i % len(assign)] == b]
+        for b in range(3)
+    ]
+    bid = 0
+    for rows in batches:
+        if rows:
+            many.add_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"), bid
+            )
+            bid += 1
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in many.all_pairs().collect()
+    } if bid else {}
+    assert got == want
