@@ -59,3 +59,23 @@ def test_small_range_uses_linear_counting(spark):
     ).collect()[0]
     assert row["zeros"] > M * 0.9
     assert abs(row["est_distinct"] - 50) < 5
+
+
+def test_merge_invariant_under_random_splits(spark):
+    """sketch(A ∪ B ∪ C) == merge(sketch(A), sketch(B), sketch(C)) for a
+    3-way split by value hash — the register algebra is a max-fold, so
+    ANY partition of the corpus merges to the same registers."""
+    from pyspark.sql import functions as F
+
+    vals = spark.range(0, 8000).select(
+        F.lit("k").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    shards = [vals.filter(F.crc32("v") % 3 == i) for i in range(3)]
+    merged = hll_merge(*[hll_registers(s, "v", keys=["k"]) for s in shards])
+    union = hll_registers(vals, "v", keys=["k"])
+    assert {
+        (r["k"], r["bucket"]): r["mj"] for r in merged.collect()
+    } == {(r["k"], r["bucket"]): r["mj"] for r in union.collect()}
+    em = hll_estimate(merged, keys=["k"]).collect()[0]["est_distinct"]
+    eu = hll_estimate(union, keys=["k"]).collect()[0]["est_distinct"]
+    assert em == eu
