@@ -378,3 +378,19 @@ def test_full_table_delete_folds_to_empty_state(spark, tmp_path):
     assert _got_minmax(consumer) == {}
     raw = {r["g"]: (r["n"], r["lo"], r["hi"]) for r in view.read().collect()}
     assert raw == {"a": (0, None, None), "b": (0, None, None)}
+
+
+def test_group_revives_after_full_retraction(spark, tmp_path):
+    """A group retracted to zero (NULL extremes in state) must revive
+    cleanly when new rows insert: the fold treats the NULL-extreme
+    state like an absent side and takes the insert-side extremes."""
+    bronze, view, consumer = _minmax_setup(spark, tmp_path)
+    bronze.write(_df(spark, [(1, "a", 10), (2, "b", 3)]), stats_cols=["k"])
+    consumer.process_available()
+    bronze.merge(_df(spark, [(1, "a", 0)]), keys=["k"], delete_matched=True)
+    consumer.process_available()
+    assert "a" not in _got_minmax(consumer)
+    bronze.merge(_df(spark, [(5, "a", 42), (6, "a", 7)]), keys=["k"])
+    consumer.process_available()
+    assert _got_minmax(consumer)["a"] == (2, 49, 7, 42)
+    assert _got_minmax(consumer) == _want_minmax(spark, bronze)
