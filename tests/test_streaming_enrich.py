@@ -89,3 +89,44 @@ def test_compaction_commit_is_cdf_invisible(spark, tmp_path):
 
     consumer.process_available()
     assert {r["g"]: (r["n"], r["s"]) for r in consumer.state().collect()} == before
+
+
+def test_consumer_over_shallow_clone(spark, tmp_path):
+    """A shallow clone is a first-class CDF source: its CLONE commit
+    feeds the initial load (referenced source files read as inserts),
+    its own COW merges diff normally, and the source table's later
+    churn never leaks into the clone's feed."""
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+
+    src = AcidTable(spark, str(tmp_path / "csrc"))
+    src.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 5)], "k long, g string, x long"
+        ),
+        stats_cols=["k"],
+    )
+    clone = src.clone(str(tmp_path / "cdst"))
+    view = MaterializedAgg(
+        spark, str(tmp_path / "cv2"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x")],
+    )
+    consumer = ChangeFeedConsumer(clone, ["k"], view, count_col="n")
+    consumer.process_available()
+
+    def got():
+        return {r["g"]: (r["n"], r["s"]) for r in consumer.state().collect()}
+
+    assert got() == {"a": (1, 10), "b": (1, 5)}
+    # source churn is invisible to the clone's consumer
+    src.merge(
+        spark.createDataFrame([(1, "a", 99)], "k long, g string, x long"),
+        keys=["k"],
+    )
+    assert consumer.process_available()["versions_behind"] == 0
+    # the clone's own divergence folds
+    clone.merge(
+        spark.createDataFrame([(2, "b", 50)], "k long, g string, x long"),
+        keys=["k"],
+    )
+    consumer.process_available()
+    assert got() == {"a": (1, 10), "b": (1, 50)}
