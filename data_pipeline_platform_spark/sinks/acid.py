@@ -70,6 +70,11 @@ class ConstraintViolationError(ValueError):
     snapshot) violates a table CHECK constraint."""
 
 
+class SchemaMismatchError(ValueError):
+    """An incoming batch's schema is incompatible with the table schema
+    (type conflict, or new columns without ``merge_schema=True``)."""
+
+
 class AcidTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -106,9 +111,15 @@ class AcidTable:
         add: Sequence[Dict[str, Any]],
         remove: Sequence[str],
         meta: Optional[Dict[str, Any]] = None,
+        schema=None,
     ) -> int:
         """Atomically publish version expected_base+1. Raises
-        CommitConflictError if someone else won the version slot."""
+        CommitConflictError if someone else won the version slot.
+        ``schema`` (a StructType) records the table schema AS OF this
+        version in the log itself (the Delta metaData-action role):
+        readers pin scans to it, so files written before a column was
+        added surface the column as NULL instead of the first-file
+        schema winning silently."""
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_base + 1
         payload = {
@@ -119,6 +130,8 @@ class AcidTable:
             "remove": list(remove),
             "meta": meta or {},
         }
+        if schema is not None:
+            payload["schema"] = schema.jsonValue()
         try:
             # O_CREAT|O_EXCL: the one atomic publish point. On an object
             # store this maps to put-if-absent (S3 conditional put /
@@ -183,6 +196,82 @@ class AcidTable:
             for action in commit["add"]:
                 live[action["path"]] = action
         return list(live.values())
+
+    # ------------------------------------------------------------------
+    # schema tracking (the Delta metaData-action pattern: the log, not
+    # the data files, is the source of truth for the table schema)
+    # ------------------------------------------------------------------
+    def table_schema(self, version: Optional[int] = None):
+        """StructType AS OF ``version`` (latest by default): the newest
+        commit at or before it that recorded a schema. None for tables
+        whose commits all predate schema tracking — readers then fall
+        back to parquet self-description (the legacy behavior)."""
+        from pyspark.sql.types import StructType
+
+        upto = self.latest_version() if version is None else version
+        cache = getattr(self, "_schema_cache", None)
+        if cache is None:
+            cache = self._schema_cache = {}
+        if upto in cache:
+            return cache[upto]
+        found = None
+        for v in range(upto, 0, -1):
+            sj = self._read_commit(v).get("schema")
+            if sj is not None:
+                found = StructType.fromJson(sj)
+                break
+        cache[upto] = found
+        return found
+
+    def _align_to_schema(
+        self, df: DataFrame, target, merge_schema: bool, op: str
+    ):
+        """Validate df against the table schema ``target`` and return
+        (aligned_df, schema_to_record).
+
+        - shared columns must match the logged type EXACTLY (a type
+          conflict is corruption-in-waiting — refused loudly; evolve by
+          adding a new column instead);
+        - columns the table has but df lacks are filled with typed
+          NULLs (the nullable-column append contract);
+        - columns df has but the table lacks require
+          ``merge_schema=True`` and widen the table schema — appended
+          after the existing columns, forced nullable because every
+          pre-evolution file reads as NULL for them.
+        """
+        from pyspark.sql.types import StructField, StructType
+
+        src_fields = {f.name: f for f in df.schema.fields}
+        tgt_fields = {f.name: f for f in target.fields}
+        for name, f in src_fields.items():
+            t = tgt_fields.get(name)
+            if t is not None and f.dataType != t.dataType:
+                raise SchemaMismatchError(
+                    f"{op}: column {name!r} is {f.dataType.simpleString()} "
+                    f"in the batch but {t.dataType.simpleString()} in the "
+                    f"table log; type changes are refused — add a new "
+                    "column instead"
+                )
+        new_cols = [f for f in df.schema.fields if f.name not in tgt_fields]
+        if new_cols and not merge_schema:
+            raise SchemaMismatchError(
+                f"{op}: batch adds column(s) "
+                f"{[f.name for f in new_cols]} not in the table schema; "
+                "pass merge_schema=True to widen the table"
+            )
+        out_fields = list(target.fields) + [
+            StructField(f.name, f.dataType, True) for f in new_cols
+        ]
+        out_schema = StructType(out_fields)
+        aligned = df.select(
+            *[
+                F.col(f.name)
+                if f.name in src_fields
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out_fields
+            ]
+        )
+        return aligned, out_schema
 
     # ------------------------------------------------------------------
     # CHECK constraints (the Delta table-constraint pattern: stored in
@@ -262,7 +351,8 @@ class AcidTable:
             raise FileExistsError(f"clone target {dest.path} is not empty")
         dest._commit(0, "CLONE", self.snapshot_files(), [],
                      meta={"source": self.path,
-                           "source_version": self.latest_version()})
+                           "source_version": self.latest_version()},
+                     schema=self.table_schema())
         for name, expr in self.constraints().items():
             dest._commit(dest.latest_version(), "SET_CONSTRAINT", [], [],
                          meta={"name": name, "expr": expr})
@@ -273,13 +363,17 @@ class AcidTable:
     # ------------------------------------------------------------------
     def read(self, version: Optional[int] = None) -> DataFrame:
         files = self.snapshot_files(version)
+        upto = self.latest_version() if version is None else version
+        schema = self.table_schema(upto) if upto > 0 else None
         if not files:
-            upto = self.latest_version() if version is None else version
             if upto > 0:
                 # the table EXISTS but this snapshot holds no rows
-                # (e.g. every row deleted): read as an EMPTY frame, the
-                # schema recovered from any historical data file still
-                # on disk (COW keeps removed files until vacuum)
+                # (e.g. every row deleted): read as an EMPTY frame with
+                # the logged schema (or, pre-schema-tracking, one
+                # recovered from any historical data file still on
+                # disk — COW keeps removed files until vacuum)
+                if schema is not None:
+                    return self.spark.createDataFrame([], schema)
                 empty = self._empty_frame(upto)
                 if empty is not None:
                     return empty
@@ -287,7 +381,13 @@ class AcidTable:
                 f"AcidTable at {self.path} has no committed data"
                 + (f" at version {version}" if version else "")
             )
-        return self.spark.read.parquet(*[f["path"] for f in files])
+        paths = [f["path"] for f in files]
+        if schema is not None:
+            # pin the scan to the logged schema: files written before a
+            # column was added surface it as NULL (schema evolution),
+            # and column order is stable across mixed-file snapshots
+            return self.spark.read.schema(schema).parquet(*paths)
+        return self.spark.read.parquet(*paths)
 
     def _empty_frame(self, upto: int) -> Optional[DataFrame]:
         for v in range(upto, 0, -1):
@@ -344,9 +444,18 @@ class AcidTable:
         removed = sorted(from_paths - to_paths)
         added = sorted(to_paths - from_paths)
         key_list = list(keys)
+        # both sides of the diff read at the DESTINATION version's
+        # schema: when the span crosses a column addition, preimage
+        # rows surface the new column as NULL — one consistent frame,
+        # so downstream folds never see mixed shapes
+        span_schema = self.table_schema(v_to)
 
         def _read(paths: List[str]) -> Optional[DataFrame]:
-            return self.spark.read.parquet(*paths) if paths else None
+            if not paths:
+                return None
+            if span_schema is not None:
+                return self.spark.read.schema(span_schema).parquet(*paths)
+            return self.spark.read.parquet(*paths)
 
         old, new = _read(removed), _read(added)
         if old is None and new is None:
@@ -526,6 +635,7 @@ class AcidTable:
         max_retries: int = 3,
         binpack: bool = True,
         extra_meta: Optional[Dict[str, Any]] = None,
+        merge_schema: bool = False,
     ) -> int:
         """Commit df as a new version. mode: overwrite | append.
         ``binpack=False`` publishes df's partitioning verbatim — for
@@ -534,8 +644,23 @@ class AcidTable:
         ``extra_meta`` rides inside the commit record itself — the
         transactional carrier for application markers (e.g. streaming
         batch ids): they publish atomically WITH the data or not at all
-        (the Delta txn-action pattern)."""
+        (the Delta txn-action pattern).
+
+        APPEND validates the batch against the logged table schema:
+        type conflicts are refused, columns the batch lacks fill with
+        NULL, and NEW columns require ``merge_schema=True`` — which
+        widens the table schema in this commit; every pre-evolution
+        file then reads as NULL for the new column (schema evolution,
+        the Delta mergeSchema contract). OVERWRITE replaces the schema
+        outright (the whole table is this batch)."""
         self._validate_constraints(df)
+        schema_out = df.schema
+        if mode == "append" and self.exists():
+            current = self.table_schema()
+            if current is not None:
+                df, schema_out = self._align_to_schema(
+                    df, current, merge_schema, "append"
+                )
         add = self._write_data_files(df, stats_cols, binpack=binpack)
         for _ in range(max_retries):
             base = self.latest_version()
@@ -544,9 +669,30 @@ class AcidTable:
                 if mode == "overwrite"
                 else []
             )
+            record = schema_out
+            if mode == "append":
+                # re-resolve against the CURRENT log so a retried append
+                # can never regress a schema someone widened meanwhile:
+                # record only when this commit itself changes the schema
+                # (the per-version schema cache never goes stale:
+                # commits are immutable, table_schema(v) is pure)
+                cur_now = self.table_schema(base) if base > 0 else None
+                if cur_now is not None:
+                    if schema_out == cur_now:
+                        record = None  # no schema change: inherit by walk-back
+                    elif not set(cur_now.names) <= set(schema_out.names):
+                        raise CommitConflictError(
+                            "table schema changed concurrently during "
+                            "append; re-run write() against the new schema"
+                        )
             try:
                 return self._commit(
-                    base, mode.upper(), add, remove, meta=dict(extra_meta or {})
+                    base,
+                    mode.upper(),
+                    add,
+                    remove,
+                    meta=dict(extra_meta or {}),
+                    schema=record,
                 )
             except CommitConflictError:
                 continue  # blind write/append: safe to retry on new base
@@ -563,6 +709,7 @@ class AcidTable:
         extra_meta: Optional[Dict[str, Any]] = None,
         delete_keys: Optional[DataFrame] = None,
         max_retries: int = 3,
+        merge_schema: bool = False,
     ) -> Dict[str, int]:
         """MERGE INTO this table USING source ON keys, with optimistic
         concurrency: a losing writer re-reads the NEW snapshot and
@@ -600,10 +747,35 @@ class AcidTable:
             raise ValueError("delete_matched and delete_keys are exclusive")
         if not delete_matched:
             self._validate_constraints(source)
+        current = self.table_schema()
+        target_schema = current
+        record_schema = None
+        if current is not None and not delete_matched:
+            # MERGE source must carry every existing column — matched
+            # rows take EVERY non-key column from the source, so a
+            # missing column would silently null out live values
+            missing = [n for n in current.names if n not in source.columns]
+            if missing:
+                raise SchemaMismatchError(
+                    f"merge: source lacks table column(s) {missing}; "
+                    "MERGE replaces whole rows — provide every column"
+                )
+            source, aligned_schema = self._align_to_schema(
+                source, current, merge_schema, "merge"
+            )
+            target_schema = aligned_schema
+            if aligned_schema != current:
+                record_schema = aligned_schema  # this commit widens
         for attempt in range(max_retries):
             try:
                 return self._merge_attempt(
-                    source, keys, delete_matched, extra_meta, delete_keys
+                    source,
+                    keys,
+                    delete_matched,
+                    extra_meta,
+                    delete_keys,
+                    target_schema,
+                    record_schema,
                 )
             except CommitConflictError:
                 if attempt == max_retries - 1:
@@ -617,8 +789,19 @@ class AcidTable:
         delete_matched: bool,
         extra_meta: Optional[Dict[str, Any]],
         delete_keys: Optional[DataFrame],
+        target_schema=None,
+        record_schema=None,
     ) -> Dict[str, int]:
         base = self.latest_version()
+
+        def _read_pinned(paths: List[str]) -> DataFrame:
+            # schema-pinned candidate/touched reads: files written
+            # before a column was added surface it as NULL, so a
+            # post-evolution rewrite keeps (not drops) the new column
+            if target_schema is not None:
+                return self.spark.read.schema(target_schema).parquet(*paths)
+            return self.spark.read.parquet(*paths)
+
         files = self.snapshot_files(base)
         if not files and base == 0:
             raise FileNotFoundError(f"merge target {self.path} is empty")
@@ -642,6 +825,7 @@ class AcidTable:
                 meta=dict(extra_meta or {})
                 | {"keys": key_list, "files_scanned": 0,
                    "files_pruned": 0, "files_rewritten": 0},
+                schema=record_schema,
             )
             return {"files_scanned": 0, "files_pruned": 0, "files_rewritten": 0}
         # keys whose target rows leave the snapshot OR take new values —
@@ -710,7 +894,7 @@ class AcidTable:
             return c
 
         if candidates:
-            cand_df = self.spark.read.parquet(*[a["path"] for a in candidates])
+            cand_df = _read_pinned([a["path"] for a in candidates])
             # 2. touched files = candidate files holding >= 1 key match
             # (_metadata.file_path maps each row to its data file);
             # eqNullSafe so NULL-key source rows find NULL-key targets
@@ -735,7 +919,7 @@ class AcidTable:
                 if os.path.basename(a["path"]) in touched_names
             ]
         if touched:
-            tgt = self.spark.read.parquet(*[a["path"] for a in touched])
+            tgt = _read_pinned([a["path"] for a in touched])
             survivors = tgt.alias("t").join(
                 F.broadcast(probe.alias("s")),
                 _null_safe_key_cond("t", "s"),
@@ -752,7 +936,11 @@ class AcidTable:
         elif not delete_matched:
             # no key matches anywhere: pure insert, nothing rewritten
             # (delete_keys that match nothing are a no-op by definition)
-            sample_cols = self.spark.read.parquet(files[0]["path"]).columns
+            sample_cols = (
+                list(target_schema.names)
+                if target_schema is not None
+                else self.spark.read.parquet(files[0]["path"]).columns
+            )
             insert_src = src.select(*sample_cols)
             if delete_keys is None or not insert_src.isEmpty():
                 add = self._write_data_files(insert_src, stats_cols)
@@ -770,6 +958,7 @@ class AcidTable:
                 "files_pruned": len(untouched),
                 "files_rewritten": n_rewritten,
             },
+            schema=record_schema,
         )
         return {
             "files_scanned": len(candidates),
@@ -785,7 +974,11 @@ class AcidTable:
         that contain at least one matching row."""
         base = self.latest_version()
         files = self.snapshot_files(base)
-        df = self.spark.read.parquet(*[a["path"] for a in files])
+        schema = self.table_schema(base)
+        reader = (
+            self.spark.read.schema(schema) if schema is not None else self.spark.read
+        )
+        df = reader.parquet(*[a["path"] for a in files])
         touched = {
             os.path.basename(r["f"])
             for r in df.filter(predicate)
@@ -796,7 +989,7 @@ class AcidTable:
         hit = [a for a in files if os.path.basename(a["path"]) in touched]
         if not hit:
             return {"files_rewritten": 0}
-        kept = self.spark.read.parquet(*[a["path"] for a in hit]).filter(
+        kept = reader.parquet(*[a["path"] for a in hit]).filter(
             f"NOT ({predicate})"
         )
         stats_cols = sorted({c for a in hit for c in (a.get("stats") or {})})
@@ -815,7 +1008,10 @@ class AcidTable:
         (the OPTIMIZE ... ZORDER role for the 1-D common case)."""
         base = self.latest_version()
         files = self.snapshot_files(base)
-        df = self.spark.read.parquet(*[a["path"] for a in files])
+        schema = self.table_schema(base)
+        df = (
+            self.spark.read.schema(schema) if schema is not None else self.spark.read
+        ).parquet(*[a["path"] for a in files])
         stats_cols = sorted({c for a in files for c in (a.get("stats") or {})})
         if cluster_by:
             cluster = [str(c) for c in cluster_by]
@@ -854,8 +1050,16 @@ class AcidTable:
         current_paths = {a["path"] for a in self.snapshot_files(base)}
         add = [a for a in target if a["path"] not in current_paths]
         remove = sorted(current_paths - target_paths)
+        restored_schema = self.table_schema(version)
+        if restored_schema == self.table_schema(base):
+            restored_schema = None  # unchanged: inherit by walk-back
         return self._commit(
-            base, "RESTORE", add, remove, meta={"restored_to": version}
+            base,
+            "RESTORE",
+            add,
+            remove,
+            meta={"restored_to": version},
+            schema=restored_schema,
         )
 
     def vacuum(self) -> List[str]:
