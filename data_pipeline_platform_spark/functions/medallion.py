@@ -650,3 +650,111 @@ register(
     q_medallion_dim_churn_rollup,
     ORACLE_MEDALLION_DIM_CHURN_ROLLUP,
 )
+
+
+def q_medallion_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze evolves mid-stream and the silver hop rides it: the base
+    commit has no ``o_channel`` column; a later append widens the
+    schema (``merge_schema=True``); a backfill MERGE then rewrites
+    pre-evolution files, moving rows out of the NULL-channel group.
+    The consumer's row-local ``feed_transform`` normalizes the one
+    pre-evolution span (typed-NULL fill) — every later span reads at
+    the destination version's logged schema, so preimages of
+    pre-evolution rows surface ``o_channel`` as NULL automatically.
+    MIN in the view forces the touched-group recompute to run against
+    a post-evolution pinned snapshot. Silver state must equal the
+    one-shot groupBy over the final bronze snapshot.
+
+    100 TB posture: identical to cdf_incremental_view — per-span cost
+    is the touched files, and schema evolution adds ZERO data motion
+    (old files are never rewritten for the new column; they read as
+    NULL through the logged-schema pin)."""
+    orders = _orders_cents(spark, sf_dir).drop("o_custkey")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    evolved_inserts = (
+        orders.filter((F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0))
+        .withColumn(
+            "o_channel",
+            F.when(F.col("o_orderkey") % 10 < 5, F.lit("web")).otherwise(
+                F.lit("store")
+            ),
+        )
+    )
+    backfill = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price_c") + F.lit(100)).alias("price_c"),
+        F.lit("backfill").alias("o_channel"),
+    )
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="mse_bronze_"))
+    view = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="mse_silver_"),
+        keys=["o_channel"],
+        aggs=[
+            ("n_orders", "count", ""),
+            ("sum_price_c", "sum", "price_c"),
+            ("min_price_c", "min", "price_c"),
+        ],
+    )
+
+    def _normalize(df: DataFrame) -> DataFrame:
+        # the one schema-aware seam: the pre-evolution span's feed has
+        # no o_channel column; later spans (and recompute snapshots)
+        # already carry it via the logged-schema pin
+        if "o_channel" not in df.columns:
+            df = df.withColumn("o_channel", F.lit(None).cast("string"))
+        return df
+
+    consumer = ChangeFeedConsumer(
+        bronze,
+        source_keys=["o_orderkey"],
+        view=view,
+        count_col="n_orders",
+        feed_transform=_normalize,
+    )
+    bronze.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    consumer.process_available()  # pre-evolution span
+    bronze.write(
+        evolved_inserts, mode="append", merge_schema=True, stats_cols=["o_orderkey"]
+    )
+    consumer.process_available()  # the widening span
+    bronze.merge(backfill, keys=["o_orderkey"])
+    consumer.process_available()  # cross-group retraction NULL -> 'backfill'
+    return consumer.state().select(
+        "o_channel",
+        "n_orders",
+        (F.col("sum_price_c") / 100.0).alias("sum_price"),
+        (F.col("min_price_c") / 100.0).alias("min_price"),
+    )
+
+
+ORACLE_MEDALLION_SCHEMA_EVOLUTION = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), final AS (
+  SELECT o_orderkey,
+         price_c + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c,
+         CASE WHEN o_orderkey % 100 = 0 THEN 'backfill' ELSE NULL END AS o_channel
+  FROM base
+  UNION ALL
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         CASE WHEN o_orderkey % 10 < 5 THEN 'web' ELSE 'store' END AS o_channel
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+)
+SELECT o_channel,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price,
+       MIN(price_c) / 100.0 AS min_price
+FROM final
+GROUP BY o_channel
+"""
+
+register(
+    "medallion_schema_evolution",
+    q_medallion_schema_evolution,
+    ORACLE_MEDALLION_SCHEMA_EVOLUTION,
+)

@@ -185,3 +185,50 @@ def test_legacy_tables_without_logged_schema_still_read(spark, table):
     fresh = AcidTable(spark, table.path)
     assert fresh.table_schema() is None
     assert fresh.read().count() == 4
+
+
+def test_consumer_replay_noop_across_evolution(spark, tmp_path):
+    """Exactly-once survives the widening span: re-running
+    process_available after the schema change folds nothing twice."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+    from data_pipeline_platform_spark.streaming.cdf import ChangeFeedConsumer
+
+    bronze = AcidTable(spark, str(tmp_path / "bronze"))
+    view = MaterializedAgg(
+        spark,
+        str(tmp_path / "silver"),
+        keys=["ch"],
+        aggs=[("n", "count", ""), ("s", "sum", "v")],
+    )
+
+    def norm(df):
+        if "ch" not in df.columns:
+            df = df.withColumn("ch", F.lit(None).cast("string"))
+        return df
+
+    consumer = ChangeFeedConsumer(
+        bronze, source_keys=["k"], view=view, count_col="n", feed_transform=norm
+    )
+    bronze.write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        stats_cols=["k"],
+    )
+    consumer.process_available()
+    bronze.write(
+        spark.createDataFrame([(3, 30, "web")], "k long, v long, ch string"),
+        mode="append",
+        merge_schema=True,
+    )
+    consumer.process_available()
+    state1 = {r["ch"]: (r["n"], r["s"]) for r in consumer.state().collect()}
+    # replay: a fresh consumer handle resumes from the marker, no-op
+    fresh = ChangeFeedConsumer(
+        bronze, source_keys=["k"], view=view, count_col="n", feed_transform=norm
+    )
+    out = fresh.process_available()
+    assert out["versions_behind"] == 0
+    state2 = {r["ch"]: (r["n"], r["s"]) for r in fresh.state().collect()}
+    assert state2 == state1
+    assert state1[None] == (2, 30) and state1["web"] == (1, 30)
