@@ -758,3 +758,99 @@ register(
     q_medallion_schema_evolution,
     ORACLE_MEDALLION_SCHEMA_EVOLUTION,
 )
+
+
+def q_matview_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COUNT(DISTINCT) as maintained silver state: per-priority
+    distinct-customer counts ride the bronze change feed. Distinctness
+    is not invertible — a retracted value may have a surviving twin, an
+    inserted value may already be present — so every touched group
+    recomputes from the version-pinned bronze snapshot (the same
+    machinery MIN/MAX recompute uses, file-pruned by the broadcast
+    group-key semi-join); count/sum in the same view keep the cheap
+    signed fold. The update wave COLLAPSES customer keys (custkey % 50
+    for every 100th order), so distinct counts genuinely drop while row
+    counts do not — the case an approximate or fold-only maintenance
+    would get wrong.
+
+    100 TB posture: recompute cost is |touched groups| × their bronze
+    footprint per feed, never a table scan; state stays |groups|."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("o_custkey"),
+        "o_orderpriority",
+        (F.col("price_c") + F.lit(100)).alias("price_c"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+    )
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="mcd_bronze_"))
+    view = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="mcd_silver_"),
+        keys=["o_orderpriority"],
+        aggs=[
+            ("n_orders", "count", ""),
+            ("sum_price_c", "sum", "price_c"),
+            ("n_custs", "count_distinct", "o_custkey"),
+        ],
+    )
+    consumer = ChangeFeedConsumer(
+        bronze, source_keys=["o_orderkey"], view=view, count_col="n_orders"
+    )
+    bronze.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    consumer.process_available()
+    bronze.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    consumer.process_available()
+    doomed = bronze.read().filter(F.col("o_orderkey") % 300 == 0)
+    bronze.merge(doomed, keys=["o_orderkey"], delete_matched=True)
+    consumer.process_available()
+    return consumer.state().select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("sum_price_c") / 100.0).alias("sum_price"),
+        "n_custs",
+    )
+
+
+ORACLE_MATVIEW_COUNTDISTINCT = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), upd AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_custkey % 50
+              ELSE o_custkey END AS o_custkey,
+         o_orderpriority,
+         price_c + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM base
+), ins AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+), merged AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM ins
+), kept AS (
+  SELECT * FROM merged WHERE o_orderkey % 300 <> 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM kept
+GROUP BY o_orderpriority
+"""
+
+register(
+    "matview_countdistinct",
+    q_matview_countdistinct,
+    ORACLE_MATVIEW_COUNTDISTINCT,
+)

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from data_pipeline_platform_spark.sinks.acid import AcidTable
 
 #: agg kind -> (partial aggregate over a batch, two-state fold)
-_KINDS = ("count", "sum", "min", "max")
+_KINDS = ("count", "sum", "min", "max", "count_distinct")
 
 
 class MaterializedAgg:
@@ -49,9 +49,14 @@ class MaterializedAgg:
         aggs: Sequence[Tuple[str, str, str]],
     ):
         """``aggs``: (out_name, kind, source_col) with kind in
-        count/sum/min/max; ``source_col`` is ignored for count.  Sums
-        should be exact types (integers / cents / decimal) — additive
-        folding of floats would make state order-dependent."""
+        count/sum/min/max/count_distinct; ``source_col`` is ignored for
+        count.  Sums should be exact types (integers / cents / decimal)
+        — additive folding of floats would make state order-dependent.
+        ``count_distinct`` is EXACT and maintained by touched-group
+        recompute (like min/max under retraction, but on every touched
+        group — whether an inserted value is a duplicate is only
+        answerable by looking); it is supported on the change-feed path
+        (``update_changes``) only."""
         self.spark = spark
         self.keys = list(keys)
         bad = [a for a in aggs if a[1] not in _KINDS]
@@ -102,6 +107,14 @@ class MaterializedAgg:
         ``commit_meta`` is recorded inside the ACID commit itself —
         the fold and any application progress marker (streaming batch
         id) publish in ONE atomic commit (see streaming/matview.py)."""
+        cd = [a for a in self.aggs if a[1] == "count_distinct"]
+        if cd:
+            raise ValueError(
+                f"count_distinct aggs {[a[0] for a in cd]} cannot fold "
+                "append-only batches (a batch value may duplicate one "
+                "already counted); feed this view through the change-feed "
+                "path (update_changes with snapshot)"
+            )
         part = self._partial(batch)
         if not self.acid.exists():
             self.acid.write(part, stats_cols=self.keys, extra_meta=commit_meta)
@@ -159,13 +172,16 @@ class MaterializedAgg:
         (the recompute finds no rows); readers drop them via
         ``read(drop_empty_on=...)``, restoring "state equals one-shot
         groupBy over the final snapshot" exactly."""
-        minmax = [a for a in self.aggs if a[1] in ("min", "max")]
-        if minmax and snapshot is None:
+        needs_snap = [
+            a for a in self.aggs if a[1] in ("min", "max", "count_distinct")
+        ]
+        if needs_snap and snapshot is None:
             raise ValueError(
-                f"change-feed folding of min/max aggs {minmax} needs the "
+                f"change-feed folding of {needs_snap} needs the "
                 "upstream post-commit snapshot for touched-group recompute "
                 "— pass snapshot=source.read(version=v_to)"
             )
+        has_cd = any(a[1] == "count_distinct" for a in self.aggs)
         sign = (
             F.when(F.col("change_type").isin("insert", "update_postimage"), F.lit(1))
             .when(F.col("change_type").isin("delete", "update_preimage"), F.lit(-1))
@@ -176,6 +192,13 @@ class MaterializedAgg:
                 exprs.append(F.sum(sign).cast("bigint").alias(name))
             elif kind == "sum":
                 exprs.append(F.sum(sign * F.col(col)).alias(name))
+            elif kind == "count_distinct":
+                # exact on a fresh view's insert-only first feed; later
+                # feeds always recompute the touched group (a duplicate
+                # is only detectable by looking at the snapshot)
+                exprs.append(
+                    F.count_distinct(F.when(sign == 1, F.col(col))).alias(name)
+                )
             else:
                 # insert-side extreme folds for free; retract-side
                 # extreme decides whether the stored extreme is at risk
@@ -205,11 +228,18 @@ class MaterializedAgg:
         outs: List[F.Column] = [
             F.coalesce(F.col(f"c.{k}"), F.col(f"p.{k}")).alias(k) for k in self.keys
         ]
-        at_risk = F.lit(False)
+        # every row of j has a p side (touched ⊆ part keys and all part
+        # groups appear), so with any count_distinct agg EVERY group in
+        # the feed recomputes — flag unconditionally
+        at_risk = F.lit(True) if has_cd else F.lit(False)
         for name, kind, _ in self.aggs:
             a, b = F.col(f"c.{name}"), F.col(f"p.{name}")
             if kind in ("count", "sum"):
                 fold = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(a + b)
+            elif kind == "count_distinct":
+                # placeholder only: the recompute overwrites every
+                # flagged group, and with a cd agg every group is flagged
+                fold = F.when(a.isNull(), b).otherwise(a)
             else:
                 comb = F.least if kind == "min" else F.greatest
                 # least/greatest skip NULLs, matching the two-state fold
@@ -230,9 +260,15 @@ class MaterializedAgg:
                 for k in self.keys:
                     rcond = rcond & F.col(f"s.{k}").eqNullSafe(F.col(f"r.{k}"))
                 rec_aggs = [
-                    (F.min(F.col(c)) if kind == "min" else F.max(F.col(c))).alias(n)
+                    (
+                        F.min(F.col(c))
+                        if kind == "min"
+                        else F.max(F.col(c))
+                        if kind == "max"
+                        else F.count_distinct(F.col(c)).cast("bigint")
+                    ).alias(n)
                     for n, kind, c in self.aggs
-                    if kind in ("min", "max")
+                    if kind in ("min", "max", "count_distinct")
                 ]
                 recomputed = (
                     snapshot.alias("s")
@@ -248,9 +284,11 @@ class MaterializedAgg:
                 )
                 fouts = [F.col(f"f.{k}").alias(k) for k in self.keys]
                 for name, kind, _ in self.aggs:
-                    if kind in ("min", "max"):
+                    if kind in ("min", "max", "count_distinct"):
                         # recompute wins where flagged; a group fully
                         # retracted from the snapshot recomputes to NULL
+                        # (a cd agg over an absent group reads NULL too —
+                        # read(drop_empty_on=...) drops those rows)
                         fouts.append(
                             F.when(F.col("f.__recompute"), F.col(f"g.{name}"))
                             .otherwise(F.col(f"f.{name}"))

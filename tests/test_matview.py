@@ -84,3 +84,108 @@ def test_unsupported_agg_kind_raises(spark, tmp_path):
         MaterializedAgg(
             spark, str(tmp_path / "x"), keys=["g"], aggs=[("a", "avg", "x")]
         )
+
+
+class TestCountDistinct:
+    """Exact COUNT(DISTINCT) maintenance: every touched group recomputes
+    from the pinned snapshot (distinctness is not invertible)."""
+
+    def _setup(self, spark, tmp_path):
+        from data_pipeline_platform_spark.sinks.acid import AcidTable
+        from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+        from data_pipeline_platform_spark.streaming.cdf import ChangeFeedConsumer
+
+        bronze = AcidTable(spark, str(tmp_path / "bronze"))
+        view = MaterializedAgg(
+            spark,
+            str(tmp_path / "silver"),
+            keys=["g"],
+            aggs=[("n", "count", ""), ("cd", "count_distinct", "u")],
+        )
+        consumer = ChangeFeedConsumer(
+            bronze, source_keys=["k"], view=view, count_col="n"
+        )
+        return bronze, view, consumer
+
+    def _state(self, consumer):
+        return {r["g"]: (r["n"], r["cd"]) for r in consumer.state().collect()}
+
+    def test_duplicate_insert_does_not_inflate(self, spark, tmp_path):
+        bronze, _, c = self._setup(spark, tmp_path)
+        bronze.write(
+            spark.createDataFrame(
+                [(1, "a", 10), (2, "a", 10), (3, "a", 20), (4, "b", 30)],
+                "k long, g string, u long",
+            ),
+            stats_cols=["k"],
+        )
+        c.process_available()
+        assert self._state(c) == {"a": (3, 2), "b": (1, 1)}
+        bronze.write(
+            spark.createDataFrame(
+                [(5, "a", 10), (6, "b", 40)], "k long, g string, u long"
+            ),
+            mode="append",
+        )
+        c.process_available()
+        assert self._state(c) == {"a": (4, 2), "b": (2, 2)}
+
+    def test_retraction_with_surviving_twin_keeps_count(self, spark, tmp_path):
+        bronze, _, c = self._setup(spark, tmp_path)
+        bronze.write(
+            spark.createDataFrame(
+                [(1, "a", 10), (2, "a", 10), (3, "a", 20)],
+                "k long, g string, u long",
+            ),
+            stats_cols=["k"],
+        )
+        c.process_available()
+        # delete the ONLY u=20 row: cd drops
+        bronze.merge(
+            spark.createDataFrame([(3, "a", 20)], "k long, g string, u long"),
+            keys=["k"],
+            delete_matched=True,
+        )
+        c.process_available()
+        assert self._state(c) == {"a": (2, 1)}
+        # delete ONE of the two u=10 rows: twin survives, cd holds
+        bronze.merge(
+            spark.createDataFrame([(1, "a", 10)], "k long, g string, u long"),
+            keys=["k"],
+            delete_matched=True,
+        )
+        c.process_available()
+        assert self._state(c) == {"a": (1, 1)}
+
+    def test_group_move_and_full_retraction(self, spark, tmp_path):
+        bronze, _, c = self._setup(spark, tmp_path)
+        bronze.write(
+            spark.createDataFrame(
+                [(1, "a", 10), (2, "b", 30)], "k long, g string, u long"
+            ),
+            stats_cols=["k"],
+        )
+        c.process_available()
+        # move k=2 from b to a with a new value
+        bronze.merge(
+            spark.createDataFrame([(2, "a", 30)], "k long, g string, u long"),
+            keys=["k"],
+        )
+        c.process_available()
+        assert self._state(c) == {"a": (2, 2)}  # b fully retracted, dropped
+
+    def test_append_only_path_refuses_count_distinct(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+
+        view = MaterializedAgg(
+            spark,
+            str(tmp_path / "v"),
+            keys=["g"],
+            aggs=[("n", "count", ""), ("cd", "count_distinct", "u")],
+        )
+        with _pytest.raises(ValueError, match="count_distinct"):
+            view.update(
+                spark.createDataFrame([("a", 1)], "g string, u long")
+            )
