@@ -339,3 +339,113 @@ FROM orders
 
 
 register("acid_stats_orders", q_acid_stats_orders, ORACLE_ACID_STATS_ORDERS)
+
+
+def q_txn_atomic_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic transactions under the gate (sinks/txn.py):
+    each batch MERGEs the facts table AND appends its audit row in ONE
+    transaction — visible together or not at all. Two transactions
+    commit; a third stages a poison batch (every price negated) plus
+    its audit row and ABORTS — the oracle replays only the committed
+    batches, so any leakage of the aborted stage (into facts OR audit)
+    is a value mismatch, and the audit count woven into every output
+    row pins cross-table consistency.
+
+    100 TB posture: the decide point is one put-if-absent of an empty
+    marker regardless of staged volume; staging is the normal
+    file-pruned MERGE machinery."""
+    from data_pipeline_platform_spark.sinks.txn import MultiTableTxn
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    batch1 = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price_c") + F.lit(100)).alias("price_c"),
+    ).unionByName(
+        orders.filter(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+        )
+    )
+    root = tempfile.mkdtemp(prefix="txn_gate_")
+    facts = AcidTable(spark, f"{root}/facts")
+    audit = AcidTable(spark, f"{root}/audit")
+    coord = f"{root}/_txns"
+    facts.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    audit.write(
+        spark.createDataFrame([("base", 1)], "event string, seq long")
+    )
+    t1 = MultiTableTxn(coord)
+    t1.stage_merge(facts, batch1, keys=["o_orderkey"])
+    t1.stage_write(
+        audit,
+        spark.createDataFrame([("batch1", 2)], "event string, seq long"),
+        mode="append",
+    )
+    t1.commit()
+    doomed = facts.read().filter(F.col("o_orderkey") % 300 == 0)
+    t2 = MultiTableTxn(coord)
+    t2.stage_merge(facts, doomed, keys=["o_orderkey"], delete_matched=True)
+    t2.stage_write(
+        audit,
+        spark.createDataFrame([("batch2", 3)], "event string, seq long"),
+        mode="append",
+    )
+    t2.commit()
+    poison = facts.read().select(
+        "o_orderkey", "o_orderpriority", (-F.col("price_c")).alias("price_c")
+    )
+    t3 = MultiTableTxn(coord)
+    t3.stage_merge(facts, poison, keys=["o_orderkey"])
+    t3.stage_write(
+        audit,
+        spark.createDataFrame([("poison", 4)], "event string, seq long"),
+        mode="append",
+    )
+    t3.abort()
+    agg = facts.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum("price_c") / 100.0).alias("sum_price"),
+    )
+    audit_n = audit.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_audit_events"),
+        F.max("seq").alias("last_seq"),
+    )
+    return agg.crossJoin(F.broadcast(audit_n))
+
+
+ORACLE_TXN_ATOMIC_UPSERT_AUDIT = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), after1 AS (
+  SELECT o_orderkey, o_orderpriority,
+         price_c + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+), after2 AS (
+  SELECT * FROM after1 WHERE o_orderkey % 300 <> 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price,
+       CAST(3 AS BIGINT) AS n_audit_events,
+       CAST(3 AS BIGINT) AS last_seq
+FROM after2
+GROUP BY o_orderpriority
+"""
+
+
+register(
+    "txn_atomic_upsert_audit",
+    q_txn_atomic_upsert_audit,
+    ORACLE_TXN_ATOMIC_UPSERT_AUDIT,
+)

@@ -75,6 +75,12 @@ class SchemaMismatchError(ValueError):
     (type conflict, or new columns without ``merge_schema=True``)."""
 
 
+class TxnPendingError(RuntimeError):
+    """The table's newest commit belongs to an unresolved multi-table
+    transaction; no commit can land on top until the coordinator
+    resolves it (commit/abort/recover)."""
+
+
 class AcidTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -112,6 +118,7 @@ class AcidTable:
         remove: Sequence[str],
         meta: Optional[Dict[str, Any]] = None,
         schema=None,
+        txn: Optional[Dict[str, str]] = None,
     ) -> int:
         """Atomically publish version expected_base+1. Raises
         CommitConflictError if someone else won the version slot.
@@ -119,9 +126,23 @@ class AcidTable:
         version in the log itself (the Delta metaData-action role):
         readers pin scans to it, so files written before a column was
         added surface the column as NULL instead of the first-file
-        schema winning silently."""
+        schema winning silently.
+        ``txn`` ({id, status_dir}): this commit belongs to a multi-table
+        transaction — it reserves the version slot but stays INVISIBLE
+        to every read until the coordinator's committed marker exists
+        (sinks/txn.py). An unresolved txn commit blocks successors, so
+        a later-resolved txn can never retroactively change a snapshot
+        another writer already built on."""
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_base + 1
+        if expected_base > 0:
+            prev = self._read_commit(expected_base)
+            if self._txn_state(prev) == "pending":
+                raise TxnPendingError(
+                    f"version {expected_base} at {self.path} belongs to "
+                    f"unresolved txn {prev['txn']['id']}; resolve it "
+                    "(commit/abort/recover) before writing"
+                )
         payload = {
             "version": version,
             "op": op,
@@ -132,6 +153,8 @@ class AcidTable:
         }
         if schema is not None:
             payload["schema"] = schema.jsonValue()
+        if txn is not None:
+            payload["txn"] = {"id": txn["id"], "status_dir": txn["status_dir"]}
         try:
             # O_CREAT|O_EXCL: the one atomic publish point. On an object
             # store this maps to put-if-absent (S3 conditional put /
@@ -142,9 +165,28 @@ class AcidTable:
             raise CommitConflictError(
                 f"version {version} already committed at {self.path}"
             ) from None
-        if version % _CHECKPOINT_INTERVAL == 0:
+        # never checkpoint a txn commit: its files are unresolved at
+        # write time, and a checkpoint must bake in only settled state
+        if version % _CHECKPOINT_INTERVAL == 0 and txn is None:
             self._write_checkpoint(version)
         return version
+
+    @staticmethod
+    def _txn_state(commit: Dict[str, Any]) -> str:
+        """Resolution of a commit's transaction: none (not a txn
+        commit), committed, aborted, or pending. Markers are immutable
+        and mutually exclusive, so committed/aborted answers are final
+        (safe to bake into checkpoints); pending is re-checked on every
+        read."""
+        t = commit.get("txn")
+        if not t:
+            return "none"
+        base = os.path.join(t["status_dir"], t["id"])
+        if os.path.exists(base + ".committed"):
+            return "committed"
+        if os.path.exists(base + ".aborted"):
+            return "aborted"
+        return "pending"
 
     def _checkpoint_file(self, version: int) -> str:
         return os.path.join(
@@ -191,6 +233,8 @@ class AcidTable:
                 live, start = {}, 1  # corrupt checkpoint: fall back to full replay
         for v in range(start, upto + 1):
             commit = self._read_commit(v)
+            if self._txn_state(commit) in ("pending", "aborted"):
+                continue  # invisible: the txn never (yet) happened
             for path in commit["remove"]:
                 live.pop(path, None)
             for action in commit["add"]:
@@ -215,12 +259,20 @@ class AcidTable:
         if upto in cache:
             return cache[upto]
         found = None
+        cacheable = True
         for v in range(upto, 0, -1):
-            sj = self._read_commit(v).get("schema")
+            commit = self._read_commit(v)
+            state = self._txn_state(commit)
+            if state in ("pending", "aborted"):
+                if state == "pending":
+                    cacheable = False  # may resolve later; don't bake in
+                continue
+            sj = commit.get("schema")
             if sj is not None:
                 found = StructType.fromJson(sj)
                 break
-        cache[upto] = found
+        if cacheable:
+            cache[upto] = found
         return found
 
     def _align_to_schema(
@@ -636,6 +688,7 @@ class AcidTable:
         binpack: bool = True,
         extra_meta: Optional[Dict[str, Any]] = None,
         merge_schema: bool = False,
+        txn: Optional[Dict[str, str]] = None,
     ) -> int:
         """Commit df as a new version. mode: overwrite | append.
         ``binpack=False`` publishes df's partitioning verbatim — for
@@ -693,6 +746,7 @@ class AcidTable:
                     remove,
                     meta=dict(extra_meta or {}),
                     schema=record,
+                    txn=txn,
                 )
             except CommitConflictError:
                 continue  # blind write/append: safe to retry on new base
@@ -710,6 +764,7 @@ class AcidTable:
         delete_keys: Optional[DataFrame] = None,
         max_retries: int = 3,
         merge_schema: bool = False,
+        txn: Optional[Dict[str, str]] = None,
     ) -> Dict[str, int]:
         """MERGE INTO this table USING source ON keys, with optimistic
         concurrency: a losing writer re-reads the NEW snapshot and
@@ -776,6 +831,7 @@ class AcidTable:
                     delete_keys,
                     target_schema,
                     record_schema,
+                    txn,
                 )
             except CommitConflictError:
                 if attempt == max_retries - 1:
@@ -791,6 +847,7 @@ class AcidTable:
         delete_keys: Optional[DataFrame],
         target_schema=None,
         record_schema=None,
+        txn: Optional[Dict[str, str]] = None,
     ) -> Dict[str, int]:
         base = self.latest_version()
 
@@ -826,6 +883,7 @@ class AcidTable:
                 | {"keys": key_list, "files_scanned": 0,
                    "files_pruned": 0, "files_rewritten": 0},
                 schema=record_schema,
+                txn=txn,
             )
             return {"files_scanned": 0, "files_pruned": 0, "files_rewritten": 0}
         # keys whose target rows leave the snapshot OR take new values —
@@ -959,6 +1017,7 @@ class AcidTable:
                 "files_rewritten": n_rewritten,
             },
             schema=record_schema,
+            txn=txn,
         )
         return {
             "files_scanned": len(candidates),
