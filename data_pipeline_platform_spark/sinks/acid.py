@@ -1058,13 +1058,25 @@ class AcidTable:
         return {"files_rewritten": len(hit)}
 
     def compact(
-        self, target_files: int = 1, cluster_by: Optional[Sequence[str]] = None
+        self,
+        target_files: int = 1,
+        cluster_by: Optional[Sequence[str]] = None,
+        zorder: bool = False,
     ) -> int:
         """Bin-pack the current snapshot into target_files files.
         ``cluster_by``: range-partition + sort the rewrite on those
         columns so each published file holds a disjoint key range —
         footer min/max stats then prune maximally on later MERGEs
-        (the OPTIMIZE ... ZORDER role for the 1-D common case)."""
+        (the OPTIMIZE ... ZORDER role for the 1-D common case).
+        ``zorder=True`` with 2+ numeric cluster columns interleaves
+        them on a space-filling Z-curve instead of lexicographic range:
+        each column is min/max-scaled to 16 bits (one 1-row broadcast
+        agg, never a rank window over the table) and the bits
+        interleaved into one BIGINT the rewrite range-partitions and
+        sorts on — so EVERY cluster column's footer min/max stays tight
+        per file and a MERGE keyed on ANY of them prunes, instead of
+        only the leading lexicographic column (the multi-column
+        OPTIMIZE ZORDER contract)."""
         base = self.latest_version()
         files = self.snapshot_files(base)
         schema = self.table_schema(base)
@@ -1074,11 +1086,57 @@ class AcidTable:
         stats_cols = sorted({c for a in files for c in (a.get("stats") or {})})
         if cluster_by:
             cluster = [str(c) for c in cluster_by]
-            df = df.repartitionByRange(target_files, *cluster).sortWithinPartitions(
-                *cluster
-            )
             stats_cols = sorted(set(stats_cols) | set(cluster))
-            # binpack=False: the range layout IS the pruning structure
+            if zorder and len(cluster) >= 2:
+                n = len(cluster)
+                bits = min(16, 63 // n)
+                # min/max scale each column to [0, 2^bits): one tiny agg,
+                # broadcast as a 1-row frame (no window over the table)
+                ranges = df.agg(
+                    *[
+                        f
+                        for c in cluster
+                        for f in (
+                            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+                        )
+                    ]
+                )
+                df = df.crossJoin(F.broadcast(ranges))
+                scaled = []
+                for c in cluster:
+                    lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+                    span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+                    scaled.append(
+                        F.least(
+                            F.lit((1 << bits) - 1),
+                            F.floor(
+                                (F.col(c).cast("double") - lo)
+                                / span
+                                * ((1 << bits) - 1)
+                                + 0.5
+                            ),
+                        ).cast("bigint")
+                    )
+                # interleave: bit b of column i lands at position b*n+i
+                zval = F.lit(0).cast("bigint")
+                for b in range(bits):
+                    for i, s in enumerate(scaled):
+                        zval = zval + F.shiftleft(
+                            F.shiftright(s, b).bitwiseAND(F.lit(1)), b * n + i
+                        )
+                df = (
+                    df.withColumn("__zval", zval)
+                    .repartitionByRange(target_files, "__zval")
+                    .sortWithinPartitions("__zval")
+                    .drop("__zval", *[f"__lo_{c}" for c in cluster],
+                          *[f"__hi_{c}" for c in cluster])
+                )
+            else:
+                df = df.repartitionByRange(
+                    target_files, *cluster
+                ).sortWithinPartitions(*cluster)
+            # binpack=False: the clustered layout IS the pruning structure
             add = self._write_data_files(df, stats_cols, binpack=False)
         else:
             add = self._write_data_files(df.coalesce(target_files), stats_cols)
@@ -1087,7 +1145,7 @@ class AcidTable:
             "COMPACT",
             add,
             [a["path"] for a in files],
-            meta={"cluster_by": list(cluster_by or [])},
+            meta={"cluster_by": list(cluster_by or []), "zorder": bool(zorder)},
         )
 
     def restore(self, version: int) -> int:

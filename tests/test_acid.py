@@ -552,3 +552,37 @@ def test_merge_into_emptied_table_inserts(spark, tmp_path):
         AcidTable(spark, str(tmp_path / "nope")).merge(
             _kx(spark, [(1, 1)]), keys=["k"]
         )
+
+
+def test_zorder_compaction_prunes_every_cluster_dimension(spark, tmp_path):
+    """Multi-column OPTIMIZE ZORDER: after a z-curve rewrite, a range
+    probe on EITHER cluster column prunes most files; lexicographic
+    clustering only prunes the leading column."""
+    from pyspark.sql import functions as F
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("bigint").alias("b"),
+        F.col("id").alias("v"),
+    )
+
+    def candidates(table, col, lo, hi):
+        n = 0
+        for action in table.snapshot_files():
+            st = (action.get("stats") or {}).get(col)
+            if st is None or not (st["max"] < lo or st["min"] > hi):
+                n += 1
+        return n
+
+    z = AcidTable(spark, str(tmp_path / "z"))
+    z.write(grid.repartition(8), stats_cols=["a", "b"])
+    z.compact(target_files=16, cluster_by=["a", "b"], zorder=True)
+    assert z.read().count() == 4096  # content preserved
+    assert candidates(z, "a", 0, 7) <= 6  # ~sqrt locality on BOTH dims
+    assert candidates(z, "b", 0, 7) <= 6
+
+    lex = AcidTable(spark, str(tmp_path / "lex"))
+    lex.write(grid.repartition(8), stats_cols=["a", "b"])
+    lex.compact(target_files=16, cluster_by=["a", "b"])
+    assert candidates(lex, "a", 0, 7) <= 4  # leading column: tight
+    assert candidates(lex, "b", 0, 7) == 16  # trailing column: useless
