@@ -854,3 +854,111 @@ register(
     q_matview_countdistinct,
     ORACLE_MATVIEW_COUNTDISTINCT,
 )
+
+
+def q_matview_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population VARIANCE as maintained silver state: the
+    moment sums (count, Σx, Σx²) are all invertible, so the whole view
+    rides the cheap signed fold — no recompute, ever, even under the
+    delete wave. Σx² is carried as DECIMAL(38,0) (price²·rows overflows
+    BIGINT well below 100 TB); variance closes from the exact integer
+    moments with one double division per term, so both engines divide
+    identical integers (the keyness.py discipline).
+
+    100 TB posture: pure fold — per feed cost is |touched groups|, the
+    state is |groups|; higher moments (skew/kurtosis) extend the same
+    algebra with Σx³/Σx⁴ columns."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    ).withColumn(
+        "price_sq",
+        (F.col("price_c").cast("decimal(38,0)") * F.col("price_c")).cast(
+            "decimal(38,0)"
+        ),
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price_c") + F.lit(100)).alias("price_c"),
+    ).withColumn(
+        "price_sq",
+        (F.col("price_c").cast("decimal(38,0)") * F.col("price_c")).cast(
+            "decimal(38,0)"
+        ),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+    )
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="mvv_bronze_"))
+    view = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="mvv_silver_"),
+        keys=["o_orderpriority"],
+        aggs=[
+            ("n_orders", "count", ""),
+            ("sum_price_c", "sum", "price_c"),
+            ("sum_price_sq", "sum", "price_sq"),
+        ],
+    )
+    consumer = ChangeFeedConsumer(
+        bronze, source_keys=["o_orderkey"], view=view, count_col="n_orders"
+    )
+    bronze.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    consumer.process_available()
+    bronze.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    consumer.process_available()
+    doomed = bronze.read().filter(F.col("o_orderkey") % 300 == 0)
+    bronze.merge(doomed, keys=["o_orderkey"], delete_matched=True)
+    consumer.process_available()
+    st = consumer.state()
+    n = F.col("n_orders").cast("decimal(38,0)")
+    s1 = F.col("sum_price_c").cast("decimal(38,0)")
+    s2 = F.col("sum_price_sq")
+    num = (n * s2 - s1 * s1).cast("decimal(38,0)")
+    den = (n * n * F.lit(10000)).cast("decimal(38,0)")
+    return st.select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("sum_price_c").cast("double")
+         / (F.lit(100.0) * F.col("n_orders"))).alias("avg_price"),
+        (num.cast("double") / den.cast("double")).alias("var_price"),
+    )
+
+
+ORACLE_MATVIEW_VARIANCE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), upd AS (
+  SELECT o_orderkey, o_orderpriority,
+         price_c + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM base
+), ins AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+), merged AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM ins
+), kept AS (
+  SELECT * FROM merged WHERE o_orderkey % 300 <> 0
+), moments AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(price_c) AS HUGEINT) AS s1,
+         SUM(CAST(price_c AS HUGEINT) * price_c) AS s2
+  FROM kept
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(s1 AS DOUBLE) / (100.0 * CAST(n AS BIGINT)) AS avg_price,
+       CAST(n * s2 - s1 * s1 AS DOUBLE)
+         / CAST(n * n * 10000 AS DOUBLE) AS var_price
+FROM moments
+"""
+
+register("matview_variance", q_matview_variance, ORACLE_MATVIEW_VARIANCE)

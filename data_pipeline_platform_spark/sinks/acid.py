@@ -1179,10 +1179,18 @@ class AcidTable:
             schema=restored_schema,
         )
 
-    def vacuum(self) -> List[str]:
-        """Remove data files unreferenced by the LATEST snapshot (breaks
-        time travel to older versions, like Delta's vacuum)."""
-        live = {a["path"] for a in self.snapshot_files()}
+    def vacuum(self, retain_versions: int = 0) -> List[str]:
+        """Remove data files unreferenced by the newest
+        ``retain_versions + 1`` snapshots. The default (0) keeps only
+        the latest — Delta's aggressive vacuum; a retention window
+        keeps time travel (and RESTORE) to the retained versions
+        intact, the Delta retention-hours contract expressed in
+        versions (deterministic — this engine has no wall-clock
+        dependence anywhere)."""
+        latest = self.latest_version()
+        live: set = set()
+        for v in range(max(1, latest - retain_versions), latest + 1):
+            live |= {a["path"] for a in self.snapshot_files(v)}
         removed = []
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)

@@ -586,3 +586,24 @@ def test_zorder_compaction_prunes_every_cluster_dimension(spark, tmp_path):
     lex.compact(target_files=16, cluster_by=["a", "b"])
     assert candidates(lex, "a", 0, 7) <= 4  # leading column: tight
     assert candidates(lex, "b", 0, 7) == 16  # trailing column: useless
+
+
+def test_vacuum_retention_window_preserves_recent_time_travel(spark, tmp_path):
+    """vacuum(retain_versions=k) keeps the last k+1 snapshots readable;
+    older versions' exclusive files go."""
+    from pyspark.sql import functions as F
+
+    t = AcidTable(spark, str(tmp_path / "ret"))
+    for i in range(1, 4):
+        t.write(spark.range(i * 10).select(F.col("id").alias("k")))
+    removed = t.vacuum(retain_versions=1)
+    assert removed  # v1's file went
+    assert t.read(3).count() == 30
+    assert t.read(2).count() == 20  # retained: still time-travelable
+    import pyspark
+
+    with pytest.raises(Exception):
+        t.read(1).count()  # vacuumed away
+    # restore within the window still works
+    t.restore(2)
+    assert t.read().count() == 20
