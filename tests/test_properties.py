@@ -882,3 +882,110 @@ def test_lsh_index_batching_invariance(spark, tmp_path_factory, texts, assign):
         for r in many.all_pairs().collect()
     } if bid else {}
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# fold algebra ACROSS A SCHEMA EVOLUTION: a random op prefix runs on the
+# narrow schema, bronze then widens mid-script (merge_schema append of a
+# new column y), and a random suffix churns the evolved table. After
+# every fold the silver state — count/sum-x/sum-y/EXACT count-distinct-x
+# — must equal the one-shot groupBy over the live bronze snapshot read
+# at the evolved schema (pre-evolution rows surface y as NULL; SUM
+# ignores them in both engines).
+_EVO_ROW = st.tuples(
+    st.integers(min_value=1, max_value=9),     # key (narrow era)
+    st.sampled_from(["a", "b", None]),         # group (incl. NULL)
+    st.integers(min_value=-9, max_value=9),    # x
+)
+_EVO_WIDE_ROW = st.tuples(
+    st.integers(min_value=1, max_value=15),    # key (may collide or extend)
+    st.sampled_from(["a", "b", None]),
+    st.integers(min_value=-9, max_value=9),    # x
+    st.integers(min_value=0, max_value=5),     # y (the evolved column)
+)
+_EVO_OP = st.tuples(
+    st.sampled_from(["upsert", "delete"]),
+    st.lists(_EVO_WIDE_ROW, min_size=1, max_size=3, unique_by=lambda r: r[0]),
+)
+
+
+@given(
+    base=st.lists(_EVO_ROW, min_size=1, max_size=5, unique_by=lambda r: r[0]),
+    widen=st.lists(
+        _EVO_WIDE_ROW, min_size=1, max_size=3, unique_by=lambda r: r[0]
+    ).map(lambda rows: [(k + 20, g, x, y) for k, g, x, y in rows]),
+    ops=st.lists(_EVO_OP, min_size=1, max_size=3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fold_matches_oneshot_across_schema_evolution(
+    spark, tmp_path_factory, base, widen, ops
+):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sinks.acid import AcidTable
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+    from data_pipeline_platform_spark.streaming.cdf import ChangeFeedConsumer
+
+    tmp = tmp_path_factory.mktemp("evoprop")
+    bronze = AcidTable(spark, str(tmp / "b"))
+    view = MaterializedAgg(
+        spark, str(tmp / "s"), keys=["g"],
+        aggs=[("n", "count", ""), ("sx", "sum", "x"),
+              ("sy", "sum", "y"), ("cd", "count_distinct", "x")],
+    )
+
+    def norm(df):
+        if "y" not in df.columns:
+            df = df.withColumn("y", F.lit(None).cast("long"))
+        return df
+
+    consumer = ChangeFeedConsumer(
+        bronze, ["k"], view, count_col="n", feed_transform=norm
+    )
+
+    def check():
+        got = {
+            r["g"]: (r["n"], r["sx"], r["sy"], r["cd"])
+            for r in consumer.state().collect()
+        }
+        try:
+            snap = norm(bronze.read())
+        except FileNotFoundError:
+            snap = None
+        want = {} if snap is None else {
+            r["g"]: (r["n"], r["sx"], r["sy"], r["cd"])
+            for r in snap.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.count_distinct("x").cast("bigint").alias("cd"),
+            ).collect()
+        }
+        assert got == want
+
+    bronze.write(
+        spark.createDataFrame(base, "k long, g string, x long"),
+        stats_cols=["k"],
+    )
+    consumer.process_available()
+    check()
+    bronze.write(
+        spark.createDataFrame(widen, "k long, g string, x long, y long"),
+        mode="append",
+        merge_schema=True,
+    )
+    consumer.process_available()
+    check()
+    for kind, rows in ops:
+        bronze.merge(
+            spark.createDataFrame(rows, "k long, g string, x long, y long"),
+            keys=["k"],
+            delete_matched=(kind == "delete"),
+        )
+        out = consumer.process_available()
+        if not out.get("metadata_only"):
+            check()
+    check()
