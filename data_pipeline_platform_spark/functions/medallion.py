@@ -962,3 +962,107 @@ FROM moments
 """
 
 register("matview_variance", q_matview_variance, ORACLE_MATVIEW_VARIANCE)
+
+
+def q_matview_median_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holistic aggregates (exact MEDIAN) as maintained state: no fold
+    algebra exists for the median, so the maintained object is the
+    VALUE CENSUS — a MaterializedAgg keyed on (group, value) whose
+    count column rides the plain signed fold; the median derives at
+    read time from the census with one partitioned cumulative window
+    (domain-bounded frame, never a window over fact input). This is
+    the textbook IVM answer for every non-algebraic aggregate
+    (median, any percentile, mode) — they all read off the same
+    maintained census.
+
+    100 TB posture: census state is |group × value domain| (cents
+    here), independent of row count; each feed folds |touched (group,
+    value) cells|. The derive is a census-sized window, not a data
+    scan."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price_c") + F.lit(100)).alias("price_c"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 501 == 0)
+    )
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="mmc_bronze_"))
+    census = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="mmc_census_"),
+        keys=["o_orderpriority", "price_c"],
+        aggs=[("n", "count", "")],
+    )
+    consumer = ChangeFeedConsumer(
+        bronze, source_keys=["o_orderkey"], view=census, count_col="n"
+    )
+    bronze.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    consumer.process_available()
+    bronze.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    consumer.process_available()
+    doomed = bronze.read().filter(F.col("o_orderkey") % 300 == 0)
+    bronze.merge(doomed, keys=["o_orderkey"], delete_matched=True)
+    consumer.process_available()
+    cen = consumer.state()
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    d = cen.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "tot", F.sum("n").over(w_all)
+    )
+    k1 = F.expr("(tot + 1) div 2")
+    k2 = F.expr("(tot + 2) div 2")
+    return d.groupBy("o_orderpriority").agg(
+        F.max("tot").alias("n_orders"),
+        (
+            (
+                F.min(F.when(F.col("cum") >= k1, F.col("price_c")))
+                + F.min(F.when(F.col("cum") >= k2, F.col("price_c")))
+            )
+            / 200.0
+        ).alias("median_price"),
+    )
+
+
+ORACLE_MATVIEW_MEDIAN_CENSUS = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), upd AS (
+  SELECT o_orderkey, o_orderpriority,
+         price_c + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM base
+), ins AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 501 = 0
+), merged AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM ins
+), kept AS (
+  SELECT * FROM merged WHERE o_orderkey % 300 <> 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       median(price_c) / 100.0 AS median_price
+FROM kept
+GROUP BY o_orderpriority
+"""
+
+register(
+    "matview_median_census",
+    q_matview_median_census,
+    ORACLE_MATVIEW_MEDIAN_CENSUS,
+)
