@@ -449,3 +449,84 @@ register(
     q_txn_atomic_upsert_audit,
     ORACLE_TXN_ATOMIC_UPSERT_AUDIT,
 )
+
+
+def q_fk_enforced_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time FOREIGN KEY enforcement with the quarantine pattern:
+    facts carry FK(o_custkey) -> dim(c_custkey) where the dim holds only
+    2/3 of the customers, so the raw insert wave contains real orphans.
+    The whole wave is REFUSED (ConstraintViolationError — atomicity:
+    nothing partial lands), then the ingest splits it: referentially
+    clean rows append to facts, orphans land in a quarantine table with
+    the violated key. The oracle replays the same split, so both the
+    refusal (no orphan leaked into facts) and the quarantine census are
+    value-graded. Preventive twin of the fk_orphan_profile audit.
+
+    100 TB posture: the probe is |batch distinct keys| anti-joined
+    against the dim's column-pruned distinct — batch-sized, never a
+    fact-table scan."""
+    from data_pipeline_platform_spark.sinks.acid import ConstraintViolationError
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    dim_rows = cust.filter(F.col("c_custkey") % 3 != 0)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    base = orders.filter(
+        (F.col("o_orderkey") % 2 == 0) & (F.col("o_custkey") % 3 != 0)
+    )
+    wave = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="fk_gate_")
+    dim = AcidTable(spark, f"{root}/dim")
+    dim.write(dim_rows)
+    facts = AcidTable(spark, f"{root}/facts")
+    facts.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    facts.add_fk_constraint("fk_cust", ["o_custkey"], dim, ["c_custkey"])
+    quarantine = AcidTable(spark, f"{root}/quarantine")
+    try:
+        facts.write(wave, mode="append")
+        raise AssertionError("orphan wave must be refused")
+    except ConstraintViolationError:
+        pass  # atomic refusal: facts untouched
+    clean = wave.filter(F.col("o_custkey") % 3 != 0)
+    orphans = wave.filter(F.col("o_custkey") % 3 == 0)
+    facts.write(clean, mode="append")
+    quarantine.write(orphans)
+    agg = facts.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum("price_c") / 100.0).alias("sum_price"),
+    )
+    qn = quarantine.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quarantined"),
+        F.count_distinct("o_custkey").cast("bigint").alias("n_orphan_custs"),
+    )
+    return agg.crossJoin(F.broadcast(qn))
+
+
+ORACLE_FK_ENFORCED_INGEST = """
+WITH facts AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+  WHERE (o_orderkey % 2 = 0 AND o_custkey % 3 <> 0)
+     OR (o_orderkey % 2 = 1 AND o_custkey % 3 <> 0)
+), quarantined AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_custkey % 3 = 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM quarantined) AS n_quarantined,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM quarantined)
+         AS n_orphan_custs
+FROM facts
+GROUP BY o_orderpriority
+"""
+
+
+register("fk_enforced_ingest", q_fk_enforced_ingest, ORACLE_FK_ENFORCED_INGEST)

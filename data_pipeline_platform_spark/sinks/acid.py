@@ -385,6 +385,105 @@ class AcidTable:
                 raise ConstraintViolationError(
                     f"incoming batch violates CHECK {name!r} ({expr})"
                 )
+        self._validate_fks(df)
+
+    # ------------------------------------------------------------------
+    # FOREIGN KEY constraints: write-time referential enforcement.
+    # Neither Delta nor Iceberg enforces FKs (they parse but ignore
+    # them); warehouses that do enforce pay this exact shape — a
+    # batch-keys anti-join against the referenced snapshot. This is the
+    # PREVENTIVE complement to the post-hoc fk_orphan_profile audit
+    # (functions/profile.py).
+    # ------------------------------------------------------------------
+    def fk_constraints(self, version: Optional[int] = None) -> Dict[str, Dict]:
+        """name -> {cols, ref_path, ref_cols}, from replaying
+        SET_FK/DROP_FK commits (same discipline as constraints())."""
+        upto = self.latest_version() if version is None else version
+        out: Dict[str, Dict] = {}
+        for v in range(1, upto + 1):
+            commit = self._read_commit(v)
+            meta = commit.get("meta") or {}
+            if commit["op"] == "SET_FK":
+                out[meta["name"]] = {
+                    "cols": meta["cols"],
+                    "ref_path": meta["ref_path"],
+                    "ref_cols": meta["ref_cols"],
+                }
+            elif commit["op"] == "DROP_FK":
+                out.pop(meta["name"], None)
+        return out
+
+    def add_fk_constraint(
+        self,
+        name: str,
+        cols: Sequence[str],
+        ref_table: "AcidTable",
+        ref_cols: Sequence[str],
+        validate_existing: bool = True,
+    ) -> int:
+        """Publish a FOREIGN KEY: every non-NULL (cols) tuple written to
+        this table must exist as a (ref_cols) tuple in ``ref_table`` at
+        write time. NULL in any FK column passes (SQL MATCH SIMPLE).
+        The referenced table is recorded BY PATH and re-resolved at
+        every validation, so the probe always sees its latest snapshot.
+        Caveat (same as every write-time-only enforcer): a later DELETE
+        in the referenced table can orphan existing rows — there are no
+        cascades; run fk_orphan_profile as the post-hoc audit."""
+        cols, ref_cols = list(cols), list(ref_cols)
+        if len(cols) != len(ref_cols):
+            raise ValueError("cols and ref_cols must pair up")
+        if validate_existing and self.exists():
+            bad = self._fk_orphans(
+                self.read(), cols, ref_table.path, ref_cols
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"existing rows violate FK {name!r}: e.g. {bad}; clean "
+                    "the data or pass validate_existing=False"
+                )
+        return self._commit(
+            self.latest_version(),
+            "SET_FK",
+            [],
+            [],
+            meta={
+                "name": name,
+                "cols": cols,
+                "ref_path": ref_table.path,
+                "ref_cols": ref_cols,
+            },
+        )
+
+    def drop_fk_constraint(self, name: str) -> int:
+        return self._commit(
+            self.latest_version(), "DROP_FK", [], [], meta={"name": name}
+        )
+
+    def _fk_orphans(
+        self, df: DataFrame, cols: List[str], ref_path: str, ref_cols: List[str]
+    ):
+        """First orphan tuple in df (None if referentially clean): the
+        batch's distinct non-NULL key tuples anti-joined against the
+        referenced table's distinct keys — batch-sized work on the left,
+        column-pruned distinct on the right."""
+        ref = AcidTable(self.spark, ref_path).read().select(
+            *[F.col(rc).alias(f"__ref_{i}") for i, rc in enumerate(ref_cols)]
+        ).distinct()
+        probe = df.select(*cols).na.drop("any").distinct()
+        cond = F.lit(True)
+        for i, c in enumerate(cols):
+            cond = cond & (F.col(c) == F.col(f"__ref_{i}"))
+        orphan = probe.join(ref, cond, "left_anti").limit(1).collect()
+        return tuple(orphan[0]) if orphan else None
+
+    def _validate_fks(self, df: DataFrame) -> None:
+        for name, fk in self.fk_constraints().items():
+            bad = self._fk_orphans(df, fk["cols"], fk["ref_path"], fk["ref_cols"])
+            if bad is not None:
+                raise ConstraintViolationError(
+                    f"incoming batch violates FK {name!r}: {bad} not in "
+                    f"{fk['ref_path']}({', '.join(fk['ref_cols'])})"
+                )
 
     # ------------------------------------------------------------------
     # shallow clone
@@ -408,6 +507,9 @@ class AcidTable:
         for name, expr in self.constraints().items():
             dest._commit(dest.latest_version(), "SET_CONSTRAINT", [], [],
                          meta={"name": name, "expr": expr})
+        for name, fk in self.fk_constraints().items():
+            dest._commit(dest.latest_version(), "SET_FK", [], [],
+                         meta={"name": name, **fk})
         return dest
 
     # ------------------------------------------------------------------

@@ -607,3 +607,95 @@ def test_vacuum_retention_window_preserves_recent_time_travel(spark, tmp_path):
     # restore within the window still works
     t.restore(2)
     assert t.read().count() == 20
+
+
+class TestForeignKeys:
+    """Write-time FOREIGN KEY enforcement: the preventive complement to
+    the fk_orphan_profile audit. NULL FK columns pass (MATCH SIMPLE);
+    the referenced table resolves by path at every probe."""
+
+    def _dim(self, spark, tmp_path):
+        dim = AcidTable(spark, str(tmp_path / "dim"))
+        dim.write(
+            spark.createDataFrame([(1, "x"), (2, "y")], "d long, name string")
+        )
+        return dim
+
+    def test_orphan_batch_refused_clean_batch_accepted(self, spark, tmp_path):
+        from data_pipeline_platform_spark.sinks.acid import (
+            ConstraintViolationError,
+        )
+
+        dim = self._dim(spark, tmp_path)
+        facts = AcidTable(spark, str(tmp_path / "facts"))
+        facts.write(spark.createDataFrame([(10, 1)], "k long, d long"))
+        facts.add_fk_constraint("fk_d", ["d"], dim, ["d"])
+        with pytest.raises(ConstraintViolationError, match="FK 'fk_d'"):
+            facts.write(
+                spark.createDataFrame([(11, 99)], "k long, d long"),
+                mode="append",
+            )
+        facts.write(
+            spark.createDataFrame([(11, 2)], "k long, d long"), mode="append"
+        )
+        assert facts.read().count() == 2
+
+    def test_null_fk_passes_match_simple(self, spark, tmp_path):
+        dim = self._dim(spark, tmp_path)
+        facts = AcidTable(spark, str(tmp_path / "facts"))
+        facts.write(spark.createDataFrame([(10, 1)], "k long, d long"))
+        facts.add_fk_constraint("fk_d", ["d"], dim, ["d"])
+        facts.write(
+            spark.createDataFrame([(12, None)], "k long, d long"),
+            mode="append",
+        )
+        assert facts.read().count() == 2
+
+    def test_existing_orphans_refuse_the_constraint(self, spark, tmp_path):
+        from data_pipeline_platform_spark.sinks.acid import (
+            ConstraintViolationError,
+        )
+
+        dim = self._dim(spark, tmp_path)
+        facts = AcidTable(spark, str(tmp_path / "facts"))
+        facts.write(spark.createDataFrame([(10, 99)], "k long, d long"))
+        with pytest.raises(ConstraintViolationError, match="existing rows"):
+            facts.add_fk_constraint("fk_d", ["d"], dim, ["d"])
+        facts.add_fk_constraint(
+            "fk_d", ["d"], dim, ["d"], validate_existing=False
+        )
+
+    def test_fk_sees_reference_growth_and_merge_enforces(self, spark, tmp_path):
+        from data_pipeline_platform_spark.sinks.acid import (
+            ConstraintViolationError,
+        )
+
+        dim = self._dim(spark, tmp_path)
+        facts = AcidTable(spark, str(tmp_path / "facts"))
+        facts.write(spark.createDataFrame([(10, 1)], "k long, d long"))
+        facts.add_fk_constraint("fk_d", ["d"], dim, ["d"])
+        with pytest.raises(ConstraintViolationError):
+            facts.merge(
+                spark.createDataFrame([(11, 3)], "k long, d long"), keys=["k"]
+            )
+        dim.write(
+            spark.createDataFrame([(3, "z")], "d long, name string"),
+            mode="append",
+        )  # the ref resolves by path: new dim rows legalize the key
+        facts.merge(
+            spark.createDataFrame([(11, 3)], "k long, d long"), keys=["k"]
+        )
+        assert facts.read().count() == 2
+
+    def test_drop_reopens_and_clone_carries(self, spark, tmp_path):
+        dim = self._dim(spark, tmp_path)
+        facts = AcidTable(spark, str(tmp_path / "facts"))
+        facts.write(spark.createDataFrame([(10, 1)], "k long, d long"))
+        facts.add_fk_constraint("fk_d", ["d"], dim, ["d"])
+        clone = facts.clone(str(tmp_path / "clone"))
+        assert "fk_d" in clone.fk_constraints()
+        facts.drop_fk_constraint("fk_d")
+        facts.write(
+            spark.createDataFrame([(13, 42)], "k long, d long"), mode="append"
+        )
+        assert facts.read().count() == 2
