@@ -101,7 +101,10 @@ class MaterializedAgg:
         return j.select(*outs)
 
     def update(
-        self, batch: DataFrame, commit_meta: Dict[str, object] = None
+        self,
+        batch: DataFrame,
+        commit_meta: Dict[str, object] = None,
+        txn: Dict[str, str] = None,
     ) -> Dict[str, int]:
         """Fold one append-only fact batch into the state table.
         ``commit_meta`` is recorded inside the ACID commit itself —
@@ -117,7 +120,9 @@ class MaterializedAgg:
             )
         part = self._partial(batch)
         if not self.acid.exists():
-            self.acid.write(part, stats_cols=self.keys, extra_meta=commit_meta)
+            self.acid.write(
+                part, stats_cols=self.keys, extra_meta=commit_meta, txn=txn
+            )
             return {"groups_touched": part.count(), "files_rewritten": 0}
         cur = self.acid.read()
         # fold ONLY the groups present in this batch: untouched groups'
@@ -131,7 +136,9 @@ class MaterializedAgg:
             part.select(*self.keys).alias("p"), cond, "left_semi"
         )
         folded = self._fold(touched, part)
-        stats = self.acid.merge(folded, keys=self.keys, extra_meta=commit_meta)
+        stats = self.acid.merge(
+            folded, keys=self.keys, extra_meta=commit_meta, txn=txn
+        )
         return {
             "groups_touched": folded.count(),
             "files_rewritten": stats["files_rewritten"],

@@ -40,10 +40,15 @@ def last_folded_batch(view: MaterializedAgg, stream_id: str) -> int:
     Reads the commit log newest-first and stops at the first commit
     carrying the stream's marker — batch ids within a stream are
     monotone, so the most recent marker IS the max (O(1) commits read
-    in steady state, not O(versions))."""
+    in steady state, not O(versions)). Markers inside unresolved or
+    aborted multi-table-txn commits do not count: the fold never (yet)
+    happened."""
     acid = view.acid
     for v in range(acid.latest_version(), 0, -1):
-        meta = acid._read_commit(v).get("meta") or {}
+        commit = acid._read_commit(v)
+        if acid._txn_state(commit) in ("pending", "aborted"):
+            continue
+        meta = commit.get("meta") or {}
         if meta.get("stream_id") == stream_id:
             return int(meta["batch_id"])
     return -1
@@ -52,7 +57,10 @@ def last_folded_batch(view: MaterializedAgg, stream_id: str) -> int:
 def _other_stream_has_folds(view: MaterializedAgg, stream_id: str) -> bool:
     acid = view.acid
     for v in range(acid.latest_version(), 0, -1):
-        meta = acid._read_commit(v).get("meta") or {}
+        commit = acid._read_commit(v)
+        if acid._txn_state(commit) in ("pending", "aborted"):
+            continue
+        meta = commit.get("meta") or {}
         sid = meta.get("stream_id")
         if sid is not None and sid != stream_id:
             return True
@@ -109,6 +117,83 @@ def stream_materialize(
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         fold_batch(view, sid, batch_df, batch_id,
                    allow_other_streams=allow_other_streams)
+
+    return (
+        stream_df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )
+
+
+def fold_batch_multi(
+    folds,
+    stream_id: str,
+    batch_id: int,
+    coordinator_dir: str,
+    allow_other_streams: bool = False,
+) -> bool:
+    """Fold ONE micro-batch into SEVERAL views ATOMICALLY: every view's
+    fold commit is staged under one multi-table transaction
+    (sinks/txn.py) carrying the {stream_id, batch_id} marker, and a
+    single marker create publishes them all together — so a reader can
+    never observe batch N applied to one view but not another (the
+    fan-out consistency single-sink foreachBatch cannot give you).
+
+    ``folds``: [(MaterializedAgg, batch_df), ...] — typically different
+    projections/groupings of the same micro-batch.
+
+    Crash discipline: a failure between staging and decide leaves
+    pending commits that block the views; the NEXT delivery of any
+    batch runs presumed-abort recovery first (markers inside aborted
+    stages never count as folded — see last_folded_batch), then folds
+    cleanly. Returns True if folded, False if skipped as a replay."""
+    from data_pipeline_platform_spark.sinks.txn import MultiTableTxn
+
+    views = [v for v, _ in folds]
+    MultiTableTxn.recover(coordinator_dir, [v.acid for v in views])
+    if batch_id <= max(last_folded_batch(v, stream_id) for v in views):
+        return False  # atomicity keeps all views in lockstep; max = the truth
+    if batch_id == 0 and not allow_other_streams:
+        for v in views:
+            if _other_stream_has_folds(v, stream_id):
+                raise RuntimeError(
+                    f"stream {stream_id!r} starts at batch 0 but the view "
+                    f"at {v.acid.path} already holds folds from another "
+                    "stream (see fold_batch)"
+                )
+    if all(df.isEmpty() for _, df in folds):
+        return False
+    txn = MultiTableTxn(coordinator_dir)
+    marker = {"stream_id": stream_id, "batch_id": batch_id}
+    for v, df in folds:
+        v.update(df, commit_meta=marker, txn=txn._ref())
+    txn.commit()
+    return True
+
+
+def stream_materialize_multi(
+    stream_df: DataFrame,
+    targets,
+    checkpoint: str,
+    coordinator_dir: str,
+    trigger: Optional[Dict[str, Any]] = None,
+    stream_id: Optional[str] = None,
+):
+    """Streaming twin of fold_batch_multi: ``targets`` is
+    [(MaterializedAgg, row-local projection fn), ...]; each micro-batch
+    is projected per target and all folds publish atomically."""
+    trigger = {"availableNow": True} if trigger is None else trigger
+    sid = stream_id if stream_id is not None else os.path.abspath(checkpoint)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # one materialization, N folds
+        fold_batch_multi(
+            [(view, proj(batch_df)) for view, proj in targets],
+            sid,
+            batch_id,
+            coordinator_dir,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(_fold)

@@ -121,3 +121,114 @@ def test_fresh_checkpoint_against_folded_view_raises(spark, tmp_path):
         fold_batch(view, "s2", b, 0)
     # disjoint-sources escape hatch
     assert fold_batch(view, "s2", b, 0, allow_other_streams=True) is True
+
+
+class TestFoldBatchMulti:
+    """Atomic fan-out: one micro-batch folds into several views under
+    one multi-table txn — all visible together, crash heals, replays
+    skip."""
+
+    def _views(self, spark, tmp_path):
+        from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+
+        by_g = MaterializedAgg(
+            spark, str(tmp_path / "by_g"), keys=["g"],
+            aggs=[("n", "count", ""), ("s", "sum", "x")],
+        )
+        by_u = MaterializedAgg(
+            spark, str(tmp_path / "by_u"), keys=["u"],
+            aggs=[("n", "count", "")],
+        )
+        return by_g, by_u
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, u long, x long")
+
+    def test_fold_replay_skip_and_lockstep(self, spark, tmp_path):
+        from data_pipeline_platform_spark.streaming.matview import (
+            fold_batch_multi,
+        )
+
+        by_g, by_u = self._views(spark, tmp_path)
+        coord = str(tmp_path / "_txns")
+        b0 = self._batch(spark, [("a", 1, 10), ("b", 2, 20)])
+        assert fold_batch_multi(
+            [(by_g, b0), (by_u, b0)], "s1", 0, coord
+        )
+        assert not fold_batch_multi(
+            [(by_g, b0), (by_u, b0)], "s1", 0, coord
+        )  # replay skips
+        b1 = self._batch(spark, [("a", 1, 5)])
+        assert fold_batch_multi([(by_g, b1), (by_u, b1)], "s1", 1, coord)
+        got_g = {r["g"]: (r["n"], r["s"]) for r in by_g.read().collect()}
+        got_u = {r["u"]: r["n"] for r in by_u.read().collect()}
+        assert got_g == {"a": (2, 15), "b": (1, 20)}
+        assert got_u == {1: 2, 2: 1}
+
+    def test_crash_between_stage_and_decide_heals(self, spark, tmp_path):
+        from data_pipeline_platform_spark.sinks.txn import MultiTableTxn
+        from data_pipeline_platform_spark.streaming.matview import (
+            fold_batch_multi,
+            last_folded_batch,
+        )
+
+        by_g, by_u = self._views(spark, tmp_path)
+        coord = str(tmp_path / "_txns")
+        b0 = self._batch(spark, [("a", 1, 10)])
+        fold_batch_multi([(by_g, b0), (by_u, b0)], "s1", 0, coord)
+        # simulate a crash: stage batch 1 into ONE view only, no decide
+        b1 = self._batch(spark, [("b", 2, 20)])
+        dangling = MultiTableTxn(coord)
+        by_g.update(
+            b1,
+            commit_meta={"stream_id": "s1", "batch_id": 1},
+            txn=dangling._ref(),
+        )
+        # the pending stage neither counts as folded nor leaks state
+        assert last_folded_batch(by_g, "s1") == 0
+        assert {r["g"] for r in by_g.read().collect()} == {"a"}
+        # redelivery recovers (presumed abort) then folds BOTH views
+        assert fold_batch_multi([(by_g, b1), (by_u, b1)], "s1", 1, coord)
+        got_g = {r["g"]: (r["n"], r["s"]) for r in by_g.read().collect()}
+        assert got_g == {"a": (1, 10), "b": (1, 20)}
+        assert {r["u"]: r["n"] for r in by_u.read().collect()} == {1: 1, 2: 1}
+
+    def test_streaming_drain_equals_batch(self, spark, tmp_path):
+        """stream_materialize_multi over a file stream: drained state
+        equals the one-shot aggregates of the full input."""
+        from pyspark.sql import functions as F
+
+        from data_pipeline_platform_spark.streaming.matview import (
+            stream_materialize_multi,
+        )
+
+        src = tmp_path / "src"
+        df = spark.range(100).select(
+            (F.col("id") % 7).cast("string").alias("g"),
+            (F.col("id") % 5).alias("u"),
+            F.col("id").alias("x"),
+        )
+        df.write.parquet(str(src))
+        by_g, by_u = self._views(spark, tmp_path)
+        stream = spark.readStream.schema(
+            "g string, u long, x long"
+        ).parquet(str(src))
+        q = stream_materialize_multi(
+            stream,
+            [(by_g, lambda b: b), (by_u, lambda b: b)],
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "_txns"),
+        )
+        q.awaitTermination(120)
+        want_g = {
+            r["g"]: (r["n"], r["s"])
+            for r in df.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+            .collect()
+        }
+        got_g = {r["g"]: (r["n"], r["s"]) for r in by_g.read().collect()}
+        assert got_g == want_g
+        assert {r["u"]: r["n"] for r in by_u.read().collect()} == {
+            r["u"]: r["n"]
+            for r in df.groupBy("u").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
