@@ -1066,3 +1066,79 @@ register(
     q_matview_median_census,
     ORACLE_MATVIEW_MEDIAN_CENSUS,
 )
+
+
+def q_stream_fanout_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the atomic streaming fan-out
+    (streaming/matview.py fold_batch_multi): three deterministic
+    micro-batches of orders fold into TWO views — per-priority
+    count/sum and per-customer-bucket count — each batch under ONE
+    multi-table txn (marker inside every stage, one decide marker),
+    with batch 1 REDELIVERED to prove the replay skip. The output
+    joins both views' state; the oracle is the one-shot aggregate
+    pair over the full input, so a half-applied batch (one view
+    advanced, the other not) or a double-fold is a value mismatch.
+
+    100 TB posture: per batch cost is the two batch-sized partial
+    aggs + file-pruned merges; the decide point is one empty-object
+    put regardless of batch size."""
+    from data_pipeline_platform_spark.streaming.matview import fold_batch_multi
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    by_prio = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="sft_prio_"),
+        keys=["o_orderpriority"],
+        aggs=[("n_orders", "count", ""), ("sum_price_c", "sum", "price_c")],
+    )
+    by_bucket = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="sft_bucket_"),
+        keys=["cust_bucket"],
+        aggs=[("n_orders", "count", "")],
+    )
+    coord = tempfile.mkdtemp(prefix="sft_txns_")
+    for i in range(3):
+        batch = orders.filter(F.col("o_orderkey") % 3 == i).withColumn(
+            "cust_bucket", F.col("o_custkey") % 10
+        )
+        fold_batch_multi(
+            [(by_prio, batch), (by_bucket, batch)], "twin", i, coord
+        )
+        if i == 1:  # redelivery: the replay must skip BOTH views
+            fold_batch_multi(
+                [(by_prio, batch), (by_bucket, batch)], "twin", i, coord
+            )
+    buckets = by_bucket.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n_orders").alias("n_total"),
+    )
+    return by_prio.read().select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("sum_price_c") / 100.0).alias("sum_price"),
+    ).crossJoin(F.broadcast(buckets))
+
+
+ORACLE_STREAM_FANOUT_TWIN = """
+WITH src AS (
+  SELECT o_orderpriority, o_custkey % 10 AS cust_bucket,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price,
+       (SELECT CAST(COUNT(DISTINCT cust_bucket) AS BIGINT) FROM src)
+         AS n_buckets,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n_total
+FROM src
+GROUP BY o_orderpriority
+"""
+
+register("stream_fanout_twin", q_stream_fanout_twin, ORACLE_STREAM_FANOUT_TWIN)
