@@ -253,14 +253,21 @@ class AcidTable:
         from pyspark.sql.types import StructType
 
         upto = self.latest_version() if version is None else version
-        cache = getattr(self, "_schema_cache", None)
-        if cache is None:
-            cache = self._schema_cache = {}
-        if upto in cache:
-            return cache[upto]
-        found = None
+        # incremental per-handle cache (same discipline as
+        # constraints()): walk only commits NEWER than the last scan —
+        # commits are immutable, so on a monotone version sequence
+        # (every fold of a long-lived view) the amortized cost is O(1)
+        # commit reads per call instead of O(versions)
+        checked, found_at, found = getattr(
+            self, "_schema_scan", (0, 0, None)
+        )
+        if upto < checked:
+            # historical ask (time travel): replay from genesis, don't
+            # disturb the monotone cache
+            return self._schema_walk(upto)
         cacheable = True
-        for v in range(upto, 0, -1):
+        newer = None
+        for v in range(upto, checked, -1):
             commit = self._read_commit(v)
             state = self._txn_state(commit)
             if state in ("pending", "aborted"):
@@ -269,11 +276,27 @@ class AcidTable:
                 continue
             sj = commit.get("schema")
             if sj is not None:
-                found = StructType.fromJson(sj)
+                newer = (v, StructType.fromJson(sj))
                 break
+        if newer is not None:
+            found_at, found = newer
         if cacheable:
-            cache[upto] = found
+            self._schema_scan = (upto, found_at, found)
         return found
+
+    def _schema_walk(self, upto: int):
+        """Uncached from-scratch walk for historical (time-travel)
+        schema asks."""
+        from pyspark.sql.types import StructType
+
+        for v in range(upto, 0, -1):
+            commit = self._read_commit(v)
+            if self._txn_state(commit) in ("pending", "aborted"):
+                continue
+            sj = commit.get("schema")
+            if sj is not None:
+                return StructType.fromJson(sj)
+        return None
 
     def _align_to_schema(
         self, df: DataFrame, target, merge_schema: bool, op: str
@@ -397,10 +420,15 @@ class AcidTable:
     # ------------------------------------------------------------------
     def fk_constraints(self, version: Optional[int] = None) -> Dict[str, Dict]:
         """name -> {cols, ref_path, ref_cols}, from replaying
-        SET_FK/DROP_FK commits (same discipline as constraints())."""
+        SET_FK/DROP_FK commits (incremental per-handle cache, same
+        discipline as constraints(): commits are immutable, so only
+        commits newer than the last scan are read)."""
         upto = self.latest_version() if version is None else version
-        out: Dict[str, Dict] = {}
-        for v in range(1, upto + 1):
+        cached_v, cached = getattr(self, "_fk_cache", (0, {}))
+        if version is not None and upto < cached_v:
+            cached_v, cached = 0, {}  # historical ask: replay from genesis
+        out = dict(cached)
+        for v in range(cached_v + 1, upto + 1):
             commit = self._read_commit(v)
             meta = commit.get("meta") or {}
             if commit["op"] == "SET_FK":
@@ -411,6 +439,8 @@ class AcidTable:
                 }
             elif commit["op"] == "DROP_FK":
                 out.pop(meta["name"], None)
+        if version is None:
+            self._fk_cache = (upto, dict(out))
         return out
 
     def add_fk_constraint(
