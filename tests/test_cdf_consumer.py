@@ -394,3 +394,55 @@ def test_group_revives_after_full_retraction(spark, tmp_path):
     consumer.process_available()
     assert _got_minmax(consumer)["a"] == (2, 49, 7, 42)
     assert _got_minmax(consumer) == _want_minmax(spark, bronze)
+
+
+def test_consumer_skips_pending_and_aborted_txn_commits(spark, tmp_path):
+    """Composability of the CDF hop with multi-table txns: a bronze
+    commit staged under an undecided txn is invisible to the consumer
+    (no-op span, NO marker published — the post-decide span re-checks
+    and folds); an aborted stage never folds."""
+    from data_pipeline_platform_spark.sinks.acid import AcidTable
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+    from data_pipeline_platform_spark.sinks.txn import MultiTableTxn
+    from data_pipeline_platform_spark.streaming.cdf import ChangeFeedConsumer
+
+    bronze = AcidTable(spark, str(tmp_path / "b"))
+    view = MaterializedAgg(
+        spark, str(tmp_path / "s"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x")],
+    )
+    consumer = ChangeFeedConsumer(bronze, ["k"], view, count_col="n")
+    bronze.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, g string, x long"
+        ),
+        stats_cols=["k"],
+    )
+    consumer.process_available()
+    txn = MultiTableTxn(str(tmp_path / "_txns"))
+    txn.stage_write(
+        bronze,
+        spark.createDataFrame([(3, "a", 30)], "k long, g string, x long"),
+        mode="append",
+    )
+    out = consumer.process_available()
+    assert out.get("metadata_only")  # pending: nothing to fold, no marker
+    txn.commit()
+    consumer.process_available()  # the same span now folds
+    assert {r["g"]: (r["n"], r["s"]) for r in consumer.state().collect()} == {
+        "a": (2, 40),
+        "b": (1, 20),
+    }
+    t2 = MultiTableTxn(str(tmp_path / "_txns"))
+    t2.stage_write(
+        bronze,
+        spark.createDataFrame([(4, "b", 40)], "k long, g string, x long"),
+        mode="append",
+    )
+    t2.abort()
+    out = consumer.process_available()
+    assert out.get("metadata_only")  # aborted: permanently invisible
+    assert {r["g"]: (r["n"], r["s"]) for r in consumer.state().collect()} == {
+        "a": (2, 40),
+        "b": (1, 20),
+    }
