@@ -989,3 +989,120 @@ def test_fold_matches_oneshot_across_schema_evolution(
         if not out.get("metadata_only"):
             check()
     check()
+
+
+# --------------------------------------------------------------------------
+# multi-table txn under RANDOM interleavings: stages across two tables
+# with randomly interleaved commit/abort/crash-recover decisions. The
+# invariant: each table's visible state equals the replay of exactly
+# the COMMITTED transactions' batches, in stage order — aborted and
+# crashed-then-recovered txns contribute nothing, and the two tables
+# always agree on which txns happened.
+_TXN_SCRIPT = st.lists(
+    st.tuples(
+        st.sampled_from(["commit", "abort", "crash"]),  # decision
+        st.integers(min_value=0, max_value=99),         # payload seed
+        st.booleans(),                                  # stage into A?
+        st.booleans(),                                  # stage into B?
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(script=_TXN_SCRIPT)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_txn_visible_state_equals_committed_replay(
+    spark, tmp_path_factory, script
+):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sinks.acid import AcidTable
+    from data_pipeline_platform_spark.sinks.txn import MultiTableTxn
+
+    tmp = tmp_path_factory.mktemp("txnprop")
+    a = AcidTable(spark, str(tmp / "a"))
+    b = AcidTable(spark, str(tmp / "b"))
+    coord = str(tmp / "_txns")
+    a.write(spark.createDataFrame([(0, -1)], "seq long, payload long"))
+    b.write(spark.createDataFrame([(0, -1)], "seq long, payload long"))
+    want_a, want_b = {0: -1}, {0: -1}
+    for i, (decision, payload, into_a, into_b) in enumerate(script, start=1):
+        if not (into_a or into_b):
+            into_a = True  # empty txns are uninteresting
+        MultiTableTxn.recover(coord, [a, b])  # heal any prior crash
+        txn = MultiTableTxn(coord)
+        row = [(i, payload)]
+        if into_a:
+            txn.stage_write(
+                a,
+                spark.createDataFrame(row, "seq long, payload long"),
+                mode="append",
+            )
+        if into_b:
+            txn.stage_write(
+                b,
+                spark.createDataFrame(row, "seq long, payload long"),
+                mode="append",
+            )
+        if decision == "commit":
+            txn.commit()
+            if into_a:
+                want_a[i] = payload
+            if into_b:
+                want_b[i] = payload
+        elif decision == "abort":
+            txn.abort()
+        # "crash": leave undecided — the NEXT iteration's recover()
+        # presumed-aborts it
+    MultiTableTxn.recover(coord, [a, b])
+    got_a = {r["seq"]: r["payload"] for r in a.read().collect()}
+    got_b = {r["seq"]: r["payload"] for r in b.read().collect()}
+    assert got_a == want_a
+    assert got_b == want_b
+
+
+# --------------------------------------------------------------------------
+# Z-order compaction on RANDOM tables: content is bit-identical before
+# and after, and footer stats cover every cluster column.
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=-500, max_value=500),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nfiles=st.integers(min_value=1, max_value=6),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_zorder_compaction_preserves_content(
+    spark, tmp_path_factory, rows, nfiles
+):
+    from collections import Counter
+
+    from data_pipeline_platform_spark.sinks.acid import AcidTable
+
+    tmp = tmp_path_factory.mktemp("zprop")
+    t = AcidTable(spark, str(tmp / "t"))
+    t.write(
+        spark.createDataFrame(rows, "a long, b long, v long").repartition(3),
+        stats_cols=["a", "b"],
+    )
+    before = Counter(tuple(r) for r in t.read().collect())
+    t.compact(target_files=nfiles, cluster_by=["a", "b"], zorder=True)
+    after = Counter(tuple(r) for r in t.read().collect())
+    assert after == before
+    for action in t.snapshot_files():
+        stats = action.get("stats") or {}
+        assert "a" in stats and "b" in stats  # both dims prune-able
