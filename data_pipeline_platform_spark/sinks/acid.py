@@ -1311,6 +1311,73 @@ class AcidTable:
             schema=restored_schema,
         )
 
+    def fsck(self) -> Dict[str, Any]:
+        """Log/file integrity audit (the Delta FSCK role) — metadata
+        only, no data scan. Checks, across the whole commit history:
+
+        - every LIVE add-action's data file exists on disk (a missing
+          live file = unreadable snapshot: reported as ``missing``);
+        - no version gaps in the commit sequence;
+        - every remove references a path some earlier commit added;
+        - no path is added twice while live (double-add would make
+          replay order-dependent);
+        - unresolved txn commits are surfaced (they block writers).
+
+        Returns a report dict; ``ok`` is True when nothing is broken.
+        Historical (non-live) adds whose files were vacuumed are NORMAL
+        and only counted (``vacuumed_history``)."""
+        latest = self.latest_version()
+        report: Dict[str, Any] = {
+            "versions": latest,
+            "missing": [],
+            "gaps": [],
+            "orphan_removes": [],
+            "double_adds": [],
+            "pending_txns": [],
+            "vacuumed_history": 0,
+        }
+        ever_added: set = set()
+        live: set = set()
+        for v in range(1, latest + 1):
+            try:
+                commit = self._read_commit(v)
+            except FileNotFoundError:
+                report["gaps"].append(v)
+                continue
+            state = self._txn_state(commit)
+            if state == "pending":
+                report["pending_txns"].append(
+                    {"version": v, "txn_id": commit["txn"]["id"]}
+                )
+            if state in ("pending", "aborted"):
+                continue
+            for path in commit["remove"]:
+                if path not in ever_added:
+                    report["orphan_removes"].append(
+                        {"version": v, "path": path}
+                    )
+                live.discard(path)
+            for action in commit["add"]:
+                p = action["path"]
+                if p in live:
+                    report["double_adds"].append({"version": v, "path": p})
+                ever_added.add(p)
+                live.add(p)
+        for p in sorted(live):
+            if not os.path.exists(p):
+                report["missing"].append(p)
+        report["vacuumed_history"] = sum(
+            1 for p in ever_added - live if not os.path.exists(p)
+        )
+        report["live_files"] = len(live)
+        report["ok"] = not (
+            report["missing"]
+            or report["gaps"]
+            or report["orphan_removes"]
+            or report["double_adds"]
+        )
+        return report
+
     def vacuum(self, retain_versions: int = 0) -> List[str]:
         """Remove data files unreferenced by the newest
         ``retain_versions + 1`` snapshots. The default (0) keeps only

@@ -333,3 +333,15 @@ class MaterializedAgg:
 
     def history(self) -> List[Dict]:
         return self.acid.history()
+
+    def optimize(self, target_files: int = 4) -> int:
+        """Re-cluster the state table by the group keys: every fold's
+        MERGE adds files, and after many folds the state fragments —
+        group-key footer ranges overlap, so merges stop pruning. One
+        range-clustered compaction restores disjoint per-file key
+        ranges (the OPTIMIZE role for long-lived views); run it
+        periodically, like Delta's auto-compaction. Old files become
+        vacuum-able."""
+        return self.acid.compact(
+            target_files=target_files, cluster_by=self.keys
+        )

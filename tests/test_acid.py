@@ -699,3 +699,52 @@ class TestForeignKeys:
             spark.createDataFrame([(13, 42)], "k long, d long"), mode="append"
         )
         assert facts.read().count() == 2
+
+
+class TestFsck:
+    def test_clean_table_passes(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"))
+        t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+        t.write(
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            mode="append",
+        )
+        t.merge(spark.createDataFrame([(1, "z")], "k long, v string"), keys=["k"])
+        report = t.fsck()
+        assert report["ok"]
+        assert report["versions"] == 3
+        assert report["live_files"] >= 1
+
+    def test_missing_live_file_detected(self, spark, tmp_path):
+        import os
+
+        t = AcidTable(spark, str(tmp_path / "t"))
+        t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+        victim = t.snapshot_files()[0]["path"]
+        os.remove(victim)
+        report = t.fsck()
+        assert not report["ok"]
+        assert victim in report["missing"]
+
+    def test_vacuumed_history_is_normal(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"))
+        t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+        t.write(spark.createDataFrame([(2, "b")], "k long, v string"))
+        t.vacuum()
+        report = t.fsck()
+        assert report["ok"]
+        assert report["vacuumed_history"] >= 1
+
+    def test_pending_txn_surfaced(self, spark, tmp_path):
+        from data_pipeline_platform_spark.sinks.txn import MultiTableTxn
+
+        t = AcidTable(spark, str(tmp_path / "t"))
+        t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+        txn = MultiTableTxn(str(tmp_path / "_txns"))
+        txn.stage_write(
+            t, spark.createDataFrame([(2, "b")], "k long, v string"),
+            mode="append",
+        )
+        report = t.fsck()
+        assert report["ok"]  # pending is a state, not corruption
+        assert len(report["pending_txns"]) == 1

@@ -189,3 +189,38 @@ class TestCountDistinct:
             view.update(
                 spark.createDataFrame([("a", 1)], "g string, u long")
             )
+
+
+def test_optimize_recluster_keeps_state_and_restores_pruning(spark, tmp_path):
+    """After many folds the state table fragments; optimize()
+    re-clusters by group key so later merges prune again — state is
+    unchanged by the rewrite."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+
+    view = MaterializedAgg(
+        spark, str(tmp_path / "v"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x")],
+    )
+    for i in range(5):
+        batch = spark.range(40).select(
+            (F.col("id") % 20).cast("string").alias("g"),
+            (F.col("id") + i).alias("x"),
+        )
+        view.update(batch)
+    before = {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
+    n_files_before = len(view.acid.snapshot_files())
+    view.optimize(target_files=2)
+    after = {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
+    assert after == before
+    files = view.acid.snapshot_files()
+    assert len(files) <= max(2, n_files_before)
+    # disjoint per-file key ranges: every file carries g-stats
+    for a in files:
+        assert "g" in (a.get("stats") or {})
+    # and a fold after optimize still works
+    view.update(
+        spark.createDataFrame([("0", 7)], "g string, x long")
+    )
+    assert view.read().filter("g = '0'").collect()[0]["n"] == before["0"][0] + 1
