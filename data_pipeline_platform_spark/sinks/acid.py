@@ -1006,7 +1006,7 @@ class AcidTable:
                 if delete_matched
                 else self._write_data_files(src, key_list)
             )
-            self._commit(
+            v = self._commit(
                 base,
                 "MERGE" if not delete_matched else "MERGE_DELETE",
                 add,
@@ -1017,7 +1017,8 @@ class AcidTable:
                 schema=record_schema,
                 txn=txn,
             )
-            return {"files_scanned": 0, "files_pruned": 0, "files_rewritten": 0}
+            return {"files_scanned": 0, "files_pruned": 0,
+                    "files_rewritten": 0, "version": v}
         # keys whose target rows leave the snapshot OR take new values —
         # the probe that decides which files are candidates/touched
         probe = src.select(*key_list)
@@ -1155,6 +1156,7 @@ class AcidTable:
             "files_scanned": len(candidates),
             "files_pruned": len(untouched),
             "files_rewritten": n_rewritten,
+            "version": base + 1,
         }
 
     # ------------------------------------------------------------------

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import os
 import uuid
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame
 
@@ -92,7 +92,10 @@ class MultiTableTxn:
         publishes only when this txn commits."""
         self._check_undecided("stage_merge")
         stats = table.merge(source, keys, txn=self._ref(), **kw)
-        self.staged.append({"table": table.path, "merge": stats})
+        self.staged.append(
+            {"table": table.path, "version": stats.get("version"),
+             "merge": stats}
+        )
         return stats
 
     def _check_undecided(self, op: str) -> None:
@@ -105,14 +108,36 @@ class MultiTableTxn:
     # ------------------------------------------------------------------
     def commit(self) -> None:
         """The all-or-nothing point: one atomic marker create. Every
-        staged commit in every table becomes visible together."""
+        staged commit in every table becomes visible together. The
+        marker records the staged (table, version) set — the membership
+        consistent_cut() needs for torn-read-free multi-table snapshot
+        reads. Content lands atomically: it is written to a temp file
+        and hard-linked into place (link is the exclusive create, and
+        the content is complete before it)."""
+        import json as _json
+
         if os.path.exists(self._marker("aborted")):
             raise TxnDecidedError(f"txn {self.id} already aborted")
+        marker = self._marker("committed")
+        if os.path.exists(marker):
+            return  # idempotent: committing twice is a no-op
+        tmp = marker + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "staged": [
+                        {"table": s["table"], "version": s.get("version")}
+                        for s in self.staged
+                    ]
+                },
+                f,
+            )
         try:
-            with open(self._marker("committed"), "x"):
-                pass
+            os.link(tmp, marker)
         except FileExistsError:
-            pass  # idempotent: committing twice is a no-op
+            pass  # lost the race to another committer of the same txn
+        finally:
+            os.remove(tmp)
 
     def abort(self) -> None:
         """Presumed-abort resolution: staged commits become permanently
@@ -124,6 +149,79 @@ class MultiTableTxn:
                 pass
         except FileExistsError:
             pass
+
+    # ------------------------------------------------------------------
+    # consistent multi-table snapshot reads
+    # ------------------------------------------------------------------
+    @staticmethod
+    def consistent_cut(
+        coordinator_dir: str,
+        tables: Sequence[AcidTable],
+        at: Optional[Dict[str, int]] = None,
+    ) -> Dict[str, int]:
+        """A {table path: version} cut where every transaction decided
+        through this coordinator is ALL-IN or ALL-OUT — the multi-table
+        snapshot-isolation read. Per-table reads taken naively at
+        different instants can tear a txn (see A after decide, B from
+        before it); this repairs the proposed cut by walking the
+        committed markers' staged sets and LOWERING any cut that
+        includes a txn some sibling cut excludes, to just below that
+        stage — iterated to fixpoint (cuts only decrease: terminates).
+        ``at`` proposes a historical cut (consistent time travel);
+        default is each table's current latest.
+
+        100 TB posture: marker files are tiny JSON and the loop is
+        driver-side metadata only; no data is read until the caller
+        opens the returned versions."""
+        import json as _json
+
+        coordinator_dir = os.path.abspath(coordinator_dir)
+        by_path = {t.path: t for t in tables}
+        cut = {
+            p: (at or {}).get(p, t.latest_version())
+            for p, t in by_path.items()
+        }
+        stagings: List[List[Dict[str, Any]]] = []
+        if os.path.isdir(coordinator_dir):
+            for name in os.listdir(coordinator_dir):
+                if not name.endswith(".committed"):
+                    continue
+                try:
+                    with open(os.path.join(coordinator_dir, name)) as f:
+                        content = _json.load(f)
+                except (OSError, _json.JSONDecodeError, ValueError):
+                    continue  # legacy empty marker: no membership info
+                staged = [
+                    s
+                    for s in content.get("staged", [])
+                    if s.get("table") in by_path and s.get("version")
+                ]
+                if len(staged) > 1:
+                    stagings.append(staged)
+        changed = True
+        while changed:
+            changed = False
+            for staged in stagings:
+                included = [s for s in staged if s["version"] <= cut[s["table"]]]
+                if included and len(included) < len(staged):
+                    # torn: some stages inside the cut, some outside —
+                    # push every included stage's table below its stage
+                    for s in included:
+                        new_v = s["version"] - 1
+                        if new_v < cut[s["table"]]:
+                            cut[s["table"]] = new_v
+                            changed = True
+        return cut
+
+    @staticmethod
+    def read_consistent(
+        coordinator_dir: str,
+        tables: Sequence[AcidTable],
+        at: Optional[Dict[str, int]] = None,
+    ) -> Dict[str, DataFrame]:
+        """Open every table at a torn-free cut (see consistent_cut)."""
+        cut = MultiTableTxn.consistent_cut(coordinator_dir, tables, at)
+        return {t.path: t.read(version=cut[t.path]) for t in tables}
 
     # ------------------------------------------------------------------
     # recover

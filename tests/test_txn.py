@@ -182,3 +182,75 @@ def test_checkpoint_never_bakes_in_unresolved_txn(spark, tmp_path):
     assert not os.path.exists(t._checkpoint_file(10))
     txn.commit()
     assert {r["k"] for r in t.read().collect()} == set(range(9)) | {99}
+
+
+class TestConsistentCut:
+    """Multi-table snapshot-isolation reads: the cut never tears a
+    committed transaction across tables."""
+
+    def _setup(self, spark, tmp_path):
+        facts = AcidTable(spark, str(tmp_path / "facts"))
+        audit = AcidTable(spark, str(tmp_path / "audit"))
+        facts.write(spark.createDataFrame([(1, 100)], "k long, v long"))
+        audit.write(spark.createDataFrame([("base", 1)], "event string, seq long"))
+        coord = str(tmp_path / "_txns")
+        txn = MultiTableTxn(coord)
+        txn.stage_merge(
+            facts,
+            spark.createDataFrame([(2, 200)], "k long, v long"),
+            keys=["k"],
+        )
+        txn.stage_write(
+            audit,
+            spark.createDataFrame([("batch", 2)], "event string, seq long"),
+            mode="append",
+        )
+        txn.commit()
+        return facts, audit, coord
+
+    def test_current_cut_includes_whole_txn(self, spark, tmp_path):
+        facts, audit, coord = self._setup(spark, tmp_path)
+        cut = MultiTableTxn.consistent_cut(coord, [facts, audit])
+        assert cut[facts.path] == 2 and cut[audit.path] == 2
+        frames = MultiTableTxn.read_consistent(coord, [facts, audit])
+        assert frames[facts.path].count() == 2
+        assert frames[audit.path].count() == 2
+
+    def test_torn_proposal_is_repaired(self, spark, tmp_path):
+        """Proposing facts AFTER the txn but audit BEFORE it (the torn
+        read a naive two-instant scan produces) lowers facts below its
+        stage — both-or-neither."""
+        facts, audit, coord = self._setup(spark, tmp_path)
+        cut = MultiTableTxn.consistent_cut(
+            coord, [facts, audit], at={facts.path: 2, audit.path: 1}
+        )
+        assert cut == {facts.path: 1, audit.path: 1}
+        frames = MultiTableTxn.read_consistent(
+            coord, [facts, audit], at={facts.path: 2, audit.path: 1}
+        )
+        assert frames[facts.path].count() == 1  # pre-txn
+        assert frames[audit.path].count() == 1
+
+    def test_cascading_repair_converges(self, spark, tmp_path):
+        """Two overlapping txns: repairing for one exposes a tear in
+        the other; the fixpoint handles the chain."""
+        facts, audit, coord = self._setup(spark, tmp_path)
+        txn2 = MultiTableTxn(coord)
+        txn2.stage_write(
+            facts, spark.createDataFrame([(3, 300)], "k long, v long"),
+            mode="append",
+        )
+        txn2.stage_write(
+            audit,
+            spark.createDataFrame([("batch2", 3)], "event string, seq long"),
+            mode="append",
+        )
+        txn2.commit()
+        # propose: facts at 3 (includes txn2), audit at 1 (excludes BOTH)
+        cut = MultiTableTxn.consistent_cut(
+            coord, [facts, audit], at={facts.path: 3, audit.path: 1}
+        )
+        assert cut == {facts.path: 1, audit.path: 1}
+        # and an honest current cut includes both whole txns
+        cut = MultiTableTxn.consistent_cut(coord, [facts, audit])
+        assert cut == {facts.path: 3, audit.path: 3}
