@@ -101,21 +101,28 @@ class MaterializedJoin:
         return delta.join(dim, cond, self.how)
 
     def update(
-        self, batch: DataFrame, commit_meta: Dict[str, object] = None
+        self,
+        batch: DataFrame,
+        commit_meta: Dict[str, object] = None,
+        txn: Dict[str, str] = None,
     ) -> Dict[str, int]:
         """Append-only fold: join one micro-batch of NEW bronze rows
         against the dim and upsert under the row key. This is the
         streaming-enrichment entry — ``streaming.matview.fold_batch``
         / ``stream_materialize`` drive it unchanged (same duck type as
-        ``MaterializedAgg.update``), marker inside the atomic commit."""
+        ``MaterializedAgg.update``), marker inside the atomic commit;
+        ``txn`` stages the fold under a multi-table transaction, so
+        ``fold_batch_multi`` can fan one micro-batch out across agg AND
+        join views atomically."""
         upserts = self._join(batch)
         if not self.acid.exists():
             self.acid.write(
-                upserts, stats_cols=self.row_keys, extra_meta=commit_meta
+                upserts, stats_cols=self.row_keys, extra_meta=commit_meta,
+                txn=txn,
             )
             return {"rows_upserted": upserts.count(), "files_rewritten": 0}
         stats = self.acid.merge(
-            upserts, keys=self.row_keys, extra_meta=commit_meta
+            upserts, keys=self.row_keys, extra_meta=commit_meta, txn=txn
         )
         return {"rows_upserted": upserts.count(), **stats}
 

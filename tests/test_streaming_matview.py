@@ -232,3 +232,41 @@ class TestFoldBatchMulti:
             r["u"]: r["n"]
             for r in df.groupBy("u").agg(F.count(F.lit(1)).alias("n")).collect()
         }
+
+
+def test_fold_batch_multi_mixes_agg_and_join_views(spark, tmp_path):
+    """Heterogeneous atomic fan-out: one micro-batch folds into a
+    MaterializedAgg AND a MaterializedJoin under one txn."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+    from data_pipeline_platform_spark.sinks.joinview import MaterializedJoin
+    from data_pipeline_platform_spark.streaming.matview import fold_batch_multi
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "d_key long, tier string"
+    )
+    agg = MaterializedAgg(
+        spark, str(tmp_path / "agg"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x")],
+    )
+    join = MaterializedJoin(
+        spark, str(tmp_path / "join"), dim=dim,
+        on=[("d", "d_key")], row_keys=["k"], how="left",
+    )
+    coord = str(tmp_path / "_txns")
+    b0 = spark.createDataFrame(
+        [(10, "a", 1, 5), (11, "b", 2, 7)], "k long, g string, d long, x long"
+    )
+    assert fold_batch_multi([(agg, b0), (join, b0)], "s1", 0, coord)
+    assert not fold_batch_multi([(agg, b0), (join, b0)], "s1", 0, coord)
+    b1 = spark.createDataFrame(
+        [(12, "a", 9, 3)], "k long, g string, d long, x long"
+    )  # d=9 misses the dim: LEFT view keeps it with NULL tier
+    assert fold_batch_multi([(agg, b1), (join, b1)], "s1", 1, coord)
+    assert {r["g"]: (r["n"], r["s"]) for r in agg.read().collect()} == {
+        "a": (2, 8),
+        "b": (1, 7),
+    }
+    tiers = {r["k"]: r["tier"] for r in join.read().collect()}
+    assert tiers == {10: "gold", 11: "basic", 12: None}
