@@ -11,6 +11,7 @@ point is one put-if-absent marker regardless of staged volume, and the
 z-order rewrite is the same shuffle a lexicographic compaction pays.
 """
 
+import os
 import sys
 import tempfile
 
@@ -108,6 +109,17 @@ def main() -> None:
     print(f"z-order probe (1/8 range): o_orderkey -> "
           f"{candidates('o_orderkey', 0, k_hi // 8)}/{total} files, "
           f"o_custkey -> {candidates('o_custkey', 0, c_hi // 8)}/{total} files")
+
+    # ------------------------------------------- consistent snapshot reads
+    cut = MultiTableTxn.consistent_cut(f"{root}/_txns", [facts, audit])
+    print("torn-free cut:",
+          {os.path.basename(k): v for k, v in cut.items()})
+    torn = MultiTableTxn.consistent_cut(
+        f"{root}/_txns", [facts, audit],
+        at={facts.path: facts.latest_version(), audit.path: 1},
+    )
+    print("torn proposal repaired to:",
+          {os.path.basename(k): v for k, v in torn.items()})
 
     # ---------------------------------------------------- retention vacuum
     removed = facts.vacuum(retain_versions=1)
