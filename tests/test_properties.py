@@ -1106,3 +1106,78 @@ def test_zorder_compaction_preserves_content(
     for action in t.snapshot_files():
         stats = action.get("stats") or {}
         assert "a" in stats and "b" in stats  # both dims prune-able
+
+
+# --------------------------------------------------------------------------
+# consistent-cut repair under RANDOM txn histories and RANDOM proposed
+# cuts: the repaired cut (a) never tears a committed txn, (b) never
+# exceeds the proposal, (c) is idempotent (repairing a repaired cut is
+# a no-op).
+@given(
+    script=st.lists(
+        st.tuples(
+            st.booleans(),   # commit (True) or abort
+            st.booleans(),   # stage into A
+            st.booleans(),   # stage into B
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    prop_seed=st.tuples(
+        st.integers(min_value=0, max_value=10),
+        st.integers(min_value=0, max_value=10),
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_consistent_cut_never_tears_and_is_idempotent(
+    spark, tmp_path_factory, script, prop_seed
+):
+    import json as _json
+    import os
+
+    from data_pipeline_platform_spark.sinks.acid import AcidTable
+    from data_pipeline_platform_spark.sinks.txn import MultiTableTxn
+
+    tmp = tmp_path_factory.mktemp("cutprop")
+    a = AcidTable(spark, str(tmp / "a"))
+    b = AcidTable(spark, str(tmp / "b"))
+    coord = str(tmp / "_txns")
+    a.write(spark.createDataFrame([(0,)], "seq long"))
+    b.write(spark.createDataFrame([(0,)], "seq long"))
+    committed_txns = []
+    for i, (commit, into_a, into_b) in enumerate(script, start=1):
+        if not (into_a or into_b):
+            into_a = True
+        txn = MultiTableTxn(coord)
+        if into_a:
+            txn.stage_write(
+                a, spark.createDataFrame([(i,)], "seq long"), mode="append"
+            )
+        if into_b:
+            txn.stage_write(
+                b, spark.createDataFrame([(i,)], "seq long"), mode="append"
+            )
+        if commit:
+            txn.commit()
+            committed_txns.append(txn.id)
+        else:
+            txn.abort()
+    proposal = {
+        a.path: min(prop_seed[0], a.latest_version()),
+        b.path: min(prop_seed[1], b.latest_version()),
+    }
+    cut = MultiTableTxn.consistent_cut(coord, [a, b], at=dict(proposal))
+    # (b) never exceeds the proposal
+    assert all(cut[p] <= proposal[p] for p in cut)
+    # (a) no committed txn is torn by the cut
+    for txn_id in committed_txns:
+        with open(os.path.join(coord, f"{txn_id}.committed")) as f:
+            staged = _json.load(f)["staged"]
+        states = [s["version"] <= cut[s["table"]] for s in staged]
+        assert all(states) or not any(states), (cut, staged)
+    # (c) idempotent
+    assert MultiTableTxn.consistent_cut(coord, [a, b], at=dict(cut)) == cut
