@@ -131,6 +131,12 @@ HEADLINE = [
     # queries are commit-latency-bound fixtures like cdf_incremental_view
     # and stay under the parity gate.
     "hll_distinct_sources",
+    # r9 batch-7 classics: the two with the heaviest shapes (the
+    # fact-fact nation-pair join and the month-sliced promo share);
+    # the rest of batch 7 are dims-broadcast single-agg scans that
+    # stay under the parity gate
+    "nation_trade_volume",
+    "promo_revenue_share",
 ]
 
 

@@ -807,6 +807,9 @@ def all_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_pipeline_platform_spark.queries5 import BATCH6_QUERIES
 
     out.update(BATCH6_QUERIES)
+    from data_pipeline_platform_spark.queries6 import BATCH7_QUERIES
+
+    out.update(BATCH7_QUERIES)
     from data_pipeline_platform_spark.functions import EXTENSION_QUERIES
 
     out.update(EXTENSION_QUERIES)
@@ -827,6 +830,9 @@ def all_oracles() -> Dict[str, str]:
     from data_pipeline_platform_spark.queries5 import BATCH6_ORACLES
 
     out.update(BATCH6_ORACLES)
+    from data_pipeline_platform_spark.queries6 import BATCH7_ORACLES
+
+    out.update(BATCH7_ORACLES)
     from data_pipeline_platform_spark.functions import EXTENSION_ORACLES
 
     out.update(EXTENSION_ORACLES)
