@@ -136,7 +136,16 @@ HEADLINE = [
     # the rest of batch 7 are dims-broadcast single-agg scans that
     # stay under the parity gate
     "nation_trade_volume",
-    "promo_revenue_share",
+    "promo_share_monthly",
+    # r10 roster completion (r9 verdict #3): these four are pure data
+    # volume — the salted join and sharded-HLL merge have ZERO ACID
+    # commits, and the two incremental indexes are compute-dominated
+    # (shingling/banding + candidate joins dwarf their handful of
+    # per-batch commits), so "commit-latency-bound" never applied.
+    "salted_skew_join_events",
+    "hll_distinct_sources_sharded",
+    "dedup_incremental_lsh",
+    "embedding_incremental_near_dup",
 ]
 
 

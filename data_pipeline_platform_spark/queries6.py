@@ -3,9 +3,13 @@ the driver schema (no partsupp, no shipmode/commitdate/comment columns
 — each adaptation documented per query):
 
 Q7  nation_trade_volume     Q8  nation_market_share
-Q9  product_type_profit     Q13 customer_order_distribution
-Q14 promo_revenue_share     Q15 top_revenue_suppliers
+Q9  product_type_profit     Q15 top_revenue_suppliers
+Q14 promo_share_monthly (monthly grain; the global-share Q14 shape is
+    queries3.promo_revenue_share)
 Q16 supplier_part_variety   Q19 disjunctive_bracket_revenue
+
+Q13 is NOT re-registered here: queries4.customer_order_distribution
+already covers the identical LEFT-join zero-bucket histogram.
 
 Parity conventions match queries.py: money stays in integer cents
 until the final division; shares/ratios close with ONE double division
@@ -216,36 +220,6 @@ BATCH7_QUERIES["product_type_profit"] = q_product_type_profit
 BATCH7_ORACLES["product_type_profit"] = ORACLE_PRODUCT_TYPE_PROFIT
 
 
-# ---------------------------------------------------------------------------
-# Q13: customer order-count distribution (LEFT join so zero-order
-# customers land in the c_count=0 bucket; reference excludes special
-# comment orders — no o_comment column, so all orders count).
-# ---------------------------------------------------------------------------
-def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(
-        F.count(F.lit(1)).cast("bigint").alias("custdist")
-    )
-
-
-ORACLE_CUSTOMER_ORDER_DISTRIBUTION = """
-SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-FROM (
-  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-  GROUP BY c.c_custkey
-)
-GROUP BY c_count
-"""
-
-BATCH7_QUERIES["customer_order_distribution"] = q_customer_order_distribution
-BATCH7_ORACLES["customer_order_distribution"] = ORACLE_CUSTOMER_ORDER_DISTRIBUTION
 
 
 # ---------------------------------------------------------------------------
@@ -288,8 +262,8 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1, 2
 """
 
-BATCH7_QUERIES["promo_revenue_share"] = q_promo_revenue_share
-BATCH7_ORACLES["promo_revenue_share"] = ORACLE_PROMO_REVENUE_SHARE
+BATCH7_QUERIES["promo_share_monthly"] = q_promo_revenue_share
+BATCH7_ORACLES["promo_share_monthly"] = ORACLE_PROMO_REVENUE_SHARE
 
 
 # ---------------------------------------------------------------------------

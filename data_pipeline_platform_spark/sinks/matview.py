@@ -64,6 +64,15 @@ class MaterializedAgg:
             raise ValueError(f"unsupported agg kinds: {bad}; additive state "
                              f"supports {_KINDS} (avg derives at read)")
         self.aggs = list(aggs)
+        # SUM needs NULL bookkeeping the additive state alone can't give:
+        # SQL SUM over a group whose remaining values are all NULL is
+        # NULL, but retracting the last non-NULL value leaves the
+        # additive state at 0 (v + (-v)).  Each sum agg therefore
+        # carries a hidden invertible non-NULL counter ``__nn_<name>``
+        # (folded exactly like count); the INTERNAL state keeps the raw
+        # additive sum (0 folds forward correctly where NULL would not)
+        # and ``read()`` surfaces the sum as NULL when the counter is 0.
+        self._nn = {a[0]: f"__nn_{a[0]}" for a in self.aggs if a[1] == "sum"}
         self.acid = AcidTable(spark, path)
 
     # ------------------------------------------------------------------
@@ -74,6 +83,9 @@ class MaterializedAgg:
                 exprs.append(F.count(F.lit(1)).cast("bigint").alias(name))
             elif kind == "sum":
                 exprs.append(F.sum(F.col(col)).alias(name))
+                exprs.append(
+                    F.count(F.col(col)).cast("bigint").alias(self._nn[name])
+                )
             elif kind == "min":
                 exprs.append(F.min(F.col(col)).alias(name))
             else:
@@ -89,7 +101,12 @@ class MaterializedAgg:
         outs: List[F.Column] = [
             F.coalesce(F.col(f"c.{k}"), F.col(f"p.{k}")).alias(k) for k in self.keys
         ]
+        fold_cols = []
         for name, kind, _ in self.aggs:
+            fold_cols.append((name, kind))
+            if kind == "sum":
+                fold_cols.append((self._nn[name], "count"))
+        for name, kind in fold_cols:
             a, b = F.col(f"c.{name}"), F.col(f"p.{name}")
             if kind in ("count", "sum"):
                 fold = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(a + b)
@@ -199,6 +216,15 @@ class MaterializedAgg:
                 exprs.append(F.sum(sign).cast("bigint").alias(name))
             elif kind == "sum":
                 exprs.append(F.sum(sign * F.col(col)).alias(name))
+                # signed non-NULL counter: +1 per inserted non-NULL
+                # value, -1 per retracted one (NULL values contribute
+                # nothing on either side); coalesce(0) so the counter
+                # is never NULL-ambiguous in state
+                exprs.append(
+                    F.coalesce(
+                        F.sum(F.when(F.col(col).isNotNull(), sign)), F.lit(0)
+                    ).cast("bigint").alias(self._nn[name])
+                )
             elif kind == "count_distinct":
                 # exact on a fresh view's insert-only first feed; later
                 # feeds always recompute the touched group (a duplicate
@@ -215,7 +241,11 @@ class MaterializedAgg:
                 exprs.append(agg(ins).alias(name))
                 exprs.append(agg(ret).alias(f"__ret_{name}"))
         part = feed.groupBy(*self.keys).agg(*exprs)
-        state_cols = list(self.keys) + [a[0] for a in self.aggs]
+        state_cols = list(self.keys)
+        for a in self.aggs:
+            state_cols.append(a[0])
+            if a[1] == "sum":
+                state_cols.append(self._nn[a[0]])
         if not self.acid.exists():
             # a fresh view's first feed is insert-only by construction
             # (changes() of an initial write emits only inserts), so the
@@ -239,7 +269,12 @@ class MaterializedAgg:
         # groups appear), so with any count_distinct agg EVERY group in
         # the feed recomputes — flag unconditionally
         at_risk = F.lit(True) if has_cd else F.lit(False)
+        fold_specs = []
         for name, kind, _ in self.aggs:
+            fold_specs.append((name, kind))
+            if kind == "sum":
+                fold_specs.append((self._nn[name], "count"))
+        for name, kind in fold_specs:
             a, b = F.col(f"c.{name}"), F.col(f"p.{name}")
             if kind in ("count", "sum"):
                 fold = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(a + b)
@@ -303,6 +338,9 @@ class MaterializedAgg:
                         )
                     else:
                         fouts.append(F.col(f"f.{name}").alias(name))
+                        if kind == "sum":
+                            nn = self._nn[name]
+                            fouts.append(F.col(f"f.{nn}").alias(nn))
                 final = fj.select(*fouts)
             stats = self.acid.merge(final, keys=self.keys, extra_meta=commit_meta)
             n_groups = folded.count()
@@ -323,10 +361,20 @@ class MaterializedAgg:
         """State table, optionally with derived ratio columns:
         ``derive={'avg_x': ('sum_x', 'n')}`` adds sum_x / n as avg_x.
         ``drop_empty_on``: name of a count agg — rows where it is 0 are
-        groups fully retracted by a change feed (see update_changes)."""
+        groups fully retracted by a change feed (see update_changes).
+
+        Sums surface as NULL when their hidden non-NULL counter is 0
+        (SQL SUM over an all-NULL / emptied group), matching the
+        one-shot groupBy exactly; the raw additive 0 stays internal."""
         df = self.acid.read()
         if drop_empty_on is not None:
             df = df.filter(F.col(drop_empty_on) > 0)
+        for name, nn in self._nn.items():
+            df = df.withColumn(
+                name,
+                F.when(F.col(nn) == 0, F.lit(None)).otherwise(F.col(name)),
+            )
+        df = df.drop(*self._nn.values())
         for out, (num, den) in (derive or {}).items():
             df = df.withColumn(out, F.col(num) / F.col(den))
         return df

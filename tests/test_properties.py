@@ -7,7 +7,7 @@ semantics we promised to preserve."""
 import math
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
@@ -916,8 +916,18 @@ _EVO_OP = st.tuples(
     ).map(lambda rows: [(k + 20, g, x, y) for k, g, x, y in rows]),
     ops=st.lists(_EVO_OP, min_size=1, max_size=3),
 )
+# the r9 falsifying example (nullable-SUM retraction): group 'a' has
+# only NULL y (pre-evolution rows), an upsert gives it one non-NULL
+# y=0, and the delete retracts it — the additive state reads 0 where
+# SQL SUM over the remaining all-NULL group is NULL. Pinned forever.
+@example(
+    base=[(7, "b", -5), (1, "a", -9), (5, "a", -2), (2, "a", -2)],
+    widen=[(21, None, 0, 0), (22, None, 0, 0), (23, None, 0, 0)],
+    ops=[("upsert", [(6, "a", 0, 0)]), ("delete", [(6, "a", 0, 0)])],
+)
 @settings(
-    max_examples=6,
+    max_examples=50,
+    derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
