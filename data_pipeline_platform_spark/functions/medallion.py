@@ -1142,3 +1142,101 @@ GROUP BY o_orderpriority
 """
 
 register("stream_fanout_twin", q_stream_fanout_twin, ORACLE_STREAM_FANOUT_TWIN)
+
+
+def q_medallion_nullable_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM over a genuinely NULLABLE column through a churn that
+    retracts the LAST non-NULL row of half the groups — the exact shape
+    of the r9 nullable-SUM defect (sinks/matview.py: the additive state
+    read 0 where SQL SUM over the remaining all-NULL group is NULL; the
+    hidden per-sum non-NULL counter now NULLs it out).
+
+    ``bonus_c`` is non-NULL only for every 97th order; the delete wave
+    retracts EVERY non-NULL bonus row of groups 0-4, so those groups'
+    ``sum_bonus`` must read NULL (not 0) while their row counts stay
+    positive and ``sum_price`` (never NULL) keeps the plain signed fold.
+
+    100 TB posture: identical to cdf_incremental_view — the counter is
+    one extra bigint per (group, sum agg), folded in the same partial
+    aggregation; no extra shuffle, no snapshot scans."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 10).alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+
+    def _shape(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            "grp",
+            "price_c",
+            F.when(F.col("o_orderkey") % 97 == 0, F.col("price_c")).alias(
+                "bonus_c"
+            ),
+        )
+
+    base = _shape(orders)
+    updates = _shape(
+        orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "price_c", F.col("price_c") + F.lit(100)
+        )
+    )
+    bronze = AcidTable(spark, tempfile.mkdtemp(prefix="mns_bronze_"))
+    view = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="mns_silver_"),
+        keys=["grp"],
+        aggs=[
+            ("n_orders", "count", ""),
+            ("sum_price_c", "sum", "price_c"),
+            ("sum_bonus_c", "sum", "bonus_c"),
+        ],
+    )
+    consumer = ChangeFeedConsumer(
+        bronze, source_keys=["o_orderkey"], view=view, count_col="n_orders"
+    )
+    bronze.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    consumer.process_available()
+    bronze.merge(updates, keys=["o_orderkey"])
+    consumer.process_available()
+    # retract the last non-NULL bonus rows of groups 0-4
+    doomed = bronze.read().filter(
+        F.col("bonus_c").isNotNull() & (F.col("grp") < 5)
+    )
+    bronze.merge(doomed, keys=["o_orderkey"], delete_matched=True)
+    consumer.process_available()
+    return consumer.state().select(
+        "grp",
+        "n_orders",
+        (F.col("sum_price_c") / 100.0).alias("sum_price"),
+        (F.col("sum_bonus_c") / 100.0).alias("sum_bonus"),
+    )
+
+
+ORACLE_MEDALLION_NULLABLE_SUM = """
+WITH cur AS (
+  SELECT o_orderkey, o_orderkey % 10 AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 100 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM orders
+), with_bonus AS (
+  SELECT o_orderkey, grp, price_c,
+         CASE WHEN o_orderkey % 97 = 0 THEN price_c ELSE NULL END AS bonus_c
+  FROM cur
+), kept AS (
+  SELECT * FROM with_bonus
+  WHERE NOT (o_orderkey % 97 = 0 AND grp < 5)
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price,
+       SUM(bonus_c) / 100.0 AS sum_bonus
+FROM kept
+GROUP BY grp
+"""
+
+register(
+    "medallion_nullable_sum",
+    q_medallion_nullable_sum,
+    ORACLE_MEDALLION_NULLABLE_SUM,
+)
