@@ -182,6 +182,18 @@ class AcidTable:
         if not t:
             return "none"
         base = os.path.join(t["status_dir"], t["id"])
+        # the .decided file is THE atomic decide point (sinks/txn.py:
+        # one exclusive create of one name, so exactly one outcome can
+        # ever exist); the outcome-named markers are convenience copies
+        # materialized after it, kept as a fallback for coordinator
+        # dirs written before the decided-file era
+        try:
+            with open(base + ".decided") as f:
+                return json.load(f).get("outcome", "pending")
+        except FileNotFoundError:
+            pass
+        except (OSError, ValueError):
+            return "pending"  # unreadable record: treat as undecided
         if os.path.exists(base + ".committed"):
             return "committed"
         if os.path.exists(base + ".aborted"):
@@ -1392,6 +1404,18 @@ class AcidTable:
         live: set = set()
         for v in range(max(1, latest - retain_versions), latest + 1):
             live |= {a["path"] for a in self.snapshot_files(v)}
+        # Files staged by an UNRESOLVED multi-table txn are in no
+        # snapshot yet (snapshot_files skips pending commits), but
+        # deleting them would corrupt the table the moment the
+        # coordinator's committed marker lands — the commit becomes
+        # visible and references vanished files (permanent data loss).
+        # A pending commit blocks successors (TxnPendingError), so it
+        # can only ever be the tip: protect the tip's add-actions while
+        # its txn is undecided. Aborted txns' files stay collectable.
+        if latest > 0:
+            tip = self._read_commit(latest)
+            if self._txn_state(tip) == "pending":
+                live |= {a["path"] for a in tip["add"]}
         removed = []
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)

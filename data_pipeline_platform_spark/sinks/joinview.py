@@ -116,11 +116,12 @@ class MaterializedJoin:
         join views atomically."""
         upserts = self._join(batch)
         if not self.acid.exists():
-            self.acid.write(
+            version = self.acid.write(
                 upserts, stats_cols=self.row_keys, extra_meta=commit_meta,
                 txn=txn,
             )
-            return {"rows_upserted": upserts.count(), "files_rewritten": 0}
+            return {"rows_upserted": upserts.count(), "files_rewritten": 0,
+                    "version": version}
         stats = self.acid.merge(
             upserts, keys=self.row_keys, extra_meta=commit_meta, txn=txn
         )

@@ -137,10 +137,11 @@ class MaterializedAgg:
             )
         part = self._partial(batch)
         if not self.acid.exists():
-            self.acid.write(
+            version = self.acid.write(
                 part, stats_cols=self.keys, extra_meta=commit_meta, txn=txn
             )
-            return {"groups_touched": part.count(), "files_rewritten": 0}
+            return {"groups_touched": part.count(), "files_rewritten": 0,
+                    "version": version}
         cur = self.acid.read()
         # fold ONLY the groups present in this batch: untouched groups'
         # state rows stay in their files and the merge prunes them.
@@ -159,6 +160,7 @@ class MaterializedAgg:
         return {
             "groups_touched": folded.count(),
             "files_rewritten": stats["files_rewritten"],
+            "version": stats.get("version"),
         }
 
     def update_changes(

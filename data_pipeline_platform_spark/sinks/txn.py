@@ -12,13 +12,15 @@ AcidTable log:
    unresolved txn commits), and it BLOCKS successor commits on that
    table, so a later-resolved txn can never retroactively change a
    snapshot someone else already built on — history stays linear.
-2. DECIDE — ``commit()`` creates ONE marker file
-   (``<txn_id>.committed``, atomic create-if-absent) in the
-   coordinator directory. That single create is the all-or-nothing
-   point for every staged table: before it, readers of every table see
-   the pre-txn snapshot; after it, they see every staged commit.
-   ``abort()`` writes the ``.aborted`` marker instead; markers are
-   immutable and mutually exclusive (first one wins).
+2. DECIDE — ``commit()``/``abort()`` atomically create ONE file of ONE
+   name (``<txn_id>.decided``, create-if-absent, content = outcome +
+   staged membership) in the coordinator directory. That single create
+   is the all-or-nothing point for every staged table: before it,
+   readers of every table see the pre-txn snapshot; after it, they see
+   every staged commit (or never will). Because both outcomes contend
+   for the SAME name, exactly one outcome can ever exist — a
+   recovery-driven abort racing a slow commit cannot produce two
+   contradictory markers; the loser reads the winner's outcome back.
 3. RECOVER — a crash between stage and decide leaves pending commits
    that block their tables. ``recover()`` implements presumed abort:
    any pending txn in the coordinator dir without a committed marker
@@ -53,6 +55,14 @@ class TxnDecidedError(RuntimeError):
     decided the other way."""
 
 
+class VersionVacuumedError(RuntimeError):
+    """A consistent cut landed on a table version whose data files
+    vacuum() has already dropped — the torn-read repair lowered (or the
+    caller proposed) a cut below the vacuum retention window. Re-vacuum
+    with a retention window covering the coordinator's txn history, or
+    read at the current latest instead."""
+
+
 class MultiTableTxn:
     def __init__(self, coordinator_dir: str, txn_id: str = None):
         self.status_dir = os.path.abspath(coordinator_dir)
@@ -68,11 +78,8 @@ class MultiTableTxn:
         return os.path.join(self.status_dir, f"{self.id}.{state}")
 
     def state(self) -> str:
-        if os.path.exists(self._marker("committed")):
-            return "committed"
-        if os.path.exists(self._marker("aborted")):
-            return "aborted"
-        return "pending"
+        st = AcidTable._txn_state({"txn": self._ref()})
+        return "pending" if st == "none" else st
 
     # ------------------------------------------------------------------
     # stage
@@ -98,6 +105,18 @@ class MultiTableTxn:
         )
         return stats
 
+    def record(self, table_path: str, version: Optional[int]) -> None:
+        """Register an externally staged commit — a write/merge that was
+        handed this txn's ``_ref()`` directly instead of going through
+        stage_write/stage_merge (e.g. ``MaterializedAgg.update`` under
+        ``fold_batch_multi``) — so the decide record carries FULL
+        membership. ``consistent_cut()`` skips stagings with fewer than
+        two entries, so a marker recording ``staged: []`` would let
+        cuts tear exactly the batches the fan-out promises are atomic."""
+        self._check_undecided("record")
+        if version:
+            self.staged.append({"table": table_path, "version": version})
+
     def _check_undecided(self, op: str) -> None:
         st = self.state()
         if st != "pending":
@@ -106,49 +125,69 @@ class MultiTableTxn:
     # ------------------------------------------------------------------
     # decide
     # ------------------------------------------------------------------
-    def commit(self) -> None:
-        """The all-or-nothing point: one atomic marker create. Every
-        staged commit in every table becomes visible together. The
-        marker records the staged (table, version) set — the membership
-        consistent_cut() needs for torn-read-free multi-table snapshot
-        reads. Content lands atomically: it is written to a temp file
-        and hard-linked into place (link is the exclusive create, and
-        the content is complete before it)."""
+    def _decide(self, outcome: str) -> None:
+        """THE all-or-nothing point: one atomic create of ONE name
+        (``<txn_id>.decided``, content = outcome + staged membership).
+        Exactly one outcome can ever exist — a recover()-driven abort
+        racing a slow coordinator's commit resolves to whichever link
+        wins, and the loser reads the winner's outcome back (raising
+        ``TxnDecidedError`` on a mismatch) instead of materializing a
+        second, contradictory marker. Content lands atomically: written
+        to a temp file and hard-linked into place (the link is the
+        exclusive create, and the content is complete before it).
+
+        A legacy-named convenience marker (``.committed``/``.aborted``)
+        is materialized AFTER the decided file for tooling that globs by
+        outcome; the ``.decided`` file is the authority and is written
+        first, so the two can never disagree."""
         import json as _json
 
-        if os.path.exists(self._marker("aborted")):
-            raise TxnDecidedError(f"txn {self.id} already aborted")
-        marker = self._marker("committed")
-        if os.path.exists(marker):
-            return  # idempotent: committing twice is a no-op
-        tmp = marker + f".tmp-{uuid.uuid4().hex}"
+        content = {
+            "outcome": outcome,
+            "staged": [
+                {"table": s["table"], "version": s.get("version")}
+                for s in self.staged
+            ],
+        }
+        decided = self._marker("decided")
+        tmp = decided + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            _json.dump(
-                {
-                    "staged": [
-                        {"table": s["table"], "version": s.get("version")}
-                        for s in self.staged
-                    ]
-                },
-                f,
-            )
+            _json.dump(content, f)
         try:
-            os.link(tmp, marker)
+            os.link(tmp, decided)
         except FileExistsError:
-            pass  # lost the race to another committer of the same txn
+            with open(decided) as f:
+                existing = _json.load(f)
+            if existing.get("outcome") != outcome:
+                raise TxnDecidedError(
+                    f"txn {self.id} already {existing.get('outcome')}"
+                ) from None
+            content = existing  # idempotent re-decide: first record wins
         finally:
             os.remove(tmp)
+        legacy = self._marker(outcome)
+        if not os.path.exists(legacy):
+            ltmp = legacy + f".tmp-{uuid.uuid4().hex}"
+            with open(ltmp, "w") as f:
+                _json.dump(content, f)
+            try:
+                os.link(ltmp, legacy)
+            except FileExistsError:
+                pass
+            finally:
+                os.remove(ltmp)
+
+    def commit(self) -> None:
+        """Every staged commit in every table becomes visible together
+        (see ``_decide``). The record carries the staged (table,
+        version) set — the membership consistent_cut() needs for
+        torn-read-free multi-table snapshot reads."""
+        self._decide("committed")
 
     def abort(self) -> None:
         """Presumed-abort resolution: staged commits become permanently
         invisible; their data files are vacuum-able orphans."""
-        if os.path.exists(self._marker("committed")):
-            raise TxnDecidedError(f"txn {self.id} already committed")
-        try:
-            with open(self._marker("aborted"), "x"):
-                pass
-        except FileExistsError:
-            pass
+        self._decide("aborted")
 
     # ------------------------------------------------------------------
     # consistent multi-table snapshot reads
@@ -173,6 +212,21 @@ class MultiTableTxn:
         100 TB posture: marker files are tiny JSON and the loop is
         driver-side metadata only; no data is read until the caller
         opens the returned versions."""
+        cut, _ = MultiTableTxn._cut_with_provenance(
+            coordinator_dir, tables, at
+        )
+        return cut
+
+    @staticmethod
+    def _cut_with_provenance(
+        coordinator_dir: str,
+        tables: Sequence[AcidTable],
+        at: Optional[Dict[str, int]] = None,
+    ):
+        """consistent_cut plus {table path: txn_id} recording which
+        committed txn forced each table's lowering (None when the cut
+        is the untouched proposal) — read_consistent names the txn in
+        VersionVacuumedError."""
         import json as _json
 
         coordinator_dir = os.path.abspath(coordinator_dir)
@@ -182,26 +236,39 @@ class MultiTableTxn:
             for p, t in by_path.items()
         }
         stagings: List[List[Dict[str, Any]]] = []
+        seen_txns: set = set()
         if os.path.isdir(coordinator_dir):
-            for name in os.listdir(coordinator_dir):
-                if not name.endswith(".committed"):
-                    continue
-                try:
-                    with open(os.path.join(coordinator_dir, name)) as f:
-                        content = _json.load(f)
-                except (OSError, _json.JSONDecodeError, ValueError):
-                    continue  # legacy empty marker: no membership info
-                staged = [
-                    s
-                    for s in content.get("staged", [])
-                    if s.get("table") in by_path and s.get("version")
-                ]
-                if len(staged) > 1:
-                    stagings.append(staged)
+            # .decided files are the authority (atomic single-name decide
+            # point); .committed files cover pre-decided-era coordinators
+            # and the crash window before the convenience marker lands
+            for suffix in (".decided", ".committed"):
+                for name in os.listdir(coordinator_dir):
+                    if not name.endswith(suffix):
+                        continue
+                    txn_id = name[: -len(suffix)]
+                    if txn_id in seen_txns:
+                        continue
+                    try:
+                        with open(os.path.join(coordinator_dir, name)) as f:
+                            content = _json.load(f)
+                    except (OSError, _json.JSONDecodeError, ValueError):
+                        continue  # legacy empty marker: no membership info
+                    if suffix == ".decided" and content.get("outcome") != "committed":
+                        seen_txns.add(txn_id)  # aborted: no membership
+                        continue
+                    seen_txns.add(txn_id)
+                    staged = [
+                        s
+                        for s in content.get("staged", [])
+                        if s.get("table") in by_path and s.get("version")
+                    ]
+                    if len(staged) > 1:
+                        stagings.append((txn_id, staged))
+        forced_by: Dict[str, Optional[str]] = {p: None for p in by_path}
         changed = True
         while changed:
             changed = False
-            for staged in stagings:
+            for txn_id, staged in stagings:
                 included = [s for s in staged if s["version"] <= cut[s["table"]]]
                 if included and len(included) < len(staged):
                     # torn: some stages inside the cut, some outside —
@@ -210,8 +277,9 @@ class MultiTableTxn:
                         new_v = s["version"] - 1
                         if new_v < cut[s["table"]]:
                             cut[s["table"]] = new_v
+                            forced_by[s["table"]] = txn_id
                             changed = True
-        return cut
+        return cut, forced_by
 
     @staticmethod
     def read_consistent(
@@ -219,8 +287,40 @@ class MultiTableTxn:
         tables: Sequence[AcidTable],
         at: Optional[Dict[str, int]] = None,
     ) -> Dict[str, DataFrame]:
-        """Open every table at a torn-free cut (see consistent_cut)."""
-        cut = MultiTableTxn.consistent_cut(coordinator_dir, tables, at)
+        """Open every table at a torn-free cut (see consistent_cut).
+
+        Raises ``VersionVacuumedError`` (naming the txn that forced the
+        lowering) when the cut lands on a version whose data files
+        ``vacuum`` has already dropped — a raw missing-file error at
+        scan time would otherwise surface arbitrarily late, inside an
+        executor. The probe is driver-side metadata only (one existence
+        check per live file of the cut snapshot)."""
+        cut, forced_by = MultiTableTxn._cut_with_provenance(
+            coordinator_dir, tables, at
+        )
+        for t in tables:
+            v = cut[t.path]
+            if v <= 0:
+                continue
+            missing = [
+                a["path"]
+                for a in t.snapshot_files(v)
+                if not os.path.exists(a["path"])
+            ]
+            if missing:
+                culprit = forced_by.get(t.path)
+                why = (
+                    f"the cut was lowered to keep txn {culprit} all-in-or-all-out"
+                    if culprit
+                    else "the proposed cut predates the vacuum retention window"
+                )
+                raise VersionVacuumedError(
+                    f"table {t.path} at cut version {v}: "
+                    f"{len(missing)} data file(s) already vacuumed "
+                    f"(e.g. {missing[0]}); {why}. Vacuum with a retention "
+                    "window covering the coordinator's txn history, or "
+                    "read at the current latest."
+                )
         return {t.path: t.read(version=cut[t.path]) for t in tables}
 
     # ------------------------------------------------------------------

@@ -98,6 +98,17 @@ class ChangeFeedConsumer:
         returns versions_behind=0 without committing."""
         v_from = self.last_processed_version()
         v_to = self.source.latest_version()
+        # Never let the span cover an UNRESOLVED txn tip: its rows are
+        # excluded from changes() (invisible until decided), but a
+        # marker recording batch_id = that version would mean the rows
+        # NEVER fold once the txn commits — silver diverges silently
+        # forever. Clamp to the newest resolved commit; the span after
+        # the txn decides subsumes it. A pending commit blocks
+        # successors, so the walk-back is at most one step in practice.
+        while v_to > v_from and AcidTable._txn_state(
+            self.source._read_commit(v_to)
+        ) == "pending":
+            v_to -= 1
         if v_to <= v_from:
             return {"v_from": v_from, "v_to": v_to, "versions_behind": 0}
         # metadata-only span (SET_CONSTRAINT, no-op merge-deletes,

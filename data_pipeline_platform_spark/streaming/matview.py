@@ -167,7 +167,11 @@ def fold_batch_multi(
     txn = MultiTableTxn(coordinator_dir)
     marker = {"stream_id": stream_id, "batch_id": batch_id}
     for v, df in folds:
-        v.update(df, commit_meta=marker, txn=txn._ref())
+        out = v.update(df, commit_meta=marker, txn=txn._ref())
+        # record membership so the decide record carries the full
+        # (table, version) set — consistent_cut()/read_consistent()
+        # need it to keep this batch's fan-out untearable
+        txn.record(v.acid.path, out.get("version"))
     txn.commit()
     return True
 

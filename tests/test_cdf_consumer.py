@@ -426,7 +426,12 @@ def test_consumer_skips_pending_and_aborted_txn_commits(spark, tmp_path):
         mode="append",
     )
     out = consumer.process_available()
-    assert out.get("metadata_only")  # pending: nothing to fold, no marker
+    # pending tip: the span CLAMPS below it (v_to walks back past the
+    # unresolved commit), so nothing folds and no marker publishes —
+    # the post-decide span covers it. Before the clamp, a mixed span
+    # ending on a pending tip would publish batch_id = tip and the
+    # txn's rows would never fold once it committed.
+    assert out["versions_behind"] == 0 and not out.get("metadata_only")
     txn.commit()
     consumer.process_available()  # the same span now folds
     assert {r["g"]: (r["n"], r["s"]) for r in consumer.state().collect()} == {

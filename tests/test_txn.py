@@ -254,3 +254,203 @@ class TestConsistentCut:
         # and an honest current cut includes both whole txns
         cut = MultiTableTxn.consistent_cut(coord, [facts, audit])
         assert cut == {facts.path: 3, audit.path: 3}
+
+
+def test_vacuum_protects_pending_txn_staged_files(spark, pair):
+    """r10 (ADVICE high): vacuum's live set comes from snapshot_files,
+    which skips pending-txn commits — so the files staged by an
+    undecided txn looked unreferenced and were DELETED; the txn's later
+    committed marker then exposed a snapshot referencing vanished files
+    (permanent data loss). A pending commit can only be the tip, and
+    vacuum now protects the tip's add-actions while it is undecided."""
+    import os
+
+    facts, _, coord = pair
+    txn = MultiTableTxn(coord)
+    txn.stage_write(
+        facts,
+        spark.createDataFrame([(7, 700)], "k long, v long"),
+        mode="append",
+    )
+    staged_files = {a["path"] for a in facts._read_commit(2)["add"]}
+    removed = facts.vacuum()  # the stage→decide window
+    assert not (set(removed) & staged_files)
+    for p in staged_files:
+        assert os.path.exists(p)
+    txn.commit()
+    assert {r["k"] for r in facts.read().collect()} == {1, 2, 7}
+    assert facts.fsck()["ok"]
+    # aborted stages stay collectable
+    t2 = MultiTableTxn(coord)
+    t2.stage_write(
+        facts,
+        spark.createDataFrame([(8, 800)], "k long, v long"),
+        mode="append",
+    )
+    orphans = {a["path"] for a in facts._read_commit(3)["add"]}
+    t2.abort()
+    removed = facts.vacuum()
+    assert orphans <= set(removed)
+
+
+def test_cdf_span_clamps_below_pending_tip_mixed_span(spark, tmp_path):
+    """r10 (ADVICE high): a mixed span (resolved data commit + pending
+    txn tip) used to set v_to = the pending tip, whose rows changes()
+    excludes — the published marker then permanently skipped the txn's
+    rows after it committed. The span now clamps to the newest resolved
+    commit; the post-decide span folds the txn's rows."""
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+    from data_pipeline_platform_spark.streaming.cdf import ChangeFeedConsumer
+
+    bronze = AcidTable(spark, str(tmp_path / "b"))
+    view = MaterializedAgg(
+        spark, str(tmp_path / "s"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x")],
+    )
+    consumer = ChangeFeedConsumer(bronze, ["k"], view, count_col="n")
+    bronze.write(
+        spark.createDataFrame([(1, "a", 10)], "k long, g string, x long"),
+        stats_cols=["k"],
+    )
+    consumer.process_available()  # marker at v1
+    # resolved data commit v2 + pending txn tip v3 — the mixed span
+    bronze.write(
+        spark.createDataFrame([(2, "a", 20)], "k long, g string, x long"),
+        mode="append",
+    )
+    txn = MultiTableTxn(str(tmp_path / "_txns"))
+    txn.stage_write(
+        bronze,
+        spark.createDataFrame([(3, "b", 30)], "k long, g string, x long"),
+        mode="append",
+    )
+    out = consumer.process_available()
+    assert out["v_to"] == 2  # clamped below the pending tip
+    assert {r["g"]: (r["n"], r["s"]) for r in consumer.state().collect()} == {
+        "a": (2, 30),
+    }
+    txn.commit()
+    out = consumer.process_available()  # the txn's rows fold NOW
+    assert out["v_to"] == 3
+    assert {r["g"]: (r["n"], r["s"]) for r in consumer.state().collect()} == {
+        "a": (2, 30),
+        "b": (1, 30),
+    }
+
+
+def test_decide_point_single_name_no_contradictory_markers(tmp_path):
+    """r10 (ADVICE low): commit()/abort() used check-then-create on TWO
+    different names, so a recovery-driven abort racing a slow commit
+    could materialize BOTH markers (and _txn_state resolved
+    committed-first, flipping a recovery that already acted on
+    'aborted'). Both outcomes now contend for ONE name (.decided): the
+    loser reads the winner's outcome and raises, and no contradictory
+    marker can ever exist."""
+    import os
+
+    coord = str(tmp_path / "_txns")
+    # two coordinator objects for the SAME txn simulate the race window
+    # (each passed the old exists-check before either created a marker)
+    a = MultiTableTxn(coord, txn_id="racy")
+    b = MultiTableTxn(coord, txn_id="racy")
+    a.commit()
+    with pytest.raises(TxnDecidedError):
+        b.abort()
+    assert a.state() == b.state() == "committed"
+    names = set(os.listdir(coord))
+    assert not any(n.endswith(".aborted") for n in names)
+    # reverse order: abort wins, commit loses loudly
+    c = MultiTableTxn(coord, txn_id="racy2")
+    d = MultiTableTxn(coord, txn_id="racy2")
+    c.abort()
+    with pytest.raises(TxnDecidedError):
+        d.commit()
+    assert d.state() == "aborted"
+    assert not any(
+        n.startswith("racy2") and n.endswith(".committed")
+        for n in os.listdir(coord)
+    )
+    # idempotent re-decide stays a no-op
+    a.commit()
+    c.abort()
+
+
+def test_fanout_decide_record_carries_membership(spark, tmp_path):
+    """r10 (ADVICE medium): fold_batch_multi staged via view.update(...,
+    txn=txn._ref()), which bypassed stage_write/stage_merge — the decide
+    record said staged: [] and consistent_cut had NO membership for any
+    streaming fan-out txn (cuts could tear the very batches the fan-out
+    promises are atomic). update() now reports its committed version and
+    fold_batch_multi records it."""
+    import json
+    import os
+
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+    from data_pipeline_platform_spark.streaming.matview import fold_batch_multi
+
+    v1 = MaterializedAgg(
+        spark, str(tmp_path / "v1"), keys=["g"], aggs=[("n", "count", "")]
+    )
+    v2 = MaterializedAgg(
+        spark, str(tmp_path / "v2"), keys=["h"], aggs=[("n", "count", "")]
+    )
+    coord = str(tmp_path / "_txns")
+    batch = spark.createDataFrame(
+        [("a", "x", 1), ("b", "y", 2)], "g string, h string, k long"
+    )
+    for bid in (0, 1):  # batch 0 exercises write(), batch 1 merge()
+        assert fold_batch_multi(
+            [(v1, batch.select("g")), (v2, batch.select("h"))],
+            "stream-A", bid, coord,
+        )
+    decided = sorted(
+        f for f in os.listdir(coord) if f.endswith(".decided")
+    )
+    assert len(decided) == 2
+    for f in decided:
+        with open(os.path.join(coord, f)) as fh:
+            content = json.load(fh)
+        assert content["outcome"] == "committed"
+        staged = content["staged"]
+        assert {s["table"] for s in staged} == {v1.acid.path, v2.acid.path}
+        assert all(s["version"] for s in staged)
+    # and the membership actually repairs a torn proposal
+    cut = MultiTableTxn.consistent_cut(
+        coord, [v1.acid, v2.acid],
+        at={v1.acid.path: 2, v2.acid.path: 1},
+    )
+    assert cut == {v1.acid.path: 1, v2.acid.path: 1}
+
+
+def test_read_consistent_raises_typed_error_when_cut_vacuumed(spark, tmp_path):
+    """r10 (verdict #7): consistent_cut may repair a cut below a version
+    vacuum already dropped; read_consistent used to surface a raw
+    missing-file error at scan time. It now probes the cut snapshot's
+    files driver-side and raises VersionVacuumedError naming the txn
+    that forced the lowering."""
+    from data_pipeline_platform_spark.sinks.txn import VersionVacuumedError
+
+    facts = AcidTable(spark, str(tmp_path / "facts"))
+    audit = AcidTable(spark, str(tmp_path / "audit"))
+    facts.write(spark.createDataFrame([(1, 100)], "k long, v long"))
+    audit.write(spark.createDataFrame([("base", 1)], "event string, seq long"))
+    coord = str(tmp_path / "_txns")
+    txn = MultiTableTxn(coord)
+    txn.stage_merge(
+        facts, spark.createDataFrame([(1, 111)], "k long, v long"), keys=["k"]
+    )
+    txn.stage_write(
+        audit,
+        spark.createDataFrame([("batch", 2)], "event string, seq long"),
+        mode="append",
+    )
+    txn.commit()
+    facts.vacuum()  # aggressive: drops v1's rewritten file
+    # torn proposal: facts after the txn, audit before it — the repair
+    # lowers facts to v1, whose files vacuum just removed
+    with pytest.raises(VersionVacuumedError) as exc:
+        MultiTableTxn.read_consistent(
+            coord, [facts, audit],
+            at={facts.path: 2, audit.path: 1},
+        )
+    assert txn.id in str(exc.value)
