@@ -57,7 +57,9 @@ def test_incremental_equals_one_shot(spark, view):
 
 def test_new_group_inserts_and_counts(spark, view):
     out1 = view.update(_b(spark, [("a", 1)]))
-    assert out1 == {"groups_touched": 1, "files_rewritten": 0}
+    # version: the committed ACID version — fold_batch_multi records it
+    # on the multi-table txn so the decide record carries membership
+    assert out1 == {"groups_touched": 1, "files_rewritten": 0, "version": 1}
     out2 = view.update(_b(spark, [("a", 2), ("z", 9)]))
     assert out2["groups_touched"] == 2
     assert _state(view) == {"a": (2, 3, 1, 2), "z": (1, 9, 9, 9)}
