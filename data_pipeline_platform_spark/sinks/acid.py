@@ -65,6 +65,15 @@ class CommitConflictError(RuntimeError):
     a fresh snapshot)."""
 
 
+class CommitGuardFailed(RuntimeError):
+    """A ``commit_guard`` precondition no longer holds — the write was
+    NOT committed. Used for exactly-once idempotence under CONCURRENT
+    duplicate deliveries (streaming/matview.py): the guard re-checks
+    the progress marker inside the OCC retry loop, where a competing
+    fold of the same batch surfaces as a conflict-then-recheck instead
+    of a double-count."""
+
+
 class ConstraintViolationError(ValueError):
     """An incoming batch (or, at ADD CONSTRAINT time, the existing
     snapshot) violates a table CHECK constraint."""
@@ -833,8 +842,13 @@ class AcidTable:
         extra_meta: Optional[Dict[str, Any]] = None,
         merge_schema: bool = False,
         txn: Optional[Dict[str, str]] = None,
+        commit_guard=None,
     ) -> int:
         """Commit df as a new version. mode: overwrite | append.
+        ``commit_guard``: zero-arg callable re-checked inside every OCC
+        attempt (after the base version is read); returning False raises
+        ``CommitGuardFailed`` WITHOUT committing — the race-free seat of
+        check-then-commit preconditions like streaming replay markers.
         ``binpack=False`` publishes df's partitioning verbatim — for
         deliberately clustered layouts (range-partitioned key files)
         whose file boundaries ARE the pruning structure.
@@ -861,6 +875,13 @@ class AcidTable:
         add = self._write_data_files(df, stats_cols, binpack=binpack)
         for _ in range(max_retries):
             base = self.latest_version()
+            # guard AFTER reading base: a commit that lands between this
+            # check and ours conflicts on the version slot, so we loop
+            # back here and re-check — no window for a stale precondition
+            if commit_guard is not None and not commit_guard():
+                raise CommitGuardFailed(
+                    f"write precondition failed at {self.path} (base {base})"
+                )
             remove = (
                 [f["path"] for f in self.snapshot_files(base)]
                 if mode == "overwrite"
@@ -909,6 +930,7 @@ class AcidTable:
         max_retries: int = 3,
         merge_schema: bool = False,
         txn: Optional[Dict[str, str]] = None,
+        commit_guard=None,
     ) -> Dict[str, int]:
         """MERGE INTO this table USING source ON keys, with optimistic
         concurrency: a losing writer re-reads the NEW snapshot and
@@ -976,6 +998,7 @@ class AcidTable:
                     target_schema,
                     record_schema,
                     txn,
+                    commit_guard,
                 )
             except CommitConflictError:
                 if attempt == max_retries - 1:
@@ -992,8 +1015,15 @@ class AcidTable:
         target_schema=None,
         record_schema=None,
         txn: Optional[Dict[str, str]] = None,
+        commit_guard=None,
     ) -> Dict[str, int]:
         base = self.latest_version()
+        # see write(): checked after the base read, so a competing commit
+        # conflicts on the slot and the retry re-evaluates the guard
+        if commit_guard is not None and not commit_guard():
+            raise CommitGuardFailed(
+                f"merge precondition failed at {self.path} (base {base})"
+            )
 
         def _read_pinned(paths: List[str]) -> DataFrame:
             # schema-pinned candidate/touched reads: files written

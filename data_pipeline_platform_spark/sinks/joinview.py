@@ -105,6 +105,7 @@ class MaterializedJoin:
         batch: DataFrame,
         commit_meta: Dict[str, object] = None,
         txn: Dict[str, str] = None,
+        commit_guard=None,
     ) -> Dict[str, int]:
         """Append-only fold: join one micro-batch of NEW bronze rows
         against the dim and upsert under the row key. This is the
@@ -118,12 +119,13 @@ class MaterializedJoin:
         if not self.acid.exists():
             version = self.acid.write(
                 upserts, stats_cols=self.row_keys, extra_meta=commit_meta,
-                txn=txn,
+                txn=txn, commit_guard=commit_guard,
             )
             return {"rows_upserted": upserts.count(), "files_rewritten": 0,
                     "version": version}
         stats = self.acid.merge(
-            upserts, keys=self.row_keys, extra_meta=commit_meta, txn=txn
+            upserts, keys=self.row_keys, extra_meta=commit_meta, txn=txn,
+            commit_guard=commit_guard,
         )
         return {"rows_upserted": upserts.count(), **stats}
 

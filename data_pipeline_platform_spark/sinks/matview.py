@@ -122,11 +122,15 @@ class MaterializedAgg:
         batch: DataFrame,
         commit_meta: Dict[str, object] = None,
         txn: Dict[str, str] = None,
+        commit_guard=None,
     ) -> Dict[str, int]:
         """Fold one append-only fact batch into the state table.
         ``commit_meta`` is recorded inside the ACID commit itself —
         the fold and any application progress marker (streaming batch
-        id) publish in ONE atomic commit (see streaming/matview.py)."""
+        id) publish in ONE atomic commit (see streaming/matview.py).
+        ``commit_guard``: precondition re-checked inside the OCC loop
+        (AcidTable.write/merge) — exactly-once under CONCURRENT
+        duplicate deliveries."""
         cd = [a for a in self.aggs if a[1] == "count_distinct"]
         if cd:
             raise ValueError(
@@ -138,7 +142,8 @@ class MaterializedAgg:
         part = self._partial(batch)
         if not self.acid.exists():
             version = self.acid.write(
-                part, stats_cols=self.keys, extra_meta=commit_meta, txn=txn
+                part, stats_cols=self.keys, extra_meta=commit_meta, txn=txn,
+                commit_guard=commit_guard,
             )
             return {"groups_touched": part.count(), "files_rewritten": 0,
                     "version": version}
@@ -155,7 +160,8 @@ class MaterializedAgg:
         )
         folded = self._fold(touched, part)
         stats = self.acid.merge(
-            folded, keys=self.keys, extra_meta=commit_meta, txn=txn
+            folded, keys=self.keys, extra_meta=commit_meta, txn=txn,
+            commit_guard=commit_guard,
         )
         return {
             "groups_touched": folded.count(),

@@ -94,7 +94,22 @@ def fold_batch(
         )
     if batch_df.isEmpty():
         return False  # nothing to fold; replaying an empty batch is a no-op
-    view.update(batch_df, commit_meta={"stream_id": stream_id, "batch_id": batch_id})
+    from data_pipeline_platform_spark.sinks.acid import CommitGuardFailed
+
+    # the pre-check above is advisory; the GUARD (re-checked inside the
+    # OCC retry loop, after the base version read) is what makes the
+    # fold exactly-once under CONCURRENT duplicate delivery — a
+    # competing fold of the same batch surfaces as a commit conflict,
+    # the retry re-checks the marker, and this delivery skips instead
+    # of double-counting
+    try:
+        view.update(
+            batch_df,
+            commit_meta={"stream_id": stream_id, "batch_id": batch_id},
+            commit_guard=lambda: last_folded_batch(view, stream_id) < batch_id,
+        )
+    except CommitGuardFailed:
+        return False  # a concurrent delivery folded it first
     return True
 
 
@@ -164,15 +179,33 @@ def fold_batch_multi(
                 )
     if all(df.isEmpty() for _, df in folds):
         return False
+    from data_pipeline_platform_spark.sinks.acid import CommitGuardFailed
+
     txn = MultiTableTxn(coordinator_dir)
     marker = {"stream_id": stream_id, "batch_id": batch_id}
-    for v, df in folds:
-        out = v.update(df, commit_meta=marker, txn=txn._ref())
-        # record membership so the decide record carries the full
-        # (table, version) set — consistent_cut()/read_consistent()
-        # need it to keep this batch's fan-out untearable
-        txn.record(v.acid.path, out.get("version"))
-    txn.commit()
+
+    def _not_folded() -> bool:
+        # exactly-once under CONCURRENT duplicate delivery: re-checked
+        # inside each stage's OCC loop (our own pending stages don't
+        # count — last_folded_batch skips unresolved txn commits), so
+        # two deliveries of the same batch serialize on the version
+        # slot and the loser aborts instead of double-folding
+        return batch_id > max(last_folded_batch(v, stream_id) for v in views)
+
+    try:
+        for v, df in folds:
+            out = v.update(
+                df, commit_meta=marker, txn=txn._ref(),
+                commit_guard=_not_folded,
+            )
+            # record membership so the decide record carries the full
+            # (table, version) set — consistent_cut()/read_consistent()
+            # need it to keep this batch's fan-out untearable
+            txn.record(v.acid.path, out.get("version"))
+        txn.commit()
+    except CommitGuardFailed:
+        txn.abort()  # roll back any stages; the competing delivery won
+        return False
     return True
 
 
