@@ -130,13 +130,17 @@ class IncrementalLshIndex:
                 .filter(F.col("jaccard") >= self.threshold)
                 .select("doc_a", "doc_b", "jaccard")
             )
+            verified = verified.persist()  # ONE computation: count + write
             marker = {"stream_id": _STREAM, "batch_id": batch_id}
             n_pairs = 0
-            if batch_id > _last_batch(self.pairs):
-                n_pairs = verified.count()
-                self.pairs.write(verified, mode="append", extra_meta=marker)
-            if batch_id > _last_batch(self.index):
-                self.index.write(prepared, mode="append", extra_meta=marker)
+            try:
+                if batch_id > _last_batch(self.pairs):
+                    n_pairs = verified.count()
+                    self.pairs.write(verified, mode="append", extra_meta=marker)
+                if batch_id > _last_batch(self.index):
+                    self.index.write(prepared, mode="append", extra_meta=marker)
+            finally:
+                verified.unpersist(blocking=False)
         finally:
             prepared.unpersist(blocking=False)
         return {"batch_id": batch_id, "new_pairs": n_pairs}
@@ -192,16 +196,24 @@ class IncrementalEmbeddingIndex:
         self.pairs = AcidTable(spark, pairs_path)
 
     def add_batch(self, emb: DataFrame, batch_id: int) -> Dict[str, int]:
-        """``emb``: (vec_id, vec array<double>) rows new to the corpus."""
+        """``emb``: (vec_id, vec array<double>) rows new to the corpus.
+
+        The index stores (vec_id, vec, bands) — each vector is projected
+        through the hyperplanes EXACTLY ONCE, at ingest; history's band
+        keys replay from the stored integer array (r9 verdict #4: the
+        old shape re-projected the whole history every batch, making
+        batch cost O(|history| × planes × dim) instead of
+        O(|history| band rows))."""
         from data_pipeline_platform_spark.functions.similarity import (
             ND_THRESHOLD,
             _dot,
-            with_hyperplane_bands,
+            explode_band_array,
+            hyperplane_band_array,
         )
 
-        prepared = emb.select("vec_id", "vec").persist()
+        prepared = hyperplane_band_array(emb.select("vec_id", "vec")).persist()
         try:
-            new_bands = with_hyperplane_bands(prepared)
+            new_bands = explode_band_array(prepared)
             in_batch = (
                 new_bands.groupBy("band_idx", "band_val")
                 .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
@@ -219,7 +231,8 @@ class IncrementalEmbeddingIndex:
             )
             if self.index.exists():
                 old = self.index.read()
-                old_bands = with_hyperplane_bands(old).select(
+                # stored band keys: an integer explode, zero dot products
+                old_bands = explode_band_array(old).select(
                     F.col("vec_id").alias("old_id"), "band_idx", "band_val"
                 )
                 cross = new_bands.join(
@@ -229,10 +242,12 @@ class IncrementalEmbeddingIndex:
                     F.greatest("vec_id", "old_id").alias("id_b"),
                 )
                 candidates = in_batch.unionByName(cross).distinct()
-                lookup = old.unionByName(prepared)
+                lookup = old.select("vec_id", "vec").unionByName(
+                    prepared.select("vec_id", "vec")
+                )
             else:
                 candidates = in_batch.distinct()
-                lookup = prepared
+                lookup = prepared.select("vec_id", "vec")
             x = lookup.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
             y = lookup.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
             verified = (
@@ -245,14 +260,17 @@ class IncrementalEmbeddingIndex:
                 )
                 .filter(F.col("cosine") >= ND_THRESHOLD)
                 .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-            )
+            ).persist()  # ONE computation feeds both the count and the write
             marker = {"stream_id": _EMB_STREAM, "batch_id": batch_id}
             n_pairs = 0
-            if batch_id > _last_batch(self.pairs, _EMB_STREAM):
-                n_pairs = verified.count()
-                self.pairs.write(verified, mode="append", extra_meta=marker)
-            if batch_id > _last_batch(self.index, _EMB_STREAM):
-                self.index.write(prepared, mode="append", extra_meta=marker)
+            try:
+                if batch_id > _last_batch(self.pairs, _EMB_STREAM):
+                    n_pairs = verified.count()
+                    self.pairs.write(verified, mode="append", extra_meta=marker)
+                if batch_id > _last_batch(self.index, _EMB_STREAM):
+                    self.index.write(prepared, mode="append", extra_meta=marker)
+            finally:
+                verified.unpersist(blocking=False)
         finally:
             prepared.unpersist(blocking=False)
         return {"batch_id": batch_id, "new_pairs": n_pairs}

@@ -259,6 +259,34 @@ def _dot_lit(vec_col: str, plane: list):
     )
 
 
+def hyperplane_band_array(
+    df: DataFrame,
+    vec_col: str = "vec",
+    n_planes: int = ND_PLANES,
+    n_bands: int = ND_BANDS,
+) -> DataFrame:
+    """df plus a ``bands`` array column: bands[j] folds the j-th band's
+    sign bits. This is the STORABLE form — an incremental vector index
+    (functions/dedup_index.py) persists it so history is banded ONCE at
+    ingest and never re-projected through the hyperplanes again."""
+    planes = _hyperplanes(n_planes)
+    bits_per = n_planes // n_bands
+    bits = [(_dot_lit(vec_col, p) > 0).cast("int") for p in planes]
+    band_vals = [
+        sum(bits[j * bits_per + r] * (1 << r) for r in range(bits_per))
+        for j in range(n_bands)
+    ]
+    return df.withColumn("bands", F.array(*band_vals))
+
+
+def explode_band_array(df: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_val) rows from a stored ``bands`` array —
+    the cheap (integer-explode) path for already-banded vectors."""
+    return df.select(
+        "vec_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+
+
 def with_hyperplane_bands(
     df: DataFrame,
     vec_col: str = "vec",
@@ -270,16 +298,8 @@ def with_hyperplane_bands(
     band_val folds ``n_planes/n_bands`` sign bits; a pair is a candidate
     iff it collides on >= 1 band — the equi-join shape that replaces the
     O(n^2) theta join."""
-    planes = _hyperplanes(n_planes)
-    bits_per = n_planes // n_bands
-    bits = [(_dot_lit(vec_col, p) > 0).cast("int") for p in planes]
-    band_vals = [
-        sum(bits[j * bits_per + r] * (1 << r) for r in range(bits_per))
-        for j in range(n_bands)
-    ]
-    return df.select(
-        "vec_id",
-        F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
+    return explode_band_array(
+        hyperplane_band_array(df, vec_col, n_planes, n_bands)
     )
 
 
