@@ -530,3 +530,104 @@ GROUP BY o_orderpriority
 
 
 register("fk_enforced_ingest", q_fk_enforced_ingest, ORACLE_FK_ENFORCED_INGEST)
+
+
+def q_merge_conditional_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE (the full WHEN MATCHED AND <cond> clause set,
+    sinks/acid.py::merge_conditional): a price-refresh batch lands on
+    the orders snapshot with
+
+    - WHEN MATCHED AND s.price_c > t.price_c THEN UPDATE (only price
+      RAISES apply — the late-arriving-stale-update guard),
+    - WHEN MATCHED AND t.o_orderpriority = '1-URGENT' AND
+      s.price_c < t.price_c THEN DELETE (urgent orders with a price
+      DROP leave the book),
+    - WHEN NOT MATCHED AND s.o_orderpriority <> '3-MEDIUM' THEN INSERT
+      (medium-priority newcomers are filtered at the gate),
+
+    all in ONE atomic commit; matched rows firing no clause stay
+    byte-identical. The oracle replays the clause algebra in plain SQL,
+    so wrong precedence (update vs delete), a dropped keep-row, or a
+    leaked filtered insert is a value mismatch.
+
+    100 TB posture: resolution is batch-keys broadcast-semi against the
+    snapshot (candidate rows only), then the normal file-pruned MERGE —
+    one commit, no extra fact scans. Reference analog: ON CONFLICT DO
+    UPDATE (src/pipeline/persistence/batch_writer.py:118) is the
+    unconditional special case."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    src = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            F.col("price_c")
+            + F.when(F.col("o_orderkey") % 3 == 0, F.lit(500)).otherwise(
+                F.lit(-500)
+            )
+        ).alias("price_c"),
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="merge_cond_"))
+    table.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    table.merge_conditional(
+        src,
+        keys=["o_orderkey"],
+        update_when="s.price_c > t.price_c",
+        delete_when="t.o_orderpriority = '1-URGENT' AND s.price_c < t.price_c",
+        insert_when="s.o_orderpriority <> '3-MEDIUM'",
+    )
+    return table.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum("price_c") / 100.0).alias("sum_price"),
+        (F.min("price_c") / 100.0).alias("min_price"),
+    )
+
+
+ORACLE_MERGE_CONDITIONAL_ORDERS = """
+WITH cents AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), base AS (
+  SELECT * FROM cents WHERE o_orderkey % 2 = 0
+), src AS (
+  SELECT o_orderkey, o_orderpriority,
+         price_c + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE -500 END AS price_c
+  FROM cents WHERE o_orderkey % 10 = 0
+), matched AS (
+  SELECT b.o_orderkey,
+         b.o_orderpriority AS t_prio, b.price_c AS t_price,
+         s.o_orderpriority AS s_prio, s.price_c AS s_price
+  FROM base b JOIN src s USING (o_orderkey)
+), final AS (
+  SELECT o_orderkey, o_orderpriority, price_c FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN s_price > t_price THEN s_prio ELSE t_prio END,
+         CASE WHEN s_price > t_price THEN s_price ELSE t_price END
+  FROM matched
+  WHERE s_price > t_price
+     OR NOT (t_prio = '1-URGENT' AND s_price < t_price)
+  UNION ALL
+  SELECT s.o_orderkey, s.o_orderpriority, s.price_c FROM src s
+  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
+    AND s.o_orderpriority <> '3-MEDIUM'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price,
+       MIN(price_c) / 100.0 AS min_price
+FROM final
+GROUP BY o_orderpriority
+"""
+
+register(
+    "merge_conditional_orders",
+    q_merge_conditional_orders,
+    ORACLE_MERGE_CONDITIONAL_ORDERS,
+)

@@ -591,3 +591,91 @@ JOIN singles sb ON sb.event_type = u.tb
 """
 
 register("hll_audience_overlap", q_hll_audience_overlap, ORACLE_HLL_AUDIENCE_OVERLAP)
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sampling sketch (Bar-Yossef et al. 2002's k-minimum-
+# values): keep the k smallest md5(key) hashes. Deterministic (content-
+# addressed — no RNG state), UNIFORM over distinct keys (md5 is a fixed
+# random permutation of the key space), and MERGEABLE: the bottom-k of
+# a union is the bottom-k of the per-shard bottom-k's — the property
+# that makes it a distributed sampling primitive (each executor ships k
+# rows, never the partition).
+# ---------------------------------------------------------------------------
+BOTTOMK_K = 64
+
+
+def bottomk_sketch(df: DataFrame, key_col: str, k: int = BOTTOMK_K) -> DataFrame:
+    """The k rows with the smallest md5(key) — (key, h) sorted ascending.
+
+    Plan shape: Spark compiles orderBy().limit(k) to
+    TakeOrderedAndProject — each task keeps a k-row heap and the driver
+    merges |tasks| x k rows; no global sort, no full shuffle."""
+    return (
+        df.select(
+            F.col(key_col),
+            F.md5(F.col(key_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def bottomk_merge(sketches, k: int = BOTTOMK_K) -> DataFrame:
+    """merge(sketch(A), sketch(B), ...) == sketch(A ∪ B): union the
+    (tiny) per-shard sketches and re-take the bottom k."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("h").limit(k)
+
+
+def q_bottomk_sample_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded merge-equals-union proof for the KMV sketch (the
+    hll_distinct_sources_sharded discipline): customers split into two
+    disjoint shards, each sketched independently, sketches merged — the
+    result must bitwise-equal the one-shot bottom-k over the whole
+    table, which is what the oracle computes. A deterministic uniform
+    sample over distinct keys is the workhorse for data-quality
+    eyeballing and estimator seeding at 100 TB: every executor
+    contributes k candidate rows, the driver state is k rows, and
+    re-running on the same corpus reproduces the same sample bit-for-
+    bit (content-addressed, no RNG seed plumbing).
+
+    100 TB posture: per-shard cost is a column-pruned scan + per-task
+    k-heap (TakeOrderedAndProject); the merge handles S x k rows."""
+    from pyspark.sql import Window
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    shard_sketches = [
+        bottomk_sketch(cust.filter(F.col("c_custkey") % 2 == i), "c_custkey")
+        for i in (0, 1)
+    ]
+    merged = bottomk_merge(shard_sketches)
+    # rank window runs over the k-row sketch, never the fact table
+    w = Window.orderBy("h")
+    return merged.select(
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+        "c_custkey",
+        "h",
+    )
+
+
+ORACLE_BOTTOMK_SAMPLE_SHARDED = f"""
+WITH hashed AS (
+  SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer
+), sample AS (
+  SELECT * FROM hashed ORDER BY h LIMIT {BOTTOMK_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS sample_rank,
+       c_custkey, h
+FROM sample
+"""
+
+register(
+    "bottomk_sample_sharded",
+    q_bottomk_sample_sharded,
+    ORACLE_BOTTOMK_SAMPLE_SHARDED,
+)

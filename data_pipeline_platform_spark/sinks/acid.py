@@ -1201,6 +1201,90 @@ class AcidTable:
             "version": base + 1,
         }
 
+    def merge_conditional(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        update_when: Optional[str] = None,
+        delete_when: Optional[str] = None,
+        insert_when: Optional[str] = None,
+        extra_meta: Optional[Dict[str, Any]] = None,
+        txn: Optional[Dict[str, str]] = None,
+    ) -> Dict[str, int]:
+        """The full Delta/SQL:2003 conditional MERGE clause set —
+        ``WHEN MATCHED AND <update_when> THEN UPDATE``, ``WHEN MATCHED
+        AND <delete_when> THEN DELETE``, ``WHEN NOT MATCHED AND
+        <insert_when> THEN INSERT`` — publishing in ONE atomic commit.
+
+        Conditions are SQL boolean expressions over the source row
+        (alias ``s``) and the matched target row (alias ``t``), e.g.
+        ``"s.price_c > t.price_c"``; a None condition means the clause
+        always fires (update_when=None degenerates to plain ``merge``);
+        a clause whose condition is None-AND-unfired is simply absent.
+        Precedence on a matched row: ``update_when`` first, then
+        ``delete_when``, else the target row is KEPT unchanged (plain
+        merge replaces it unconditionally — the semantic this method
+        exists to refine).
+
+        Implementation: the clause set resolves against the CURRENT
+        snapshot into (upserts, delete_keys) and delegates to ``merge``
+        — one commit, the same file pruning, footer stats, constraints,
+        schema pinning and OCC machinery. The resolution reads the
+        snapshot once, restricted to candidate rows by a broadcast
+        semi-join on the batch's keys (batch-sized probe, never a fact
+        scan). Single-writer note: the resolution pins to the snapshot
+        read HERE; a concurrent commit makes merge retry its file
+        resolution but not this clause resolution — under multi-writer
+        contention wrap the call in the OCC loop yourself or stage it
+        under a MultiTableTxn.
+
+        Reference analog: the reference's ON CONFLICT DO UPDATE
+        (src/pipeline/persistence/batch_writer.py) is the
+        unconditional special case."""
+        key_list = list(keys)
+        src = source.dropDuplicates(key_list).alias("s")
+        target = self.read().alias("t")
+        cond = F.lit(True)
+        for k in key_list:
+            cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+        # candidate restriction: only target rows whose key appears in
+        # the batch participate in clause resolution
+        probe = src.select(*[F.col(f"s.{k}").alias(k) for k in key_list])
+        tcond = F.lit(True)
+        for k in key_list:
+            tcond = tcond & F.col(f"t.{k}").eqNullSafe(F.col(f"p.{k}"))
+        touched = target.join(
+            F.broadcast(probe).alias("p"), tcond, "left_semi"
+        ).alias("t")
+        matched = src.join(touched, cond, "inner")
+        src_cols = [F.col(f"s.{c}").alias(c) for c in source.columns]
+        upd = F.expr(update_when) if update_when is not None else F.lit(True)
+        del_ = F.expr(delete_when) if delete_when is not None else F.lit(True)
+        ins = F.expr(insert_when) if insert_when is not None else F.lit(True)
+        upserts = matched.filter(upd).select(*src_cols)
+        deletes = (
+            matched.filter(~F.coalesce(upd, F.lit(False)))
+            .filter(del_)
+            .select(*[F.col(f"s.{k}").alias(k) for k in key_list])
+        )
+        inserts = (
+            src.join(touched, cond, "left_anti").filter(ins).select(*src_cols)
+        )
+        return self.merge(
+            upserts.unionByName(inserts),
+            keys=key_list,
+            delete_keys=deletes,
+            extra_meta=dict(extra_meta or {})
+            | {
+                "merge_clauses": {
+                    "update_when": update_when,
+                    "delete_when": delete_when,
+                    "insert_when": insert_when,
+                }
+            },
+            txn=txn,
+        )
+
     # ------------------------------------------------------------------
     # delete / compact / vacuum
     # ------------------------------------------------------------------

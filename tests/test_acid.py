@@ -748,3 +748,72 @@ class TestFsck:
         report = t.fsck()
         assert report["ok"]  # pending is a state, not corruption
         assert len(report["pending_txns"]) == 1
+
+
+class TestMergeConditional:
+    """Clause algebra of merge_conditional (r10): precedence, kept
+    rows, None conditions, one-commit atomicity."""
+
+    def _table(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "mc"))
+        t.write(
+            spark.createDataFrame(
+                [(1, "urgent", 100), (2, "low", 200), (3, "urgent", 300),
+                 (4, "low", 400)],
+                "k long, prio string, v long",
+            ),
+            stats_cols=["k"],
+        )
+        return t
+
+    def test_clause_set_and_precedence(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            # k=1: higher v -> UPDATE (even though urgent+... update wins)
+            # k=2: lower v, not urgent -> neither clause: KEPT unchanged
+            # k=3: lower v, urgent -> DELETE
+            # k=5: unmatched, prio drop -> filtered at the insert gate
+            # k=6: unmatched, passes -> INSERT
+            [(1, "urgent", 150), (2, "low", 50), (3, "urgent", 50),
+             (5, "drop", 500), (6, "ok", 600)],
+            "k long, prio string, v long",
+        )
+        before = t.latest_version()
+        t.merge_conditional(
+            src, keys=["k"],
+            update_when="s.v > t.v",
+            delete_when="t.prio = 'urgent' AND s.v < t.v",
+            insert_when="s.prio <> 'drop'",
+        )
+        assert t.latest_version() == before + 1  # ONE atomic commit
+        state = {r["k"]: (r["prio"], r["v"]) for r in t.read().collect()}
+        assert state == {
+            1: ("urgent", 150),  # updated
+            2: ("low", 200),     # matched, no clause: kept
+            4: ("low", 400),     # untouched
+            6: ("ok", 600),      # inserted
+        }
+
+    def test_none_conditions_degenerate_to_plain_merge(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, "x", 1), (9, "y", 9)], "k long, prio string, v long"
+        )
+        t.merge_conditional(src, keys=["k"])  # update/insert always fire
+        state = {r["k"]: (r["prio"], r["v"]) for r in t.read().collect()}
+        assert state[1] == ("x", 1) and state[9] == ("y", 9)
+        assert state[2] == ("low", 200)
+
+    def test_delete_only_clause(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, "urgent", 0), (4, "low", 0)], "k long, prio string, v long"
+        )
+        t.merge_conditional(
+            src, keys=["k"],
+            update_when="false",          # never update
+            delete_when="t.prio = 'urgent'",
+            insert_when="false",          # never insert
+        )
+        state = {r["k"]: r["v"] for r in t.read().collect()}
+        assert state == {1: 100, 2: 200, 4: 400}  # only urgent k=3 left
