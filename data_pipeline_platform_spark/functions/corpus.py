@@ -973,3 +973,46 @@ GROUP BY source, split
 
 
 register("train_val_test_split", q_train_val_test_split, ORACLE_TRAIN_VAL_TEST_SPLIT)
+
+
+BOTTOMK_PER_GROUP = 8
+
+
+def q_bottomk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP deterministic uniform sample: the k smallest
+    md5(doc_id) hashes per source — the per-domain eyeball/QA sample
+    every corpus pipeline needs (inspect k docs from EVERY domain, not
+    k docs global where one giant domain crowds out the rest). Content-
+    addressed like `deterministic_sample` and the KMV sketch
+    (functions/sketches.py): re-running reproduces the same rows
+    bit-for-bit, no RNG seed plumbing.
+
+    100 TB posture: one scan + ONE hash-partitioned window keyed by
+    source (never a global window); with rank <= k the window is a
+    running top-k per partition. Skewed sources cost their row count,
+    not a cross-partition sort."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= BOTTOMK_PER_GROUP)
+        .select("source", "sample_rank", "doc_id", "h")
+    )
+
+
+ORACLE_BOTTOMK_PER_SOURCE = f"""
+SELECT source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY h) AS BIGINT)
+         AS sample_rank,
+       doc_id, h
+FROM (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+QUALIFY sample_rank <= {BOTTOMK_PER_GROUP}
+"""
+
+register("bottomk_per_source", q_bottomk_per_source, ORACLE_BOTTOMK_PER_SOURCE)

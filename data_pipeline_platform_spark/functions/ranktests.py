@@ -468,3 +468,95 @@ register("ks_test", q_ks_test, ORACLE_KS_TEST)
 register("gini_by_nation", q_gini_by_nation, ORACLE_GINI_BY_NATION)
 register("roc_auc_returns", q_roc_auc_returns, ORACLE_ROC_AUC_RETURNS)
 register("pr_curve_returns", q_pr_curve_returns, ORACLE_PR_CURVE_RETURNS)
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) — the labeled-data QA
+    gate a training pipeline runs before trusting a label source: two
+    deterministic 3-class 'annotators' label every order (one from the
+    price bracket, one from the priority family), and kappa corrects
+    their raw agreement for chance.
+
+    Exactness discipline: the confusion census, its diagonal, and the
+    marginal products are all exact BIGINTs; po, pe and kappa close
+    with the same double divisions in both engines (keyness.py rule).
+
+    100 TB posture: ONE scan into a |classes|² census (9 cells); every
+    downstream step is census-sized. More annotators → Fleiss' kappa
+    over the same census shape.
+
+    Reference analog: none — the reference has no statistics layer;
+    this extends SURVEY.md §2.12's quality family."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") >= 150000, F.lit("high"))
+        .when(F.col("o_totalprice") >= 50000, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("ann_a"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("high")
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("ann_b"),
+    )
+    cells = orders.groupBy("ann_a", "ann_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("ann_a") == F.col("ann_b"), F.col("c"))
+              .otherwise(F.lit(0))).alias("diag"),
+    )
+    ra = cells.groupBy("ann_a").agg(F.sum("c").alias("na"))
+    cb = cells.groupBy("ann_b").agg(F.sum("c").alias("nb"))
+    pe_num = (
+        ra.join(cb, ra.ann_a == cb.ann_b)
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("pe_num"))
+    )
+    j = totals.crossJoin(pe_num)
+    po = F.col("diag").cast("double") / F.col("n").cast("double")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return j.select(
+        F.col("n"),
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+ORACLE_COHENS_KAPPA = """
+WITH labeled AS (
+  SELECT CASE WHEN o_totalprice >= 150000 THEN 'high'
+              WHEN o_totalprice >= 50000 THEN 'mid'
+              ELSE 'low' END AS ann_a,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+              ELSE 'low' END AS ann_b
+  FROM orders
+), cells AS (
+  SELECT ann_a, ann_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM labeled GROUP BY ann_a, ann_b
+), totals AS (
+  SELECT SUM(c) AS n,
+         SUM(CASE WHEN ann_a = ann_b THEN c ELSE 0 END) AS diag
+  FROM cells
+), ra AS (SELECT ann_a, SUM(c) AS na FROM cells GROUP BY ann_a),
+cb AS (SELECT ann_b, SUM(c) AS nb FROM cells GROUP BY ann_b),
+pe AS (
+  SELECT SUM(na * nb) AS pe_num FROM ra JOIN cb ON ann_a = ann_b
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+       (CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+        - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       / (1.0 - CAST(pe_num AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+FROM totals, pe
+"""
+
+register("cohens_kappa", q_cohens_kappa, ORACLE_COHENS_KAPPA)
