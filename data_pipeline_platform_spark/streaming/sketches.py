@@ -130,3 +130,50 @@ def cms_state_cells(spark: SparkSession, state_path: str) -> DataFrame:
         .groupBy("row_i", "bucket")
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
+
+
+def streaming_bottomk_ingest(
+    keyed_stream: DataFrame,
+    key_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    k: int = None,
+):
+    """Maintain a KMV bottom-k sample (functions/sketches.py) over a
+    stream: each micro-batch's sketch merges with the stored one —
+    bottom-k of the union, the KMV merge law — so the state is always
+    THE deterministic uniform k-sample of every distinct key seen so
+    far. State is k rows regardless of stream volume; the same
+    staged-swap publish as the HLL/CMS ingests."""
+    from data_pipeline_platform_spark.functions.sketches import (
+        BOTTOMK_K,
+        bottomk_merge,
+        bottomk_sketch,
+    )
+
+    k = k or BOTTOMK_K
+    spark = keyed_stream.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sketch = bottomk_sketch(batch_df, key_col, k)
+        if os.path.exists(state_path):
+            current = spark.read.parquet(state_path)
+            merged = bottomk_merge([current, batch_sketch], k)
+        else:
+            merged = batch_sketch
+        tmp = state_path + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(state_path)
+
+    return (
+        keyed_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bottomk_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The maintained k-sample, sorted by hash."""
+    return spark.read.parquet(state_path).orderBy("h")

@@ -261,3 +261,41 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
         "purchase_id", "click_id", "latency_sec"
     )
     assert {tuple(r) for r in last.collect()} == {tuple(r) for r in graded.collect()}
+
+
+def test_streaming_bottomk_matches_batch_bitwise(spark, tmp_path):
+    """KMV merge law under micro-batching: after the stream drains, the
+    maintained k-sample equals the one-shot bottom-k over the whole
+    input bit for bit (bottom-k of per-batch bottom-ks == bottom-k of
+    the union — order of batch arrival is irrelevant)."""
+    from data_pipeline_platform_spark.functions.sketches import bottomk_sketch
+    from data_pipeline_platform_spark.sources.readers import load_table
+    from data_pipeline_platform_spark.streaming.sketches import (
+        bottomk_state,
+        streaming_bottomk_ingest,
+    )
+    from data_pipeline_platform_spark.streaming.windows import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    stream_dir = str(tmp_path / "ev_bk")
+    events.repartition(4).write.parquet(stream_dir)
+
+    state = str(tmp_path / "bk_state")
+    q = streaming_bottomk_ingest(
+        read_events_stream(spark, stream_dir, max_files_per_trigger=1),
+        "user_id",
+        state,
+        str(tmp_path / "ckpt_bk"),
+        k=32,
+    )
+    q.awaitTermination(180)
+
+    streamed = [
+        (r["user_id"], r["h"]) for r in bottomk_state(spark, state).collect()
+    ]
+    batch = [
+        (r["user_id"], r["h"])
+        for r in bottomk_sketch(events, "user_id", 32).collect()
+    ]
+    assert streamed == batch and len(streamed) == 32
