@@ -560,3 +560,114 @@ FROM totals, pe
 """
 
 register("cohens_kappa", q_cohens_kappa, ORACLE_COHENS_KAPPA)
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-rater agreement (Fleiss' kappa, n=3 raters per item) —
+    the n-annotator generalization of `cohens_kappa`: three
+    deterministic raters label every order (price bracket, priority
+    family, order status), and kappa corrects mean pairwise agreement
+    for chance.
+
+    SHUFFLE-FREE plan: with a fixed rater set the per-item agreement
+    term Σ_j n_ij² is a row-local CASE over the item's own labels
+    (3 equal → 9, one pair → 5, all distinct → 3), so the whole
+    statistic is one scan + one global aggregate — no per-item groupBy,
+    no window. P̄ = (ΣΣ n_ij² − N·n) / (N·n·(n−1)) and
+    P̄_e = Σ_j (Σ_i n_ij)² / (N·n)² close from exact BIGINTs with the
+    same double divisions in both engines.
+
+    100 TB posture: map-side CASEs + one 1-row aggregate. Adding raters
+    keeps the shape (the CASE enumerates label multiset partitions)."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    r = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") >= 150000, F.lit("high"))
+        .when(F.col("o_totalprice") >= 50000, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("a"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("high")
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("b"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("high"))
+        .when(F.col("o_orderstatus") == "P", F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("c"),
+    )
+    eq = lambda x, y: F.col(x) == F.col(y)  # noqa: E731
+    sq = (
+        F.when(eq("a", "b") & eq("b", "c"), F.lit(9))
+        .when(eq("a", "b") | eq("b", "c") | eq("a", "c"), F.lit(5))
+        .otherwise(F.lit(3))
+    )
+    cls = lambda lab: sum(  # noqa: E731
+        F.when(F.col(col) == lab, F.lit(1)).otherwise(F.lit(0))
+        for col in ("a", "b", "c")
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(sq).cast("bigint").alias("ssq"),
+        F.sum(cls("low")).cast("bigint").alias("c_low"),
+        F.sum(cls("mid")).cast("bigint").alias("c_mid"),
+        F.sum(cls("high")).cast("bigint").alias("c_high"),
+    )
+    n = F.col("n_items").cast("double")
+    p_bar = (F.col("ssq") - 3 * F.col("n_items")).cast("double") / (6.0 * n)
+    pe_num = (
+        F.col("c_low") * F.col("c_low")
+        + F.col("c_mid") * F.col("c_mid")
+        + F.col("c_high") * F.col("c_high")
+    ).cast("double")
+    p_e = pe_num / (3.0 * n * (3.0 * n))
+    return agg.select(
+        "n_items",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
+    )
+
+
+ORACLE_FLEISS_KAPPA = """
+WITH labeled AS (
+  SELECT CASE WHEN o_totalprice >= 150000 THEN 'high'
+              WHEN o_totalprice >= 50000 THEN 'mid'
+              ELSE 'low' END AS a,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+              ELSE 'low' END AS b,
+         CASE WHEN o_orderstatus = 'F' THEN 'high'
+              WHEN o_orderstatus = 'P' THEN 'mid'
+              ELSE 'low' END AS c
+  FROM orders
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN a = b AND b = c THEN 9
+                       WHEN a = b OR b = c OR a = c THEN 5
+                       ELSE 3 END) AS BIGINT) AS ssq,
+         CAST(SUM((a='low')::INT + (b='low')::INT + (c='low')::INT)
+              AS BIGINT) AS c_low,
+         CAST(SUM((a='mid')::INT + (b='mid')::INT + (c='mid')::INT)
+              AS BIGINT) AS c_mid,
+         CAST(SUM((a='high')::INT + (b='high')::INT + (c='high')::INT)
+              AS BIGINT) AS c_high
+  FROM labeled
+)
+SELECT n_items,
+       CAST(ssq - 3 * n_items AS DOUBLE)
+         / (6.0 * CAST(n_items AS DOUBLE)) AS p_bar,
+       CAST(c_low * c_low + c_mid * c_mid + c_high * c_high AS DOUBLE)
+         / (3.0 * CAST(n_items AS DOUBLE) * (3.0 * CAST(n_items AS DOUBLE)))
+         AS p_e,
+       (CAST(ssq - 3 * n_items AS DOUBLE) / (6.0 * CAST(n_items AS DOUBLE))
+        - CAST(c_low * c_low + c_mid * c_mid + c_high * c_high AS DOUBLE)
+          / (3.0 * CAST(n_items AS DOUBLE) * (3.0 * CAST(n_items AS DOUBLE))))
+       / (1.0 - CAST(c_low * c_low + c_mid * c_mid + c_high * c_high AS DOUBLE)
+          / (3.0 * CAST(n_items AS DOUBLE) * (3.0 * CAST(n_items AS DOUBLE))))
+         AS kappa
+FROM agg
+"""
+
+register("fleiss_kappa", q_fleiss_kappa, ORACLE_FLEISS_KAPPA)

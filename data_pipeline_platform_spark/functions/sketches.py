@@ -679,3 +679,86 @@ register(
     q_bottomk_sample_sharded,
     ORACLE_BOTTOMK_SAMPLE_SHARDED,
 )
+
+
+def q_kmv_jaccard_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity between two user audiences FROM THE KMV
+    SKETCH (Beyer et al. 2007): with S = bottom-k of md5(user) over
+    A ∪ B, Ĵ = |{h ∈ S : h ∈ A ∧ h ∈ B}| / |S| — the classic
+    sketch-space overlap estimator (the HLL inclusion-exclusion twin
+    `hll_audience_overlap` estimates |A∩B| instead; KMV estimates the
+    RATIO directly and needs no union-cardinality algebra). Exact
+    Jaccard rides along as the audit column, so the output carries its
+    own error.
+
+    100 TB posture: two column-pruned scans to distinct (side, user)
+    pairs, one bottom-|S| (per-task k-heap), membership join against
+    k rows broadcast. At the test SFs the sketch may cover the whole
+    audience (estimate == exact); at production scale it is k rows vs
+    millions."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    ua = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct()
+    )
+    ub = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id").distinct()
+    )
+    both = ua.withColumn("in_a", F.lit(1)).join(
+        ub.withColumn("in_b", F.lit(1)), "user_id", "full_outer"
+    ).select(
+        "user_id",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    sketch = (
+        both.withColumn("h", F.md5(F.col("user_id").cast("string")))
+        .orderBy("h")
+        .limit(BOTTOMK_K)
+    )
+    est = sketch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sketch_size"),
+        (
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("est_jaccard"),
+    )
+    exact = both.agg(
+        (
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("exact_jaccard")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+ORACLE_KMV_JACCARD_AUDIENCES = f"""
+WITH ua AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), ub AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+), flags AS (
+  SELECT COALESCE(ua.user_id, ub.user_id) AS user_id,
+         CASE WHEN ua.user_id IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN ub.user_id IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM ua FULL JOIN ub ON ua.user_id = ub.user_id
+), sketch AS (
+  SELECT in_a, in_b FROM (
+    SELECT *, md5(CAST(user_id AS VARCHAR)) AS h FROM flags
+  ) ORDER BY h LIMIT {BOTTOMK_K}
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sketch) AS sketch_size,
+       (SELECT CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        FROM sketch) AS est_jaccard,
+       (SELECT CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        FROM flags) AS exact_jaccard
+"""
+
+register(
+    "kmv_jaccard_audiences",
+    q_kmv_jaccard_audiences,
+    ORACLE_KMV_JACCARD_AUDIENCES,
+)

@@ -1191,3 +1191,76 @@ def test_consistent_cut_never_tears_and_is_idempotent(
         assert all(states) or not any(states), (cut, staged)
     # (c) idempotent
     assert MultiTableTxn.consistent_cut(coord, [a, b], at=dict(cut)) == cut
+
+
+# --------------------------------------------------------------------------
+# census derives vs DuckDB: the percentile_disc rank formula
+# (max(1, ceil(p*n))) and the mode tie-break (smallest value among max
+# counts) were pinned to DuckDB empirically (sinks/census.py) — this
+# property test keeps them pinned across random censuses and random p,
+# including the fp-fragile exact-boundary ranks (p*n integral).
+_CENSUS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                 # group
+        st.integers(min_value=-5, max_value=5),      # value
+        st.integers(min_value=1, max_value=4),       # multiplicity
+    ),
+    min_size=1,
+    max_size=12,
+)
+_PS = st.sampled_from([0.0, 0.1, 0.25, 0.3, 0.5, 0.75, 0.9, 1.0])
+
+
+@given(cells=_CENSUS, p=_PS)
+@settings(
+    max_examples=25,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_census_derives_match_duckdb(spark, cells, p):
+    import duckdb
+
+    from data_pipeline_platform_spark.sinks.census import (
+        census_median,
+        census_mode,
+        census_percentile,
+    )
+
+    # collapse duplicate (group, value) cells like a real census would
+    agg: dict = {}
+    for g, v, c in cells:
+        agg[(g, v)] = agg.get((g, v), 0) + c
+    rows = [(g, v, c) for (g, v), c in agg.items()]
+    cen = spark.createDataFrame(rows, "g string, v long, n long")
+
+    got_p = {
+        r["g"]: (r["n"], r["pq"])
+        for r in census_percentile(cen, p, out="pq").collect()
+    }
+    got_m = {
+        r["g"]: r["med"] for r in census_median(cen, out="med").collect()
+    }
+    got_mode = {
+        r["g"]: r["mo"] for r in census_mode(cen, out="mo").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE expanded AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{g}', {v})" for g, v, c in rows for _ in range(c))
+        + ") t(g, v)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"""SELECT g, CAST(COUNT(*) AS BIGINT), quantile_disc(v, {p}),
+                       median(v), mode(v ORDER BY v)
+                FROM expanded GROUP BY g"""
+        ).fetchall()
+    }
+    assert set(got_p) == set(want)
+    for g, (n, qd, med, mo) in want.items():
+        assert got_p[g] == (n, qd), (g, p, got_p[g], (n, qd))
+        assert float(got_m[g]) == float(med), (g, got_m[g], med)
+        assert got_mode[g] == mo, (g, got_mode[g], mo)
