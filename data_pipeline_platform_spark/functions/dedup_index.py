@@ -320,3 +320,206 @@ def _register_embedding_incremental() -> None:
 
 
 _register_embedding_incremental()
+
+
+_ANN_STREAM = "ann-ivf"
+
+
+class IncrementalAnnIndex:
+    """PERSISTED IVF ANN index — the serving-shape sibling of the
+    one-shot graded `cosine_topk_ivf_exact` (functions/similarity.py):
+
+    - ``train``: fit the deterministic quantizer (content-addressed
+      seeds + one decimal-exact Lloyd refinement, `ivfx_train`) on a
+      base corpus ONCE; store the centroid table and the base's
+      inverted file in ACID tables.
+    - ``add_batch``: assign new vectors to the FROZEN centroids
+      (broadcast 16 rows, fixed-point distance, cell tie-break) and
+      append — history is never re-trained or re-assigned, the
+      standard IVF serving model (FAISS's add-after-train contract).
+    - ``search``: rank cells by centroid distance to the query, probe
+      the closest ``nprobe``, exact-cosine re-rank inside probed cells.
+
+    100 TB posture: per-batch cost is |batch| x 16 broadcast scores +
+    one append; a search touches ~nprobe/n_cells of the corpus via the
+    cell equi-join (cluster/partition the ivf table by cell and the
+    file pruning makes that literal). Marker-guarded appends give
+    exactly-once batch ingestion like the LSH/embedding indexes."""
+
+    def __init__(self, spark: SparkSession, centroids_path: str, ivf_path: str):
+        self.spark = spark
+        self.centroids = AcidTable(spark, centroids_path)
+        self.ivf = AcidTable(spark, ivf_path)
+
+    def train(self, emb: DataFrame, batch_id: int = 0) -> None:
+        """``emb``: (vec_id, label, vec array<double>) — the training
+        base; also becomes the first indexed batch."""
+        from data_pipeline_platform_spark.functions.similarity import (
+            ivfx_assign,
+            ivfx_train,
+        )
+
+        cent = ivfx_train(emb.select("vec_id", "vec"))
+        marker = {"stream_id": _ANN_STREAM, "batch_id": batch_id}
+        if not self.centroids.exists():
+            self.centroids.write(cent, extra_meta=marker)
+        if batch_id > _last_batch(self.ivf, _ANN_STREAM):
+            self.ivf.write(
+                ivfx_assign(emb, cent), mode="append", extra_meta=marker
+            )
+
+    def add_batch(self, emb: DataFrame, batch_id: int) -> None:
+        from data_pipeline_platform_spark.functions.similarity import (
+            ivfx_assign,
+        )
+
+        cent = self.centroids.read()
+        if batch_id > _last_batch(self.ivf, _ANN_STREAM):
+            self.ivf.write(
+                ivfx_assign(emb, cent),
+                mode="append",
+                extra_meta={"stream_id": _ANN_STREAM, "batch_id": batch_id},
+            )
+
+    def search_by_id(self, query_vec_id: int, k: int = None, nprobe: int = None):
+        """Top-k neighbors of an INDEXED vector (excluded from its own
+        results), deterministic ordering (cosine desc, vec_id)."""
+        from pyspark.sql.window import Window
+
+        from data_pipeline_platform_spark.functions.similarity import (
+            IVFX_K,
+            IVFX_PROBE,
+            _dist_fp_sql,
+            _dot,
+        )
+
+        k = k or IVFX_K
+        nprobe = nprobe or IVFX_PROBE
+        cent = self.centroids.read()
+        ivf = self.ivf.read()
+        q = ivf.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("vec").alias("qvec")
+        )
+        probed = (
+            cent.crossJoin(F.broadcast(q))
+            .withColumn("qdist", F.expr(_dist_fp_sql("cvec", "qvec")))
+            .withColumn(
+                "__pn", F.row_number().over(Window.orderBy("qdist", "cell"))
+            )
+            .filter(F.col("__pn") <= nprobe)
+            .select("cell")
+        )
+        cand = (
+            ivf.join(F.broadcast(probed), "cell")
+            .filter(F.col("vec_id") != query_vec_id)
+            .crossJoin(F.broadcast(q))
+        )
+        return (
+            cand.withColumn(
+                "cosine",
+                _dot("vec", "qvec")
+                / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qvec", "qvec"))),
+            )
+            .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(k)
+        )
+
+
+def q_ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three ingestion batches through the persisted IVF index: the
+    quantizer trains on batch 0 ONLY (vec_id % 3 == 1) and is then
+    FROZEN; batches 1-2 assign to the stored centroids and append. The
+    search must bitwise-equal the oracle, which replays the train-on-
+    subset quantizer and the full-corpus frozen assignment in SQL —
+    proving add-after-train loses nothing vs a from-scratch build on
+    the same centroids."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    idx = IncrementalAnnIndex(
+        spark,
+        tempfile.mkdtemp(prefix="anncent_"),
+        tempfile.mkdtemp(prefix="annivf_"),
+    )
+    idx.train(emb.filter(F.col("vec_id") % 3 == 1), batch_id=0)
+    idx.add_batch(emb.filter(F.col("vec_id") % 3 == 2), batch_id=1)
+    idx.add_batch(emb.filter(F.col("vec_id") % 3 == 0), batch_id=2)
+    return idx.search_by_id(0)
+
+
+def _register_ann_incremental() -> None:
+    from data_pipeline_platform_spark.functions.similarity import (
+        IVFX_CELLS,
+        IVFX_K,
+        IVFX_PROBE,
+        _duck_dist_fp,
+    )
+
+    oracle = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), train AS (
+  SELECT vec_id, vec FROM base WHERE vec_id % 3 = 1
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS seed_id, vec AS svec
+  FROM (SELECT vec_id, vec, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM train ORDER BY h, vec_id LIMIT {IVFX_CELLS})
+), a0 AS (
+  SELECT vec_id, vec, seed_id AS cell0 FROM (
+    SELECT b.vec_id, b.vec, s.seed_id,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_duck_dist_fp('b.vec', 's.svec')}, s.seed_id) AS rn
+    FROM train b CROSS JOIN seeds s
+  ) WHERE rn = 1
+), ex AS (
+  SELECT cell0, i - 1 AS dim, vec[i] AS comp
+  FROM a0, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
+), cents AS (
+  SELECT cell0, dim,
+         CAST(SUM(CAST(round(comp * 1000000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000000.0 AS c
+  FROM ex GROUP BY cell0, dim
+), carr AS (
+  SELECT cell0 AS cell, list(c ORDER BY dim) AS cvec FROM cents GROUP BY cell0
+), ivf AS (
+  SELECT vec_id, label, vec, cell FROM (
+    SELECT b.vec_id, b.label, b.vec, ca.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_duck_dist_fp('b.vec', 'ca.cvec')}, ca.cell) AS rn
+    FROM base b CROSS JOIN carr ca
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec AS qvec FROM ivf WHERE vec_id = 0
+), probed AS (
+  SELECT cell FROM (
+    SELECT ca.cell,
+           row_number() OVER (
+             ORDER BY {_duck_dist_fp('ca.cvec', 'q.qvec')}, ca.cell) AS pn
+    FROM carr ca CROSS JOIN q
+  ) WHERE pn <= {IVFX_PROBE}
+), scored AS (
+  SELECT i.vec_id, i.label,
+         round(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip(i.vec, q.qvec), p -> p[1] * p[2])),
+             (acc, t) -> acc + t)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(i.vec, x -> x * x)), (acc, t) -> acc + t))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(q.qvec, x -> x * x)), (acc, t) -> acc + t))),
+           6) AS cosine
+  FROM ivf i JOIN probed USING (cell) CROSS JOIN q
+  WHERE i.vec_id != 0
+)
+SELECT vec_id, label, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT {IVFX_K}
+"""
+    register("ann_incremental_topk", q_ann_incremental_topk, oracle)
+
+
+_register_ann_incremental()

@@ -814,20 +814,18 @@ IVFX_K = 10
 # ordering on double folds is 1-ulp-fragile at near-ties (FP_SCALE note)
 
 
-def ivfx_index(spark: SparkSession, sf_dir: str):
-    """Build the deterministic IVF index (content-addressed seeds + one
-    decimal-exact Lloyd refinement): returns (cent_arr, ivf) where
-    cent_arr is the 16-row refined-centroid frame (tracked-persisted)
-    and ivf is (vec_id, label, vec, cell) (tracked-persisted). Shared
-    by the ANN search and the semantic sampler; the DuckDB twin is
-    DUCK_IVFX_INDEX."""
+def ivfx_train(train):
+    """The deterministic IVF quantizer (content-addressed seeds + one
+    decimal-exact Lloyd refinement) fit on ``train`` (vec_id, vec
+    [, ...]): returns the tracked-persisted refined-centroid frame
+    (cell, cvec). Split out of ``ivfx_index`` so a PERSISTED index
+    (functions/dedup_index.py::IncrementalAnnIndex) can train on a base
+    corpus and assign later batches to FROZEN centroids — the standard
+    IVF serving model."""
     from pyspark.sql.window import Window
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "label", _as_double("embedding").alias("vec")
-    )
     seeds = (
-        emb.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        train.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__h", "vec_id")
         .limit(IVFX_CELLS)
         .withColumn(
@@ -837,7 +835,7 @@ def ivfx_index(spark: SparkSession, sf_dir: str):
     )
     w_v0 = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("seed_id"))
     a0 = (
-        emb.crossJoin(F.broadcast(seeds))
+        train.crossJoin(F.broadcast(seeds))
         .withColumn("dist", F.expr(_dist_fp_sql("vec", "svec")))
         .withColumn("__rn", F.row_number().over(w_v0))
         .filter(F.col("__rn") == 1)
@@ -855,20 +853,46 @@ def ivfx_index(spark: SparkSession, sf_dir: str):
     # the probe ranking — uncached, each consumer would re-execute the
     # whole seed+assign+refine chain behind it; cached, the quantizer
     # fits exactly once per search
-    cent_arr = tracked_persist(
+    return tracked_persist(
         cents.groupBy("cell0")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
         .select(
             F.col("cell0").alias("cell"), F.expr("transform(dc, x -> x.c)").alias("cvec")
         )
     )
-    w_v1 = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
-    ivf = tracked_persist(
+
+
+def ivfx_assign(emb, cent_arr):
+    """Assign every row of ``emb`` (vec_id, vec, passthrough cols) to
+    its nearest centroid (fixed-point distance, cell-id tie-break) —
+    the inverted-file build/probe-side write path. Output: emb's
+    columns minus vec ordering + ``cell``."""
+    from pyspark.sql.window import Window
+
+    out_cols = [c for c in emb.columns]
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
+    return (
         emb.crossJoin(F.broadcast(cent_arr))
         .withColumn("dist", F.expr(_dist_fp_sql("vec", "cvec")))
-        .withColumn("__rn", F.row_number().over(w_v1))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("vec_id", "label", "vec", "cell")
+        .select(*out_cols, "cell")
+    )
+
+
+def ivfx_index(spark: SparkSession, sf_dir: str):
+    """Build the deterministic IVF index over the whole embeddings
+    table (train on all + assign all): returns (cent_arr, ivf) where
+    cent_arr is the 16-row refined-centroid frame (tracked-persisted)
+    and ivf is (vec_id, label, vec, cell) (tracked-persisted). Shared
+    by the ANN search and the semantic sampler; the DuckDB twin is
+    DUCK_IVFX_INDEX."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    cent_arr = ivfx_train(emb.select("vec_id", "vec"))
+    ivf = tracked_persist(
+        ivfx_assign(emb, cent_arr).select("vec_id", "label", "vec", "cell")
     )
     return cent_arr, ivf
 
