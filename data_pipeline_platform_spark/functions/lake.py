@@ -631,3 +631,47 @@ register(
     q_merge_conditional_orders,
     ORACLE_MERGE_CONDITIONAL_ORDERS,
 )
+
+
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the per-file BLOOM INDEX
+    (sinks/acid.py::point_lookup): orders land in 8 files keyed so
+    every file's [min, max] o_orderkey range covers every key — footer
+    ranges prune NOTHING — and the lookup of 5 scattered keys must
+    still return exactly the SQL `WHERE o_orderkey IN (...)` rows while
+    scanning only bloom-surviving files (the skip is conservative:
+    false positives add scans, never rows).
+
+    100 TB posture: this is the needle-in-haystack read path — without
+    a bloom a single-key lookup on a non-clustered column scans the
+    table; with it, |files with the key| + fpp x |files|."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="bloom_pl_"))
+    # interleave: partition by key % 8, so each file spans the whole
+    # key range and only the bloom can skip
+    table.write(
+        orders.withColumn("__p", (F.col("o_orderkey") % 8).cast("int"))
+        .repartition(8, "__p")
+        .drop("__p"),
+        stats_cols=["o_orderkey"],
+        bloom_cols=["o_orderkey"],
+        binpack=False,
+    )
+    keys = [1, 7, 322, 961, 1383]
+    return table.point_lookup("o_orderkey", keys).select(
+        "o_orderkey", "o_orderpriority", (F.col("price_c") / 100.0).alias("price")
+    )
+
+
+ORACLE_BLOOM_POINT_LOOKUP = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price
+FROM orders
+WHERE o_orderkey IN (1, 7, 322, 961, 1383)
+"""
+
+register("bloom_point_lookup", q_bloom_point_lookup, ORACLE_BLOOM_POINT_LOOKUP)

@@ -60,6 +60,49 @@ _VERSION_DIGITS = 20
 _CHECKPOINT_INTERVAL = 10
 
 
+#: per-file bloom index geometry: 8192 bits = 1 KB hex in the JSON log
+#: per (file, column); with k=3 and <=800 distinct values per file the
+#: false-positive rate is ~1e-3 (false positives only COST a file scan,
+#: they never change results)
+_BLOOM_BITS = 8192
+_BLOOM_K = 3
+
+
+def _bloom_positions(value, m: int, k: int):
+    """Deterministic double-hashed bit positions for ``value``.
+    Canonical form is str(value) — identical for the build side
+    (pyarrow-decoded Python values) and the probe side (caller-supplied
+    keys), so int/str keys round-trip; exotic types simply never
+    prune."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    h1 = int(h[:16], 16)
+    h2 = int(h[16:], 16) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _build_bloom(values, m: int = _BLOOM_BITS, k: int = _BLOOM_K):
+    """Bloom dict {m, k, bits(hex)} over ``values``, or None when empty
+    or SATURATED (set bits would exceed m/2 — a saturated filter passes
+    everything, so recording it would be log bytes for zero pruning)."""
+    if not values or len(values) * k > m // 2:
+        return None
+    bits = bytearray(m // 8)
+    for v in values:
+        for pos in _bloom_positions(v, m, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "bits": bits.hex()}
+
+
+def _bloom_might_contain(bloom: Dict[str, Any], value) -> bool:
+    bits = bytes.fromhex(bloom["bits"])
+    for pos in _bloom_positions(value, bloom["m"], bloom["k"]):
+        if not bits[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first (caller may retry on
     a fresh snapshot)."""
@@ -781,11 +824,26 @@ class AcidTable:
         return packed
 
     def _write_data_files(
-        self, df: DataFrame, stats_cols: Sequence[str] = (), binpack: bool = True
+        self,
+        df: DataFrame,
+        stats_cols: Sequence[str] = (),
+        binpack: bool = True,
+        bloom_cols: Sequence[str] = (),
     ) -> List[Dict[str, Any]]:
         """Write df as parquet into the table dir (one Spark job, files
         named under a fresh uuid prefix so concurrent writers never
-        collide) and return add-actions with footer-derived stats."""
+        collide) and return add-actions with footer-derived stats.
+
+        ``bloom_cols``: also record a per-file BLOOM FILTER for these
+        columns in the add-action (the Delta bloom-index role): point
+        lookups on a non-clustered key then skip files whose bloom
+        excludes the value — min/max footer ranges cannot prune a key
+        that interleaves across files, a bloom can. The filter is
+        conservative (false positives only ADD files; a miss is
+        definitive), so pruning never changes results. Computed here in
+        the same driver-side per-file pass that already reads the
+        parquet footers; a multi-node deployment moves the identical
+        math into the write task that owns the file."""
         import glob
         import shutil
 
@@ -826,6 +884,13 @@ class AcidTable:
                     # can't round-trip the log; those columns simply
                     # don't prune)
                     stats[col] = {"min": min(mins), "max": max(maxs)}
+            for col in bloom_cols:
+                if col not in names:
+                    continue
+                vals = pq.read_table(dest, columns=[col]).column(col)
+                bloom = _build_bloom(set(vals.to_pylist()) - {None})
+                if bloom is not None:
+                    stats.setdefault(col, {})["bloom"] = bloom
             actions.append(
                 {"path": dest, "rows": meta.num_rows, "stats": stats}
             )
@@ -843,12 +908,17 @@ class AcidTable:
         merge_schema: bool = False,
         txn: Optional[Dict[str, str]] = None,
         commit_guard=None,
+        bloom_cols: Sequence[str] = (),
     ) -> int:
         """Commit df as a new version. mode: overwrite | append.
         ``commit_guard``: zero-arg callable re-checked inside every OCC
         attempt (after the base version is read); returning False raises
         ``CommitGuardFailed`` WITHOUT committing — the race-free seat of
         check-then-commit preconditions like streaming replay markers.
+        ``bloom_cols``: record per-file bloom filters for point-lookup
+        file skipping (see ``point_lookup``); a write-path option — a
+        later MERGE's rewritten files carry range stats only, which
+        stays correct (missing bloom = no pruning, never a wrong skip).
         ``binpack=False`` publishes df's partitioning verbatim — for
         deliberately clustered layouts (range-partitioned key files)
         whose file boundaries ARE the pruning structure.
@@ -872,7 +942,9 @@ class AcidTable:
                 df, schema_out = self._align_to_schema(
                     df, current, merge_schema, "append"
                 )
-        add = self._write_data_files(df, stats_cols, binpack=binpack)
+        add = self._write_data_files(
+            df, stats_cols, binpack=binpack, bloom_cols=bloom_cols
+        )
         for _ in range(max_retries):
             base = self.latest_version()
             # guard AFTER reading base: a commit that lands between this
@@ -1200,6 +1272,60 @@ class AcidTable:
             "files_rewritten": n_rewritten,
             "version": base + 1,
         }
+
+    def lookup_files(
+        self, col: str, values: Sequence[Any], version: Optional[int] = None
+    ):
+        """(candidate add-actions, n_pruned) for a point lookup: a file
+        survives only if its footer [min, max] range could contain SOME
+        value AND (it has no bloom OR the bloom might contain some
+        value). Driver-side metadata only — no data is read."""
+        files = self.snapshot_files(version)
+        keep = []
+        for a in files:
+            st = (a.get("stats") or {}).get(col) or {}
+            mn, mx = st.get("min"), st.get("max")
+            vals = list(values)
+            if mn is not None and mx is not None:
+                try:
+                    vals = [v for v in vals if mn <= v <= mx]
+                except TypeError:
+                    pass  # incomparable types: the range cannot prune
+            if not vals:
+                continue
+            bloom = st.get("bloom")
+            if bloom is not None and not any(
+                _bloom_might_contain(bloom, v) for v in vals
+            ):
+                continue
+            keep.append(a)
+        return keep, len(files) - len(keep)
+
+    def point_lookup(
+        self, col: str, values: Sequence[Any], version: Optional[int] = None
+    ) -> DataFrame:
+        """Rows where ``col`` IN ``values``, scanning only the files
+        ``lookup_files`` keeps (footer ranges + bloom index). The skip
+        is conservative — bloom false positives add file scans, never
+        wrong answers; files without blooms are always scanned.
+
+        100 TB posture: the needle-in-haystack read path — a key that
+        interleaves across files defeats min/max pruning, and without a
+        bloom a single-row lookup scans the table. With blooms the scan
+        set is |files truly containing the value| + fpp x |files|."""
+        keep, _ = self.lookup_files(col, values, version)
+        schema = self.table_schema(version)
+        if not keep:
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            return self.read(version=version).filter(F.lit(False))
+        reader = (
+            self.spark.read.schema(schema)
+            if schema is not None
+            else self.spark.read
+        )
+        df = reader.parquet(*[a["path"] for a in keep])
+        return df.filter(F.col(col).isin(list(values)))
 
     def merge_conditional(
         self,

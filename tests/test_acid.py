@@ -817,3 +817,61 @@ class TestMergeConditional:
         )
         state = {r["k"]: r["v"] for r in t.read().collect()}
         assert state == {1: 100, 2: 200, 4: 400}  # only urgent k=3 left
+
+
+class TestBloomPointLookup:
+    """Per-file bloom index (r10): point lookups skip files whose bloom
+    excludes the key — the case footer ranges cannot prune (keys
+    interleaved across files)."""
+
+    def _table(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "bl"))
+        # interleave keys across 8 files so every file's [min, max]
+        # covers every key — range pruning is USELESS here by design
+        df = spark.range(0, 400).selectExpr(
+            "id AS k", "id * 10 AS v", "CAST(id % 8 AS INT) AS part"
+        ).repartition(8, "part").drop("part")
+        t.write(df, stats_cols=["k"], bloom_cols=["k"], binpack=False)
+        return t
+
+    def test_bloom_prunes_where_ranges_cannot(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        n_files = len(t.snapshot_files())
+        assert n_files >= 4
+        # a key present in exactly one file: bloom keeps ~1 file where
+        # ranges keep all (md5 is fixed, so this outcome is
+        # deterministic, not flaky)
+        keep, pruned = t.lookup_files("k", [7])
+        assert pruned >= n_files - 2
+        assert {r["k"]: r["v"] for r in t.point_lookup("k", [7]).collect()} == {
+            7: 70
+        }
+        # an absent key prunes everything
+        keep, _ = t.lookup_files("k", [10**9 + 7])
+        assert keep == []
+        assert t.point_lookup("k", [10**9 + 7]).count() == 0
+
+    def test_multi_value_lookup_and_no_bloom_fallback(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        got = {
+            r["k"]: r["v"]
+            for r in t.point_lookup("k", [3, 250, 10**9]).collect()
+        }
+        assert got == {3: 30, 250: 2500}
+        # files written WITHOUT blooms are always scanned (conservative)
+        t2 = AcidTable(spark, str(tmp_path / "nb"))
+        t2.write(
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            stats_cols=["k"],
+        )
+        keep, pruned = t2.lookup_files("k", [1])
+        assert len(keep) == len(t2.snapshot_files())
+        assert {r["k"] for r in t2.point_lookup("k", [1]).collect()} == {1}
+
+    def test_saturated_bloom_not_recorded(self):
+        from data_pipeline_platform_spark.sinks.acid import _build_bloom
+
+        assert _build_bloom(set(range(2000))) is None
+        assert _build_bloom(set()) is None
+        b = _build_bloom({1, 2, 3})
+        assert b["m"] == 8192 and len(b["bits"]) == 8192 // 4
