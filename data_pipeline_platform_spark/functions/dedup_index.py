@@ -154,6 +154,14 @@ class IncrementalLshIndex:
                 [], "doc_a long, doc_b long, jaccard double"
             )
 
+    def erase(self, doc_ids) -> Dict[str, int]:
+        """Right-to-be-forgotten: remove the docs' signatures from the
+        index and every accumulated pair naming them (see
+        ``_erase_from``)."""
+        return _erase_from(
+            self.index, self.pairs, "doc_id", "doc_a", "doc_b", doc_ids
+        )
+
 
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three ingestion batches (doc_id % 3) through the persisted index;
@@ -283,6 +291,13 @@ class IncrementalEmbeddingIndex:
                 [], "id_a long, id_b long, cosine double"
             )
 
+    def erase(self, vec_ids) -> Dict[str, int]:
+        """Right-to-be-forgotten: remove the vectors from the store and
+        every accumulated pair naming them (see ``_erase_from``)."""
+        return _erase_from(
+            self.index, self.pairs, "vec_id", "id_a", "id_b", vec_ids
+        )
+
 
 def q_embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three embedding-ingestion batches (vec_id % 3) through the
@@ -380,6 +395,33 @@ class IncrementalAnnIndex:
                 mode="append",
                 extra_meta={"stream_id": _ANN_STREAM, "batch_id": batch_id},
             )
+
+    def erase(self, vec_ids) -> Dict[str, int]:
+        """Right-to-be-forgotten: remove the vectors from the inverted
+        file (one atomic file-pruned commit; vacuum reclaims the
+        bytes). The centroid table stays frozen — it is an aggregate
+        over >= cell-many vectors, not per-id data, and the
+        add-after-train contract keeps assignments stable."""
+        spark = self.spark
+        if not isinstance(vec_ids, DataFrame):
+            vec_ids = spark.createDataFrame(
+                [(int(i),) for i in vec_ids], "vec_id long"
+            )
+        vec_ids = vec_ids.distinct()
+        n = 0
+        if self.ivf.exists():
+            hit = self.ivf.read().join(
+                F.broadcast(vec_ids), "vec_id", "left_semi"
+            )
+            n = hit.count()
+            if n:
+                self.ivf.merge(
+                    hit.limit(0),
+                    keys=["vec_id"],
+                    delete_keys=vec_ids,
+                    extra_meta={"op_note": "erasure"},
+                )
+        return {"rows_erased": n, "pairs_erased": 0}
 
     def search_by_id(self, query_vec_id: int, k: int = None, nprobe: int = None):
         """Top-k neighbors of an INDEXED vector (excluded from its own
@@ -523,3 +565,54 @@ ORDER BY cosine DESC, vec_id LIMIT {IVFX_K}
 
 
 _register_ann_incremental()
+
+
+def _erase_from(index: AcidTable, pairs: AcidTable, id_col: str,
+                pair_a: str, pair_b: str, ids) -> Dict[str, int]:
+    """Shared right-to-be-forgotten walk for the incremental indexes:
+    remove the ids' rows from the index table AND every accumulated
+    pair referencing them, each in one atomic file-pruned commit.
+    ``ids`` is a list or a 1-column DataFrame. Returns audit counts.
+
+    An erased id leaves NO trace: its vectors/signatures are gone from
+    the store (vacuum reclaims the bytes) and no derived pair names it.
+    Re-ingesting a doc later rediscovers pairs against the REMAINING
+    corpus only — exactly the semantics a deletion request demands."""
+    spark = index.spark
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    ids = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    removed_rows = 0
+    if index.exists():
+        hit = index.read().join(F.broadcast(ids), id_col, "left_semi")
+        removed_rows = hit.count()
+        if removed_rows:
+            index.merge(
+                hit.limit(0),
+                keys=[id_col],
+                delete_keys=ids,
+                extra_meta={"op_note": "erasure"},
+            )
+    removed_pairs = 0
+    if pairs.exists():
+        p = pairs.read()
+        doomed = p.join(
+            F.broadcast(ids.select(F.col(id_col).alias(pair_a))),
+            pair_a,
+            "left_semi",
+        ).unionByName(
+            p.join(
+                F.broadcast(ids.select(F.col(id_col).alias(pair_b))),
+                pair_b,
+                "left_semi",
+            )
+        ).distinct()
+        removed_pairs = doomed.count()
+        if removed_pairs:
+            pairs.merge(
+                doomed.limit(0),
+                keys=[pair_a, pair_b],
+                delete_keys=doomed.select(pair_a, pair_b),
+                extra_meta={"op_note": "erasure"},
+            )
+    return {"rows_erased": removed_rows, "pairs_erased": removed_pairs}

@@ -384,7 +384,15 @@ class AcidTable:
         tgt_fields = {f.name: f for f in target.fields}
         for name, f in src_fields.items():
             t = tgt_fields.get(name)
-            if t is not None and f.dataType != t.dataType:
+            # simpleString: nullability-INSENSITIVE type compare. The
+            # parquet reader forces containsNull=True on read-back, so
+            # an array column written non-null and merged from a frame
+            # derived from the table itself (erasure, snapshot-sourced
+            # deletes) differs ONLY in nested nullability — a shape
+            # conflict is corruption, a nullability delta is not.
+            if t is not None and (
+                f.dataType.simpleString() != t.dataType.simpleString()
+            ):
                 raise SchemaMismatchError(
                     f"{op}: column {name!r} is {f.dataType.simpleString()} "
                     f"in the batch but {t.dataType.simpleString()} in the "
@@ -462,6 +470,44 @@ class AcidTable:
         return self._commit(
             self.latest_version(), "DROP_CONSTRAINT", [], [],
             meta={"name": name},
+        )
+
+    def bloom_columns(self, version: Optional[int] = None):
+        """Columns under a table-level BLOOM INDEX property (the Delta
+        bloom-index model): every data-adding write path — write, MERGE
+        rewrites and inserts, DELETE keeps, compaction — records
+        per-file blooms for them, so point-lookup pruning survives
+        rewrites. Same incremental replay discipline as constraints()."""
+        upto = self.latest_version() if version is None else version
+        cached_v, cached = getattr(self, "_bloom_cache", (0, set()))
+        if version is not None and upto < cached_v:
+            cached_v, cached = 0, set()
+        out = set(cached)
+        for v in range(cached_v + 1, upto + 1):
+            commit = self._read_commit(v)
+            meta = commit.get("meta") or {}
+            if commit["op"] == "SET_BLOOM_INDEX":
+                out.update(meta["columns"])
+            elif commit["op"] == "DROP_BLOOM_INDEX":
+                out.difference_update(meta["columns"])
+        if version is None:
+            self._bloom_cache = (upto, set(out))
+        return out
+
+    def set_bloom_index(self, columns: Sequence[str]) -> int:
+        """Register the columns for automatic per-file bloom recording
+        on every future data-adding commit (metadata-only; existing
+        files keep only their current stats — they are scanned, never
+        wrongly skipped, until a rewrite/compaction refreshes them)."""
+        return self._commit(
+            self.latest_version(), "SET_BLOOM_INDEX", [], [],
+            meta={"columns": sorted(columns)},
+        )
+
+    def drop_bloom_index(self, columns: Sequence[str]) -> int:
+        return self._commit(
+            self.latest_version(), "DROP_BLOOM_INDEX", [], [],
+            meta={"columns": sorted(columns)},
         )
 
     def _validate_constraints(self, df: DataFrame) -> None:
@@ -849,6 +895,7 @@ class AcidTable:
 
         import pyarrow.parquet as pq
 
+        bloom_cols = set(bloom_cols) | self.bloom_columns()
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         if binpack:

@@ -875,3 +875,36 @@ class TestBloomPointLookup:
         assert _build_bloom(set()) is None
         b = _build_bloom({1, 2, 3})
         assert b["m"] == 8192 and len(b["bits"]) == 8192 // 4
+
+    def test_table_level_bloom_index_survives_merge(self, spark, tmp_path):
+        """set_bloom_index: MERGE-rewritten and inserted files carry
+        fresh blooms automatically, so point-lookup pruning survives
+        rewrites (the parameter-per-write form covers only that write)."""
+        t = AcidTable(spark, str(tmp_path / "tb"))
+        df = spark.range(0, 200).selectExpr(
+            "id AS k", "id AS v", "CAST(id % 4 AS INT) AS part"
+        ).repartition(4, "part").drop("part")
+        t.write(df, stats_cols=["k"], binpack=False)
+        t.set_bloom_index(["k"])
+        assert t.bloom_columns() == {"k"}
+        # merge rewrites every file (keys interleave) + inserts new keys
+        t.merge(
+            spark.createDataFrame(
+                [(k, k * 100) for k in (1, 2, 3, 500)], "k long, v long"
+            ),
+            keys=["k"],
+        )
+        blooms = [
+            (a.get("stats") or {}).get("k", {}).get("bloom")
+            for a in t.snapshot_files()
+        ]
+        assert any(b is not None for b in blooms)
+        # an absent key is pruned by the rewritten files' fresh blooms
+        # (ranges can't: the rewrite spans the whole key domain)
+        keep, pruned = t.lookup_files("k", [10**9 + 1])
+        assert keep == [] and pruned >= 1
+        assert {r["v"] for r in t.point_lookup("k", [500, 1]).collect()} == {
+            50000, 100,
+        }
+        t.drop_bloom_index(["k"])
+        assert t.bloom_columns() == set()

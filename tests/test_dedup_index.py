@@ -119,3 +119,82 @@ def test_embedding_batched_equals_one_shot(spark, tmp_path):
     pv = idx.pairs.latest_version()
     assert idx.add_batch(base.filter(F2.col("vec_id") % 3 == 2), 2)["new_pairs"] == 0
     assert idx.pairs.latest_version() == pv
+
+
+def test_lsh_erase_removes_signatures_and_pairs(spark, tmp_path):
+    """Right-to-be-forgotten: after erase(ids), the index holds no row
+    for the ids, no accumulated pair names them, and re-ingesting a doc
+    rediscovers pairs against the REMAINING corpus only."""
+    from data_pipeline_platform_spark.functions.dedup_index import (
+        IncrementalLshIndex,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "completely different text about spark incremental indexes"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = IncrementalLshIndex(
+        spark, str(tmp_path / "i"), str(tmp_path / "p")
+    )
+    idx.add_batch(df, batch_id=0)
+    pairs0 = {(r["doc_a"], r["doc_b"]) for r in idx.all_pairs().collect()}
+    assert pairs0 == {(1, 2), (1, 3), (2, 3)}
+
+    out = idx.erase([2])
+    assert out["rows_erased"] == 1 and out["pairs_erased"] == 2
+    assert {r["doc_id"] for r in idx.index.read().collect()} == {1, 3, 4}
+    pairs1 = {(r["doc_a"], r["doc_b"]) for r in idx.all_pairs().collect()}
+    assert pairs1 == {(1, 3)}
+
+    # re-ingest a near-dup of the survivors: discovers pairs vs the
+    # remaining corpus, never vs the erased doc
+    idx.add_batch(
+        spark.createDataFrame(
+            [(9, docs[0][1])], "doc_id long, text string"
+        ),
+        batch_id=1,
+    )
+    pairs2 = {(r["doc_a"], r["doc_b"]) for r in idx.all_pairs().collect()}
+    assert pairs2 == {(1, 3), (1, 9), (3, 9)}
+
+
+def test_embedding_erase_and_ann_erase(spark, tmp_path):
+    from data_pipeline_platform_spark.functions.dedup_index import (
+        IncrementalAnnIndex,
+        IncrementalEmbeddingIndex,
+    )
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (3, [0.999, 0.002, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, vec array<double>")
+    idx = IncrementalEmbeddingIndex(
+        spark, str(tmp_path / "ei"), str(tmp_path / "ep")
+    )
+    idx.add_batch(df, batch_id=0)
+    assert {(r["id_a"], r["id_b"]) for r in idx.all_pairs().collect()} == {
+        (1, 2), (1, 3), (2, 3)
+    }
+    out = idx.erase([1])
+    assert out["rows_erased"] == 1 and out["pairs_erased"] == 2
+    assert {(r["id_a"], r["id_b"]) for r in idx.all_pairs().collect()} == {
+        (2, 3)
+    }
+    assert {r["vec_id"] for r in idx.index.read().collect()} == {2, 3, 4}
+
+    ann = IncrementalAnnIndex(
+        spark, str(tmp_path / "ac"), str(tmp_path / "ai")
+    )
+    lab = df.withColumn("label", F.lit("x"))
+    ann.train(lab, batch_id=0)
+    out = ann.erase([2])
+    assert out["rows_erased"] == 1
+    assert {r["vec_id"] for r in ann.ivf.read().collect()} == {1, 3, 4}
+    got = [r["vec_id"] for r in ann.search_by_id(1).collect()]
+    assert 2 not in got and 3 in got
