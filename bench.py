@@ -146,6 +146,16 @@ HEADLINE = [
     "hll_distinct_sources_sharded",
     "dedup_incremental_lsh",
     "embedding_incremental_near_dup",
+    # r10 wave: the four with real data volume — the IVF train+assign
+    # fan-out, the full conditional-merge resolution, and the two
+    # census/fold medallion twins whose compute outweighs their commit
+    # latency at sf0.1. The rest of the wave (bloom_point_lookup,
+    # cohens/fleiss kappa, bottomk samples, kmv jaccard) is sub-second
+    # scan work and stays under the parity gate.
+    "ann_incremental_topk",
+    "merge_conditional_orders",
+    "matview_percentile_census",
+    "medallion_nullable_sum",
 ]
 
 
