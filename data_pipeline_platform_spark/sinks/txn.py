@@ -122,6 +122,34 @@ class MultiTableTxn:
         if st != "pending":
             raise TxnDecidedError(f"{op}: txn {self.id} already {st}")
 
+    @classmethod
+    def reattach(
+        cls, coordinator_dir: str, txn_id: str, tables: Sequence[AcidTable]
+    ) -> "MultiTableTxn":
+        """Rebuild a coordinator object for an UNDECIDED txn after a
+        process restart, RECOVERING its staged membership by scanning
+        each participating table's tip commit (a pending txn commit can
+        only be the tip — it blocks successors). Without this, a
+        re-created ``MultiTableTxn(dir, txn_id=...)`` that then commits
+        records ``staged: []`` and consistent cuts lose the very
+        membership that keeps the txn untearable. Use after a crash
+        when the decision should be COMMIT; ``recover()`` remains the
+        presumed-abort path."""
+        txn = cls(coordinator_dir, txn_id=txn_id)
+        for table in tables:
+            v = table.latest_version()
+            if v == 0:
+                continue
+            commit = table._read_commit(v)
+            t = commit.get("txn")
+            if (
+                t
+                and t["id"] == txn_id
+                and os.path.abspath(t["status_dir"]) == txn.status_dir
+            ):
+                txn.staged.append({"table": table.path, "version": v})
+        return txn
+
     # ------------------------------------------------------------------
     # decide
     # ------------------------------------------------------------------

@@ -56,6 +56,15 @@ def main() -> None:
           f"identical={incremental == one_shot}")
     idx.all_pairs().orderBy("doc_a", "doc_b").show(5)
 
+    # ---------------------------------------- right-to-be-forgotten (r10)
+    victim = idx.all_pairs().limit(1).collect()
+    if victim:
+        doomed = victim[0]["doc_a"]
+        out = idx.erase([doomed])
+        print(f"erased doc {doomed}: {out}; "
+              f"pairs naming it left: "
+              f"{idx.all_pairs().filter((F.col('doc_a') == doomed) | (F.col('doc_b') == doomed)).count()}")
+
 
 if __name__ == "__main__":
     main()

@@ -121,6 +121,28 @@ def main() -> None:
     print("torn proposal repaired to:",
           {os.path.basename(k): v for k, v in torn.items()})
 
+    # ------------------------------------------- bloom point lookups (r10)
+    facts.set_bloom_index(["o_orderkey"])
+    facts.merge(  # any rewrite after set_bloom_index records fresh blooms
+        facts.read().limit(50).withColumn("price_c", F.col("price_c") + 1),
+        keys=["o_orderkey"],
+    )
+    keep, pruned = facts.lookup_files("o_orderkey", [2])
+    print(f"bloom lookup of one key: scans {len(keep)} files, "
+          f"skips {pruned} (footer ranges alone cannot skip interleaved keys)")
+    print("point_lookup rows:",
+          facts.point_lookup("o_orderkey", [2, 4]).count())
+
+    # ------------------------------- conditional MERGE clause set (r10)
+    stats = facts.merge_conditional(
+        facts.read().limit(20).withColumn("price_c", F.col("price_c") - 100),
+        keys=["o_orderkey"],
+        update_when="s.price_c > t.price_c",       # only raises apply
+        delete_when="t.price_c < 0",               # never fires here
+        insert_when="true",
+    )
+    print("conditional merge (stale price drops ignored):", stats)
+
     # ---------------------------------------------------- retention vacuum
     removed = facts.vacuum(retain_versions=1)
     print(f"vacuum(retain_versions=1): {len(removed)} orphan/old files gone; "

@@ -454,3 +454,40 @@ def test_read_consistent_raises_typed_error_when_cut_vacuumed(spark, tmp_path):
             at={facts.path: 2, audit.path: 1},
         )
     assert txn.id in str(exc.value)
+
+
+def test_reattach_recovers_membership_after_coordinator_restart(
+    spark, pair
+):
+    """r10: a coordinator re-created after a crash used to decide with
+    staged: [] — the marker lost the membership consistent cuts need.
+    reattach() rebuilds it from the tables' pending tip commits, so the
+    decide record carries the full (table, version) set."""
+    import json
+    import os
+
+    facts, audit, coord = pair
+    txn = MultiTableTxn(coord)
+    txn.stage_merge(
+        facts, spark.createDataFrame([(2, 222)], "k long, v long"), keys=["k"]
+    )
+    txn.stage_write(
+        audit,
+        spark.createDataFrame([("m", 1)], "event string, n long"),
+        mode="append",
+    )
+    txn_id = txn.id
+    del txn  # the coordinator process dies between stage and decide
+
+    re = MultiTableTxn.reattach(coord, txn_id, [facts, audit])
+    assert {s["table"] for s in re.staged} == {facts.path, audit.path}
+    re.commit()
+    with open(os.path.join(coord, f"{txn_id}.decided")) as f:
+        content = json.load(f)
+    assert content["outcome"] == "committed"
+    assert {s["table"] for s in content["staged"]} == {facts.path, audit.path}
+    # and the recovered membership repairs a torn proposal
+    cut = MultiTableTxn.consistent_cut(
+        coord, [facts, audit], at={facts.path: 2, audit.path: 1}
+    )
+    assert cut == {facts.path: 1, audit.path: 1}
