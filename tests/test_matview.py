@@ -226,3 +226,38 @@ def test_optimize_recluster_keeps_state_and_restores_pruning(spark, tmp_path):
         spark.createDataFrame([("0", 7)], "g string, x long")
     )
     assert view.read().filter("g = '0'").collect()[0]["n"] == before["0"][0] + 1
+
+
+def test_nullable_sum_reads_null_across_both_fold_paths(spark, tmp_path):
+    """r10 nn-counter coverage for the MIXED lifecycle: a view seeded by
+    append-only update() (count-based nn) and then maintained by
+    update_changes() (signed nn) must read SUM as NULL exactly when no
+    non-NULL value remains — and as the additive value otherwise."""
+    view = MaterializedAgg(
+        spark, str(tmp_path / "mvn"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x")],
+    )
+    # append path: group a has ONE non-NULL, group b none at all
+    view.update(
+        spark.createDataFrame(
+            [("a", 5), ("a", None), ("b", None)], "g string, x long"
+        )
+    )
+    got = {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
+    assert got == {"a": (2, 5), "b": (1, None)}
+    # change-feed path: retract a's only non-NULL value
+    feed = spark.createDataFrame(
+        [("delete", "a", 5), ("insert", "b", None)],
+        "change_type string, g string, x long",
+    )
+    view.update_changes(feed)
+    got = {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
+    assert got == {"a": (1, None), "b": (2, None)}
+    # and a later insert revives the sum from the additive 0 state
+    view.update_changes(
+        spark.createDataFrame(
+            [("insert", "a", 7)], "change_type string, g string, x long"
+        )
+    )
+    got = {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
+    assert got["a"] == (2, 7)
