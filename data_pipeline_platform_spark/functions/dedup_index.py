@@ -374,10 +374,16 @@ class IncrementalAnnIndex:
             ivfx_train,
         )
 
-        cent = ivfx_train(emb.select("vec_id", "vec"))
         marker = {"stream_id": _ANN_STREAM, "batch_id": batch_id}
         if not self.centroids.exists():
+            cent = ivfx_train(emb.select("vec_id", "vec"))
             self.centroids.write(cent, extra_meta=marker)
+        else:
+            # a re-train against an existing index must NOT assign with
+            # freshly-fit centroids the store never sees — the stored
+            # table is the quantizer search_by_id probes with, and a
+            # disagreeing ivf would hide vectors in never-probed cells
+            cent = self.centroids.read()
         if batch_id > _last_batch(self.ivf, _ANN_STREAM):
             self.ivf.write(
                 ivfx_assign(emb, cent), mode="append", extra_meta=marker
@@ -402,26 +408,7 @@ class IncrementalAnnIndex:
         bytes). The centroid table stays frozen — it is an aggregate
         over >= cell-many vectors, not per-id data, and the
         add-after-train contract keeps assignments stable."""
-        spark = self.spark
-        if not isinstance(vec_ids, DataFrame):
-            vec_ids = spark.createDataFrame(
-                [(int(i),) for i in vec_ids], "vec_id long"
-            )
-        vec_ids = vec_ids.distinct()
-        n = 0
-        if self.ivf.exists():
-            hit = self.ivf.read().join(
-                F.broadcast(vec_ids), "vec_id", "left_semi"
-            )
-            n = hit.count()
-            if n:
-                self.ivf.merge(
-                    hit.limit(0),
-                    keys=["vec_id"],
-                    delete_keys=vec_ids,
-                    extra_meta={"op_note": "erasure"},
-                )
-        return {"rows_erased": n, "pairs_erased": 0}
+        return _erase_from(self.ivf, None, "vec_id", ids=vec_ids)
 
     def search_by_id(self, query_vec_id: int, k: int = None, nprobe: int = None):
         """Top-k neighbors of an INDEXED vector (excluded from its own
@@ -567,12 +554,13 @@ ORDER BY cosine DESC, vec_id LIMIT {IVFX_K}
 _register_ann_incremental()
 
 
-def _erase_from(index: AcidTable, pairs: AcidTable, id_col: str,
-                pair_a: str, pair_b: str, ids) -> Dict[str, int]:
+def _erase_from(index: AcidTable, pairs, id_col: str,
+                pair_a: str = None, pair_b: str = None, ids=None) -> Dict[str, int]:
     """Shared right-to-be-forgotten walk for the incremental indexes:
-    remove the ids' rows from the index table AND every accumulated
-    pair referencing them, each in one atomic file-pruned commit.
-    ``ids`` is a list or a 1-column DataFrame. Returns audit counts.
+    remove the ids' rows from the index table AND (when ``pairs`` is
+    given) every accumulated pair referencing them, each in one atomic
+    file-pruned commit. ``ids`` is a list or a 1-column DataFrame.
+    Returns audit counts.
 
     An erased id leaves NO trace: its vectors/signatures are gone from
     the store (vacuum reclaims the bytes) and no derived pair names it.
@@ -584,17 +572,25 @@ def _erase_from(index: AcidTable, pairs: AcidTable, id_col: str,
     ids = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
     removed_rows = 0
     if index.exists():
-        hit = index.read().join(F.broadcast(ids), id_col, "left_semi")
-        removed_rows = hit.count()
-        if removed_rows:
-            index.merge(
-                hit.limit(0),
-                keys=[id_col],
-                delete_keys=ids,
-                extra_meta={"op_note": "erasure"},
-            )
+        # persist: one computation feeds the audit count AND (via the
+        # merge's own delete_keys resolution) nothing else — but the
+        # count alone would otherwise re-scan the index inside merge
+        hit = index.read().join(
+            F.broadcast(ids), id_col, "left_semi"
+        ).persist()
+        try:
+            removed_rows = hit.count()
+            if removed_rows:
+                index.merge(
+                    hit.limit(0),
+                    keys=[id_col],
+                    delete_keys=ids,
+                    extra_meta={"op_note": "erasure"},
+                )
+        finally:
+            hit.unpersist(blocking=False)
     removed_pairs = 0
-    if pairs.exists():
+    if pairs is not None and pairs.exists():
         p = pairs.read()
         doomed = p.join(
             F.broadcast(ids.select(F.col(id_col).alias(pair_a))),
@@ -606,13 +602,16 @@ def _erase_from(index: AcidTable, pairs: AcidTable, id_col: str,
                 pair_b,
                 "left_semi",
             )
-        ).distinct()
-        removed_pairs = doomed.count()
-        if removed_pairs:
-            pairs.merge(
-                doomed.limit(0),
-                keys=[pair_a, pair_b],
-                delete_keys=doomed.select(pair_a, pair_b),
-                extra_meta={"op_note": "erasure"},
-            )
+        ).distinct().persist()  # count + delete_keys: ONE computation
+        try:
+            removed_pairs = doomed.count()
+            if removed_pairs:
+                pairs.merge(
+                    doomed.limit(0),
+                    keys=[pair_a, pair_b],
+                    delete_keys=doomed.select(pair_a, pair_b),
+                    extra_meta={"op_note": "erasure"},
+                )
+        finally:
+            doomed.unpersist(blocking=False)
     return {"rows_erased": removed_rows, "pairs_erased": removed_pairs}

@@ -606,13 +606,20 @@ BOTTOMK_K = 64
 
 
 def bottomk_sketch(df: DataFrame, key_col: str, k: int = BOTTOMK_K) -> DataFrame:
-    """The k rows with the smallest md5(key) — (key, h) sorted ascending.
+    """The k DISTINCT keys with the smallest md5(key) — (key, h) sorted
+    ascending. Dedup before the top-k matters: KMV is a sample over the
+    distinct-key SET, and without it a hot key repeated r times would
+    occupy up to r of the k slots (and bias any estimator built on the
+    k-th hash).
 
-    Plan shape: Spark compiles orderBy().limit(k) to
-    TakeOrderedAndProject — each task keeps a k-row heap and the driver
-    merges |tasks| x k rows; no global sort, no full shuffle."""
+    Plan shape: dropDuplicates is a map-side-combinable aggregation on
+    the key; Spark compiles orderBy().limit(k) to TakeOrderedAndProject
+    — each task keeps a k-row heap and the driver merges |tasks| x k
+    rows; no global sort."""
     return (
-        df.select(
+        df.select(key_col)
+        .dropDuplicates([key_col])
+        .select(
             F.col(key_col),
             F.md5(F.col(key_col).cast("string")).alias("h"),
         )
@@ -623,11 +630,13 @@ def bottomk_sketch(df: DataFrame, key_col: str, k: int = BOTTOMK_K) -> DataFrame
 
 def bottomk_merge(sketches, k: int = BOTTOMK_K) -> DataFrame:
     """merge(sketch(A), sketch(B), ...) == sketch(A ∪ B): union the
-    (tiny) per-shard sketches and re-take the bottom k."""
+    (tiny) per-shard sketches, dedup keys shared across shards, and
+    re-take the bottom k."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.orderBy("h").limit(k)
+    key = [c for c in out.columns if c != "h"]
+    return out.dropDuplicates(key).orderBy("h").limit(k)
 
 
 def q_bottomk_sample_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,36 +68,62 @@ _BLOOM_BITS = 8192
 _BLOOM_K = 3
 
 
-def _bloom_positions(value, m: int, k: int):
-    """Deterministic double-hashed bit positions for ``value``.
-    Canonical form is str(value) — identical for the build side
-    (pyarrow-decoded Python values) and the probe side (caller-supplied
-    keys), so int/str keys round-trip; exotic types simply never
-    prune."""
+def _bloom_canonical(value) -> Optional[str]:
+    """TYPE-STABLE canonical form hashed on both sides of the bloom.
+    SQL `isin` matches 7 == 7.0 numerically, so an int probe against a
+    DOUBLE column (or vice versa) must hash identically — integral
+    floats collapse to the integer form. Returns None for types with
+    no safe canonicalization (Decimal, bytes, dates...): the build side
+    then records NO bloom for that file and the probe side never
+    prunes — conservative in both directions, a wrong skip is
+    impossible."""
+    if isinstance(value, bool):
+        return f"b:{value}"
+    if isinstance(value, int):
+        return f"n:{value}"
+    if isinstance(value, float):
+        if value == int(value) and abs(value) < 2**53:
+            return f"n:{int(value)}"
+        return f"f:{value!r}"
+    if isinstance(value, str):
+        return f"s:{value}"
+    return None
+
+
+def _bloom_positions(canon: str, m: int, k: int):
+    """Deterministic double-hashed bit positions for a canonical form."""
     import hashlib
 
-    h = hashlib.md5(str(value).encode()).hexdigest()
+    h = hashlib.md5(canon.encode()).hexdigest()
     h1 = int(h[:16], 16)
     h2 = int(h[16:], 16) | 1
     return [(h1 + i * h2) % m for i in range(k)]
 
 
 def _build_bloom(values, m: int = _BLOOM_BITS, k: int = _BLOOM_K):
-    """Bloom dict {m, k, bits(hex)} over ``values``, or None when empty
-    or SATURATED (set bits would exceed m/2 — a saturated filter passes
-    everything, so recording it would be log bytes for zero pruning)."""
+    """Bloom dict {m, k, bits(hex)} over ``values``, or None when empty,
+    SATURATED (set bits would exceed m/2 — a saturated filter passes
+    everything, so recording it would be log bytes for zero pruning),
+    or ANY value has no canonical form (a partial bloom would wrongly
+    skip probes of the uncanonicalizable values)."""
     if not values or len(values) * k > m // 2:
         return None
+    canons = [_bloom_canonical(v) for v in values]
+    if any(c is None for c in canons):
+        return None
     bits = bytearray(m // 8)
-    for v in values:
-        for pos in _bloom_positions(v, m, k):
+    for c in canons:
+        for pos in _bloom_positions(c, m, k):
             bits[pos >> 3] |= 1 << (pos & 7)
     return {"m": m, "k": k, "bits": bits.hex()}
 
 
 def _bloom_might_contain(bloom: Dict[str, Any], value) -> bool:
+    canon = _bloom_canonical(value)
+    if canon is None:
+        return True  # unprobeable type: never prune on it
     bits = bytes.fromhex(bloom["bits"])
-    for pos in _bloom_positions(value, bloom["m"], bloom["k"]):
+    for pos in _bloom_positions(canon, bloom["m"], bloom["k"]):
         if not bits[pos >> 3] & (1 << (pos & 7)):
             return False
     return True

@@ -298,4 +298,10 @@ def test_streaming_bottomk_matches_batch_bitwise(spark, tmp_path):
         (r["user_id"], r["h"])
         for r in bottomk_sketch(events, "user_id", 32).collect()
     ]
-    assert streamed == batch and len(streamed) == 32
+    assert streamed == batch
+    # KMV samples the DISTINCT-key set: a hot user repeated across
+    # batches occupies ONE slot, so the state holds min(k, n_distinct)
+    # unique keys
+    n_distinct = events.select("user_id").distinct().count()
+    assert len(streamed) == min(32, n_distinct)
+    assert len({u for u, _ in streamed}) == len(streamed)
