@@ -675,3 +675,86 @@ WHERE o_orderkey IN (1, 7, 322, 961, 1383)
 """
 
 register("bloom_point_lookup", q_bloom_point_lookup, ORACLE_BLOOM_POINT_LOOKUP)
+
+
+def q_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes under the gate (sinks/acid.py deletion
+    vectors — the Delta DV / Iceberg position-delete shape): two
+    selective DELETEs publish position sidecars and re-add the SAME
+    data files (zero data rewritten — at 100 TB this is the difference
+    between a metadata write and rewriting every touched 128 MiB file),
+    the second wave ACCUMULATING onto the first's vectors; then a MERGE
+    rides over the DV'd files — updated live keys take the source row,
+    DV-deleted keys must NOT resurrect as survivors (the DV-aware merge
+    scan), while source rows naming deleted keys re-insert. The oracle
+    replays delete-delete-merge as plain SQL, so a positional miss
+    anywhere (wrong row dead, dead row resurrected, stale read) is a
+    value mismatch."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="dv_delete_orders_"))
+    table.write(
+        orders.repartition(4, "o_orderkey"),
+        stats_cols=["o_orderkey"],
+        binpack=False,
+    )
+    table.delete("o_orderkey % 10 = 3", mode="dv")
+    table.delete("o_custkey % 7 = 2", mode="dv")
+    src = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(2.0)).alias("o_totalprice"),
+    )
+    table.merge(src, keys=["o_orderkey"])
+    return table.read().select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+ORACLE_DV_DELETE_ORDERS = """
+WITH d2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE NOT (o_orderkey % 10 = 3) AND NOT (o_custkey % 7 = 2)
+),
+src AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 2.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey,
+       COALESCE(s.o_custkey, b.o_custkey) AS o_custkey,
+       COALESCE(s.o_totalprice, b.o_totalprice) AS o_totalprice
+FROM d2 b FULL JOIN src s USING (o_orderkey)
+"""
+
+register("dv_delete_orders", q_dv_delete_orders, ORACLE_DV_DELETE_ORDERS)
+
+
+def q_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed ACROSS merge-on-read deletes: a DV delete
+    re-publishes the same data path under a new sidecar, so the CDF
+    diff must key on (path, deletion-vector) IDENTITY — a path-only
+    diff would see "nothing changed" and emit an empty (or crashing)
+    feed while rows died. Both DV waves land in one span; the feed must
+    be exactly the union of the dead rows, tagged delete, with every
+    surviving row suppressed."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="dv_change_feed_"))
+    table.write(
+        orders.repartition(4, "o_orderkey"),
+        stats_cols=["o_orderkey"],
+        binpack=False,
+    )
+    table.delete("o_orderkey % 10 = 3", mode="dv")
+    table.delete("o_custkey % 7 = 2", mode="dv")
+    return table.changes(["o_orderkey"], v_from=1, v_to=3)
+
+
+ORACLE_DV_CHANGE_FEED = """
+SELECT 'delete' AS change_type, o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 10 = 3
+   OR (NOT (o_orderkey % 10 = 3) AND o_custkey % 7 = 2)
+"""
+
+register("dv_change_feed", q_dv_change_feed, ORACLE_DV_CHANGE_FEED)

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
+_DV_DIR = "_dv"
 _VERSION_DIGITS = 20
 #: write a full-state checkpoint every N commits so snapshot reads replay
 #: O(interval) commits from the newest checkpoint instead of O(versions)
@@ -330,6 +331,108 @@ class AcidTable:
             for action in commit["add"]:
                 live[action["path"]] = action
         return list(live.values())
+
+    # ------------------------------------------------------------------
+    # deletion vectors (merge-on-read deletes: Delta DV / Iceberg
+    # position-delete shape). A selective DELETE writes a tiny sidecar
+    # of dead row POSITIONS instead of rewriting the data file — at
+    # 100 TB a 100-row GDPR delete costs one footer-sized metadata file,
+    # not a rewrite of every touched 128 MiB file. The add-action grows
+    # an optional ``dv`` field: {"path": sidecar, "dead": n}; the data
+    # file itself stays byte-identical and shared across versions/
+    # clones. Readers subtract positions via ONE broadcast anti-join on
+    # (file, _metadata.row_index); any REWRITE of the file (merge,
+    # compact, COW delete) purges its DV. Sidecars here are JSON
+    # position lists; the production form is a roaring bitmap — the
+    # protocol shape is identical.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _action_ident(action: Dict[str, Any]):
+        """Identity of a file VERSION in a snapshot: the data path plus
+        its deletion-vector path (a DV delete re-publishes the same data
+        path under a new sidecar, so path alone no longer identifies the
+        visible content — changes()/restore() diff on this)."""
+        return (action["path"], (action.get("dv") or {}).get("path"))
+
+    def _load_dv(self, dv_path: str) -> List[int]:
+        with open(dv_path) as f:
+            return json.load(f)["positions"]
+
+    def _write_dv(self, data_path: str, positions: Sequence[int]) -> str:
+        dv_dir = os.path.join(self.path, _DV_DIR)
+        os.makedirs(dv_dir, exist_ok=True)
+        dv_path = os.path.join(dv_dir, f"dv-{uuid.uuid4().hex}.json")
+        with open(dv_path, "x") as f:
+            json.dump(
+                {
+                    "file": os.path.basename(data_path),
+                    "positions": sorted(int(p) for p in positions),
+                },
+                f,
+            )
+        return dv_path
+
+    def _scan(
+        self,
+        actions: Sequence[Dict[str, Any]],
+        schema=None,
+        keep_file_col: Optional[str] = None,
+        keep_pos_col: Optional[str] = None,
+    ) -> DataFrame:
+        """DV-aware scan of a set of add-actions: read the data files
+        (schema-pinned when given) and subtract each file's deletion-
+        vector positions via one broadcast anti-join on
+        (file basename, _metadata.row_index). With no DVs in the set
+        this is a plain parquet scan — zero overhead on the common
+        path. ``keep_file_col`` / ``keep_pos_col``: also surface the
+        row's file basename / physical row index under those names
+        (merge/delete touched-file and position resolution)."""
+        paths = [a["path"] for a in actions]
+        reader = (
+            self.spark.read.schema(schema)
+            if schema is not None
+            else self.spark.read
+        )
+        df = reader.parquet(*paths)
+        cols = df.columns
+        dv_pairs: List[Any] = []
+        for a in actions:
+            dv = a.get("dv")
+            if dv:
+                base = os.path.basename(a["path"])
+                dv_pairs.extend(
+                    (base, int(p)) for p in self._load_dv(dv["path"])
+                )
+        if not dv_pairs and keep_file_col is None and keep_pos_col is None:
+            return df
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        file_col = keep_file_col or "__dv_file"
+        pos_col = keep_pos_col or "__dv_pos"
+        df = df.select(
+            fname.alias(file_col),
+            F.col("_metadata.row_index").alias(pos_col),
+            *cols,
+        )
+        if dv_pairs:
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            dv_df = self.spark.createDataFrame(
+                dv_pairs,
+                StructType(
+                    [
+                        StructField(file_col, StringType(), False),
+                        StructField(pos_col, LongType(), False),
+                    ]
+                ),
+            )
+            df = df.join(F.broadcast(dv_df), [file_col, pos_col], "left_anti")
+        out = [c for c in (keep_file_col, keep_pos_col) if c is not None]
+        return df.select(*out, *cols)
 
     # ------------------------------------------------------------------
     # schema tracking (the Delta metaData-action pattern: the log, not
@@ -701,13 +804,10 @@ class AcidTable:
                 f"AcidTable at {self.path} has no committed data"
                 + (f" at version {version}" if version else "")
             )
-        paths = [f["path"] for f in files]
-        if schema is not None:
-            # pin the scan to the logged schema: files written before a
-            # column was added surface it as NULL (schema evolution),
-            # and column order is stable across mixed-file snapshots
-            return self.spark.read.schema(schema).parquet(*paths)
-        return self.spark.read.parquet(*paths)
+        # schema-pinned (files written before a column was added surface
+        # it as NULL; column order stable across mixed-file snapshots)
+        # and DV-aware (merge-on-read deletes subtracted)
+        return self._scan(files, schema)
 
     def _empty_frame(self, upto: int) -> Optional[DataFrame]:
         for v in range(upto, 0, -1):
@@ -759,10 +859,18 @@ class AcidTable:
         ``Scd2Table._validate_batch``'s posture.
         """
         v_to = self.latest_version() if v_to is None else v_to
-        from_paths = {f["path"] for f in self.snapshot_files(v_from)}
-        to_paths = {f["path"] for f in self.snapshot_files(v_to)}
-        removed = sorted(from_paths - to_paths)
-        added = sorted(to_paths - from_paths)
+        # diff on (path, dv) IDENTITY, not path alone: a merge-on-read
+        # delete re-publishes the same data path under a new deletion
+        # vector, so the file's VISIBLE content changed even though its
+        # path did not — both sides then read the same physical file
+        # with their own DV applied and the dead rows fall out as
+        # 'delete' rows of the diff
+        from_map = {
+            self._action_ident(a): a for a in self.snapshot_files(v_from)
+        }
+        to_map = {self._action_ident(a): a for a in self.snapshot_files(v_to)}
+        removed = [a for i, a in sorted(from_map.items()) if i not in to_map]
+        added = [a for i, a in sorted(to_map.items()) if i not in from_map]
         key_list = list(keys)
         # both sides of the diff read at the DESTINATION version's
         # schema: when the span crosses a column addition, preimage
@@ -770,12 +878,10 @@ class AcidTable:
         # so downstream folds never see mixed shapes
         span_schema = self.table_schema(v_to)
 
-        def _read(paths: List[str]) -> Optional[DataFrame]:
-            if not paths:
+        def _read(actions: List[Dict[str, Any]]) -> Optional[DataFrame]:
+            if not actions:
                 return None
-            if span_schema is not None:
-                return self.spark.read.schema(span_schema).parquet(*paths)
-            return self.spark.read.parquet(*paths)
+            return self._scan(actions, span_schema)
 
         old, new = _read(removed), _read(added)
         if old is None and new is None:
@@ -1170,14 +1276,6 @@ class AcidTable:
                 f"merge precondition failed at {self.path} (base {base})"
             )
 
-        def _read_pinned(paths: List[str]) -> DataFrame:
-            # schema-pinned candidate/touched reads: files written
-            # before a column was added surface it as NULL, so a
-            # post-evolution rewrite keeps (not drops) the new column
-            if target_schema is not None:
-                return self.spark.read.schema(target_schema).parquet(*paths)
-            return self.spark.read.parquet(*paths)
-
         files = self.snapshot_files(base)
         if not files and base == 0:
             raise FileNotFoundError(f"merge target {self.path} is empty")
@@ -1272,22 +1370,22 @@ class AcidTable:
             return c
 
         if candidates:
-            cand_df = _read_pinned([a["path"] for a in candidates])
             # 2. touched files = candidate files holding >= 1 key match
-            # (_metadata.file_path maps each row to its data file);
+            # (the row's file basename maps it to its data file; the
+            # DV-aware scan means a merge-on-read-deleted row can never
+            # mark its file touched — or resurrect as a survivor);
             # eqNullSafe so NULL-key source rows find NULL-key targets
+            cand_df = self._scan(candidates, target_schema, keep_file_col="__f")
             touched_names = {
-                os.path.basename(r["f"])
-                for r in cand_df.select(
-                    F.col("_metadata.file_path").alias("f"), *key_list
-                )
+                r["__f"]
+                for r in cand_df.select("__f", *key_list)
                 .alias("t")
                 .join(
                     F.broadcast(probe.alias("s")),
                     _null_safe_key_cond("t", "s"),
                     "left_semi",
                 )
-                .select("f")
+                .select("__f")
                 .distinct()
                 .collect()
             }
@@ -1297,7 +1395,7 @@ class AcidTable:
                 if os.path.basename(a["path"]) in touched_names
             ]
         if touched:
-            tgt = _read_pinned([a["path"] for a in touched])
+            tgt = self._scan(touched, target_schema)
             survivors = tgt.alias("t").join(
                 F.broadcast(probe.alias("s")),
                 _null_safe_key_cond("t", "s"),
@@ -1392,12 +1490,10 @@ class AcidTable:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)
             return self.read(version=version).filter(F.lit(False))
-        reader = (
-            self.spark.read.schema(schema)
-            if schema is not None
-            else self.spark.read
-        )
-        df = reader.parquet(*[a["path"] for a in keep])
+        # DV-aware: a merge-on-read-deleted row must not surface in a
+        # point lookup (its value may still pass the file's bloom —
+        # blooms stay conservative under DVs, adding scans never rows)
+        df = self._scan(keep, schema)
         return df.filter(F.col(col).isin(list(values)))
 
     def merge_conditional(
@@ -1487,34 +1583,123 @@ class AcidTable:
     # ------------------------------------------------------------------
     # delete / compact / vacuum
     # ------------------------------------------------------------------
-    def delete(self, predicate: str) -> Dict[str, int]:
-        """Delete rows matching a SQL predicate; rewrites only files
-        that contain at least one matching row."""
+    def delete(
+        self,
+        predicate: str,
+        mode: str = "cow",
+        dv_max_fraction: float = 0.5,
+    ) -> Dict[str, int]:
+        """Delete rows matching a SQL predicate.
+
+        ``mode='cow'`` (default, the original path): rewrite only the
+        files that contain at least one matching row.
+
+        ``mode='dv'`` (merge-on-read, the Delta deletion-vector /
+        Iceberg position-delete shape): instead of rewriting, publish a
+        position sidecar per touched file and re-add the SAME data file
+        under it — the delete costs O(matched rows) of metadata, not a
+        rewrite of every touched file. THE selective-delete path at
+        100 TB: a 100-row GDPR erasure against 1000 × 128 MiB files is
+        1000 tiny sidecars (usually far fewer), zero data rewritten.
+        Hybrid fallback, per file (the production heuristic): when the
+        ACCUMULATED dead fraction would exceed ``dv_max_fraction`` the
+        file is rewritten instead (a mostly-dead file makes every later
+        scan pay for rows it filters back out) — and a fully-dead file
+        is simply removed. Footer min/max stats of a DV'd file stay
+        recorded: they remain CONSERVATIVE bounds (removing rows only
+        shrinks the true range), so pruning stays correct; exact
+        metadata-only min/max is forfeited for DV'd files (the ``dv``
+        marker on the action tells stats readers to rescan).
+        The add-action ``rows`` field stays EXACT (live rows)."""
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
         base = self.latest_version()
         files = self.snapshot_files(base)
         schema = self.table_schema(base)
-        reader = (
-            self.spark.read.schema(schema) if schema is not None else self.spark.read
-        )
-        df = reader.parquet(*[a["path"] for a in files])
-        touched = {
-            os.path.basename(r["f"])
-            for r in df.filter(predicate)
-            .select(F.col("_metadata.file_path").alias("f"))
-            .distinct()
+        if mode == "cow":
+            df = self._scan(files, schema, keep_file_col="__f")
+            touched = {
+                r["__f"]
+                for r in df.filter(predicate).select("__f").distinct().collect()
+            }
+            hit = [a for a in files if os.path.basename(a["path"]) in touched]
+            if not hit:
+                return {"files_rewritten": 0}
+            kept = self._scan(hit, schema).filter(f"NOT ({predicate})")
+            stats_cols = sorted({c for a in hit for c in (a.get("stats") or {})})
+            add = self._write_data_files(kept, stats_cols)
+            self._commit(base, "DELETE", add, [a["path"] for a in hit],
+                         meta={"predicate": predicate})
+            return {"files_rewritten": len(hit)}
+        # merge-on-read: collect matched (file, position) pairs — the
+        # positions ARE the deletion vector, metadata-sized by contract
+        # (large fractions fall back to rewrite below, which bounds the
+        # driver-side list at dv_max_fraction of the touched files)
+        dead = (
+            self._scan(files, schema, keep_file_col="__f", keep_pos_col="__p")
+            .filter(predicate)
+            .groupBy("__f")
+            .agg(F.collect_list("__p").alias("__pos"))
             .collect()
-        }
-        hit = [a for a in files if os.path.basename(a["path"]) in touched]
-        if not hit:
-            return {"files_rewritten": 0}
-        kept = reader.parquet(*[a["path"] for a in hit]).filter(
-            f"NOT ({predicate})"
         )
-        stats_cols = sorted({c for a in hit for c in (a.get("stats") or {})})
-        add = self._write_data_files(kept, stats_cols)
-        self._commit(base, "DELETE", add, [a["path"] for a in hit],
-                     meta={"predicate": predicate})
-        return {"files_rewritten": len(hit)}
+        if not dead:
+            return {"files_rewritten": 0, "files_dv": 0, "files_dropped": 0}
+        by_file = {r["__f"]: sorted(r["__pos"]) for r in dead}
+        add: List[Dict[str, Any]] = []
+        remove: List[str] = []
+        rewrite_actions: List[Dict[str, Any]] = []
+        rewrite_dead: List[tuple] = []
+        n_dv = n_drop = 0
+        for a in files:
+            name = os.path.basename(a["path"])
+            if name not in by_file:
+                continue
+            old_dv = a.get("dv")
+            old_positions = self._load_dv(old_dv["path"]) if old_dv else []
+            union = sorted(set(old_positions) | set(by_file[name]))
+            phys = a["rows"] + (old_dv["dead"] if old_dv else 0)
+            remove.append(a["path"])
+            if len(union) >= phys:
+                n_drop += 1  # fully dead: drop the file outright
+                continue
+            if len(union) >= dv_max_fraction * phys:
+                rewrite_actions.append(a)
+                rewrite_dead.extend((name, int(p)) for p in union)
+                continue
+            dv_path = self._write_dv(a["path"], union)
+            new_action = dict(a)
+            new_action["rows"] = phys - len(union)
+            new_action["dv"] = {"path": dv_path, "dead": len(union)}
+            add.append(new_action)
+            n_dv += 1
+        if rewrite_actions:
+            # over-threshold files: COW-rewrite the survivors (live rows
+            # minus every accumulated dead position)
+            kept = self._scan(rewrite_actions, schema).filter(
+                f"NOT ({predicate})"
+            )
+            stats_cols = sorted(
+                {c for a in rewrite_actions for c in (a.get("stats") or {})}
+            )
+            add.extend(self._write_data_files(kept, stats_cols))
+        self._commit(
+            base,
+            "DELETE",
+            add,
+            remove,
+            meta={
+                "predicate": predicate,
+                "mode": "dv",
+                "files_dv": n_dv,
+                "files_rewritten": len(rewrite_actions),
+                "files_dropped": n_drop,
+            },
+        )
+        return {
+            "files_rewritten": len(rewrite_actions),
+            "files_dv": n_dv,
+            "files_dropped": n_drop,
+        }
 
     def compact(
         self,
@@ -1539,9 +1724,9 @@ class AcidTable:
         base = self.latest_version()
         files = self.snapshot_files(base)
         schema = self.table_schema(base)
-        df = (
-            self.spark.read.schema(schema) if schema is not None else self.spark.read
-        ).parquet(*[a["path"] for a in files])
+        # DV-aware: the rewrite PURGES deletion vectors (the Delta
+        # OPTIMIZE contract — compacted files carry no DVs)
+        df = self._scan(files, schema)
         stats_cols = sorted({c for a in files for c in (a.get("stats") or {})})
         if cluster_by:
             cluster = [str(c) for c in cluster_by]
@@ -1617,15 +1802,26 @@ class AcidTable:
             raise ValueError(f"cannot restore to v{version} (latest is v{base})")
         target = self.snapshot_files(version)
         missing = [a["path"] for a in target if not os.path.exists(a["path"])]
+        missing += [
+            a["dv"]["path"]
+            for a in target
+            if a.get("dv") and not os.path.exists(a["dv"]["path"])
+        ]
         if missing:
             raise FileNotFoundError(
                 f"restore to v{version} impossible: {len(missing)} data "
                 f"file(s) vacuumed, e.g. {missing[0]}"
             )
-        target_paths = {a["path"] for a in target}
-        current_paths = {a["path"] for a in self.snapshot_files(base)}
-        add = [a for a in target if a["path"] not in current_paths]
-        remove = sorted(current_paths - target_paths)
+        # identity includes the deletion vector: restoring across a DV
+        # delete must re-publish the path under its OLD (or no) DV,
+        # which a path-only diff would silently skip
+        current = self.snapshot_files(base)
+        t_ids = {self._action_ident(a) for a in target}
+        c_ids = {self._action_ident(a) for a in current}
+        add = [a for a in target if self._action_ident(a) not in c_ids]
+        remove = sorted(
+            a["path"] for a in current if self._action_ident(a) not in t_ids
+        )
         restored_schema = self.table_schema(version)
         if restored_schema == self.table_schema(base):
             restored_schema = None  # unchanged: inherit by walk-back
@@ -1664,7 +1860,7 @@ class AcidTable:
             "vacuumed_history": 0,
         }
         ever_added: set = set()
-        live: set = set()
+        live: Dict[str, Dict[str, Any]] = {}
         for v in range(1, latest + 1):
             try:
                 commit = self._read_commit(v)
@@ -1683,18 +1879,25 @@ class AcidTable:
                     report["orphan_removes"].append(
                         {"version": v, "path": path}
                     )
-                live.discard(path)
+                live.pop(path, None)
             for action in commit["add"]:
                 p = action["path"]
                 if p in live:
                     report["double_adds"].append({"version": v, "path": p})
                 ever_added.add(p)
-                live.add(p)
+                live[p] = action
         for p in sorted(live):
             if not os.path.exists(p):
                 report["missing"].append(p)
+            dv = live[p].get("dv")
+            if dv and not os.path.exists(dv["path"]):
+                # a missing live deletion vector is as fatal as a
+                # missing data file: deleted rows would resurrect
+                report["missing"].append(dv["path"])
         report["vacuumed_history"] = sum(
-            1 for p in ever_added - live if not os.path.exists(p)
+            1
+            for p in ever_added - set(live)
+            if not os.path.exists(p)
         )
         report["live_files"] = len(live)
         report["ok"] = not (
@@ -1715,8 +1918,11 @@ class AcidTable:
         dependence anywhere)."""
         latest = self.latest_version()
         live: set = set()
+        live_dv: set = set()
         for v in range(max(1, latest - retain_versions), latest + 1):
-            live |= {a["path"] for a in self.snapshot_files(v)}
+            snap = self.snapshot_files(v)
+            live |= {a["path"] for a in snap}
+            live_dv |= {a["dv"]["path"] for a in snap if a.get("dv")}
         # Files staged by an UNRESOLVED multi-table txn are in no
         # snapshot yet (snapshot_files skips pending commits), but
         # deleting them would corrupt the table the moment the
@@ -1729,10 +1935,22 @@ class AcidTable:
             tip = self._read_commit(latest)
             if self._txn_state(tip) == "pending":
                 live |= {a["path"] for a in tip["add"]}
+                live_dv |= {
+                    a["dv"]["path"] for a in tip["add"] if a.get("dv")
+                }
         removed = []
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
             if name.endswith(".parquet") and full not in live:
                 os.remove(full)
                 removed.append(full)
+        # deletion-vector sidecars: orphaned when their file version
+        # left the retained snapshots (rewrite/compact/restore/newer DV)
+        dv_dir = os.path.join(self.path, _DV_DIR)
+        if os.path.isdir(dv_dir):
+            for name in os.listdir(dv_dir):
+                full = os.path.join(dv_dir, name)
+                if name.endswith(".json") and full not in live_dv:
+                    os.remove(full)
+                    removed.append(full)
         return removed

@@ -117,8 +117,17 @@ class ChangeFeedConsumer:
         # WITHOUT publishing a marker commit (the next data commit's
         # span subsumes this one; re-checking costs one file-set
         # comparison, never a scan)
-        before = {f["path"] for f in self.source.snapshot_files(v_from)}
-        after = {f["path"] for f in self.source.snapshot_files(v_to)}
+        # (path, dv) IDENTITY, not path alone: a merge-on-read delete
+        # re-publishes the same path under a new deletion vector — rows
+        # changed, so that span is NOT metadata-only
+        before = {
+            AcidTable._action_ident(f)
+            for f in self.source.snapshot_files(v_from)
+        }
+        after = {
+            AcidTable._action_ident(f)
+            for f in self.source.snapshot_files(v_to)
+        }
         if before == after:
             return {
                 "v_from": v_from,

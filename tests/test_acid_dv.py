@@ -1,0 +1,222 @@
+"""Deletion vectors (sinks/acid.py merge-on-read deletes — the Delta
+DV / Iceberg position-delete shape): a selective DELETE publishes a
+position sidecar and re-adds the SAME data file instead of rewriting
+it. Invariants: data files stay byte-identical, reads/CDF/merge/
+point-lookup subtract the positions, rewrites purge DVs, restore/
+vacuum/fsck treat (path, dv) as the file-version identity, and the
+change-feed consumer folds a DV delete instead of skipping it as
+metadata-only."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_platform_spark.sinks.acid import AcidTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return AcidTable(spark, str(tmp_path / "t"))
+
+
+def _base(spark, table, n=100, files=4):
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    table.write(df.repartition(files, "k"), stats_cols=["k"], binpack=False)
+    return {
+        a["path"]: (os.path.getsize(a["path"]), os.path.getmtime(a["path"]))
+        for a in table.snapshot_files()
+    }
+
+
+def test_dv_delete_leaves_data_files_byte_identical(spark, table):
+    sig = _base(spark, table)
+    out = table.delete("k % 10 = 3", mode="dv")
+    assert out["files_rewritten"] == 0 and out["files_dropped"] == 0
+    assert out["files_dv"] >= 1
+    # same physical files, untouched bytes — only sidecars were written
+    actions = {a["path"]: a for a in table.snapshot_files()}
+    assert set(actions) == set(sig)
+    for p, (size, mtime) in sig.items():
+        assert os.path.getsize(p) == size and os.path.getmtime(p) == mtime
+    assert table.read().count() == 90
+    assert table.read().filter("k % 10 = 3").count() == 0
+    # rows field stays EXACT per action
+    assert sum(a["rows"] for a in actions.values()) == 90
+    for a in actions.values():
+        if a.get("dv"):
+            with open(a["dv"]["path"]) as f:
+                dv = json.load(f)
+            assert dv["file"] == os.path.basename(a["path"])
+            assert len(dv["positions"]) == a["dv"]["dead"]
+
+
+def test_dv_accumulates_and_time_travels(spark, table):
+    _base(spark, table)
+    table.delete("k % 10 = 3", mode="dv")
+    table.delete("k % 10 = 7", mode="dv")
+    assert table.read().count() == 80
+    # each live action carries ONE dv holding the union of both waves
+    for a in table.snapshot_files():
+        if a.get("dv"):
+            positions = json.load(open(a["dv"]["path"]))["positions"]
+            assert len(positions) == a["dv"]["dead"]
+    # time travel reads each version's own dv state
+    assert table.read(version=1).count() == 100
+    assert table.read(version=2).count() == 90
+    assert table.read(version=3).count() == 80
+
+
+def test_cdf_across_dv_delete_emits_exactly_the_dead_rows(spark, table):
+    _base(spark, table)
+    table.delete("k % 10 = 3", mode="dv")
+    rows = table.changes(["k"], v_from=1, v_to=2).collect()
+    assert {r["change_type"] for r in rows} == {"delete"}
+    assert sorted(r["k"] for r in rows) == [
+        k for k in range(1, 101) if k % 10 == 3
+    ]
+    # second wave diffs only against the FIRST dv, not genesis
+    table.delete("k % 10 = 7", mode="dv")
+    rows2 = table.changes(["k"], v_from=2, v_to=3).collect()
+    assert sorted(r["k"] for r in rows2) == [
+        k for k in range(1, 101) if k % 10 == 7
+    ]
+    assert {r["change_type"] for r in rows2} == {"delete"}
+
+
+def test_merge_over_dv_no_resurrection_and_purges_dv(spark, table):
+    _base(spark, table)
+    table.delete("k % 10 = 3", mode="dv")
+    # update a live key and re-insert a dv-deleted key
+    src = spark.createDataFrame([(4, 888), (3, 999)], "k long, v long")
+    table.merge(src, keys=["k"])
+    final = {r["k"]: r["v"] for r in table.read().collect()}
+    assert final[3] == 999 and final[4] == 888
+    assert 13 not in final and 23 not in final  # still dead
+    assert table.read().count() == 91
+    # the rewritten file(s) carry no dv — merge purged it
+    for a in table.snapshot_files():
+        if a.get("dv"):
+            # any surviving dv belongs to an untouched file
+            dead = json.load(open(a["dv"]["path"]))["positions"]
+            assert len(dead) == a["dv"]["dead"]
+    # a key deleted by dv in a touched file must NOT have resurrected:
+    # total row count is the ground truth above
+
+
+def test_threshold_fallback_rewrites_and_full_death_drops(spark, table):
+    _base(spark, table)
+    # >50% of every file dead -> rewrite, no dv
+    out = table.delete("k % 4 != 0", mode="dv")
+    assert out["files_dv"] == 0
+    assert out["files_rewritten"] + out["files_dropped"] >= 1
+    assert table.read().count() == 25
+    assert not any(a.get("dv") for a in table.snapshot_files())
+    # kill everything that remains: files drop outright
+    out2 = table.delete("TRUE", mode="dv")
+    assert out2["files_dropped"] >= 1 and out2["files_dv"] == 0
+    assert table.read().count() == 0
+
+
+def test_compact_purges_deletion_vectors(spark, table):
+    _base(spark, table)
+    table.delete("k % 10 = 3", mode="dv")
+    table.compact(target_files=1)
+    actions = table.snapshot_files()
+    assert not any(a.get("dv") for a in actions)
+    assert table.read().count() == 90
+    assert table.read().filter("k % 10 = 3").count() == 0
+
+
+def test_restore_across_dv_versions(spark, table):
+    _base(spark, table)
+    table.delete("k % 10 = 3", mode="dv")  # v2
+    table.delete("k % 10 = 7", mode="dv")  # v3
+    table.restore(1)  # back to no deletions
+    assert table.read().count() == 100
+    table.restore(2)  # forward again to the FIRST dv state
+    assert table.read().count() == 90
+    assert table.read().filter("k % 10 = 3").count() == 0
+    assert table.read().filter("k % 10 = 7").count() == 10
+
+
+def test_vacuum_keeps_live_dv_removes_orphans(spark, table):
+    _base(spark, table)
+    table.delete("k % 10 = 3", mode="dv")
+    live_dv = {
+        a["dv"]["path"] for a in table.snapshot_files() if a.get("dv")
+    }
+    assert live_dv
+    table.delete("k % 10 = 7", mode="dv")  # supersedes the first dv set
+    removed = table.vacuum()
+    # old sidecars gone, new ones kept
+    assert all(os.path.exists(p) is False for p in live_dv)
+    assert any(p in removed for p in live_dv)
+    for a in table.snapshot_files():
+        if a.get("dv"):
+            assert os.path.exists(a["dv"]["path"])
+    assert table.read().count() == 80
+    # retention: keep the previous version's dv alive
+    table2 = AcidTable(table.spark, table.path)
+    assert table2.fsck()["ok"]
+
+
+def test_fsck_detects_missing_live_dv(spark, table):
+    _base(spark, table)
+    table.delete("k % 10 = 3", mode="dv")
+    dv_path = next(
+        a["dv"]["path"] for a in table.snapshot_files() if a.get("dv")
+    )
+    os.remove(dv_path)
+    report = table.fsck()
+    assert not report["ok"]
+    assert dv_path in report["missing"]
+
+
+def test_point_lookup_respects_dv(spark, table):
+    df = table.spark.range(1, 101).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    table.write(df.repartition(4, "k"), stats_cols=["k"],
+                bloom_cols=["k"], binpack=False)
+    table.delete("k = 42", mode="dv")
+    assert table.point_lookup("k", [42]).count() == 0
+    assert table.point_lookup("k", [41]).count() == 1
+
+
+def test_cdf_consumer_folds_dv_delete_not_metadata_only(spark, tmp_path):
+    """A DV delete changes rows but not paths: the consumer must fold
+    it (the path-set metadata-only short-circuit would skip it and
+    silver would diverge forever)."""
+    from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+    from data_pipeline_platform_spark.streaming.cdf import ChangeFeedConsumer
+
+    bronze = AcidTable(spark, str(tmp_path / "bronze"))
+    view = MaterializedAgg(
+        spark, str(tmp_path / "silver"), keys=["g"],
+        aggs=[("n", "count", ""), ("s", "sum", "x")],
+    )
+    consumer = ChangeFeedConsumer(bronze, ["k"], view, count_col="n")
+    bronze.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 5), (3, "b", 7), (4, "b", 1)],
+            "k long, g string, x long",
+        ),
+        stats_cols=["k"],
+    )
+    consumer.process_available()
+    out = bronze.delete("k = 2", mode="dv")
+    assert out["files_dv"] >= 1 or out["files_rewritten"] >= 1
+    stats = consumer.process_available()
+    assert not stats.get("metadata_only")
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in bronze.read().groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+        ).collect()
+    }
+    got = {r["g"]: (r["n"], r["s"]) for r in consumer.state().collect()}
+    assert got == want
