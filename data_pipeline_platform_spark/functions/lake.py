@@ -758,3 +758,135 @@ WHERE o_orderkey % 10 = 3
 """
 
 register("dv_change_feed", q_dv_change_feed, ORACLE_DV_CHANGE_FEED)
+
+
+def _cdc_events(spark: SparkSession, sf_dir: str):
+    """Deterministic CDC event stream derived from orders: inserts for
+    every key divisible by 3 (seq 10), updates for keys divisible by 6
+    (seq 20, price+5), deletes for keys divisible by 12 (seq 30), and a
+    STALE update wave (seq 5, price+99) for keys divisible by 9 — the
+    events a correct sequence-keyed apply must suppress."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k3 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    inserts = k3.select(
+        "o_orderkey",
+        F.lit(10).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = k3.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        F.lit(20).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + F.lit(5.0)).alias("price"),
+    )
+    deletes = k3.filter(F.col("o_orderkey") % 12 == 0).select(
+        "o_orderkey",
+        F.lit(30).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    stale = k3.filter(F.col("o_orderkey") % 9 == 0).select(
+        "o_orderkey",
+        F.lit(5).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + F.lit(99.0)).alias("price"),
+    )
+    return inserts, updates, deletes, stale
+
+
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES, physical-delete mode (sinks/cdc.py): three
+    in-order batches fold into an AcidTable keyed on a sequence column
+    — batch 3 delivers a LATE, STALE update wave (lower sequence than
+    what the table already holds) that a naive last-write-wins apply
+    would smear over live rows; the sequence-conditional merge must
+    suppress every one of it. The stale wave is restricted to keys not
+    physically deleted (the tombstone twin below covers that case).
+    Oracle: per-key argmax by (seq, delete-wins) over ALL events,
+    deletes dropped — the batch fold must equal the one-shot rule."""
+    from data_pipeline_platform_spark.sinks.cdc import apply_changes
+
+    inserts, updates, deletes, stale = _cdc_events(spark, sf_dir)
+    stale = stale.filter(F.col("o_orderkey") % 12 != 0)
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="cdc_apply_orders_"))
+    apply_changes(table, inserts, keys=["o_orderkey"], sequence_by="seq")
+    apply_changes(
+        table, updates.unionByName(deletes),
+        keys=["o_orderkey"], sequence_by="seq",
+    )
+    apply_changes(table, stale, keys=["o_orderkey"], sequence_by="seq")
+    return table.read().select("o_orderkey", "seq", "op", "price")
+
+
+ORACLE_CDC_EVENTS = """
+  SELECT o_orderkey, 10 AS seq, 'U' AS op, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 20, 'U', o_totalprice + 5.0
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_orderkey, 30, 'D', NULL
+  FROM orders WHERE o_orderkey % 12 = 0
+  UNION ALL
+  SELECT o_orderkey, 5, 'U', o_totalprice + 99.0
+  FROM orders WHERE o_orderkey % 9 = 0 {stale_extra}
+"""
+
+ORACLE_CDC_APPLY_ORDERS = f"""
+WITH events AS ({ORACLE_CDC_EVENTS.format(stale_extra="AND o_orderkey % 12 != 0")}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY seq DESC, (op = 'D') DESC
+  ) AS rn
+  FROM events
+)
+SELECT o_orderkey, seq, op, price
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+register("cdc_apply_orders", q_cdc_apply_orders, ORACLE_CDC_APPLY_ORDERS)
+
+
+def q_cdc_tombstone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES, tombstone mode, batches delivered OUT OF
+    ORDER (deletes first, then inserts, then updates+stale): a
+    physical apply would resurrect deleted keys when their insert
+    arrives after the delete; tombstone rows carry the delete's
+    sequence forever, so the final current state is independent of
+    batching — pure per-key argmax by sequence, which is exactly what
+    the oracle computes."""
+    from data_pipeline_platform_spark.sinks.cdc import (
+        apply_changes,
+        read_current,
+    )
+
+    inserts, updates, deletes, stale = _cdc_events(spark, sf_dir)
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="cdc_tombstone_"))
+    for batch in (deletes, inserts, updates.unionByName(stale)):
+        apply_changes(
+            table, batch, keys=["o_orderkey"], sequence_by="seq",
+            tombstones=True,
+        )
+    return read_current(table).select("o_orderkey", "seq", "op", "price")
+
+
+ORACLE_CDC_TOMBSTONE_ORDERS = f"""
+WITH events AS ({ORACLE_CDC_EVENTS.format(stale_extra="")}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY seq DESC, (op = 'D') DESC
+  ) AS rn
+  FROM events
+)
+SELECT o_orderkey, seq, op, price
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+register(
+    "cdc_tombstone_orders", q_cdc_tombstone_orders, ORACLE_CDC_TOMBSTONE_ORDERS
+)
