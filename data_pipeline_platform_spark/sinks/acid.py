@@ -1505,6 +1505,7 @@ class AcidTable:
         insert_when: Optional[str] = None,
         extra_meta: Optional[Dict[str, Any]] = None,
         txn: Optional[Dict[str, str]] = None,
+        commit_guard=None,
     ) -> Dict[str, int]:
         """The full Delta/SQL:2003 conditional MERGE clause set —
         ``WHEN MATCHED AND <update_when> THEN UPDATE``, ``WHEN MATCHED
@@ -1578,6 +1579,7 @@ class AcidTable:
                 }
             },
             txn=txn,
+            commit_guard=commit_guard,
         )
 
     # ------------------------------------------------------------------

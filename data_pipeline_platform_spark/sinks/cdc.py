@@ -101,6 +101,7 @@ def apply_changes(
     strict: bool = True,
     extra_meta: Optional[Dict[str, Any]] = None,
     txn: Optional[Dict[str, str]] = None,
+    commit_guard=None,
 ) -> Dict[str, int]:
     """Fold one CDC batch into ``table``. The target table stores the
     event columns verbatim (including ``op_col`` and ``sequence_by`` —
@@ -118,6 +119,7 @@ def apply_changes(
             stats_cols=key_list,
             extra_meta=extra_meta,
             txn=txn,
+            commit_guard=commit_guard,
         )
         return {"version": v, "files_rewritten": 0, "created": 1}
     seq_newer = f"s.{sequence_by} >= t.{sequence_by}"
@@ -133,6 +135,7 @@ def apply_changes(
             insert_when=None,
             extra_meta=dict(extra_meta or {}) | {"cdc": "tombstones"},
             txn=txn,
+            commit_guard=commit_guard,
         )
     return table.merge_conditional(
         winners,
@@ -142,6 +145,7 @@ def apply_changes(
         insert_when=f"s.{op_col} <> '{delete_op}'",
         extra_meta=dict(extra_meta or {}) | {"cdc": "physical"},
         txn=txn,
+        commit_guard=commit_guard,
     )
 
 
