@@ -256,3 +256,194 @@ ORDER BY cosine DESC, vec_id LIMIT {PQ_K}
 """
 
 register("cosine_topk_pq", q_cosine_topk_pq, ORACLE_COSINE_TOPK_PQ)
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the full billion-scale ANN serving layout (FAISS
+    IndexIVFPQ): the deterministic IVF quantizer partitions the corpus
+    into cells, PQ encodes each vector's RESIDUAL against its cell
+    centroid (residual PQ — the codebook spends its bits on the
+    within-cell structure instead of re-encoding the cell location),
+    and the search probes the nprobe nearest cells, building one
+    per-probed-cell ADC table from the QUERY residual, summing exact
+    BIGINT entries over the code table, then exact-cosine re-ranking a
+    fixed candidate budget.
+
+    100 TB shape: the raw vectors are touched only at (a) index build
+    and (b) the final re-rank of PQ_CAND rows; candidate generation
+    reads the code table (M bytes/vector) restricted to nprobe/n_cells
+    of the corpus, scored against nprobe x M x Ks broadcast table
+    entries. Every stage is the deterministic fixed-point machinery, so
+    the DuckDB oracle replays the WHOLE index + search bitwise."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        IVFX_PROBE,
+        ivfx_index,
+    )
+
+    cent_arr, ivf = ivfx_index(spark, sf_dir)  # (cell, cvec), assigned corpus
+    # residuals against the OWN cell centroid (exact IEEE subtraction —
+    # both engines compute the identical doubles)
+    resid = tracked_persist(
+        ivf.join(F.broadcast(cent_arr), "cell").select(
+            "vec_id",
+            "label",
+            "cell",
+            F.expr("zip_with(vec, cvec, (x, y) -> x - y)").alias("rvec"),
+            "vec",
+        )
+    )
+    cents = pq_train(
+        resid.select("vec_id", F.col("rvec").alias("vec"))
+    )
+    codes = pq_encode(
+        resid.select("vec_id", F.col("rvec").alias("vec")), cents
+    ).join(resid.select("vec_id", "cell"), "vec_id")
+    # probe: nprobe cells nearest the query vector
+    q_row = resid.filter(F.col("vec_id") == 0)
+    q = q_row.select(F.col("vec").alias("qvec"))
+    probed = (
+        cent_arr.crossJoin(F.broadcast(q))
+        .withColumn("qdist", F.expr(_dist_fp_sql("cvec", "qvec")))
+        .withColumn(
+            "__pn", F.row_number().over(Window.orderBy("qdist", "cell"))
+        )
+        .filter(F.col("__pn") <= IVFX_PROBE)
+        .select("cell", "cvec")
+    )
+    # per-probed-cell query residual -> one ADC table per cell
+    q_resid_sub = _subvectors(
+        probed.crossJoin(F.broadcast(q)).select(
+            "cell", F.expr("zip_with(qvec, cvec, (x, y) -> x - y)").alias("vec")
+        ),
+        vec_col="vec",
+    ).select("cell", "block", F.col("svec").alias("qsub"))
+    dtable = (
+        cents.withColumnRenamed("cell", "code")
+        .join(F.broadcast(q_resid_sub), "block")
+        .withColumn("d", F.expr(_dist_fp_sql("cvec", "qsub")))
+        .select("cell", "block", "code", "d")
+    )
+    cand = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dtable), ["cell", "block", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(PQ_CAND)
+    )
+    return (
+        resid.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            _dot("vec", "qvec")
+            / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qvec", "qvec"))),
+        )
+        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(PQ_K)
+    )
+
+
+def _oracle_ann_ivfpq() -> str:
+    from data_pipeline_platform_spark.functions.similarity import (
+        DUCK_IVFX_INDEX,
+        IVFX_PROBE,
+    )
+
+    lat = f"LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS b)"
+
+    def sl(col):
+        return (
+            f"list_slice({col}, b * {PQ_SUBDIM} + 1, "
+            f"b * {PQ_SUBDIM} + {PQ_SUBDIM})"
+        )
+
+    return f"""
+{DUCK_IVFX_INDEX}
+), resid AS (
+  SELECT i.vec_id, i.label, i.cell,
+         list_transform(list_zip(i.vec, ca.cvec), z -> z[1] - z[2]) AS rvec,
+         i.vec
+  FROM ivf i JOIN carr ca USING (cell)
+), pseeds AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS seed_id, rvec
+  FROM (SELECT vec_id, rvec, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM resid ORDER BY h, vec_id LIMIT {PQ_KS})
+), pseed_sub AS (
+  SELECT seed_id, b AS block, {sl('rvec')} AS ssub FROM pseeds, {lat}
+), psub AS (
+  SELECT vec_id, b AS block, {sl('rvec')} AS svec FROM resid, {lat}
+), pa0 AS (
+  SELECT block, svec, seed_id AS cell0 FROM (
+    SELECT s.block, s.svec, ss.seed_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.block
+             ORDER BY {_duck_dist_fp('s.svec', 'ss.ssub')}, ss.seed_id) AS rn
+    FROM psub s JOIN pseed_sub ss USING (block)
+  ) WHERE rn = 1
+), pex AS (
+  SELECT block, cell0, i - 1 AS dim, svec[i] AS comp
+  FROM pa0, LATERAL (SELECT unnest(generate_series(1, len(svec))) AS i)
+), pcents AS (
+  SELECT block, cell0, dim,
+         CAST(SUM(CAST(round(comp * 1000000000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000000.0 AS c
+  FROM pex GROUP BY block, cell0, dim
+), pcarr AS (
+  SELECT block, cell0 AS pcell, list(c ORDER BY dim) AS pcvec
+  FROM pcents GROUP BY block, cell0
+), pcodes AS (
+  SELECT vec_id, block, pcell AS code FROM (
+    SELECT s.vec_id, s.block, pc.pcell,
+           row_number() OVER (PARTITION BY s.vec_id, s.block
+             ORDER BY {_duck_dist_fp('s.svec', 'pc.pcvec')}, pc.pcell) AS rn
+    FROM psub s JOIN pcarr pc USING (block)
+  ) WHERE rn = 1
+), codes_cells AS (
+  SELECT pc.vec_id, r.cell, pc.block, pc.code
+  FROM pcodes pc JOIN resid r USING (vec_id)
+), q AS (
+  SELECT vec AS qvec FROM resid WHERE vec_id = 0
+), probed AS (
+  SELECT cell, cvec FROM (
+    SELECT ca.cell, ca.cvec,
+           row_number() OVER (
+             ORDER BY {_duck_dist_fp('ca.cvec', 'q.qvec')}, ca.cell) AS pn
+    FROM carr ca CROSS JOIN q
+  ) WHERE pn <= {IVFX_PROBE}
+), qrsub AS (
+  SELECT pr.cell, b AS block,
+         {sl("list_transform(list_zip(q.qvec, pr.cvec), z -> z[1] - z[2])")}
+           AS qsub
+  FROM probed pr CROSS JOIN q, {lat}
+), dtable AS (
+  SELECT qr.cell, qr.block, pca.pcell AS code,
+         {_duck_dist_fp('pca.pcvec', 'qr.qsub')} AS d
+  FROM pcarr pca JOIN qrsub qr USING (block)
+), cand AS (
+  SELECT cc.vec_id, SUM(dt.d) AS adc
+  FROM codes_cells cc JOIN dtable dt USING (cell, block, code)
+  WHERE cc.vec_id != 0
+  GROUP BY cc.vec_id
+  ORDER BY adc, cc.vec_id LIMIT {PQ_CAND}
+), scored AS (
+  SELECT r.vec_id, r.label,
+         round(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip(r.vec, q.qvec), z -> z[1] * z[2])),
+             (acc, t) -> acc + t)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(r.vec, x -> x * x)), (acc, t) -> acc + t))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(q.qvec, x -> x * x)), (acc, t) -> acc + t))),
+           6) AS cosine
+  FROM resid r JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, label, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT {PQ_K}
+"""
+
+
+ORACLE_ANN_IVFPQ_TOPK = _oracle_ann_ivfpq()
+
+register("ann_ivfpq_topk", q_ann_ivfpq_topk, ORACLE_ANN_IVFPQ_TOPK)

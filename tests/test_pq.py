@@ -57,3 +57,25 @@ def test_recall_vs_exact_scan(spark):
     # candidate budget over 500 vectors; deterministic, so a drop means
     # the codec regressed
     assert len(pq_top & exact_top) / 10 >= 0.4
+
+
+def test_ivfpq_recall_matches_ivf_exact(spark):
+    """Residual PQ inside probed cells: the 4-bit codec must not cost
+    recall vs the exact-rerank IVF on this corpus (both measured 0.8
+    against the exhaustive scan — the IVF probe, not the codec, is the
+    recall bound; deterministic, so a drop means regression)."""
+    import __spark_entry__ as se
+
+    q = se.queries()
+    ivfpq = {
+        r["vec_id"] for r in q["ann_ivfpq_topk"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        r["vec_id"]
+        for r in q["cosine_topk_ivf_exact"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["vec_id"] for r in q["cosine_topk"](spark, SF_DIR).collect()
+    }
+    assert len(ivfpq & exact) / 10 >= 0.8
+    assert len(ivfpq & exact) >= len(ivf & exact)
