@@ -156,6 +156,16 @@ HEADLINE = [
     "merge_conditional_orders",
     "matview_percentile_census",
     "medallion_nullable_sum",
+    # r10 continuation wave: the PQ codec and the IVFADC composition are
+    # full-corpus encode fan-outs (real data volume); dv_delete_orders
+    # and cdc_tombstone_orders time the merge-on-read delete resolution
+    # and the 3-batch conditional-merge CDC fold (compute + a handful of
+    # commits, the medallion-twin precedent); gapfill is census-cheap
+    # and stays under the parity gate.
+    "cosine_topk_pq",
+    "ann_ivfpq_topk",
+    "dv_delete_orders",
+    "cdc_tombstone_orders",
 ]
 
 

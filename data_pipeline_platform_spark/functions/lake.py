@@ -890,3 +890,57 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 register(
     "cdc_tombstone_orders", q_cdc_tombstone_orders, ORACLE_CDC_TOMBSTONE_ORDERS
 )
+
+
+def q_keyindex_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary key index under the gate (sinks/keyindex.py): orders
+    land range-clustered by o_orderkey (so footer stats on the probe
+    column o_custkey are WIDE OPEN — every file spans the custkey
+    domain and min/max pruning is useless, the exact case a secondary
+    index exists for), a KeyIndex is built on o_custkey, a MERGE wave
+    rewrites some files, the index refreshes INCREMENTALLY (only the
+    delta files are re-scanned), and a custkey RANGE lookup — which a
+    bloom cannot answer — must return exactly the post-merge rows the
+    oracle's plain filter computes."""
+    from data_pipeline_platform_spark.sinks.keyindex import KeyIndex
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="keyindex_")
+    table = AcidTable(spark, base + "/data")
+    table.write(
+        orders.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        stats_cols=["o_orderkey"],
+        binpack=False,
+    )
+    index = KeyIndex(table, "o_custkey", base + "/idx")
+    index.build()
+    src = orders.filter(F.col("o_orderkey") % 200 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(3.0)).alias("o_totalprice"),
+    )
+    table.merge(src, keys=["o_orderkey"])
+    index.refresh()
+    return index.lookup_range(100, 150).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+ORACLE_KEYINDEX_RANGE_LOOKUP = """
+WITH merged AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 200 = 0 THEN o_totalprice + 3.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM merged WHERE o_custkey >= 100 AND o_custkey <= 150
+"""
+
+register(
+    "keyindex_range_lookup", q_keyindex_range_lookup,
+    ORACLE_KEYINDEX_RANGE_LOOKUP,
+)
