@@ -944,3 +944,49 @@ register(
     "keyindex_range_lookup", q_keyindex_range_lookup,
     ORACLE_KEYINDEX_RANGE_LOOKUP,
 )
+
+
+def q_merge_sync_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN NOT MATCHED BY SOURCE (sinks/acid.py merge_conditional):
+    the full-sync/mirror merge — matched rows take the source, new
+    source keys insert, and TARGET rows absent from the source are
+    deleted WHEN they satisfy a condition over the target row (here:
+    only cheap orphans are purged; expensive ones survive the sync).
+    One atomic commit; the oracle expresses the same resolution as a
+    FULL JOIN with the orphan predicate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="merge_sync_"))
+    table.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    table.merge_conditional(
+        src,
+        keys=["o_orderkey"],
+        not_matched_by_source_delete_when="t.o_totalprice < 50000",
+    )
+    return table.read().select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+ORACLE_MERGE_SYNC_MIRROR = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey % 2 = 0
+),
+src AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT o_orderkey,
+       COALESCE(s.o_custkey, b.o_custkey) AS o_custkey,
+       COALESCE(s.o_totalprice, b.o_totalprice) AS o_totalprice
+FROM base b FULL JOIN src s USING (o_orderkey)
+WHERE s.o_custkey IS NOT NULL OR NOT (b.o_totalprice < 50000)
+"""
+
+register("merge_sync_mirror", q_merge_sync_mirror, ORACLE_MERGE_SYNC_MIRROR)

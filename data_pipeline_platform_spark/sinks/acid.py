@@ -1506,11 +1506,25 @@ class AcidTable:
         extra_meta: Optional[Dict[str, Any]] = None,
         txn: Optional[Dict[str, str]] = None,
         commit_guard=None,
+        not_matched_by_source_delete_when: Optional[str] = None,
     ) -> Dict[str, int]:
         """The full Delta/SQL:2003 conditional MERGE clause set —
         ``WHEN MATCHED AND <update_when> THEN UPDATE``, ``WHEN MATCHED
         AND <delete_when> THEN DELETE``, ``WHEN NOT MATCHED AND
         <insert_when> THEN INSERT`` — publishing in ONE atomic commit.
+
+        ``not_matched_by_source_delete_when``: the Delta ``WHEN NOT
+        MATCHED BY SOURCE THEN DELETE`` clause — TARGET rows whose key
+        does not appear in the batch and that satisfy the condition
+        (over the target row, alias ``t``; pass ``"TRUE"`` for
+        unconditional) are deleted in the same commit. This is the
+        full-sync/mirror shape: ``merge_conditional(src, keys,
+        not_matched_by_source_delete_when="TRUE")`` makes the table
+        equal the source. COST CAVEAT, same as Delta's: resolving
+        "absent from the source" requires scanning every target row —
+        this clause is inherently un-prunable (the rewrite still only
+        touches files holding changed rows); scope it with a condition
+        on a clustered column when the sync window is known.
 
         Conditions are SQL boolean expressions over the source row
         (alias ``s``) and the matched target row (alias ``t``), e.g.
@@ -1566,6 +1580,16 @@ class AcidTable:
         inserts = (
             src.join(touched, cond, "left_anti").filter(ins).select(*src_cols)
         )
+        if not_matched_by_source_delete_when is not None:
+            # target rows with no batch counterpart: full target anti-
+            # join (un-prunable by definition — see docstring), then the
+            # caller's condition over the target row
+            orphan_keys = (
+                target.join(F.broadcast(probe).alias("p"), tcond, "left_anti")
+                .filter(F.expr(not_matched_by_source_delete_when))
+                .select(*[F.col(f"t.{k}").alias(k) for k in key_list])
+            )
+            deletes = deletes.unionByName(orphan_keys)
         return self.merge(
             upserts.unionByName(inserts),
             keys=key_list,
@@ -1576,6 +1600,9 @@ class AcidTable:
                     "update_when": update_when,
                     "delete_when": delete_when,
                     "insert_when": insert_when,
+                    "not_matched_by_source_delete_when": (
+                        not_matched_by_source_delete_when
+                    ),
                 }
             },
             txn=txn,
@@ -1793,6 +1820,43 @@ class AcidTable:
             [a["path"] for a in files],
             meta={"cluster_by": list(cluster_by or []), "zorder": bool(zorder)},
         )
+
+    def compact_small(
+        self,
+        small_bytes: int = 32 * 1024 * 1024,
+        target_files: int = 1,
+    ) -> Dict[str, int]:
+        """Incremental OPTIMIZE (the Delta small-file compaction
+        policy): bin-pack ONLY the live files smaller than
+        ``small_bytes``, leaving right-sized files untouched — on a
+        100 TB table that accreted a tail of per-batch dimension files,
+        this rewrites the tail, not the table. File selection is
+        driver-side metadata (one size stat per live file); the rewrite
+        is DV-aware, so deletion vectors on the small files are purged
+        (big files keep theirs — compact() purges everything). Fewer
+        than two small files is a no-op (nothing to pack)."""
+        base = self.latest_version()
+        files = self.snapshot_files(base)
+        small = [
+            a for a in files if os.path.getsize(a["path"]) < small_bytes
+        ]
+        if len(small) < 2:
+            return {"files_compacted": 0, "files_kept": len(files)}
+        schema = self.table_schema(base)
+        df = self._scan(small, schema)
+        stats_cols = sorted({c for a in small for c in (a.get("stats") or {})})
+        add = self._write_data_files(df.coalesce(target_files), stats_cols)
+        self._commit(
+            base,
+            "COMPACT_SMALL",
+            add,
+            [a["path"] for a in small],
+            meta={"small_bytes": small_bytes, "files_compacted": len(small)},
+        )
+        return {
+            "files_compacted": len(small),
+            "files_kept": len(files) - len(small),
+        }
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: publish a NEW commit whose live file set

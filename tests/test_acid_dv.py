@@ -220,3 +220,47 @@ def test_cdf_consumer_folds_dv_delete_not_metadata_only(spark, tmp_path):
     }
     got = {r["g"]: (r["n"], r["s"]) for r in consumer.state().collect()}
     assert got == want
+
+
+def test_compact_small_packs_only_the_tail(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    table = AcidTable(spark, str(tmp_path / "cs"))
+    big = spark.range(1, 5001).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    table.write(big.coalesce(1), stats_cols=["k"])
+    big_path = table.snapshot_files()[0]["path"]
+    # accrete a tail of tiny per-batch files
+    for i in range(3):
+        table.write(
+            spark.createDataFrame(
+                [(10000 + i, "x")], "k long, v string"
+            ),
+            mode="append", stats_cols=["k"],
+        )
+    assert len(table.snapshot_files()) == 4
+    out = table.compact_small(small_bytes=64 * 1024)
+    assert out["files_compacted"] == 3 and out["files_kept"] == 1
+    paths = {a["path"] for a in table.snapshot_files()}
+    assert big_path in paths and len(paths) == 2  # big file untouched
+    assert table.read().count() == 5003
+    # fewer than two small files: no-op
+    assert table.compact_small(small_bytes=64 * 1024) == {
+        "files_compacted": 0, "files_kept": 2,
+    }
+
+
+def test_compact_small_purges_dv_on_small_files_only(spark, tmp_path):
+    table = AcidTable(spark, str(tmp_path / "csdv"))
+    table.write(
+        spark.range(1, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).repartition(2, "k"),
+        stats_cols=["k"], binpack=False,
+    )
+    table.delete("k % 10 = 1", mode="dv")
+    out = table.compact_small(small_bytes=1 << 30)  # everything is small
+    assert out["files_compacted"] == 2
+    assert not any(a.get("dv") for a in table.snapshot_files())
+    assert table.read().count() == 90
