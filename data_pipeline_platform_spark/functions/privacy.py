@@ -278,3 +278,89 @@ FROM seeded
 
 
 register("dp_noisy_counts", q_dp_noisy_counts, ORACLE_DP_NOISY_COUNTS)
+
+
+_DP_CLIP_C = 200_000 * 100  # per-order contribution clip, in cents
+
+
+def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP SUM release with contribution clipping (the companion to
+    dp_noisy_counts): per-priority total order value, each order's
+    contribution CLIPPED to [0, C] (the clip bounds the sensitivity —
+    without it one whale order makes the release useless or the noise
+    unbounded), then Laplace(C/eps) noise by inverse-CDF from the
+    content-addressed uniform of the group key. Round-after-ln fixed
+    point, one closing division — the dp_noisy_counts determinism
+    recipe applied to a bounded-sensitivity SUM.
+
+    Scale: one clipped map-side-combinable sum per group; noise is
+    row-local on the |groups| frame."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    clipped = orders.select(
+        "o_orderpriority",
+        F.least(
+            F.greatest(
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(_DP_CLIP_C),
+        ).alias("c"),
+    )
+    sums = clipped.groupBy("o_orderpriority").agg(F.sum("c").alias("s"))
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dpsum|"), F.col("o_orderpriority"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    b = float(_DP_CLIP_C) / _DP_EPS  # Laplace scale, cents
+    lap = (
+        f"-{b} * CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END "
+        f"* ln(1.0 - 2.0 * abs(u - 0.5))"
+    )
+    return (
+        sums.withColumn("u16", u16)
+        .withColumn("u", F.expr("(CAST(u16 AS DOUBLE) + 0.5) / 65536"))
+        .select(
+            "o_orderpriority",
+            (
+                (
+                    F.col("s") * _DP_SCALE
+                    + F.expr(f"CAST(round(({lap}) * {_DP_SCALE}) AS BIGINT)")
+                )
+                / float(_DP_SCALE * 100)
+            ).alias("noisy_total"),
+            F.lit(float(_DP_EPS)).alias("epsilon"),
+            F.lit(float(_DP_CLIP_C) / 100.0).alias("clip"),
+        )
+    )
+
+
+ORACLE_DP_NOISY_SUM = f"""
+WITH clipped AS (
+  SELECT o_orderpriority,
+         LEAST(GREATEST(CAST(round(o_totalprice * 100) AS BIGINT), 0),
+               {_DP_CLIP_C}) AS c
+  FROM orders
+), sums AS (
+  SELECT o_orderpriority, SUM(c) AS s FROM clipped GROUP BY 1
+), seeded AS (
+  SELECT o_orderpriority, s,
+         (CAST(('0x' || substr(md5('dpsum|' || o_orderpriority), 1, 4))::BIGINT
+            AS DOUBLE) + 0.5) / 65536 AS u
+  FROM sums
+)
+SELECT o_orderpriority,
+       (s * {_DP_SCALE} + CAST(round((-{float(_DP_CLIP_C) / _DP_EPS}
+          * CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END
+          * ln(1.0 - 2.0 * abs(u - 0.5))) * {_DP_SCALE}) AS BIGINT))
+         / {float(_DP_SCALE * 100)} AS noisy_total,
+       {float(_DP_EPS)} AS epsilon,
+       {float(_DP_CLIP_C) / 100.0} AS clip
+FROM seeded
+"""
+
+register("dp_noisy_sum", q_dp_noisy_sum, ORACLE_DP_NOISY_SUM)

@@ -671,3 +671,101 @@ FROM agg
 """
 
 register("fleiss_kappa", q_fleiss_kappa, ORACLE_FLEISS_KAPPA)
+
+
+def q_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order value differ across the five
+    order priorities? F = (SSB/(k-1)) / (SSW/(N-k)) from exact
+    sufficient statistics — n_g and Σcents as BIGINT, Σcents² carried
+    in DECIMAL(38,0) (cents² overflows BIGINT around sf0.1, the
+    matview_variance lesson). The per-group terms S_g²/n_g are doubles,
+    so their SUM is made order-FIXED by folding a group-name-sorted
+    array sequentially (the pca/bm25 chained-fold recipe) — both
+    engines add the same five doubles in the same order, and the two
+    closing divisions are single IEEE ops. Scale: ONE
+    map-side-combinable agg over the fact table; everything after runs
+    on the 5-row group frame."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q"),
+    )
+    per = g.select(
+        "o_orderpriority",
+        "n",
+        "s",
+        "q",
+        (
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("t"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.array_sort(
+            F.collect_list(F.struct("o_orderpriority", "t"))
+        ).alias("terms"),
+    )
+    tsum = F.expr(
+        "aggregate(terms, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)"
+    )
+    grand = (
+        F.col("ss").cast("double") * F.col("ss").cast("double")
+        / F.col("nn").cast("double")
+    )
+    ssb = tsum - grand
+    ssw = F.col("qq").cast("double") - tsum
+    f_stat = (ssb / (F.col("k") - F.lit(1)).cast("double")) / (
+        ssw / (F.col("nn") - F.col("k")).cast("double")
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nn").alias("n_rows"),
+        F.round(ssb / 1e4, 4).alias("ssb_dollars2"),
+        F.round(ssw / 1e4, 4).alias("ssw_dollars2"),
+        F.round(f_stat, 8).alias("f_stat"),
+    )
+
+
+ORACLE_ANOVA_PRIORITY = """
+WITH g AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+         SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS q
+  FROM orders GROUP BY 1
+), per AS (
+  SELECT o_orderpriority, n, s, q,
+         CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS t
+  FROM g
+), agg AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(t ORDER BY o_orderpriority)),
+           (acc, x) -> acc + x) AS tsum
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nn AS BIGINT) AS n_rows,
+       round((tsum - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(nn AS DOUBLE)) / 1e4, 4) AS ssb_dollars2,
+       round((CAST(qq AS DOUBLE) - tsum) / 1e4, 4) AS ssw_dollars2,
+       round(((tsum - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+               / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(qq AS DOUBLE) - tsum)
+                / CAST(nn - k AS DOUBLE)), 8) AS f_stat
+FROM agg
+"""
+
+register("anova_priority", q_anova_priority, ORACLE_ANOVA_PRIORITY)
