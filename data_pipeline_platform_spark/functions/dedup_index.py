@@ -31,7 +31,7 @@ is |docs| rows; history is never re-shingled.
 from __future__ import annotations
 
 import tempfile
-from typing import Dict
+from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -361,14 +361,48 @@ class IncrementalAnnIndex:
     file pruning makes that literal). Marker-guarded appends give
     exactly-once batch ingestion like the LSH/embedding indexes."""
 
-    def __init__(self, spark: SparkSession, centroids_path: str, ivf_path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        centroids_path: str,
+        ivf_path: str,
+        pq_path: Optional[str] = None,
+    ):
         self.spark = spark
         self.centroids = AcidTable(spark, centroids_path)
         self.ivf = AcidTable(spark, ivf_path)
+        #: optional persisted residual-PQ codebook (functions/pq.py):
+        #: with it, every indexed row also stores its M sub-codes and
+        #: ``search_adc`` generates candidates WITHOUT touching raw
+        #: vectors — the FAISS IndexIVFPQ serving layout, persisted
+        self.pq = AcidTable(spark, pq_path) if pq_path else None
+
+    def _residuals(self, assigned: DataFrame, cent: DataFrame) -> DataFrame:
+        return assigned.join(F.broadcast(cent), "cell").select(
+            "vec_id",
+            F.expr("zip_with(vec, cvec, (x, y) -> x - y)").alias("vec"),
+        )
+
+    def _with_codes(self, assigned: DataFrame, cent: DataFrame) -> DataFrame:
+        """Attach the residual-PQ code array (element i = block i's
+        code) to an assigned batch, encoding against the FROZEN stored
+        sub-quantizers."""
+        from data_pipeline_platform_spark.functions.pq import pq_encode
+
+        codes = pq_encode(self._residuals(assigned, cent), self.pq.read())
+        arr = codes.groupBy("vec_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(block, code))), "
+                "x -> x.code)"
+            ).alias("codes")
+        )
+        return assigned.join(arr, "vec_id")
 
     def train(self, emb: DataFrame, batch_id: int = 0) -> None:
         """``emb``: (vec_id, label, vec array<double>) — the training
-        base; also becomes the first indexed batch."""
+        base; also becomes the first indexed batch. With a PQ store,
+        the sub-quantizers fit on the BASE's residuals and freeze with
+        the centroids (add-after-train for both quantizer levels)."""
         from data_pipeline_platform_spark.functions.similarity import (
             ivfx_assign,
             ivfx_train,
@@ -384,10 +418,21 @@ class IncrementalAnnIndex:
             # table is the quantizer search_by_id probes with, and a
             # disagreeing ivf would hide vectors in never-probed cells
             cent = self.centroids.read()
-        if batch_id > _last_batch(self.ivf, _ANN_STREAM):
-            self.ivf.write(
-                ivfx_assign(emb, cent), mode="append", extra_meta=marker
+        assigned = ivfx_assign(emb, cent)
+        if self.pq is not None and not self.pq.exists():
+            from data_pipeline_platform_spark.functions.pq import pq_train
+
+            self.pq.write(
+                pq_train(self._residuals(assigned, cent)),
+                extra_meta=marker,
             )
+        if batch_id > _last_batch(self.ivf, _ANN_STREAM):
+            rows = (
+                self._with_codes(assigned, cent)
+                if self.pq is not None
+                else assigned
+            )
+            self.ivf.write(rows, mode="append", extra_meta=marker)
 
     def add_batch(self, emb: DataFrame, batch_id: int) -> None:
         from data_pipeline_platform_spark.functions.similarity import (
@@ -396,8 +441,11 @@ class IncrementalAnnIndex:
 
         cent = self.centroids.read()
         if batch_id > _last_batch(self.ivf, _ANN_STREAM):
+            rows = ivfx_assign(emb, cent)
+            if self.pq is not None:
+                rows = self._with_codes(rows, cent)
             self.ivf.write(
-                ivfx_assign(emb, cent),
+                rows,
                 mode="append",
                 extra_meta={"stream_id": _ANN_STREAM, "batch_id": batch_id},
             )
@@ -454,6 +502,91 @@ class IncrementalAnnIndex:
             .limit(k)
         )
 
+    def search_adc(
+        self,
+        query_vec_id: int,
+        k: int = None,
+        nprobe: int = None,
+        n_cand: int = None,
+    ):
+        """IVFADC search over the PERSISTED index (requires a PQ
+        store): probe the nprobe nearest cells, build one query-
+        residual ADC table per probed cell (nprobe x M x Ks broadcast
+        BIGINT entries), sum exact integers over the STORED code
+        arrays, exact-cosine re-rank the n_cand best. Candidate
+        generation reads (cell, codes) only — at 100 TB the raw
+        vectors are touched for the final n_cand rows alone."""
+        from pyspark.sql.window import Window
+
+        from data_pipeline_platform_spark.functions.pq import (
+            PQ_CAND,
+            PQ_K,
+            _subvectors,
+        )
+        from data_pipeline_platform_spark.functions.similarity import (
+            IVFX_PROBE,
+            _dist_fp_sql,
+            _dot,
+        )
+
+        if self.pq is None:
+            raise ValueError("search_adc requires a pq_path store")
+        k = k or PQ_K
+        nprobe = nprobe or IVFX_PROBE
+        n_cand = n_cand or PQ_CAND
+        cent = self.centroids.read()
+        pqc = self.pq.read()
+        ivf = self.ivf.read()
+        q = ivf.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("vec").alias("qvec")
+        )
+        probed = (
+            cent.crossJoin(F.broadcast(q))
+            .withColumn("qdist", F.expr(_dist_fp_sql("cvec", "qvec")))
+            .withColumn(
+                "__pn", F.row_number().over(Window.orderBy("qdist", "cell"))
+            )
+            .filter(F.col("__pn") <= nprobe)
+            .select("cell", "cvec")
+        )
+        q_resid_sub = _subvectors(
+            probed.crossJoin(F.broadcast(q)).select(
+                "cell",
+                F.expr("zip_with(qvec, cvec, (x, y) -> x - y)").alias("vec"),
+            ),
+            vec_col="vec",
+        ).select("cell", "block", F.col("svec").alias("qsub"))
+        dtable = (
+            pqc.withColumnRenamed("cell", "code")
+            .join(F.broadcast(q_resid_sub), "block")
+            .withColumn("d", F.expr(_dist_fp_sql("cvec", "qsub")))
+            .select("cell", "block", "code", "d")
+        )
+        cand = (
+            ivf.join(F.broadcast(probed.select("cell")), "cell")
+            .filter(F.col("vec_id") != query_vec_id)
+            .select(
+                "vec_id", "cell", F.posexplode("codes").alias("block", "code")
+            )
+            .join(F.broadcast(dtable), ["cell", "block", "code"])
+            .groupBy("vec_id")
+            .agg(F.sum("d").alias("adc"))
+            .orderBy("adc", "vec_id")
+            .limit(n_cand)
+        )
+        return (
+            ivf.join(F.broadcast(cand), "vec_id")
+            .crossJoin(F.broadcast(q))
+            .withColumn(
+                "cosine",
+                _dot("vec", "qvec")
+                / (F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qvec", "qvec"))),
+            )
+            .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(k)
+        )
+
 
 def q_ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three ingestion batches through the persisted IVF index: the
@@ -482,15 +615,17 @@ def q_ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search_by_id(0)
 
 
-def _register_ann_incremental() -> None:
+def _subset_index_sql() -> str:
+    """Open-ended CTE chain (base/carr/ivf) for the TRAIN-ON-SUBSET
+    deterministic IVF index: quantizer fit on vec_id % 3 == 1 only,
+    frozen assignment over the full corpus — the add-after-train
+    contract both persisted-index oracles replay."""
     from data_pipeline_platform_spark.functions.similarity import (
         IVFX_CELLS,
-        IVFX_K,
-        IVFX_PROBE,
         _duck_dist_fp,
     )
 
-    oracle = f"""
+    return f"""
 WITH base AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
 ), train AS (
@@ -521,7 +656,18 @@ WITH base AS (
            row_number() OVER (PARTITION BY b.vec_id
              ORDER BY {_duck_dist_fp('b.vec', 'ca.cvec')}, ca.cell) AS rn
     FROM base b CROSS JOIN carr ca
-  ) WHERE rn = 1
+  ) WHERE rn = 1"""
+
+
+def _register_ann_incremental() -> None:
+    from data_pipeline_platform_spark.functions.similarity import (
+        IVFX_K,
+        IVFX_PROBE,
+        _duck_dist_fp,
+    )
+
+    oracle = f"""
+{_subset_index_sql()}
 ), q AS (
   SELECT vec AS qvec FROM ivf WHERE vec_id = 0
 ), probed AS (
@@ -615,3 +761,51 @@ def _erase_from(index: AcidTable, pairs, id_col: str,
         finally:
             doomed.unpersist(blocking=False)
     return {"rows_erased": removed_rows, "pairs_erased": removed_pairs}
+
+
+def q_ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVFADC index end to end (the production serving
+    capstone): the IVF quantizer AND the residual-PQ sub-quantizers
+    both train on batch 0 ONLY and freeze; batches 1-2 assign + encode
+    against the stored tables and append (codes ride in the inverted
+    file's rows); the search probes cells, scores STORED codes against
+    per-probed-cell query-residual ADC tables (exact BIGINTs), and
+    exact-cosine re-ranks. The oracle replays the train-on-subset IVF,
+    the subset-trained sub-quantizers, the full-corpus frozen encode,
+    and the ADC search — so add-after-train at BOTH quantizer levels is
+    value-graded against the one-shot build."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    idx = IncrementalAnnIndex(
+        spark,
+        tempfile.mkdtemp(prefix="pqcent_"),
+        tempfile.mkdtemp(prefix="pqivf_"),
+        pq_path=tempfile.mkdtemp(prefix="pqsub_"),
+    )
+    idx.train(emb.filter(F.col("vec_id") % 3 == 1), batch_id=0)
+    idx.add_batch(emb.filter(F.col("vec_id") % 3 == 2), batch_id=1)
+    idx.add_batch(emb.filter(F.col("vec_id") % 3 == 0), batch_id=2)
+    return idx.search_adc(0)
+
+
+def _register_ann_ivfpq_incremental() -> None:
+    from data_pipeline_platform_spark.functions.pq import oracle_ivfpq_sql
+
+    register(
+        "ann_ivfpq_incremental",
+        q_ann_ivfpq_incremental,
+        oracle_ivfpq_sql(
+            index_sql=_subset_index_sql(),
+            pq_seed_where="WHERE vec_id % 3 = 1",
+            pq_train_where="WHERE s.vec_id % 3 = 1",
+        ),
+    )
+
+
+_register_ann_ivfpq_incremental()

@@ -345,12 +345,25 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ann_ivfpq() -> str:
+def oracle_ivfpq_sql(
+    index_sql: str = None,
+    pq_seed_where: str = "",
+    pq_train_where: str = "",
+) -> str:
+    """DuckDB SQL replaying residual-PQ-over-IVF end to end.
+    ``index_sql``: an open-ended CTE chain defining base/carr/ivf
+    (defaults to the shared full-corpus DUCK_IVFX_INDEX; the persisted
+    incremental twin passes its train-on-subset variant).
+    ``pq_seed_where`` / ``pq_train_where``: optional WHERE clauses
+    restricting the sub-quantizer's seed pool and training rows (the
+    add-after-train contract: PQ fits on the BASE batch only)."""
     from data_pipeline_platform_spark.functions.similarity import (
         DUCK_IVFX_INDEX,
         IVFX_PROBE,
     )
 
+    if index_sql is None:
+        index_sql = DUCK_IVFX_INDEX
     lat = f"LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS b)"
 
     def sl(col):
@@ -360,7 +373,7 @@ def _oracle_ann_ivfpq() -> str:
         )
 
     return f"""
-{DUCK_IVFX_INDEX}
+{index_sql}
 ), resid AS (
   SELECT i.vec_id, i.label, i.cell,
          list_transform(list_zip(i.vec, ca.cvec), z -> z[1] - z[2]) AS rvec,
@@ -369,7 +382,7 @@ def _oracle_ann_ivfpq() -> str:
 ), pseeds AS (
   SELECT row_number() OVER (ORDER BY h, vec_id) AS seed_id, rvec
   FROM (SELECT vec_id, rvec, md5(CAST(vec_id AS VARCHAR)) AS h
-        FROM resid ORDER BY h, vec_id LIMIT {PQ_KS})
+        FROM resid {pq_seed_where} ORDER BY h, vec_id LIMIT {PQ_KS})
 ), pseed_sub AS (
   SELECT seed_id, b AS block, {sl('rvec')} AS ssub FROM pseeds, {lat}
 ), psub AS (
@@ -379,7 +392,7 @@ def _oracle_ann_ivfpq() -> str:
     SELECT s.block, s.svec, ss.seed_id,
            row_number() OVER (PARTITION BY s.vec_id, s.block
              ORDER BY {_duck_dist_fp('s.svec', 'ss.ssub')}, ss.seed_id) AS rn
-    FROM psub s JOIN pseed_sub ss USING (block)
+    FROM psub s JOIN pseed_sub ss USING (block) {pq_train_where}
   ) WHERE rn = 1
 ), pex AS (
   SELECT block, cell0, i - 1 AS dim, svec[i] AS comp
@@ -444,6 +457,6 @@ ORDER BY cosine DESC, vec_id LIMIT {PQ_K}
 """
 
 
-ORACLE_ANN_IVFPQ_TOPK = _oracle_ann_ivfpq()
+ORACLE_ANN_IVFPQ_TOPK = oracle_ivfpq_sql()
 
 register("ann_ivfpq_topk", q_ann_ivfpq_topk, ORACLE_ANN_IVFPQ_TOPK)

@@ -198,3 +198,49 @@ def test_embedding_erase_and_ann_erase(spark, tmp_path):
     assert {r["vec_id"] for r in ann.ivf.read().collect()} == {1, 3, 4}
     got = [r["vec_id"] for r in ann.search_by_id(1).collect()]
     assert 2 not in got and 3 in got
+
+
+def test_ann_ivfpq_incremental_replay_and_erase(spark, tmp_path):
+    """PQ-backed persisted index: codes ride the inverted-file rows, a
+    redelivered batch skips (marker), and erase() removes the vector
+    from ADC candidacy along with its codes."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.dedup_index import (
+        IncrementalAnnIndex,
+    )
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    idx = IncrementalAnnIndex(
+        spark,
+        str(tmp_path / "cent"),
+        str(tmp_path / "ivf"),
+        pq_path=str(tmp_path / "pq"),
+    )
+    idx.train(emb.filter(F.col("vec_id") % 3 == 1), batch_id=0)
+    idx.add_batch(emb.filter(F.col("vec_id") % 3 == 2), batch_id=1)
+    idx.add_batch(emb.filter(F.col("vec_id") % 3 == 0), batch_id=2)
+    n = idx.ivf.read().count()
+    idx.add_batch(emb.filter(F.col("vec_id") % 3 == 2), batch_id=1)  # replay
+    assert idx.ivf.read().count() == n
+    # every indexed row carries exactly M codes in the sub-code domain
+    from data_pipeline_platform_spark.functions.pq import PQ_KS, PQ_M
+
+    bad = idx.ivf.read().filter(
+        (F.size("codes") != PQ_M)
+        | F.exists("codes", lambda c: (c < 1) | (c > PQ_KS))
+    ).count()
+    assert bad == 0
+    top = idx.search_adc(0).collect()
+    assert len(top) == 10
+    victim = top[0]["vec_id"]
+    idx.erase([victim])
+    after = {r["vec_id"] for r in idx.search_adc(0).collect()}
+    assert victim not in after
