@@ -769,3 +769,124 @@ FROM agg
 """
 
 register("anova_priority", q_anova_priority, ORACLE_ANOVA_PRIORITY)
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H — the k-sample generalization of
+    ``mann_whitney_u`` (does the `value` distribution differ across ALL
+    event types at once, rank-based so outliers cannot dominate the way
+    they can in ``anova_priority``): midranks from the cent-binned
+    value CENSUS (doubled so every rank quantity is an exact BIGINT —
+    the family trick), per-group doubled rank sums as exact integers,
+    the tie-corrected H' = H / (1 - Σ(t³-t)/(N³-N)) with the cubes in
+    DECIMAL/HUGEINT. The k per-group R²/n double terms fold over a
+    type-sorted array (the anova/pca recipe) so both engines add them
+    in one order; two closing divisions. Scale: one census shuffle
+    (value-domain-bounded bins), one unpartitioned window over the
+    ≤|cent domain| bin frame, everything after on k rows."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    census = ev.groupBy(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_bin = census.groupBy("bin").agg(F.sum("cnt").alias("t"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    mid = per_bin.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(w), F.lit(0))
+    ).select(
+        "bin", (2 * F.col("cum_before") + F.col("t") + 1).alias("midrank2")
+    )
+    g = (
+        census.join(mid, "bin")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_g"),
+            F.sum(F.col("cnt") * F.col("midrank2")).alias("r2_g"),
+        )
+    )
+    per = g.select(
+        "event_type",
+        "n_g",
+        (
+            F.col("r2_g").cast("double")
+            * F.col("r2_g").cast("double")
+            / (F.lit(4.0) * F.col("n_g").cast("double"))
+        ).alias("term"),
+    )
+    ties = per_bin.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tsum")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.array_sort(F.collect_list(F.struct("event_type", "term"))).alias(
+            "terms"
+        ),
+    ).crossJoin(F.broadcast(ties))
+    s = F.expr("aggregate(terms, CAST(0.0 AS DOUBLE), (a, x) -> a + x.term)")
+    n_d = F.col("n").cast("double")
+    n1_d = (F.col("n") + 1).cast("double")
+    h = F.lit(12.0) * s / (n_d * n1_d) - F.lit(3.0) * n1_d
+    d3 = (
+        F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n")
+        - F.col("n")
+    ).cast("double")
+    c = F.lit(1.0) - F.col("tsum").cast("double") / d3
+    return agg.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").alias("n_rows"),
+        F.round(h, 8).alias("h"),
+        F.round(h / c, 8).alias("h_tie_adjusted"),
+    )
+
+
+ORACLE_KRUSKAL_WALLIS = """
+WITH census AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), per_bin AS (
+  SELECT bin, SUM(cnt) AS t FROM census GROUP BY 1
+), mid AS (
+  SELECT bin,
+         2 * COALESCE(SUM(t) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS midrank2
+  FROM per_bin
+), g AS (
+  SELECT event_type, SUM(cnt) AS n_g, SUM(cnt * midrank2) AS r2_g
+  FROM census JOIN mid USING (bin) GROUP BY 1
+), per AS (
+  SELECT event_type, n_g,
+         CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+           / (4.0 * CAST(n_g AS DOUBLE)) AS term
+  FROM g
+), ties AS (
+  SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tsum,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM per_bin
+), agg AS (
+  SELECT COUNT(*) AS k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(term ORDER BY event_type)),
+                     (a, x) -> a + x) AS s
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       n AS n_rows,
+       round(12.0 * s / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+             - 3.0 * CAST(n + 1 AS DOUBLE), 8) AS h,
+       round((12.0 * s / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+              - 3.0 * CAST(n + 1 AS DOUBLE))
+             / (1.0 - CAST(tsum AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)),
+             8) AS h_tie_adjusted
+FROM agg, ties
+"""
+
+register("kruskal_wallis", q_kruskal_wallis, ORACLE_KRUSKAL_WALLIS)

@@ -757,6 +757,71 @@ class AcidTable:
     # ------------------------------------------------------------------
     # shallow clone
     # ------------------------------------------------------------------
+    def version_as_of(self, ts: float) -> int:
+        """Newest RESOLVED version whose commit timestamp is <= ts (the
+        Delta TIMESTAMP AS OF contract). Raises if the table's first
+        commit is later than ts."""
+        best = 0
+        for v in range(1, self.latest_version() + 1):
+            commit = self._read_commit(v)
+            if self._txn_state(commit) in ("pending", "aborted"):
+                continue
+            if commit["ts"] <= ts:
+                best = v
+        if best == 0:
+            raise ValueError(
+                f"no committed version at or before ts={ts} at {self.path}"
+            )
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Time travel by wall-clock timestamp (`read` by version is the
+        deterministic primary; this is the operator-convenience form)."""
+        return self.read(version=self.version_as_of(ts))
+
+    def deep_clone(self, dest_path: str) -> "AcidTable":
+        """Delta DEEP CLONE: physically COPY the current snapshot's data
+        files (and deletion-vector sidecars) into an independent table
+        with a fresh single-commit log. Unlike the zero-copy shallow
+        ``clone``, the result shares NOTHING with the source — vacuum
+        either side freely; this is the disaster-recovery / cross-
+        region replication primitive (at scale the file copy is the
+        object-store server-side copy, one request per file).
+        Constraints and FKs carry over; history does not (the clone's
+        v1 IS its genesis — by design, a DR copy of state not
+        lineage)."""
+        import shutil
+
+        dest = AcidTable(self.spark, dest_path)
+        if dest.exists():
+            raise FileExistsError(f"clone target {dest.path} is not empty")
+        os.makedirs(dest.path, exist_ok=True)
+        add = []
+        for a in self.snapshot_files():
+            new_path = os.path.join(dest.path, os.path.basename(a["path"]))
+            shutil.copy2(a["path"], new_path)
+            action = dict(a)
+            action["path"] = new_path
+            dv = a.get("dv")
+            if dv:
+                dv_dir = os.path.join(dest.path, _DV_DIR)
+                os.makedirs(dv_dir, exist_ok=True)
+                new_dv = os.path.join(dv_dir, os.path.basename(dv["path"]))
+                shutil.copy2(dv["path"], new_dv)
+                action["dv"] = dict(dv) | {"path": new_dv}
+            add.append(action)
+        dest._commit(0, "DEEP_CLONE", add, [],
+                     meta={"source": self.path,
+                           "source_version": self.latest_version()},
+                     schema=self.table_schema())
+        for name, expr in self.constraints().items():
+            dest._commit(dest.latest_version(), "SET_CONSTRAINT", [], [],
+                         meta={"name": name, "expr": expr})
+        for name, fk in self.fk_constraints().items():
+            dest._commit(dest.latest_version(), "SET_FK", [], [],
+                         meta={"name": name, **fk})
+        return dest
+
     def clone(self, dest_path: str) -> "AcidTable":
         """Zero-copy snapshot clone (Delta SHALLOW CLONE): the clone's
         v1 REFERENCES this table's current live data files, so cloning

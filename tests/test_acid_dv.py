@@ -264,3 +264,39 @@ def test_compact_small_purges_dv_on_small_files_only(spark, tmp_path):
     assert out["files_compacted"] == 2
     assert not any(a.get("dv") for a in table.snapshot_files())
     assert table.read().count() == 90
+
+
+def test_timestamp_time_travel(spark, table):
+    import time as _t
+
+    _base(spark, table)
+    t_mid = _t.time()
+    _t.sleep(0.05)
+    table.delete("k % 10 = 3", mode="dv")
+    assert table.version_as_of(t_mid) == 1
+    assert table.read_as_of(t_mid).count() == 100
+    assert table.read_as_of(_t.time()).count() == 90
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no committed version"):
+        table.version_as_of(0.0)
+
+
+def test_deep_clone_is_independent_and_content_equal(spark, table, tmp_path):
+    _base(spark, table)
+    table.delete("k % 10 = 3", mode="dv")  # clone must carry the DV
+    table.add_constraint("k_pos", "k > 0")
+    dest = table.deep_clone(str(tmp_path / "dr"))
+    # content equal (incl. the deletion vector's effect)
+    src_rows = sorted((r["k"], r["v"]) for r in table.read().collect())
+    dst_rows = sorted((r["k"], r["v"]) for r in dest.read().collect())
+    assert src_rows == dst_rows and len(dst_rows) == 90
+    assert dest.constraints() == {"k_pos": "k > 0"}
+    # independence: vacuum + mutate the SOURCE; the clone is untouched
+    table.delete("TRUE")
+    table.vacuum()
+    assert dest.read().count() == 90
+    assert dest.fsck()["ok"]
+    # and the reverse: the clone's own writes never touch the source
+    dest.delete("k = 2")
+    assert dest.read().count() == 89

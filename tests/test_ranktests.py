@@ -246,3 +246,43 @@ def test_conformal_interval_coverage_and_selection(spark):
     scores = sorted(abs(cal.cents - cal.c_mktsegment.map(pred)))
     k = math.ceil((len(scores) + 1) * 0.9)
     assert row.q_hat_cents == scores[k - 1]
+
+
+def test_kruskal_wallis_matches_python_replay(spark):
+    """Textbook-math replay: midranks with ties, per-group rank sums,
+    H and the tie correction computed independently in Python over the
+    same events slice must match the engine to the rounded precision."""
+    from collections import Counter, defaultdict
+
+    import __spark_entry__ as se
+    from tests.conftest import SF_DIR
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("b")
+    ).collect()
+    by_bin = Counter(r["b"] for r in ev)
+    # midrank of every value in bin: cum_before + (t + 1) / 2
+    mid = {}
+    cum = 0
+    for b in sorted(by_bin):
+        t = by_bin[b]
+        mid[b] = cum + (t + 1) / 2
+        cum += t
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(mid[r["b"]])
+    n = len(ev)
+    s = sum(
+        sum(v) ** 2 / len(v) for _, v in sorted(groups.items())
+    )
+    h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+    ties = sum(t**3 - t for t in by_bin.values())
+    h_adj = h / (1.0 - ties / (n**3 - n))
+
+    out = se.queries()["kruskal_wallis"](spark, SF_DIR).collect()[0]
+    assert out["k_groups"] == len(groups)
+    assert out["n_rows"] == n
+    assert abs(out["h"] - h) < 1e-6
+    assert abs(out["h_tie_adjusted"] - h_adj) < 1e-6
