@@ -990,3 +990,49 @@ WHERE s.o_custkey IS NOT NULL OR NOT (b.o_totalprice < 50000)
 """
 
 register("merge_sync_mirror", q_merge_sync_mirror, ORACLE_MERGE_SYNC_MIRROR)
+
+
+def q_wap_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish under the gate (sinks/wap.py): three ingest
+    waves stage invisibly under single-table transactions; the DQ rule
+    set audits EXACTLY the staged files and the atomic decide publishes
+    or aborts. Wave B carries negated prices that violate the in_range
+    rule — it must vanish without ever being readable; the oracle
+    replays only the accepted waves, so any leakage of the aborted
+    stage (or a lost accepted wave) is a value mismatch."""
+    from data_pipeline_platform_spark.sinks.wap import write_audit_publish
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    rules = [
+        {"rule": "in_range", "column": "o_totalprice",
+         "min": 0.0, "max": 1e7},
+        {"rule": "not_null", "column": "o_custkey"},
+    ]
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="wap_gated_"))
+    coord = tempfile.mkdtemp(prefix="wap_coord_")
+    wave_a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    wave_b = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_custkey") % 5 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    wave_c = orders.filter(F.col("o_orderkey") % 3 == 2)
+    outcomes = [
+        write_audit_publish(table, w, rules, coordinator_dir=coord,
+                            stats_cols=["o_orderkey"])
+        for w in (wave_a, wave_b, wave_c)
+    ]
+    assert [o["published"] for o in outcomes] == [True, False, True]
+    return table.read().select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+ORACLE_WAP_GATED_INGEST = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 2
+"""
+
+register("wap_gated_ingest", q_wap_gated_ingest, ORACLE_WAP_GATED_INGEST)

@@ -491,3 +491,38 @@ def test_reattach_recovers_membership_after_coordinator_restart(
         coord, [facts, audit], at={facts.path: 2, audit.path: 1}
     )
     assert cut == {facts.path: 1, audit.path: 1}
+
+
+def test_wap_staged_rows_never_visible_and_abort_is_vacuumable(spark, tmp_path):
+    """Write-Audit-Publish (sinks/wap.py): a failing wave's rows are
+    never readable at ANY point, the txn aborts atomically, and the
+    staged files become vacuum-able orphans; a passing wave publishes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.sinks.acid import AcidTable
+    from data_pipeline_platform_spark.sinks.wap import write_audit_publish
+
+    table = AcidTable(spark, str(tmp_path / "t"))
+    rules = [{"rule": "in_range", "column": "v", "min": 0, "max": 100}]
+    good = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    bad = spark.createDataFrame([(3, -5), (4, 30)], "k long, v long")
+
+    out1 = write_audit_publish(table, good, rules,
+                               coordinator_dir=str(tmp_path / "c"))
+    assert out1["published"] and table.read().count() == 2
+
+    out2 = write_audit_publish(table, bad, rules,
+                               coordinator_dir=str(tmp_path / "c"))
+    assert not out2["published"] and out2["failed_rules"] == 1
+    # the aborted wave is invisible and its commit slot resolved
+    assert {r["k"] for r in table.read().collect()} == {1, 2}
+    assert table.fsck()["pending_txns"] == []
+    # staged orphans reclaimable
+    removed = table.vacuum()
+    assert removed  # the aborted wave's data file(s)
+    assert table.read().count() == 2
+    # report carries per-rule outcomes
+    assert any(r["rule"] == "in_range" and r["violations"] == 1
+               for r in out2["report"])
