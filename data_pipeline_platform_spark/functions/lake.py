@@ -1036,3 +1036,77 @@ WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 2
 """
 
 register("wap_gated_ingest", q_wap_gated_ingest, ORACLE_WAP_GATED_INGEST)
+
+
+def q_merge_update_set_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-column MERGE (sinks/acid.py merge_update_set — the Delta
+    UPDATE SET refinement of the reference's whole-row ON CONFLICT):
+    a delta batch INCREMENTS matched balances (t.balance_c +
+    s.delta_c) while every unlisted column keeps its stored value, and
+    unmatched delta rows insert with their delta as the opening
+    balance. Two waves accumulate — a whole-row merge would wipe the
+    first wave's increments; the oracle folds both deltas over the
+    base in SQL, so any column bleed or lost increment is a value
+    mismatch."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "balance_c"
+        ),
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="merge_set_"))
+    table.write(base.repartition(4, "o_orderkey"), stats_cols=["o_orderkey"])
+    d1 = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", F.lit(500).cast("bigint").alias("delta_c")
+    )
+    d2 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit(250).cast("bigint").alias("delta_c")
+    )
+    for d in (d1, d2):
+        table.merge_update_set(
+            d,
+            keys=["o_orderkey"],
+            set_exprs={"balance_c": "t.balance_c + s.delta_c"},
+            insert_defaults={
+                "balance_c": "s.delta_c",
+                "o_orderpriority": "'NEW'",
+            },
+        )
+    return table.read().select(
+        "o_orderkey", "o_orderpriority", "balance_c"
+    )
+
+
+ORACLE_MERGE_UPDATE_SET_ORDERS = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS balance_c
+  FROM orders WHERE o_orderkey % 2 = 0
+), d1 AS (
+  SELECT o_orderkey, 500 AS delta_c FROM orders WHERE o_orderkey % 4 = 0
+), s1 AS (
+  SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+         CASE WHEN b.o_orderkey IS NULL THEN 'NEW'
+              ELSE b.o_orderpriority END AS o_orderpriority,
+         CASE WHEN b.o_orderkey IS NULL THEN d.delta_c
+              WHEN d.o_orderkey IS NULL THEN b.balance_c
+              ELSE b.balance_c + d.delta_c END AS balance_c
+  FROM base b FULL JOIN d1 d ON b.o_orderkey = d.o_orderkey
+), d2 AS (
+  SELECT o_orderkey, 250 AS delta_c FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NULL THEN 'NEW'
+            ELSE s.o_orderpriority END AS o_orderpriority,
+       CASE WHEN s.o_orderkey IS NULL THEN d.delta_c
+            WHEN d.o_orderkey IS NULL THEN s.balance_c
+            ELSE s.balance_c + d.delta_c END AS balance_c
+FROM s1 s FULL JOIN d2 d ON s.o_orderkey = d.o_orderkey
+"""
+
+register(
+    "merge_update_set_orders", q_merge_update_set_orders,
+    ORACLE_MERGE_UPDATE_SET_ORDERS,
+)

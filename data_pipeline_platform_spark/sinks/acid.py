@@ -1561,6 +1561,83 @@ class AcidTable:
         df = self._scan(keep, schema)
         return df.filter(F.col(col).isin(list(values)))
 
+    def merge_update_set(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        set_exprs: Dict[str, str],
+        insert_defaults: Optional[Dict[str, str]] = None,
+        extra_meta: Optional[Dict[str, Any]] = None,
+        txn: Optional[Dict[str, str]] = None,
+    ) -> Dict[str, int]:
+        """MERGE ... WHEN MATCHED THEN UPDATE SET col = expr — PARTIAL
+        column updates computed from BOTH rows (aliases ``s`` = source,
+        ``t`` = matched target), e.g. ``{"balance_c": "t.balance_c +
+        s.delta_c"}``; unlisted target columns KEEP their values (plain
+        ``merge`` replaces whole rows — the reference ON CONFLICT
+        contract; this is the Delta UPDATE SET refinement). Unmatched
+        source rows insert: ``insert_defaults`` (exprs over ``s``
+        alone) decide listed columns, otherwise same-named source
+        columns, otherwise typed NULL (a ``t``-referencing set expr has
+        no target row to read on the insert side, so it never applies
+        there).
+
+        Resolution mirrors merge_conditional: ONE snapshot read
+        restricted to candidate rows by a broadcast semi-join on the
+        batch's keys, then ONE atomic file-pruned ``merge``."""
+        key_list = list(keys)
+        current = self.table_schema()
+        if current is None:
+            raise FileNotFoundError(
+                f"merge_update_set target {self.path} has no schema; "
+                "create the table first"
+            )
+        tgt_cols = [f.name for f in current.fields]
+        src = source.dropDuplicates(key_list).alias("s")
+        target = self.read().alias("t")
+        probe = src.select(*[F.col(f"s.{k}").alias(k) for k in key_list])
+        tcond = F.lit(True)
+        for k in key_list:
+            tcond = tcond & F.col(f"t.{k}").eqNullSafe(F.col(f"p.{k}"))
+        touched = target.join(
+            F.broadcast(probe).alias("p"), tcond, "left_semi"
+        ).alias("t")
+        cond = F.lit(True)
+        for k in key_list:
+            cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+        matched = src.join(touched, cond, "inner")
+
+        def _updated(c: str) -> F.Column:
+            if c in set_exprs:
+                return F.expr(set_exprs[c]).alias(c)
+            return F.col(f"t.{c}").alias(c)
+
+        upserts = matched.select(*[_updated(c) for c in tgt_cols])
+        src_cols = set(source.columns)
+        defaults = insert_defaults or {}
+
+        tgt_types = {f.name: f.dataType for f in current.fields}
+
+        def _inserted(c: str) -> F.Column:
+            if c in defaults:
+                return F.expr(defaults[c]).alias(c)
+            if c in src_cols:
+                return F.col(f"s.{c}").alias(c)
+            return F.lit(None).cast(tgt_types[c]).alias(c)
+
+        inserts = (
+            src.join(touched, cond, "left_anti")
+            .alias("s")
+            .select(*[_inserted(c) for c in tgt_cols])
+        )
+        return self.merge(
+            upserts.unionByName(inserts),
+            keys=key_list,
+            extra_meta=dict(extra_meta or {})
+            | {"merge_update_set": dict(set_exprs)},
+            txn=txn,
+        )
+
     def merge_conditional(
         self,
         source: DataFrame,

@@ -7,6 +7,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_pipeline_platform_spark.sinks.acid import AcidTable, CommitConflictError
 
@@ -908,3 +909,25 @@ class TestBloomPointLookup:
         }
         t.drop_bloom_index(["k"])
         assert t.bloom_columns() == set()
+
+
+def test_merge_update_set_partial_columns(spark, table):
+    """UPDATE SET touches only listed columns; unlisted keep values;
+    inserts take defaults / source / typed NULL."""
+    table.write(
+        _df(spark, [(1, "keep-a"), (2, "keep-b")]).withColumn(
+            "bal", F.lit(100).cast("bigint")
+        ),
+        stats_cols=["k"],
+    )
+    delta = spark.createDataFrame([(1, 7), (9, 3)], "k long, d long")
+    table.merge_update_set(
+        delta,
+        keys=["k"],
+        set_exprs={"bal": "t.bal + s.d"},
+        insert_defaults={"bal": "s.d"},
+    )
+    rows = {r["k"]: (r["v"], r["bal"]) for r in table.read().collect()}
+    assert rows[1] == ("keep-a", 107)   # updated, v untouched
+    assert rows[2] == ("keep-b", 100)   # unmatched target untouched
+    assert rows[9] == (None, 3)         # insert: default bal, NULL v
