@@ -48,14 +48,23 @@ def write_audit_publish(
     txn = MultiTableTxn(coordinator_dir)
     version = table.write(df, mode=mode, txn=txn._ref(), **write_kw)
     txn.record(table.path, version)
-    staged_actions = table._read_commit(version)["add"]
-    if staged_actions:
-        staged = table._scan(staged_actions, table.table_schema(version))
-    else:
-        staged = df.limit(0)
-    report_rows: List[Dict] = [
-        r.asDict() for r in run_checks(staged, list(rules), refs).collect()
-    ]
+    # Audit failures of ANY kind must never leave the table blocked
+    # behind a pending txn: a crashed rule (typo'd expr, transient scan
+    # error) aborts the stage — conservative: un-audited data does not
+    # publish — and re-raises for the caller.
+    try:
+        staged_actions = table._read_commit(version)["add"]
+        if staged_actions:
+            staged = table._scan(staged_actions, table.table_schema(version))
+        else:
+            staged = df.limit(0)
+        report_rows: List[Dict] = [
+            r.asDict()
+            for r in run_checks(staged, list(rules), refs).collect()
+        ]
+    except Exception:
+        txn.abort()
+        raise
     failed = [r for r in report_rows if not r["passed"]]
     if failed:
         txn.abort()

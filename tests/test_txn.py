@@ -526,3 +526,29 @@ def test_wap_staged_rows_never_visible_and_abort_is_vacuumable(spark, tmp_path):
     # report carries per-rule outcomes
     assert any(r["rule"] == "in_range" and r["violations"] == 1
                for r in out2["report"])
+
+
+def test_wap_audit_crash_aborts_instead_of_blocking(spark, tmp_path):
+    """A rule that itself crashes must abort the stage (un-audited data
+    never publishes) and leave the table unblocked for the next wave."""
+    import pytest as _pt
+
+    from data_pipeline_platform_spark.sinks.acid import AcidTable
+    from data_pipeline_platform_spark.sinks.wap import write_audit_publish
+
+    table = AcidTable(spark, str(tmp_path / "t"))
+    good = spark.createDataFrame([(1, 10)], "k long, v long")
+    write_audit_publish(table, good,
+                        [{"rule": "not_null", "column": "k"}],
+                        coordinator_dir=str(tmp_path / "c"))
+    with _pt.raises(Exception):
+        write_audit_publish(
+            table, good, [{"rule": "expr", "expr": "no_such_col > 0"}],
+            coordinator_dir=str(tmp_path / "c"),
+        )
+    # table not blocked: the crashed wave aborted, a new wave publishes
+    assert table.fsck()["pending_txns"] == []
+    out = write_audit_publish(table, good,
+                              [{"rule": "not_null", "column": "k"}],
+                              coordinator_dir=str(tmp_path / "c"))
+    assert out["published"]
