@@ -346,3 +346,96 @@ GROUP BY 1, 2
 """
 
 _register("bloom_prune_join", q_bloom_prune_join, ORACLE_BLOOM_PRUNE_JOIN)
+
+
+def assign_sequential_ids(
+    df: DataFrame,
+    order_by,
+    id_col: str = "seq_id",
+    start: int = 1,
+    num_partitions: int = None,
+):
+    """Globally sequential, gap-free ids in ``order_by`` order WITHOUT a
+    global window — the distributed substitute for
+    ``row_number() OVER (ORDER BY ...)`` (which funnels every row
+    through one task and is banned by this repo's plan gate):
+
+    1. range-repartition on the order columns (equal keys co-locate,
+       partition p holds strictly smaller keys than partition p+1) and
+       PERSIST — the partitioning must be pinned, because the range
+       partitioner samples and the two downstream jobs must see the
+       same boundaries;
+    2. one count-per-partition pass (|partitions| rows to the driver)
+       gives each partition its exclusive prefix offset;
+    3. a PARTITION-LOCAL row_number + the broadcast offset closes the
+       global rank.
+
+    The result is independent of the sampled boundaries: each row's id
+    is its global rank in ``order_by`` order, provided the order
+    columns form a TOTAL order (ties would make ranks arbitrary within
+    the tie — pass a tie-breaking column; the census-style proof is in
+    the graded twin's oracle, a literal ROW_NUMBER OVER (ORDER BY ..))."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_platform_spark.utils.cache import tracked_persist
+
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = tracked_persist(
+        df.repartitionByRange(n, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in parts.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets, acc = [], start
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = df.sparkSession.createDataFrame(
+        offsets, "__pid int, __off bigint"
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        parts.join(F.broadcast(off), "__pid")
+        .withColumn(
+            id_col, F.row_number().over(w) + F.col("__off") - F.lit(1)
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def q_sequential_ids_orders(spark, sf_dir: str) -> DataFrame:
+    """Gap-free global ranks over orders by (o_orderdate, o_orderkey)
+    with NO global window: range partitions + per-partition offsets.
+    The oracle is the literal ROW_NUMBER() OVER (ORDER BY ...) — the
+    operator must equal the thing its plan refuses to run."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").cast("string").alias("od"),
+    )
+    out = assign_sequential_ids(
+        orders, ["od", "o_orderkey"], id_col="seq_id", num_partitions=8
+    )
+    return out.select("o_orderkey", "od", "seq_id")
+
+
+ORACLE_SEQUENTIAL_IDS_ORDERS = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od,
+       CAST(row_number() OVER (
+         ORDER BY CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderkey
+       ) AS BIGINT) AS seq_id
+FROM orders
+"""
+
+_register(
+    "sequential_ids_orders", q_sequential_ids_orders,
+    ORACLE_SEQUENTIAL_IDS_ORDERS,
+)

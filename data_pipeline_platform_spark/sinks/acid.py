@@ -2116,14 +2116,18 @@ class AcidTable:
         )
         return report
 
-    def vacuum(self, retain_versions: int = 0) -> List[str]:
+    def vacuum(
+        self, retain_versions: int = 0, dry_run: bool = False
+    ) -> List[str]:
         """Remove data files unreferenced by the newest
         ``retain_versions + 1`` snapshots. The default (0) keeps only
         the latest — Delta's aggressive vacuum; a retention window
         keeps time travel (and RESTORE) to the retained versions
         intact, the Delta retention-hours contract expressed in
         versions (deterministic — this engine has no wall-clock
-        dependence anywhere)."""
+        dependence anywhere). ``dry_run``: report what WOULD be removed
+        without touching anything (the Delta VACUUM DRY RUN contract —
+        run it before an aggressive vacuum on a table with clones)."""
         latest = self.latest_version()
         live: set = set()
         live_dv: set = set()
@@ -2150,7 +2154,8 @@ class AcidTable:
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
             if name.endswith(".parquet") and full not in live:
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 removed.append(full)
         # deletion-vector sidecars: orphaned when their file version
         # left the retained snapshots (rewrite/compact/restore/newer DV)
@@ -2159,6 +2164,7 @@ class AcidTable:
             for name in os.listdir(dv_dir):
                 full = os.path.join(dv_dir, name)
                 if name.endswith(".json") and full not in live_dv:
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     removed.append(full)
         return removed

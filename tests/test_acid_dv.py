@@ -300,3 +300,17 @@ def test_deep_clone_is_independent_and_content_equal(spark, table, tmp_path):
     # and the reverse: the clone's own writes never touch the source
     dest.delete("k = 2")
     assert dest.read().count() == 89
+
+
+def test_vacuum_dry_run_reports_without_removing(spark, table):
+    import os as _os
+
+    _base(spark, table)
+    table.delete("k % 10 = 3", mode="dv")
+    table.compact(target_files=1)  # orphans the dv + the old files
+    would = table.vacuum(dry_run=True)
+    assert would
+    assert all(_os.path.exists(p) for p in would)  # nothing touched
+    removed = table.vacuum()
+    assert sorted(removed) == sorted(would)
+    assert all(not _os.path.exists(p) for p in removed)

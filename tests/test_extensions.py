@@ -3085,3 +3085,27 @@ def test_extract_media_metadata_dispatch(spark):
     assert out[2]["container"] == "mp4" and out[2]["duration_ms"] == 10000
     assert out[3]["parsed"] is False and out[3]["container"] == "unknown"
     assert all(out[i]["parsed"] for i in (0, 1, 2))
+
+
+def test_assign_sequential_ids_gap_free_and_boundary_stable(spark):
+    """Gap-free 1..N in order, equal results for any partition count —
+    the sampled range boundaries must not be observable."""
+    from data_pipeline_platform_spark.functions.scale import (
+        assign_sequential_ids,
+    )
+
+    df = spark.range(1, 501).select(
+        (F.col("id") * 7919 % 500).alias("k"), F.col("id").alias("u")
+    )
+    out = {}
+    for n in (2, 8):
+        got = assign_sequential_ids(
+            df, ["k", "u"], num_partitions=n
+        ).collect()
+        ids = sorted(r["seq_id"] for r in got)
+        assert ids == list(range(1, 501))  # gap-free, exactly once
+        out[n] = {(r["k"], r["u"]): r["seq_id"] for r in got}
+    assert out[2] == out[8]  # boundary-independent
+    # order respected: id order == (k, u) order
+    by_id = sorted(out[8].items(), key=lambda kv: kv[1])
+    assert [kv[0] for kv in by_id] == sorted(out[8])
