@@ -166,6 +166,8 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "dv_delete_orders",
     "cdc_tombstone_orders",
+    # full-shuffle global ranking without a global window
+    "sequential_ids_orders",
 ]
 
 
