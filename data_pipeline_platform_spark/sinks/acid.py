@@ -1819,7 +1819,6 @@ class AcidTable:
         add: List[Dict[str, Any]] = []
         remove: List[str] = []
         rewrite_actions: List[Dict[str, Any]] = []
-        rewrite_dead: List[tuple] = []
         n_dv = n_drop = 0
         for a in files:
             name = os.path.basename(a["path"])
@@ -1834,8 +1833,9 @@ class AcidTable:
                 n_drop += 1  # fully dead: drop the file outright
                 continue
             if len(union) >= dv_max_fraction * phys:
+                # survivors recomputed below via the DV-aware scan +
+                # NOT(predicate): exactly phys - |union| rows
                 rewrite_actions.append(a)
-                rewrite_dead.extend((name, int(p)) for p in union)
                 continue
             dv_path = self._write_dv(a["path"], union)
             new_action = dict(a)
