@@ -1787,68 +1787,100 @@ class AcidTable:
         base = self.latest_version()
         files = self.snapshot_files(base)
         schema = self.table_schema(base)
+        # Uniform delete semantics, both modes: a row dies iff the
+        # predicate evaluates to TRUE on it; FALSE and NULL both
+        # survive (ANSI DELETE three-valued logic). survivors keeps
+        # NULL rows — plain NOT(predicate) would silently drop them.
+        dead_pred = F.expr(predicate).eqNullSafe(F.lit(True))
+        survives = ~dead_pred
         if mode == "cow":
             df = self._scan(files, schema, keep_file_col="__f")
             touched = {
                 r["__f"]
-                for r in df.filter(predicate).select("__f").distinct().collect()
+                for r in df.filter(dead_pred).select("__f").distinct().collect()
             }
             hit = [a for a in files if os.path.basename(a["path"]) in touched]
             if not hit:
                 return {"files_rewritten": 0}
-            kept = self._scan(hit, schema).filter(f"NOT ({predicate})")
+            kept = self._scan(hit, schema).filter(survives)
             stats_cols = sorted({c for a in hit for c in (a.get("stats") or {})})
             add = self._write_data_files(kept, stats_cols)
             self._commit(base, "DELETE", add, [a["path"] for a in hit],
                          meta={"predicate": predicate})
             return {"files_rewritten": len(hit)}
-        # merge-on-read: collect matched (file, position) pairs — the
-        # positions ARE the deletion vector, metadata-sized by contract
-        # (large fractions fall back to rewrite below, which bounds the
-        # driver-side list at dv_max_fraction of the touched files)
-        dead = (
-            self._scan(files, schema, keep_file_col="__f", keep_pos_col="__p")
-            .filter(predicate)
+        # merge-on-read, two phases. Phase 1: per-file matched-row
+        # COUNTS only — O(#touched files) on the driver no matter how
+        # broad the predicate is, so a 40%-of-the-table delete never
+        # materializes its positions driver-side. _scan hides rows
+        # already dead under an existing DV, so new matches are
+        # disjoint from old positions and the accumulated dead size is
+        # exactly old_dead + matched.
+        counts = (
+            self._scan(files, schema, keep_file_col="__f")
+            .filter(dead_pred)
             .groupBy("__f")
-            .agg(F.collect_list("__p").alias("__pos"))
+            .agg(F.count(F.lit(1)).alias("__n"))
             .collect()
         )
-        if not dead:
+        if not counts:
             return {"files_rewritten": 0, "files_dv": 0, "files_dropped": 0}
-        by_file = {r["__f"]: sorted(r["__pos"]) for r in dead}
+        n_by_file = {r["__f"]: r["__n"] for r in counts}
         add: List[Dict[str, Any]] = []
         remove: List[str] = []
         rewrite_actions: List[Dict[str, Any]] = []
+        dv_actions: List[Dict[str, Any]] = []
         n_dv = n_drop = 0
         for a in files:
             name = os.path.basename(a["path"])
-            if name not in by_file:
+            if name not in n_by_file:
                 continue
             old_dv = a.get("dv")
-            old_positions = self._load_dv(old_dv["path"]) if old_dv else []
-            union = sorted(set(old_positions) | set(by_file[name]))
-            phys = a["rows"] + (old_dv["dead"] if old_dv else 0)
+            old_dead = old_dv["dead"] if old_dv else 0
+            phys = a["rows"] + old_dead
+            union_size = old_dead + n_by_file[name]
             remove.append(a["path"])
-            if len(union) >= phys:
+            if union_size >= phys:
                 n_drop += 1  # fully dead: drop the file outright
                 continue
-            if len(union) >= dv_max_fraction * phys:
-                # survivors recomputed below via the DV-aware scan +
-                # NOT(predicate): exactly phys - |union| rows
+            if union_size >= dv_max_fraction * phys:
                 rewrite_actions.append(a)
                 continue
-            dv_path = self._write_dv(a["path"], union)
-            new_action = dict(a)
-            new_action["rows"] = phys - len(union)
-            new_action["dv"] = {"path": dv_path, "dead": len(union)}
-            add.append(new_action)
+            dv_actions.append(a)
             n_dv += 1
-        if rewrite_actions:
-            # over-threshold files: COW-rewrite the survivors (live rows
-            # minus every accumulated dead position)
-            kept = self._scan(rewrite_actions, schema).filter(
-                f"NOT ({predicate})"
+        if dv_actions:
+            # Phase 2: collect positions ONLY for under-threshold files
+            # — per file the pre-check bounds the list at
+            # dv_max_fraction * rows, so the driver-side footprint is
+            # metadata-sized by construction, not by hope.
+            dead = (
+                self._scan(
+                    dv_actions, schema, keep_file_col="__f", keep_pos_col="__p"
+                )
+                .filter(dead_pred)
+                .groupBy("__f")
+                .agg(F.collect_list("__p").alias("__pos"))
+                .collect()
             )
+            by_file = {r["__f"]: sorted(r["__pos"]) for r in dead}
+            for a in dv_actions:
+                name = os.path.basename(a["path"])
+                old_dv = a.get("dv")
+                old_positions = self._load_dv(old_dv["path"]) if old_dv else []
+                union = sorted(set(old_positions) | set(by_file[name]))
+                phys = a["rows"] + (old_dv["dead"] if old_dv else 0)
+                dv_path = self._write_dv(a["path"], union)
+                new_action = dict(a)
+                new_action["rows"] = phys - len(union)
+                new_action["dv"] = {"path": dv_path, "dead": len(union)}
+                add.append(new_action)
+        if rewrite_actions:
+            # over-threshold files: COW-rewrite the survivors. _scan
+            # already drops previously-DV'd positions and `survives`
+            # keeps predicate-NULL rows — the same rows the DV branch
+            # would keep alive, so survival never depends on which
+            # branch a file took: exactly phys - old_dead - matched
+            # rows per file.
+            kept = self._scan(rewrite_actions, schema).filter(survives)
             stats_cols = sorted(
                 {c for a in rewrite_actions for c in (a.get("stats") or {})}
             )

@@ -126,11 +126,21 @@ def apply_changes(
     if tombstones:
         # logical deletes: the tombstone row upserts like any event and
         # keeps suppressing stale arrivals forever (delete_when=FALSE —
-        # nothing is physically removed until a compaction policy does)
+        # nothing is physically removed until a compaction policy does).
+        # The cross-batch tie rule must equal the in-batch one (delete
+        # beats upsert at the same sequence), otherwise a same-sequence
+        # upsert delivered in a LATER batch would overwrite a stored
+        # tombstone and resurrect the key — breaking the docstring's
+        # batching-independence guarantee.
+        tombstone_update_when = (
+            f"s.{sequence_by} > t.{sequence_by} OR "
+            f"(s.{sequence_by} = t.{sequence_by} AND NOT "
+            f"(t.{op_col} = '{delete_op}' AND s.{op_col} <> '{delete_op}'))"
+        )
         return table.merge_conditional(
             winners,
             keys=key_list,
-            update_when=seq_newer,
+            update_when=tombstone_update_when,
             delete_when="FALSE",
             insert_when=None,
             extra_meta=dict(extra_meta or {}) | {"cdc": "tombstones"},

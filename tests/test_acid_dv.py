@@ -314,3 +314,44 @@ def test_vacuum_dry_run_reports_without_removing(spark, table):
     removed = table.vacuum()
     assert sorted(removed) == sorted(would)
     assert all(not _os.path.exists(p) for p in removed)
+
+
+def test_null_predicate_rows_survive_in_every_branch(spark, tmp_path):
+    """A row where the predicate evaluates to NULL survives DELETE in
+    all three paths — cow, dv-sidecar, and the dv threshold-fallback
+    rewrite — so survival never depends on which per-file branch fired.
+    (Regression: the rewrite fallback used NOT(predicate), which drops
+    predicate-NULL rows under three-valued logic.)"""
+    rows = [(k, None if k % 5 == 0 else k * 10) for k in range(1, 101)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for mode, frac in (("cow", 0.5), ("dv", 0.5), ("dv", 0.0)):
+        t = AcidTable(spark, str(tmp_path / f"np_{mode}_{frac}"))
+        t.write(df.repartition(4, "k"), stats_cols=["k"], binpack=False)
+        out = t.delete("v > 500", mode=mode, dv_max_fraction=frac) \
+            if mode == "dv" else t.delete("v > 500", mode=mode)
+        if mode == "dv" and frac == 0.0:
+            # force every touched file down the rewrite fallback
+            assert out["files_dv"] == 0 and out["files_rewritten"] >= 1
+        survivors = {r["k"] for r in t.read().collect()}
+        # dead iff v > 500 is TRUE: k in 51..100 with k % 5 != 0
+        want = {k for k in range(1, 101) if k % 5 == 0 or k <= 50}
+        assert survivors == want, (mode, frac)
+        assert t.read().filter("v IS NULL").count() == 20, (mode, frac)
+
+
+def test_dv_broad_predicate_classifies_before_collecting(spark, table):
+    """A broad under-threshold predicate (40% dead) still takes the DV
+    path and yields exact counts — the per-file pre-count classifier
+    must agree with the collected positions."""
+    _base(spark, table)
+    # ~40% dead overall; per-file fractions vary under hash
+    # partitioning, so lift the threshold to keep every file on the
+    # DV path and exercise the bounded phase-2 collect
+    out = table.delete("k % 10 < 4", mode="dv", dv_max_fraction=0.95)
+    assert out["files_rewritten"] == 0 and out["files_dropped"] == 0
+    assert out["files_dv"] >= 1
+    assert table.read().count() == 60
+    for a in table.snapshot_files():
+        if a.get("dv"):
+            positions = json.load(open(a["dv"]["path"]))["positions"]
+            assert len(positions) == a["dv"]["dead"]

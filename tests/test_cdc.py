@@ -117,6 +117,31 @@ def test_tombstones_suppress_across_batches_any_order(spark, tmp_path):
         assert t.read().filter(F.col("op") == "D").count() == 1
 
 
+def test_tombstone_same_sequence_tie_across_batches(spark, tmp_path):
+    """Cross-batch tie rule == in-batch tie rule: a same-sequence U/D
+    pair nets to absent no matter how the pair is split across batches.
+    (Regression: update_when = 's.seq >= t.seq' let a later-batch
+    same-sequence upsert overwrite the stored tombstone.)"""
+    u, d = (1, 10, "U", "a"), (1, 10, "D", None)
+    splits = [
+        [[u, d]],        # together (in-batch collapse)
+        [[u], [d]],      # upsert first
+        [[d], [u]],      # delete first — the regression case
+    ]
+    for i, batches in enumerate(splits):
+        t = AcidTable(spark, str(tmp_path / f"tie{i}"))
+        for b in batches:
+            apply_changes(t, _df(spark, b), keys=["k"], sequence_by="seq",
+                          tombstones=True)
+        assert read_current(t).count() == 0, f"split {i}: key resurrected"
+        stored = t.read().collect()
+        assert len(stored) == 1 and stored[0]["op"] == "D", f"split {i}"
+        # and a strictly newer upsert still revives the key
+        apply_changes(t, _df(spark, [(1, 11, "U", "back")]),
+                      keys=["k"], sequence_by="seq", tombstones=True)
+        assert {r["k"]: r["v"] for r in read_current(t).collect()} == {1: "back"}
+
+
 def test_tombstone_replay_is_idempotent(spark, table):
     batch = _df(spark, [(1, 10, "U", "a"), (2, 20, "D", None)])
     apply_changes(table, batch, keys=["k"], sequence_by="seq",
