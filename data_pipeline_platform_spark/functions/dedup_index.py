@@ -58,14 +58,64 @@ def _last_batch(table: AcidTable, stream: str = _STREAM) -> int:
 
 class IncrementalLshIndex:
     """ACID-backed MinHash index (rows: doc_id, shingles, sig) plus the
-    accumulated verified near-duplicate pairs."""
+    accumulated verified near-duplicate pairs.
+
+    ``bands_table``/``bands_path`` (optional, the production layout):
+    also maintain the EXPLODED (band, sig, doc_id) table as a catalog
+    table bucketed on the join key (band, sig). The per-batch candidate
+    join then reads the index side bucket-aligned — NO Exchange over
+    the stored bands, only the (small) batch side shuffles to the
+    bucket count — closing the one remaining per-batch full shuffle of
+    the 100 TB ingest path. The table is partitioned by batch_id so a
+    replayed batch's band rows are idempotently re-published via a
+    partition overwrite, mirroring the ACID markers."""
 
     def __init__(self, spark: SparkSession, index_path: str, pairs_path: str,
-                 threshold: float = 0.8):
+                 threshold: float = 0.8,
+                 bands_table: Optional[str] = None,
+                 bands_path: Optional[str] = None,
+                 num_buckets: int = 32):
         self.spark = spark
         self.index = AcidTable(spark, index_path)
         self.pairs = AcidTable(spark, pairs_path)
         self.threshold = threshold
+        if bands_table and not bands_path:
+            raise ValueError("bands_table requires bands_path")
+        self.bands_table = bands_table
+        self.bands_path = bands_path
+        self.num_buckets = num_buckets
+
+    def _bands_ready(self) -> bool:
+        return bool(
+            self.bands_table
+            and self.spark.catalog.tableExists(self.bands_table)
+        )
+
+    def _publish_bands(self, new_bands: DataFrame, batch_id: int) -> None:
+        """Append the batch's band rows to the bucketed catalog table,
+        idempotently: the batch's partition is dropped first, so a
+        crash-replay republishes instead of duplicating."""
+        if self._bands_ready():
+            self.spark.sql(
+                f"ALTER TABLE {self.bands_table} DROP IF EXISTS "
+                f"PARTITION (batch_id={int(batch_id)})"
+            )
+        (
+            # repartition by the SAME hash the bucketing uses so each
+            # task holds exactly one bucket's rows -> one file per
+            # bucket per batch, not tasks x buckets small files
+            new_bands.withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition(self.num_buckets, "band", "sig")
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .bucketBy(self.num_buckets, "band", "sig")
+            .option("path", self.bands_path)
+            .saveAsTable(self.bands_table)
+        )
+
+    def drop_bands_table(self) -> None:
+        if self.bands_table:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.bands_table}")
 
     def add_batch(self, docs: DataFrame, batch_id: int) -> Dict[str, int]:
         """Ingest one batch (columns doc_id, text): discover new-new and
@@ -97,9 +147,18 @@ class IncrementalLshIndex:
             )
             if self.index.exists():
                 old = self.index.read()
-                old_bands = bands_from_signatures(old.select("doc_id", "sig")).select(
-                    F.col("doc_id").alias("old_id"), "band", "sig"
-                )
+                if self._bands_ready():
+                    # bucket-aligned index side: scans its buckets in
+                    # place, no Exchange over the stored bands
+                    old_bands = (
+                        self.spark.table(self.bands_table)
+                        .filter(F.col("batch_id") < batch_id)
+                        .select(F.col("doc_id").alias("old_id"), "band", "sig")
+                    )
+                else:
+                    old_bands = bands_from_signatures(
+                        old.select("doc_id", "sig")
+                    ).select(F.col("doc_id").alias("old_id"), "band", "sig")
                 cross = (
                     new_bands.join(old_bands, ["band", "sig"])
                     .select(
@@ -138,6 +197,11 @@ class IncrementalLshIndex:
                     n_pairs = verified.count()
                     self.pairs.write(verified, mode="append", extra_meta=marker)
                 if batch_id > _last_batch(self.index):
+                    if self.bands_table:
+                        # before the index marker: if the index has the
+                        # batch, the bands do too; a crash in between
+                        # republishes the batch partition idempotently
+                        self._publish_bands(new_bands, batch_id)
                     self.index.write(prepared, mode="append", extra_meta=marker)
             finally:
                 verified.unpersist(blocking=False)
@@ -183,6 +247,42 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_incremental_lsh", q_dedup_incremental_lsh, ORACLE_DEDUP_MINHASH_LSH)
+
+
+def q_dedup_incremental_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-band-table production layout of the incremental
+    LSH index: identical three-batch ingest and the SAME one-shot
+    oracle, but the per-batch candidate join reads the stored band
+    side bucket-aligned (bucketBy on (band, sig)) — no Exchange over
+    the index, only the batch side shuffles. Value-parity with
+    `dedup_incremental_lsh` proves the layout changes the plan, not
+    the answer."""
+    import os as _os
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lshbkt_")
+    idx = IncrementalLshIndex(
+        spark,
+        _os.path.join(root, "idx"),
+        _os.path.join(root, "pairs"),
+        bands_table=f"lsh_bands_{_os.path.basename(root).replace('lshbkt_', '')}",
+        bands_path=_os.path.join(root, "bands"),
+    )
+    try:
+        for b in range(3):
+            idx.add_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+    finally:
+        idx.drop_bands_table()  # result rides the pairs table, not this
+    return idx.all_pairs()
+
+
+register(
+    "dedup_incremental_lsh_bucketed",
+    q_dedup_incremental_lsh_bucketed,
+    ORACLE_DEDUP_MINHASH_LSH,
+)
 
 
 _EMB_STREAM = "emb-lsh"
@@ -449,6 +549,48 @@ class IncrementalAnnIndex:
                 mode="append",
                 extra_meta={"stream_id": _ANN_STREAM, "batch_id": batch_id},
             )
+
+    def refresh(self, emb: DataFrame, batch_id: int) -> Dict[str, int]:
+        """Snapshot-refresh ingestion: hand the WHOLE corpus (or any
+        superset of what was delivered before) and index only what is
+        new. The delta is resolved by a column-pruned anti-join of the
+        snapshot's vec_ids against the stored inverted file, so the
+        frozen-quantizer assign+encode — the expensive part (|new| x
+        n_cells scores + |new| x M x Ks sub-scores) — runs over the
+        NEW vectors only, never the full corpus again. Already-stored
+        codes are encode-once by construction: a refresh that
+        discovers nothing new commits nothing (the stored code rows
+        are read for the anti-join but never rewritten), so repeated
+        refreshes against an unchanged corpus are O(anti-join), not
+        O(re-encode)."""
+        from data_pipeline_platform_spark.functions.similarity import (
+            ivfx_assign,
+        )
+
+        if batch_id <= _last_batch(self.ivf, _ANN_STREAM):
+            return {"added": 0, "replay": 1}
+        cent = self.centroids.read()
+        new = emb.join(
+            self.ivf.read().select("vec_id"), "vec_id", "left_anti"
+        )
+        rows = ivfx_assign(new, cent)
+        if self.pq is not None:
+            rows = self._with_codes(rows, cent)
+        from data_pipeline_platform_spark.utils.cache import tracked_persist
+
+        rows = tracked_persist(rows)
+        try:
+            n = rows.count()
+            if n == 0:
+                return {"added": 0, "replay": 0}
+            self.ivf.write(
+                rows,
+                mode="append",
+                extra_meta={"stream_id": _ANN_STREAM, "batch_id": batch_id},
+            )
+        finally:
+            rows.unpersist(blocking=False)
+        return {"added": n, "replay": 0}
 
     def erase(self, vec_ids) -> Dict[str, int]:
         """Right-to-be-forgotten: remove the vectors from the inverted
@@ -809,3 +951,51 @@ def _register_ann_ivfpq_incremental() -> None:
 
 
 _register_ann_ivfpq_incremental()
+
+
+def q_ann_ivfpq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refresh-from-snapshot ingest path: train the persisted
+    IVFADC index on a third of the corpus, then hand the WHOLE corpus
+    to ``refresh`` — the anti-join indexes only the un-coded two
+    thirds against the frozen quantizers, and a second refresh of the
+    same snapshot adds nothing and commits nothing (encode-once). The
+    final stored state is identical to the slice-by-slice incremental
+    build, so the same subset-trained oracle value-grades it."""
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    idx = IncrementalAnnIndex(
+        spark,
+        tempfile.mkdtemp(prefix="rfcent_"),
+        tempfile.mkdtemp(prefix="rfivf_"),
+        pq_path=tempfile.mkdtemp(prefix="rfsub_"),
+    )
+    idx.train(emb.filter(F.col("vec_id") % 3 == 1), batch_id=0)
+    out1 = idx.refresh(emb, batch_id=1)
+    v_after = idx.ivf.latest_version()
+    out2 = idx.refresh(emb, batch_id=2)  # nothing new: no commit
+    assert out1["added"] > 0 and out2["added"] == 0
+    assert idx.ivf.latest_version() == v_after
+    return idx.search_adc(0)
+
+
+def _register_ann_ivfpq_refresh() -> None:
+    from data_pipeline_platform_spark.functions.pq import oracle_ivfpq_sql
+
+    register(
+        "ann_ivfpq_refresh",
+        q_ann_ivfpq_refresh,
+        oracle_ivfpq_sql(
+            index_sql=_subset_index_sql(),
+            pq_seed_where="WHERE vec_id % 3 = 1",
+            pq_train_where="WHERE s.vec_id % 3 = 1",
+        ),
+    )
+
+
+_register_ann_ivfpq_refresh()

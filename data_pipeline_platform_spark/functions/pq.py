@@ -111,17 +111,20 @@ def pq_train(emb: DataFrame) -> DataFrame:
 
 def pq_encode(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, block, code): each sub-vector's nearest sub-centroid —
-    the stored representation (M small ints per vector)."""
+    the stored representation (M small ints per vector).
+
+    The argmin is a partial-aggregable min over (dist, cell) — struct
+    ordering IS the (dist asc, cell asc) tie-break — so the map side
+    combines the Ks candidate rows per (vec, block) down to one before
+    the shuffle, instead of shuffling corpus x M x Ks rows into a
+    row_number window sort."""
     sub = _subvectors(emb.select("vec_id", "vec"))
-    w = Window.partitionBy("vec_id", "block").orderBy(
-        F.col("dist"), F.col("cell")
-    )
     return (
         sub.join(F.broadcast(cents), "block")
         .withColumn("dist", F.expr(_dist_fp_sql("svec", "cvec")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "block", F.col("cell").alias("code"))
+        .groupBy("vec_id", "block")
+        .agg(F.min(F.struct("dist", "cell")).alias("__w"))
+        .select("vec_id", "block", F.col("__w.cell").alias("code"))
     )
 
 

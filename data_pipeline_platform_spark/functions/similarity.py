@@ -866,17 +866,25 @@ def ivfx_assign(emb, cent_arr):
     """Assign every row of ``emb`` (vec_id, vec, passthrough cols) to
     its nearest centroid (fixed-point distance, cell-id tie-break) —
     the inverted-file build/probe-side write path. Output: emb's
-    columns minus vec ordering + ``cell``."""
-    from pyspark.sql.window import Window
+    columns minus vec ordering + ``cell``.
 
+    Argmin as a partial-aggregable min over struct(dist, cell, row):
+    (dist, cell) is unique within a vec_id's candidate rows, so the
+    struct min IS the winner row and the map side combines the
+    n_cells candidates per vector down to one before the shuffle —
+    no corpus x n_cells window sort."""
     out_cols = [c for c in emb.columns]
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
+    carried = [c for c in out_cols if c != "vec_id"]
     return (
         emb.crossJoin(F.broadcast(cent_arr))
         .withColumn("dist", F.expr(_dist_fp_sql("vec", "cvec")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*out_cols, "cell")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cell", *carried)).alias("__w"))
+        .select(
+            "vec_id",
+            *[F.col(f"__w.{c}").alias(c) for c in carried],
+            F.col("__w.cell").alias("cell"),
+        )
     )
 
 

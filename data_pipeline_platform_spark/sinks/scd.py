@@ -77,13 +77,33 @@ class Scd2Table:
         )
         if dups:
             raise ValueError(f"batch {batch_id} has duplicate business keys")
-        if self.acid.exists():
-            last = self.acid.read().agg(F.max("valid_from")).collect()[0][0]
-            if last is not None and batch_id <= last:
-                raise ValueError(
-                    f"batch_id {batch_id} not after last applied batch {last}"
-                )
+        last = self.last_applied_batch()
+        if batch_id <= last:
+            raise ValueError(
+                f"batch_id {batch_id} not after last applied batch {last}"
+            )
         return batch
+
+    def last_applied_batch(self) -> int:
+        """Highest applied batch_id, or -1. Newest-first commit-meta
+        walk — each apply stamps ``scd_batch_id`` into its commit, so
+        this stops at the first stamped commit: O(1) commits in steady
+        state, never a max(valid_from) scan over the (monotonically
+        growing) dimension. Because no-op batches stamp too, a replayed
+        no-change batch is skipped exactly, not merely harmlessly.
+        Legacy fallback: tables whose commits predate the stamp fall
+        back to max(valid_from)."""
+        if not self.acid.exists():
+            return -1
+        for v in range(self.acid.latest_version(), 0, -1):
+            commit = self.acid._read_commit(v)
+            if self.acid._txn_state(commit) in ("pending", "aborted"):
+                continue
+            meta = commit.get("meta") or {}
+            if "scd_batch_id" in meta:
+                return int(meta["scd_batch_id"])
+        last = self.acid.read().agg(F.max("valid_from")).collect()[0][0]
+        return -1 if last is None else int(last)
 
     def apply(self, batch: DataFrame, batch_id: int) -> Dict[str, int]:
         """Apply one delta batch; returns counts of opened/closed rows."""
@@ -95,7 +115,8 @@ class Scd2Table:
         ]
         if not self.acid.exists():
             first = batch.select(*self.keys, *self.tracked, *opened_meta)
-            self.acid.write(first, stats_cols=self.keys)
+            self.acid.write(first, stats_cols=self.keys,
+                            extra_meta={"scd_batch_id": batch_id})
             return {"opened": first.count(), "closed": 0, "files_rewritten": 0}
 
         cur = self.acid.read().filter(F.col("is_current"))
@@ -135,7 +156,8 @@ class Scd2Table:
         # version row — closed rows match and take the new valid_to /
         # is_current, opened rows miss and insert; footer stats prune
         # untouched files
-        stats = self.acid.merge(source, keys=self.keys + ["valid_from"])
+        stats = self.acid.merge(source, keys=self.keys + ["valid_from"],
+                                extra_meta={"scd_batch_id": batch_id})
         return {
             "opened": n_opened,
             "closed": n_closed,

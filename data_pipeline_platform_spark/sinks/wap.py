@@ -53,9 +53,24 @@ def write_audit_publish(
     # error) aborts the stage — conservative: un-audited data does not
     # publish — and re-raises for the caller.
     try:
-        staged_actions = table._read_commit(version)["add"]
+        staged_commit = table._read_commit(version)
+        staged_actions = staged_commit["add"]
         if staged_actions:
-            staged = table._scan(staged_actions, table.table_schema(version))
+            # Audit under the schema the bytes WILL publish with: the
+            # staged commit's own recorded schema. table_schema(version)
+            # skips pending commits — and the staged commit is pending
+            # right now — so a schema-widening write would otherwise be
+            # audited under the OLD schema, hiding the new column from
+            # the DQ rules.
+            from pyspark.sql.types import StructType
+
+            recorded = staged_commit.get("schema")
+            audit_schema = (
+                StructType.fromJson(recorded)
+                if recorded
+                else table.table_schema(version)
+            )
+            staged = table._scan(staged_actions, audit_schema)
         else:
             staged = df.limit(0)
         report_rows: List[Dict] = [

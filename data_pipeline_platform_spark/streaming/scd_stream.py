@@ -3,12 +3,13 @@ into an `Scd2Table` (sinks/scd.py) via ``foreachBatch`` — the
 CDC-to-history-dimension hop (bronze customer churn → versioned
 silver dim) run continuously.
 
-Exactly-once without a separate marker: an applied batch stamps its
-``batch_id`` into every row it opens (``valid_from``) — the dimension
-itself IS the progress record. The wrapper skips any batch at or below
-``max(valid_from)``; a replayed batch that opened NOTHING (no tracked
-column changed) re-applies as a natural no-op because the change
-detector finds no diffs the second time either. Each apply is ONE
+Exactly-once without a separate marker: each apply stamps its
+``batch_id`` into the ACID commit it publishes (``scd_batch_id`` in
+the commit meta), so the dimension's log itself is the progress
+record — the wrapper's replay check is a newest-first commit-meta
+walk, O(1) commits in steady state, never a scan of the growing
+dimension. No-op batches (no tracked column changed) stamp too, so a
+replayed no-change batch is skipped exactly. Each apply is ONE
 copy-on-write merge commit, so there is no crash window between
 "history written" and "progress recorded".
 
@@ -23,17 +24,16 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from data_pipeline_platform_spark.sinks.scd import Scd2Table
 
 
 def last_applied_batch(dim: Scd2Table) -> int:
-    """Highest batch_id that OPENED at least one version row, or -1."""
-    if not dim.acid.exists():
-        return -1
-    last = dim.acid.read().agg(F.max("valid_from")).collect()[0][0]
-    return -1 if last is None else int(last)
+    """Highest applied batch_id, or -1 — delegates to the dimension's
+    O(1)-commits newest-first commit-meta walk (every apply stamps
+    ``scd_batch_id`` into its commit), the same shape as
+    streaming/cdc_apply.last_applied_batch. Never scans the dimension."""
+    return dim.last_applied_batch()
 
 
 def apply_scd_batch(

@@ -244,3 +244,43 @@ def test_ann_ivfpq_incremental_replay_and_erase(spark, tmp_path):
     idx.erase([victim])
     after = {r["vec_id"] for r in idx.search_adc(0).collect()}
     assert victim not in after
+
+
+def test_ann_refresh_encodes_only_the_delta(spark, tmp_path):
+    """refresh(): a snapshot superset indexes only un-coded vectors; a
+    second refresh of the same snapshot adds nothing and commits
+    NOTHING (encode-once — stored code rows are never rewritten)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.dedup_index import (
+        IncrementalAnnIndex,
+    )
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR).select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    total = emb.count()
+    third = emb.filter(F.col("vec_id") % 3 == 1)
+    idx = IncrementalAnnIndex(
+        spark, str(tmp_path / "c"), str(tmp_path / "i"),
+        pq_path=str(tmp_path / "p"),
+    )
+    idx.train(third, batch_id=0)
+    n0 = idx.ivf.read().count()
+    out1 = idx.refresh(emb, batch_id=1)
+    assert out1["added"] == total - n0
+    assert idx.ivf.read().count() == total
+    v = idx.ivf.latest_version()
+    # same snapshot again: nothing new -> no commit, no code rewrite
+    out2 = idx.refresh(emb, batch_id=2)
+    assert out2["added"] == 0
+    assert idx.ivf.latest_version() == v
+    # replayed batch id short-circuits before even the anti-join
+    assert idx.refresh(emb, batch_id=1) == {"added": 0, "replay": 1}
+    # vec_ids stay unique — the anti-join never re-appends a coded row
+    assert idx.ivf.read().select("vec_id").distinct().count() == total

@@ -651,3 +651,59 @@ def test_salted_skew_join_splits_hot_keys(spark):
     assert re.search(r"HashAggregate\(keys=\[c_mktsegment#\d+, salt#\d+", plan)
     # deterministic salt: no rand()/monotonically_increasing_id anywhere
     assert "rand(" not in plan and "monotonically" not in plan
+
+
+def test_bucketed_lsh_band_join_no_exchange_on_index_side(spark, tmp_path):
+    """The bucketed band-table layout (IncrementalLshIndex
+    bands_table=...): the per-batch candidate join must read the stored
+    band side bucket-aligned — exactly ONE Exchange (the batch side,
+    shuffled to the bucket count), zero over the index scan. This is
+    the plan contract that closes the last per-batch full shuffle in
+    the 100 TB ingest path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.dedup import (
+        bands_from_signatures,
+        minhash_signatures,
+        with_shingles,
+    )
+    from data_pipeline_platform_spark.functions.dedup_index import (
+        IncrementalLshIndex,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = IncrementalLshIndex(
+        spark, str(tmp_path / "i"), str(tmp_path / "p"),
+        bands_table="lsh_bands_plan_gate", bands_path=str(tmp_path / "b"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == 0), batch_id=0)
+        # disable broadcast: at scale the batch side exceeds the
+        # threshold and bucketing is what must save the index side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        prepared = minhash_signatures(
+            with_shingles(docs.filter(F.col("doc_id") % 3 == 1))
+            .select("doc_id", "shingles")
+            .filter(F.size("shingles") > 0),
+            extra_cols=("shingles",),
+        )
+        new_bands = bands_from_signatures(prepared.select("doc_id", "sig"))
+        old_bands = (
+            spark.table(idx.bands_table)
+            .filter(F.col("batch_id") < 1)
+            .select(F.col("doc_id").alias("old_id"), "band", "sig")
+        )
+        plan = _physical_plan(new_bands.join(old_bands, ["band", "sig"]))
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        # and the layout writes one file per bucket per batch
+        part = os.path.join(str(tmp_path / "b"), "batch_id=0")
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert len(files) <= idx.num_buckets
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        idx.drop_bands_table()

@@ -71,9 +71,14 @@ def test_replay_skips_and_no_change_batch_is_noop(spark, tmp_path):
     # opened rows)
     assert not apply_scd_batch(dim, _df(spark, BATCHES[1]), 1)
     assert dim.acid.latest_version() == v
-    # a no-change batch opens nothing; replaying it is a natural no-op
+    # a no-change batch opens nothing but STILL stamps its commit, so
+    # the watermark advances and its replay is skipped exactly —
+    # not merely harmlessly re-applied
     assert apply_scd_batch(dim, _df(spark, BATCHES[2]), 2) is True
-    assert last_applied_batch(dim) == 1  # nothing opened at batch 2
+    assert last_applied_batch(dim) == 2
+    v2 = dim.acid.latest_version()
+    assert not apply_scd_batch(dim, _df(spark, BATCHES[2]), 2)
+    assert dim.acid.latest_version() == v2  # no commit on the replay
     assert {r["k"] for r in dim.current().collect()} == {1, 2, 3}
 
 

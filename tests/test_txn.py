@@ -552,3 +552,38 @@ def test_wap_audit_crash_aborts_instead_of_blocking(spark, tmp_path):
                               [{"rule": "not_null", "column": "k"}],
                               coordinator_dir=str(tmp_path / "c"))
     assert out["published"]
+
+
+def test_wap_audits_staged_schema_not_published_schema(spark, tmp_path):
+    """A staged schema-widening write is audited under ITS OWN schema:
+    a rule naming the new column must see it (and catch bad values in
+    it), not error out because the audit read the old published schema.
+    (Regression: table_schema(version) skips pending commits, so the
+    staged commit's widened schema was invisible at audit time.)"""
+    from data_pipeline_platform_spark.sinks.acid import AcidTable
+    from data_pipeline_platform_spark.sinks.wap import write_audit_publish
+
+    table = AcidTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    write_audit_publish(table, base, [{"rule": "not_null", "column": "k"}],
+                        coordinator_dir=str(tmp_path / "c"))
+    # widen with a new column carrying an out-of-range value: the rule
+    # on the NEW column must fire and abort the wave
+    widened = spark.createDataFrame([(2, 20, -7)],
+                                    "k long, v long, score long")
+    out = write_audit_publish(
+        table, widened,
+        [{"rule": "in_range", "column": "score", "min": 0, "max": 100}],
+        coordinator_dir=str(tmp_path / "c"), merge_schema=True,
+    )
+    assert not out["published"] and out["failed_rules"] == 1
+    assert "score" not in table.read().columns  # abort kept old schema
+    # and a clean widened wave publishes with the column audited
+    ok = spark.createDataFrame([(3, 30, 55)], "k long, v long, score long")
+    out2 = write_audit_publish(
+        table, ok,
+        [{"rule": "in_range", "column": "score", "min": 0, "max": 100}],
+        coordinator_dir=str(tmp_path / "c"), merge_schema=True,
+    )
+    assert out2["published"]
+    assert {r["score"] for r in table.read().collect()} == {None, 55}
