@@ -192,6 +192,7 @@ def main() -> None:
     medians = {}
     mins = {}
     samples = {}
+    split = {}
     total = 0.0
     errors = 0
     for name in HEADLINE:
@@ -202,20 +203,40 @@ def main() -> None:
         # round's perf signal (r4: an AnalysisException in query 13 of 14
         # discarded 12 completed timings and crashed the driver's bench)
         runs = []
+        builds = []
+        reads = []
         try:
             for _ in range(trials):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
+                # For the ACID lifecycle fixtures, fn() executes the
+                # churn commits eagerly and returns only the final
+                # maintained-path derive lazily — so this stamp splits
+                # fixture-build from maintained-path cost. For plain
+                # lazy queries t1-t0 ~ 0 and the read IS the query.
+                t1 = time.time()
                 # noop sink forces every output column to be computed; a
                 # bare count() would let Catalyst prune projected
                 # expressions away
                 df.write.format("noop").mode("overwrite").save()
-                runs.append(round(time.time() - t0, 3))
+                t2 = time.time()
+                runs.append(round(t2 - t0, 3))
+                builds.append(round(t1 - t0, 3))
+                reads.append(round(t2 - t1, 3))
                 release_tracked()  # free operator caches between trials
             med = round(statistics.median(runs), 3)
             medians[name] = med
             mins[name] = min(runs)
             samples[name] = runs
+            med_build = round(statistics.median(builds), 3)
+            if med_build >= 0.05 * max(med, 1e-9):
+                # only fixture-heavy queries get a split row: a real
+                # regression in the maintained/fold path must be visible
+                # instead of hiding inside commit-latency noise
+                split[name] = {
+                    "fixture_build": med_build,
+                    "maintained_path": round(statistics.median(reads), 3),
+                }
             total += med
         except Exception as exc:  # noqa: BLE001 — record and keep going
             medians[name] = f"ERROR: {type(exc).__name__}: {str(exc)[:200]}"
@@ -240,7 +261,8 @@ def main() -> None:
     # was inlined, and the round's bench artifact recorded parsed=null).
     # Stdout stays minimal; per-trial samples and best-case timings go to a
     # side file for post-hoc drift diagnosis.
-    detail = dict(out, queries_min=mins, queries_trials=samples)
+    detail = dict(out, queries_min=mins, queries_trials=samples,
+                  queries_split=split)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )

@@ -75,6 +75,32 @@ def salted_join(
     return joined.drop("__salt")
 
 
+def choose_salt_buckets(
+    hot_rows: int,
+    target_rows_per_task: int,
+    max_buckets: int = 256,
+) -> int:
+    """Salt-count selection from a skew profile (`diagnose_skew` /
+    `join_skew_profile` feed this): the smallest fan-out that caps the
+    hottest key's per-task row load at ``target_rows_per_task``,
+    clamped to [1, max_buckets].
+
+    1 means "don't salt" — the key already fits one task's budget, and
+    salting anyway would pay the dim-replication cost for nothing.
+    The clamp bounds the dim explosion: past it, split the key out of
+    the join instead (broadcast the hot key's dim row separately)."""
+    if hot_rows < 0:
+        raise ValueError(f"hot_rows must be >= 0, got {hot_rows}")
+    if target_rows_per_task <= 0:
+        raise ValueError(
+            f"target_rows_per_task must be > 0, got {target_rows_per_task}"
+        )
+    if max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+    need = -(-hot_rows // target_rows_per_task)  # ceil
+    return max(1, min(max_buckets, need))
+
+
 def write_date_partitioned(
     df: DataFrame,
     path: str,

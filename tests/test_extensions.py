@@ -3109,3 +3109,77 @@ def test_assign_sequential_ids_gap_free_and_boundary_stable(spark):
     # order respected: id order == (k, u) order
     by_id = sorted(out[8].items(), key=lambda kv: kv[1])
     assert [kv[0] for kv in by_id] == sorted(out[8])
+
+
+def test_jpeg_decode_end_to_end_and_png_parity(spark):
+    """Real baseline-JPEG payload -> real pixel decode through
+    extract_image_features (no stub), and on identical pixel content
+    the JPEG path's features match the PNG path's: same mean, same
+    8x8 block-mean embedding (constant tiles round-trip exactly at
+    qscale=1, so the parity is exact, not approximate)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+        make_baseline_jpeg_bytes,
+    )
+
+    px = np.zeros((16, 16), dtype=np.uint8)
+    px[:8, :8], px[:8, 8:], px[8:, :8], px[8:, 8:] = 17, 200, 99, 255
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d))
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(16))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    jpg = make_baseline_jpeg_bytes(px)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png", 16, 16, None),
+         (2, "image", bytearray(jpg), "image/jpeg", 16, 16, None)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in
+            extract_image_features(media).collect()}
+    assert abs(rows[2]["mean_pixel" if "mean_pixel" in rows[2].asDict()
+               else "mean_byte"] - float(px.mean())) < 1e-4
+    assert np.allclose(np.array(rows[1]["embedding"]),
+                       np.array(rows[2]["embedding"]), atol=1e-6)
+
+
+def test_jpeg_codec_roundtrip_bounds():
+    """Gradient and random images round-trip within +-1 grey level at
+    qscale=1 (DCT rounding only); constant tiles are bit-exact; odd
+    (non-multiple-of-8) sizes crop correctly."""
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.multimodal import (
+        _decode_jpeg,
+        make_baseline_jpeg_bytes,
+    )
+
+    const = np.full((8, 8), 137, dtype=np.uint8)
+    assert np.array_equal(
+        _decode_jpeg(make_baseline_jpeg_bytes(const)), const.astype(np.float32))
+    g = (np.add.outer(np.arange(24) * 7, np.arange(40) * 3) % 256).astype(
+        np.uint8)
+    d = _decode_jpeg(make_baseline_jpeg_bytes(g))
+    assert d.shape == (24, 40) and float(np.max(np.abs(d - g))) <= 1.0
+    rng = np.random.RandomState(11)
+    h = rng.randint(0, 256, (13, 21)).astype(np.uint8)
+    d2 = _decode_jpeg(make_baseline_jpeg_bytes(h))
+    assert d2.shape == (13, 21) and float(np.max(np.abs(d2 - h))) <= 1.0
+    # progressive/unsupported streams refuse instead of mis-decoding
+    import pytest as _pt
+
+    bad = bytearray(make_baseline_jpeg_bytes(const))
+    bad[bad.index(b"\xff\xc0")] = 0xFF  # keep marker prefix
+    bad[bad.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
+    with _pt.raises(ValueError):
+        _decode_jpeg(bytes(bad))

@@ -149,3 +149,105 @@ def test_bloom_filter_word_layout(spark):
     bloom = rows[0]["bloom"]
     assert len(bloom) == BLOOM_WORDS
     assert any(w != 0 for w in bloom)
+
+
+def test_choose_salt_buckets_properties():
+    """Salt-count selection: covers the hot key's rows (when unclamped),
+    monotone in hot_rows, 1 exactly when the key fits one task, never
+    past the clamp, loud on bad inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_platform_spark.functions.scale import (
+        choose_salt_buckets,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        hot=st.integers(min_value=0, max_value=10**12),
+        target=st.integers(min_value=1, max_value=10**9),
+        cap=st.integers(min_value=1, max_value=4096),
+    )
+    def prop(hot, target, cap):
+        b = choose_salt_buckets(hot, target, max_buckets=cap)
+        assert 1 <= b <= cap
+        if b < cap:  # unclamped: the fan-out actually caps per-task rows
+            assert b * target >= hot
+        if hot <= target:
+            assert b == 1
+        if hot > 0:
+            assert choose_salt_buckets(hot - 1, target, cap) <= b  # monotone
+
+    prop()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        choose_salt_buckets(-1, 10)
+    with _pt.raises(ValueError):
+        choose_salt_buckets(10, 0)
+    with _pt.raises(ValueError):
+        choose_salt_buckets(10, 10, max_buckets=0)
+
+
+def test_salting_rebalances_hot_key_partitions(spark):
+    """Reducer-load contract on a pathologically skewed key (40% of
+    rows on one key): the salted join's max partition load stays
+    within 4x the median, while the unsalted shuffle join funnels the
+    hot key into one partition (>10x median). Same aggregate values
+    both ways. AQE skew splitting is off because a single KEY defeats
+    it regardless."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n, n_salt = 200_000, 16
+        ev = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 10 < 4, F.lit(1))
+            .otherwise(F.pmod(F.col("id"), 1000) + 2)
+            .alias("user_id"),
+            (F.col("id") % 97).alias("val"),
+        )
+        dim = spark.range(1, 1002).select(
+            F.col("id").alias("user_id"),
+            (F.col("id") % 5).cast("string").alias("seg"),
+        )
+
+        def balance(j):
+            rows = (
+                j.withColumn("__pid", F.spark_partition_id())
+                .groupBy("__pid").count().collect()
+            )
+            counts = sorted(r["count"] for r in rows)
+            med = counts[len(counts) // 2]
+            return counts[-1], max(med, 1)
+
+        plain = ev.join(dim.hint("merge"), "user_id")
+        mx_u, med_u = balance(plain)
+        assert mx_u / med_u > 10  # the hot key IS a straggler unsalted
+
+        e = ev.withColumn("salt", F.pmod("event_id", F.lit(n_salt)))
+        d = dim.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        saltedj = e.join(d.hint("merge"), ["user_id", "salt"])
+        mx_s, med_s = balance(saltedj)
+        assert mx_s / med_s <= 4  # the verdict's balance contract
+
+        a = {r["seg"]: (r["n"], r["s"]) for r in
+             plain.groupBy("seg").agg(
+                 F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+             ).collect()}
+        b = {r["seg"]: (r["n"], r["s"]) for r in
+             saltedj.groupBy("seg").agg(
+                 F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+             ).collect()}
+        assert a == b
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
