@@ -1015,3 +1015,65 @@ FROM lags
 """
 
 register("conversion_lag_stats", q_conversion_lag_stats, ORACLE_CONVERSION_LAG_STATS)
+
+
+def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics under the correctness gate: the
+    events table is delivered as three deliberately OUT-OF-ORDER
+    micro-batches (event_id % 3 — each batch spans the full time
+    range, so after batch 0 the watermark sits 30 minutes behind max
+    event time and most of batches 1-2 arrive late), folded with
+    `streaming/windows.py::watermark_fold_tumbling` — the exact
+    batch replay of Structured Streaming's append-mode drop/emit rules
+    (watermark = running max event time - 30min, updated at batch end;
+    a row whose window end <= watermark drops; only windows whose end
+    <= final watermark emit). The fold is the documented GUARANTEE
+    boundary — the engine's best-effort drop filter keeps a superset,
+    which the hypothesis property suite brackets exactly against the
+    real engine on shuffled deliveries; THIS twin value-grades the
+    fold against a DuckDB replay of the same watermark recurrence —
+    exact integer cents, bitwise."""
+    from data_pipeline_platform_spark.streaming.windows import (
+        watermark_fold_tumbling,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    batches = [ev.filter(F.col("event_id") % 3 == b) for b in range(3)]
+    return watermark_fold_tumbling(batches, "1 hour", 30)
+
+
+ORACLE_STREAM_WATERMARK_LATE_DROP = """
+WITH e AS (
+  SELECT event_id % 3 AS b, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS val_c,
+         date_trunc('hour', ts) AS ws,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS we
+  FROM events
+), bm AS (
+  SELECT b, max(ts) - INTERVAL 30 MINUTE AS bwm FROM e GROUP BY b
+), wms AS (
+  SELECT b,
+         max(bwm) OVER (ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm_before,
+         max(bwm) OVER () AS wm_final
+  FROM bm
+), kept AS (
+  SELECT e.*, w.wm_final FROM e JOIN wms w USING (b)
+  WHERE w.wm_before IS NULL OR e.we > w.wm_before
+)
+SELECT ws AS window_start, we AS window_end, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(val_c) / 100.0 AS total_value
+FROM kept
+WHERE we <= wm_final
+GROUP BY ws, we, event_type
+"""
+
+register(
+    "stream_watermark_late_drop",
+    q_stream_watermark_late_drop,
+    ORACLE_STREAM_WATERMARK_LATE_DROP,
+)

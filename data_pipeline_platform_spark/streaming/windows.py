@@ -156,3 +156,73 @@ def stream_dedup(
             cols
         )
     return events.dropDuplicates(cols)
+
+
+def watermark_fold_tumbling(
+    batches,
+    window: str = "1 hour",
+    late_threshold_min: int = 30,
+):
+    """Deterministic batch replay of Structured Streaming's APPEND-mode
+    tumbling-window semantics over an ORDERED sequence of micro-batch
+    DataFrames — the oracle-checkable form of `tumbling_window_agg`:
+
+    - the watermark is max event time seen so far minus the threshold,
+      updated at batch END and applied from the NEXT batch on (exactly
+      the engine's update point);
+    - a row whose window end is <= the current watermark is DROPPED
+      (its window's state has been evicted);
+    - at end of input only windows whose end is <= the final watermark
+      are emitted (append mode never emits a still-open window).
+
+    This is the TEXTBOOK model — the documented guarantee boundary
+    ("data delayed <= threshold is never dropped; data delayed more is
+    not guaranteed to be dropped"). The real engine's drop filter is
+    best-effort and lags the running watermark by one batch, so it
+    keeps a superset of these rows; the property suite
+    (tests/test_streaming_windows_property.py) pins BOTH facts on
+    shuffled out-of-order deliveries: engine == its empirically-exact
+    lagged model, and engine emits every window this fold emits with
+    counts >= the fold's (never drops in-threshold data) and <= the
+    raw per-window totals. The graded twin `stream_watermark_late_drop`
+    value-grades this fold against a DuckDB replay of the same
+    watermark recurrence. Aggregates use exact integer cents so
+    emission is bitwise-replayable."""
+    import datetime
+
+    delay = datetime.timedelta(minutes=late_threshold_min)
+    wm = None
+    kept = []
+    for b in batches:
+        w = F.window("ts", window)
+        bb = b.select(
+            w.start.alias("__ws"),
+            w.end.alias("__we"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("__val_c"),
+            "ts",
+        )
+        if wm is not None:
+            bb = bb.filter(F.col("__we") > F.lit(wm))
+        kept.append(bb.drop("ts"))
+        mx = b.agg(F.max("ts")).collect()[0][0]
+        if mx is not None:
+            new_wm = mx - delay
+            wm = new_wm if wm is None or new_wm > wm else wm
+    if not kept or wm is None:
+        raise ValueError("watermark_fold_tumbling: no non-empty batches")
+    from functools import reduce
+
+    all_kept = reduce(lambda a, b: a.unionByName(b), kept)
+    return (
+        all_kept.filter(F.col("__we") <= F.lit(wm))
+        .groupBy(
+            F.col("__ws").alias("window_start"),
+            F.col("__we").alias("window_end"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("__val_c") / 100.0).alias("total_value"),
+        )
+    )
