@@ -1117,6 +1117,138 @@ def make_baseline_jpeg_bytes(pixels: np.ndarray, qscale: int = 1) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def _encode_block(bw_, block, qtab, cmat, dc_codes, ac_codes, pred):
+    """FDCT + quantize + huffman one 8x8 block; returns the new DC
+    predictor."""
+    coef = cmat @ (block - 128.0) @ cmat.T
+    q = np.rint(coef.reshape(64) / qtab).astype(np.int64)
+    zz = q[_JPEG_ZIGZAG]
+    diff = int(zz[0]) - pred
+    size, bits = _mag_bits(diff)
+    code, length = dc_codes[size]
+    bw_.put(code, length)
+    if size:
+        bw_.put(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                break
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            bw_.put(c, ln)
+            run -= 16
+        size, bits = _mag_bits(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw_.put(c, ln)
+        bw_.put(bits, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]
+        bw_.put(c, ln)
+    return int(zz[0])
+
+
+def _pad_to_blocks(plane, mult):
+    h, w = plane.shape
+    bh = (h + mult - 1) // mult * mult
+    bw = (w + mult - 1) // mult * mult
+    out = np.empty((bh, bw), dtype=np.float64)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def make_baseline_jpeg_color_bytes(
+    rgb: np.ndarray, qscale: int = 1, restart_interval: int = 0
+) -> bytes:
+    """Encode an (H, W, 3) RGB image as a real baseline COLOR JPEG:
+    JFIF YCbCr conversion, 4:2:0 chroma subsampling (luma 2x2 sampling
+    factors — the layout virtually every camera/web JPEG uses),
+    interleaved 16x16 MCUs (4 Y blocks + Cb + Cr), optional restart
+    markers every ``restart_interval`` MCUs (DRI + FFD0-7, predictors
+    reset, byte-aligned). All components share the Annex-K luminance
+    tables and one flat quantization table — legal baseline, and it
+    keeps the fixture near-lossless at qscale=1 so the decoder's luma
+    output can be compared to the true Y plane within +-1."""
+    import struct
+
+    px = np.asarray(rgb, dtype=np.float64)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("(H, W, 3) RGB pixels required")
+    h, w = px.shape[:2]
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    ypad = _pad_to_blocks(y, 16)
+    # 2x2 mean chroma downsample on the 16-padded planes -> 8-multiple
+    cbp = _pad_to_blocks(cb, 16)
+    crp = _pad_to_blocks(cr, 16)
+    cbs = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+    crs = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+    qtab = np.full(64, int(qscale), dtype=np.int64)
+    cmat = _dct_matrix()
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw_ = _BitWriter()
+    mcux, mcuy = ypad.shape[1] // 16, ypad.shape[0] // 16
+    preds = [0, 0, 0]
+    scan_parts = []
+    rst = 0
+    since = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and since == restart_interval:
+                scan_parts.append(bw_.flush())
+                scan_parts.append(bytes((0xFF, 0xD0 + (rst % 8))))
+                rst += 1
+                since = 0
+                bw_ = _BitWriter()
+                preds = [0, 0, 0]
+            for by in range(2):  # 4 luma blocks, raster order in MCU
+                for bx in range(2):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    preds[0] = _encode_block(
+                        bw_, ypad[y0 : y0 + 8, x0 : x0 + 8], qtab, cmat,
+                        dc_codes, ac_codes, preds[0],
+                    )
+            for ci, plane in ((1, cbs), (2, crs)):
+                y0, x0 = my * 8, mx * 8
+                preds[ci] = _encode_block(
+                    bw_, plane[y0 : y0 + 8, x0 : x0 + 8], qtab, cmat,
+                    dc_codes, ac_codes, preds[ci],
+                )
+            since += 1
+    scan_parts.append(bw_.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(qtab[i]) for i in range(64)))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes((1, 0x22, 0))  # Y: h=v=2
+        + bytes((2, 0x11, 0))  # Cb
+        + bytes((3, 0x11, 0)),  # Cr
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS),
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
+
+
 class _BitReader:
     """Entropy-segment reader: 0xFF00 unstuffing; any other 0xFF marker
     (restart/EOI) ends the current run — the decoder handles restarts

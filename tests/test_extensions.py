@@ -3183,3 +3183,32 @@ def test_jpeg_codec_roundtrip_bounds():
     bad[bad.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
     with _pt.raises(ValueError):
         _decode_jpeg(bytes(bad))
+
+
+def test_jpeg_color_420_and_restart_intervals():
+    """Color 4:2:0 JPEG (interleaved 16x16 MCUs, the camera/web
+    layout) decodes through the generic-sampling path to the true luma
+    plane; restart markers (DRI + FFD0-7, predictor resets) do not
+    perturb the pixels."""
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.multimodal import (
+        _decode_jpeg,
+        _jpeg_metadata,
+        make_baseline_jpeg_color_bytes,
+    )
+
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    base = None
+    for ri in (0, 1, 3):
+        jp = make_baseline_jpeg_color_bytes(rgb, restart_interval=ri)
+        assert _jpeg_metadata(jp) == (40, 24, 3)
+        dec = _decode_jpeg(jp)
+        assert dec.shape == (24, 40)
+        assert float(np.max(np.abs(dec - y))) <= 1.5  # qscale-1 bound
+        if base is None:
+            base = dec
+        else:  # restarts change framing only, never pixel values
+            assert np.array_equal(dec, base)
