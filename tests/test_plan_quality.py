@@ -707,3 +707,21 @@ def test_bucketed_lsh_band_join_no_exchange_on_index_side(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         idx.drop_bands_table()
+
+
+def test_sequence_packing_has_no_global_window(spark):
+    """The packing prefix sum must be the two-phase distributed scan:
+    no partition-less Window (a single-task global sort at 100 TB).
+    Every Window node in the plan must carry a partition spec, and the
+    only sort feeding one is within-partition."""
+    from data_pipeline_platform_spark.functions.packing import (
+        q_sequence_packing,
+    )
+
+    plan = _physical_plan(q_sequence_packing(spark, SF))
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        # Window [exprs], [partSpec], [orderSpec] — empty partSpec = global
+        assert m.group(1).strip(), f"partition-less Window in plan:\n{plan}"
+    assert "rangepartitioning" in plan.lower()

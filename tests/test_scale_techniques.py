@@ -251,3 +251,41 @@ def test_salting_rebalances_hot_key_partitions(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_with_global_offsets_equals_naive_window(spark):
+    """The two-phase distributed prefix sum == the naive global-window
+    prefix sum, across weights including zeros and a non-contiguous
+    order column, for several partition counts (1, 3, 32 — more
+    partitions than rows included)."""
+    import random
+
+    from data_pipeline_platform_spark.functions.packing import (
+        with_global_offsets,
+    )
+
+    rng = random.Random(13)
+    rows = [(i * 7 + rng.randint(0, 3), rng.randint(0, 50))
+            for i in range(500)]
+    # unique order keys
+    seen, uniq = set(), []
+    for k, w in rows:
+        if k not in seen:
+            seen.add(k)
+            uniq.append((k, w))
+    df = spark.createDataFrame(uniq, "k long, w long")
+    from pyspark.sql import Window as W
+
+    naive = {r["k"]: r["off"] for r in df.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("w").over(
+                W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).collect()}
+    for p in (1, 3, 32, 1000):
+        got = {r["k"]: r["global_offset"] for r in
+               with_global_offsets(df, "k", "w", num_partitions=p).collect()}
+        assert got == naive, f"num_partitions={p}"
