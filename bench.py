@@ -168,6 +168,14 @@ HEADLINE = [
     "cdc_tombstone_orders",
     # full-shuffle global ranking without a global window
     "sequential_ids_orders",
+    # r11 additions: the bucketed-band LSH ingest (the no-index-shuffle
+    # layout), the anti-join IVFADC refresh, and sequence packing (full
+    # corpus tokenize + two-phase distributed prefix sum) — all real
+    # data volume. stream_watermark_late_drop / multimodal_jpeg_decode
+    # are bounded panels and stay under the parity gate.
+    "dedup_incremental_lsh_bucketed",
+    "ann_ivfpq_refresh",
+    "sequence_packing",
 ]
 
 
