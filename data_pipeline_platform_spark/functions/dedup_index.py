@@ -21,11 +21,16 @@ between the two commits replays only the missing one (both are
 deterministic functions of index-without-batch + batch).
 
 Scale shape: per batch, work = |batch| shingling (projection) +
-|batch bands| ⋈ |index bands| equi-join (the index side is a
-column-pruned projection of the stored (doc_id, sig) rows — a
-production variant bucket-writes the exploded band table so the join
-prunes buckets) + exact verification on collisions only. Index growth
-is |docs| rows; history is never re-shingled.
+|batch bands| ⋈ |index bands| equi-join + exact verification on
+collisions only. By default the index side is a column-pruned
+projection of the stored (doc_id, sig) rows re-exploded per batch;
+the production layout (``bands_table=``) persists the exploded
+(band, sig, doc_id) table bucketed on the join key, so the candidate
+join reads the index side bucket-aligned with ZERO Exchange — only
+the batch side shuffles (plan-gated by
+tests/test_plan_quality.py::test_bucketed_lsh_band_join_no_exchange_on_index_side,
+value-graded by ``dedup_incremental_lsh_bucketed``). Index growth is
+|docs| rows; history is never re-shingled.
 """
 
 from __future__ import annotations
@@ -50,7 +55,12 @@ _STREAM = "lsh"
 
 def _last_batch(table: AcidTable, stream: str = _STREAM) -> int:
     for v in range(table.latest_version(), 0, -1):
-        meta = table._read_commit(v).get("meta") or {}
+        commit = table._read_commit(v)
+        # markers inside unresolved/aborted txn stages never count
+        # (same rule as streaming/cdc_apply.last_applied_batch)
+        if table._txn_state(commit) in ("pending", "aborted"):
+            continue
+        meta = commit.get("meta") or {}
         if meta.get("stream_id") == stream:
             return int(meta["batch_id"])
     return -1
