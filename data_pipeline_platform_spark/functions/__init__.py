@@ -79,6 +79,7 @@ def _load_all() -> None:
     from data_pipeline_platform_spark.functions import timeseries  # noqa: F401
     from data_pipeline_platform_spark.functions import pq  # noqa: F401
     from data_pipeline_platform_spark.functions import packing  # noqa: F401
+    from data_pipeline_platform_spark.functions import redact  # noqa: F401
     # link_prediction_parts lives in basket.py (already imported above)
 
 

@@ -3212,3 +3212,32 @@ def test_jpeg_color_420_and_restart_intervals():
             base = dec
         else:  # restarts change framing only, never pixel values
             assert np.array_equal(dec, base)
+
+
+def test_redact_pii_order_and_counts(spark):
+    """Redaction order prevents double counting: an IPv4 is never also
+    counted as digit runs, a phone never as a digit run, and tags are
+    opaque to later patterns. Untouched text passes through."""
+    from data_pipeline_platform_spark.functions.redact import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@x-y.co and ip 192.168.0.1 tel 555-123-4567 "
+            "acct 123456789 short 12345678"),
+        (2, "clean text with no pii at all"),
+        (3, "two mails a@b.io c@d.net same ip 10.0.0.1 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"], r1["n_digit_run"]) == (
+        1, 1, 1, 1)  # 12345678 is 8 digits: below the 9+ run threshold
+    assert "[EMAIL]" in r1["redacted"] and "[IP]" in r1["redacted"]
+    assert "[PHONE]" in r1["redacted"] and "[NUM]" in r1["redacted"]
+    assert "192.168" not in r1["redacted"] and "@" not in r1["redacted"]
+    assert "12345678" in r1["redacted"]  # under-threshold run kept
+    r2 = out[2]
+    assert r2["redacted"] == rows[1][1]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"], r2["n_digit_run"]) == (
+        0, 0, 0, 0)
+    r3 = out[3]
+    assert (r3["n_email"], r3["n_ipv4"]) == (2, 2)
