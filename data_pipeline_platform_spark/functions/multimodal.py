@@ -1532,3 +1532,81 @@ register(
     q_multimodal_jpeg_decode,
     ORACLE_MULTIMODAL_JPEG_DECODE,
 )
+
+
+def make_wav_bytes(
+    samples_i16, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Canonical 16-bit PCM RIFF/WAV fixture builder (stdlib wave —
+    44-byte header + little-endian frames)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples_i16, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV PIXEL^W sample decode under the correctness gate: each
+    document row becomes a real 16-bit PCM WAV of a +-a square wave
+    (amplitude and length derived from doc_id), decoded back through
+    the genuine stdlib path (`_decode_wav` inside
+    `extract_audio_features`). Every emitted feature is exactly
+    SQL-replayable: |sample| is the constant a, so rms = peak =
+    a/32768 (a dyadic rational both engines represent identically),
+    duration is one IEEE division, n_bytes is 44 + 2n. decoded=true
+    here means real samples, not header metadata."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy(
+        "doc_id"
+    ).limit(256)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                a = 256 * (1 + d % 100)
+                n = 160 + d % 64
+                wavef = np.empty(n, dtype=np.int64)
+                wavef[0::2] = a
+                wavef[1::2] = -a
+                ids.append(d)
+                blobs.append(make_wav_bytes(wavef))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(kernel, schema="media_id long, content binary")
+    return extract_audio_features(media)
+
+
+ORACLE_MULTIMODAL_WAV_FEATURES = """
+WITH d AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 256
+), p AS (
+  SELECT doc_id,
+         256 * (1 + doc_id % 100) AS a,
+         160 + doc_id % 64 AS n
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       n / 8000.0 AS duration_sec,
+       a / 32768.0 AS rms,
+       a / 32768.0 AS peak,
+       TRUE AS decoded
+FROM p
+"""
+
+register(
+    "multimodal_wav_features",
+    q_multimodal_wav_features,
+    ORACLE_MULTIMODAL_WAV_FEATURES,
+)
