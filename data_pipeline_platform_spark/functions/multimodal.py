@@ -582,7 +582,10 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 rows["media_id"].append(mid)
                 rows["n_bytes"].append(len(raw))
                 try:
-                    sr, nch, samples = _decode_wav(raw)
+                    # decode_wav_any adds mu-law / IMA-ADPCM expansion
+                    # on top of the stdlib PCM path (defined below;
+                    # module-level lookup so the tiers stay one list)
+                    sr, nch, samples = decode_wav_any(raw)
                     n = len(samples) // max(nch, 1)
                     rows["sample_rate"].append(sr)
                     rows["n_channels"].append(nch)
@@ -1609,4 +1612,295 @@ register(
     "multimodal_wav_features",
     q_multimodal_wav_features,
     ORACLE_MULTIMODAL_WAV_FEATURES,
+)
+
+
+# ---------------------------------------------------------------------------
+# compressed-audio payload decode (G.711 mu-law, IMA ADPCM) — pure numpy
+# ---------------------------------------------------------------------------
+# stdlib `wave` refuses non-PCM format tags, so these WAVs are parsed
+# by a direct RIFF walk (the _decode_avi precedent) and their payloads
+# expanded by the real codec math: G.711's segmented-log LUT and IMA
+# ADPCM's step-adaptive differencing. mu-law expansion is pure integer
+# arithmetic, so the graded twin replays it in SQL; ADPCM decode is
+# sequential per block (predictor state) and is cross-checked against
+# the stdlib audioop reference instead (unit tests).
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def ulaw_decode(data: bytes) -> np.ndarray:
+    """G.711 mu-law bytes -> int16 samples (the audioop/ITU convention:
+    complement, 3-bit segment, 4-bit mantissa, bias 132)."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    c = (~b) & 0xFF
+    e = (c >> 4) & 7
+    m = c & 0x0F
+    mag = ((8 * m + 132) << e) - 132
+    return np.where(c & 0x80, -mag, mag).astype(np.int16)
+
+
+_ULAW_SEG_END = np.array(
+    [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], dtype=np.int64
+)
+
+
+def ulaw_encode(samples) -> bytes:
+    """int16 samples -> G.711 mu-law bytes — the exact Sun g711.c /
+    CPython audioop algorithm (14-bit downshift, bias 33, segment
+    search, mantissa, complement mask), vectorized; bit-identical to
+    audioop.lin2ulaw on the full int16 domain (unit-tested)."""
+    x14 = np.asarray(samples, dtype=np.int64) >> 2
+    neg = x14 < 0
+    mag = np.where(neg, -x14, x14)
+    mag = np.minimum(mag, 8159) + 33
+    seg = np.searchsorted(_ULAW_SEG_END, mag, side="left")
+    uval = (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+    byte = np.where(seg >= 8, 0x7F, uval) ^ np.where(neg, 0x7F, 0xFF)
+    return (byte & 0xFF).astype(np.uint8).tobytes()
+
+
+def ima_adpcm_decode(data: bytes, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format tag 0x11, mono) -> int16 samples.
+    Each block: 4-byte header (predictor int16, step index, reserved)
+    then 4-bit codes, low nibble first — sequential by construction."""
+    out = []
+    pos = 0
+    while pos + 4 <= len(data):
+        block = data[pos : pos + block_align]
+        pos += block_align
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = min(max(block[2], 0), 88)
+        out.append(pred)
+        for byte in block[4:]:
+            for nibble in (byte & 0x0F, byte >> 4):
+                step = int(_IMA_STEPS[index])
+                diff = step >> 3
+                if nibble & 1:
+                    diff += step >> 2
+                if nibble & 2:
+                    diff += step >> 1
+                if nibble & 4:
+                    diff += step
+                pred = pred - diff if nibble & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = min(max(index + int(_IMA_INDEX_ADJ[nibble & 7]), 0), 88)
+                out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+def ima_adpcm_encode(samples, block_samples: int = 505) -> tuple:
+    """int16 samples -> (payload bytes, block_align): the standard IMA
+    encoder (quantize the prediction residual to 4 bits with the same
+    step adaptation the decoder runs). Fixture builder for tests and
+    graded audits."""
+    x = [int(v) for v in samples]
+    payload = bytearray()
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    i = 0
+    while i < len(x):
+        chunk = x[i : i + block_samples]
+        i += block_samples
+        pred = chunk[0]
+        index = 0
+        payload += int(pred).to_bytes(2, "little", signed=True)
+        payload += bytes((index, 0))
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEPS[index])
+            delta = s - pred
+            code = 0
+            if delta < 0:
+                code = 8
+                delta = -delta
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            # decoder-mirror update
+            diff = step >> 3
+            if code & 1:
+                diff += step >> 2
+            if code & 2:
+                diff += step >> 1
+            if code & 4:
+                diff += step
+            pred = pred - diff if code & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = min(max(index + int(_IMA_INDEX_ADJ[code & 7]), 0), 88)
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            payload.append(lo | (hi << 4))
+        pad = block_align - 4 - len(nibbles) // 2
+        payload += b"\x00" * pad
+    return bytes(payload), block_align
+
+
+def make_compressed_wav_bytes(
+    payload: bytes,
+    audio_format: int,
+    sample_rate: int,
+    n_samples: int,
+    bits: int,
+    block_align: int,
+    n_channels: int = 1,
+) -> bytes:
+    """RIFF/WAVE container for a non-PCM payload (fmt + fact + data —
+    stdlib wave cannot write these)."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", audio_format, n_channels, sample_rate,
+        sample_rate * block_align if audio_format == 0x11 else sample_rate,
+        block_align, bits,
+    )
+    fact = struct.pack("<I", n_samples)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_any(content: bytes):
+    """WAV decode across format tags: PCM via the stdlib path
+    (_decode_wav), mu-law (7) and IMA ADPCM (0x11) via the direct RIFF
+    walk + codec expansion. Returns (sample_rate, n_channels,
+    float64 samples in [-1, 1])."""
+    import struct
+
+    try:
+        return _decode_wav(content)
+    except Exception:
+        pass
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV")
+    audio_format, nch, sr, _, block_align, _bits = fmt
+    if audio_format == 0x0007:
+        samples = ulaw_decode(data).astype(np.float64)
+    elif audio_format == 0x0011:
+        samples = ima_adpcm_decode(data, block_align).astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV format tag {audio_format}")
+    return sr, nch, samples / 32768.0
+
+
+def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio decode under the correctness gate: each
+    document row becomes a real G.711 mu-law WAV whose payload BYTES
+    are a deterministic function of doc_id; the pipeline decodes them
+    through the genuine segmented-log expansion and emits integer
+    sample statistics the oracle replays with the SAME bit arithmetic
+    in SQL (complement, segment shift, bias) — any divergence in the
+    codec math breaks the hash."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy(
+        "doc_id"
+    ).limit(256)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "n_samples", "sample_sum", "sample_peak",
+                     "decoded")}
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 64 + d % 32
+                payload = bytes(
+                    (d * 7 + j * 13) % 256 for j in range(n)
+                )
+                wav = make_compressed_wav_bytes(
+                    payload, 0x0007, 8000, n, 8, 1
+                )
+                try:
+                    sr, nch, samples = decode_wav_any(wav)
+                    ints = np.rint(samples * 32768.0).astype(np.int64)
+                    ok = sr == 8000
+                except Exception:
+                    ints, ok = np.zeros(0, dtype=np.int64), False
+                rows["media_id"].append(d)
+                rows["n_samples"].append(int(len(ints)))
+                rows["sample_sum"].append(int(ints.sum()))
+                rows["sample_peak"].append(
+                    int(np.max(np.abs(ints))) if len(ints) else 0
+                )
+                rows["decoded"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=("media_id long, n_samples long, sample_sum long, "
+                "sample_peak long, decoded boolean"),
+    )
+
+
+ORACLE_MULTIMODAL_ULAW_DECODE = """
+WITH d AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 256
+), bytes_tbl AS (
+  SELECT doc_id,
+         UNNEST(generate_series(0, CAST(64 + doc_id % 32 AS BIGINT) - 1))
+           AS j
+  FROM d
+), dec AS (
+  SELECT doc_id,
+         ((doc_id * 7 + j * 13) % 256) AS b,
+         xor((doc_id * 7 + j * 13) % 256, 255) AS c
+  FROM bytes_tbl
+), vals AS (
+  SELECT doc_id,
+         CASE WHEN c >= 128 THEN
+           -(((8 * (c % 16) + 132) * CAST(power(2, (c // 16) % 8) AS BIGINT))
+             - 132)
+         ELSE
+           (((8 * (c % 16) + 132) * CAST(power(2, (c // 16) % 8) AS BIGINT))
+            - 132)
+         END AS v
+  FROM dec
+)
+SELECT doc_id AS media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MAX(ABS(v)) AS BIGINT) AS sample_peak,
+       TRUE AS decoded
+FROM vals
+GROUP BY doc_id
+"""
+
+register(
+    "multimodal_ulaw_decode",
+    q_multimodal_ulaw_decode,
+    ORACLE_MULTIMODAL_ULAW_DECODE,
 )

@@ -3241,3 +3241,67 @@ def test_redact_pii_order_and_counts(spark):
         0, 0, 0, 0)
     r3 = out[3]
     assert (r3["n_email"], r3["n_ipv4"]) == (2, 2)
+
+
+def test_ulaw_codec_matches_audioop_exactly():
+    """Pure-numpy G.711 mu-law == the stdlib audioop reference on all
+    256 byte values (decode) and all 65536 sample values (encode)."""
+    import numpy as np
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from data_pipeline_platform_spark.functions.multimodal import (
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    all_bytes = bytes(range(256))
+    ref = np.frombuffer(audioop.ulaw2lin(all_bytes, 2), dtype="<i2")
+    assert np.array_equal(ulaw_decode(all_bytes), ref)
+    samples = np.arange(-32768, 32768, dtype=np.int16)
+    ref_enc = audioop.lin2ulaw(samples.astype("<i2").tobytes(), 2)
+    assert ulaw_encode(samples) == ref_enc
+
+
+def test_ima_adpcm_roundtrip_and_wav_container(spark):
+    """IMA ADPCM: encode->decode tracks the original within the step
+    quantization error; the non-PCM WAV container (fmt 0x11 + fact)
+    parses through decode_wav_any; mu-law WAVs (fmt 7) decode through
+    the same entry point; stdlib-refused formats raise."""
+    import numpy as np
+
+    from data_pipeline_platform_spark.functions.multimodal import (
+        decode_wav_any,
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+        make_compressed_wav_bytes,
+        ulaw_encode,
+    )
+
+    t = np.arange(2000)
+    sig = (8000 * np.sin(t / 20.0)).astype(np.int16)
+    payload, block_align = ima_adpcm_encode(sig)
+    dec = ima_adpcm_decode(payload, block_align)
+    assert len(dec) >= len(sig)
+    err = np.abs(dec[: len(sig)].astype(np.int64) - sig.astype(np.int64))
+    # ADPCM is lossy; tracking error stays well under the signal swing
+    assert float(np.mean(err)) < 200 and int(err.max()) < 4000
+    wav = make_compressed_wav_bytes(
+        payload, 0x0011, 8000, len(sig), 4, block_align
+    )
+    sr, nch, samples = decode_wav_any(wav)
+    assert sr == 8000 and len(samples) >= len(sig)
+    # mu-law through the same dispatcher
+    uw = make_compressed_wav_bytes(ulaw_encode(sig), 0x0007, 8000, len(sig), 8, 1)
+    sr2, _, s2 = decode_wav_any(uw)
+    ints = np.rint(np.asarray(s2) * 32768.0).astype(np.int64)
+    err2 = np.abs(ints - sig.astype(np.int64))
+    assert sr2 == 8000 and int(err2.max()) < 1024  # segment-bounded
+    import pytest as _pt
+
+    bad = make_compressed_wav_bytes(b"\x00" * 10, 0x0050, 8000, 10, 8, 1)
+    with _pt.raises(ValueError):
+        decode_wav_any(bad)
