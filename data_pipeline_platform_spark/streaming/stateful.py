@@ -5,6 +5,16 @@ semantics — per-key running state machines, custom eviction, cross-batch
 counters — this is the escape hatch: per-group pandas batches with an
 explicit GroupState handle. State is stored in the streaming state store
 (RocksDB/HDFS-backed on a cluster), bounded by the configured timeout.
+
+Spark 4's successor API (``transformWithStateInPandas`` — typed
+ValueState/ListState/MapState handles, timers, TTL) is present in this
+PySpark build but ENVIRONMENT-BLOCKED here: its state-server protocol
+imports ``google.protobuf``, which this container lacks (verified —
+the driver worker dies with ImportError at
+StateSchemaValidation; same class of gate as FastAPI). The operators
+below stay on ``applyInPandasWithState`` (protobuf-free protocol),
+which remains fully supported; a deployment with protobuf can port
+them mechanically (the state layout is the same tuple-of-columns).
 """
 
 from __future__ import annotations

@@ -209,3 +209,51 @@ def test_streaming_cusum_drained_equals_batch_any_split(spark, tmp_path):
     }
     assert set(final) == set(batch)
     assert final == batch
+
+
+def test_transform_with_state_env_gate(spark, tmp_path):
+    """transformWithStateInPandas (the Spark-4 successor API) needs
+    google.protobuf for its state-server protocol. With protobuf
+    present this test exercises a minimal ValueState counter; without
+    it (this container) it documents the gate by skipping — the
+    applyInPandasWithState operators above are the supported surface
+    either way."""
+    import pytest as _pt
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        _pt.skip("google.protobuf absent: transformWithStateInPandas "
+                 "state server cannot start in this container")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Counter(StatefulProcessor):
+        def init(self, handle):
+            self.n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self.n.get()[0] if self.n.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self.n.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+        def close(self):
+            pass
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "user_id long, event_type string"
+    ).write.parquet(d + "/s")
+    stream = spark.readStream.schema(
+        "user_id long, event_type string").parquet(d + "/s")
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        Counter(), outputStructType="user_id long, n bigint",
+        outputMode="update", timeMode="none")
+    q = (out.writeStream.format("memory").queryName("tws_gate")
+         .outputMode("update").option("checkpointLocation", d + "/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["n"] for r in spark.table("tws_gate").collect()}
+    assert got == {1: 2, 2: 1}
