@@ -465,3 +465,77 @@ _register(
     "sequential_ids_orders", q_sequential_ids_orders,
     ORACLE_SEQUENTIAL_IDS_ORDERS,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed fact-fact join: the layout that deletes the 100 TB shuffle
+# ---------------------------------------------------------------------------
+
+def q_bucketed_fact_join(spark, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem with BOTH sides bucketed on the join key —
+    Spark matches bucket ids side to side, so the join executes with
+    ZERO Exchange over either fact table (broadcast disabled to show
+    it: at 100 TB neither side broadcasts; the bucketed-join plan gate
+    is tests/test_bucketing.py). This graded twin proves the layout
+    changes the PLAN, not the ANSWER: values are the plain-join
+    aggregate the oracle computes. The bucketed tables are rebuilt
+    under a temp warehouse per run (mode=overwrite -> re-runs are
+    idempotent); at production scale they are written once and every
+    orderkey-joined query reuses the layout."""
+    import tempfile
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
+    base = tempfile.mkdtemp(prefix="bktjoin_")
+    for df, name, col in (
+        (orders, "dpps_bkt_orders", "o_orderkey"),
+        (li, "dpps_bkt_lineitem", "l_orderkey"),
+    ):
+        (
+            df.repartition(8, col)
+            .write.mode("overwrite")
+            .bucketBy(8, col)
+            .sortBy(col)
+            .option("path", f"{base}/{name}")
+            .saveAsTable(name)
+        )
+    o = spark.table("dpps_bkt_orders")
+    l = spark.table("dpps_bkt_lineitem")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                (F.sum("price_c") / 100.0).alias("total_price"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # self-auditing: the join inputs must come off the bucketed
+        # layout with at most the final group-by exchanging
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return out
+
+
+ORACLE_BUCKETED_FACT_JOIN = """
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+         AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+_register("bucketed_fact_join", q_bucketed_fact_join, ORACLE_BUCKETED_FACT_JOIN)
