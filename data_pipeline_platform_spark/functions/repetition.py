@@ -815,3 +815,55 @@ FROM scored GROUP BY doc_id
 """
 
 register("kneser_ney_bigram", q_kneser_ney_bigram, ORACLE_KNESER_NEY_BIGRAM)
+
+
+def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity filtering (Wenzek et al. 2020): score
+    the held-out corpus slice under the Kneser-Ney bigram LM
+    (`q_kneser_ney_bigram` — trained on the other sources) and gate on
+    rank: the WORST-scoring 10% of documents (lowest mean log-prob =
+    highest perplexity) are dropped, the rest keep a kept=true flag
+    with their percentile rank. Deterministic thresholding: the cut is
+    the exact order statistic over (mean_logprob, doc_id) — no
+    approximate-percentile boundary conventions to disagree across
+    engines; mean_logprob itself is the 1e-6 fixed-point fold both
+    engines already reproduce bitwise.
+
+    SCALE: the scored set is the held-out SLICE (sample-sized by
+    construction), so the rank window over it is bounded — the
+    corpus-sized work is the LM scoring join, which is the already-
+    gated kneser_ney_bigram plan."""
+    from pyspark.sql import Window
+
+    scored = q_kneser_ney_bigram(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "mean_logprob"
+    )
+    w = Window.orderBy("mean_logprob", "doc_id")
+    n = Window.partitionBy()
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_docs", F.count(F.lit(1)).over(n)
+    )
+    return ranked.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_logprob",
+        (F.col("rnk") > F.ceil(F.col("n_docs") * 0.10)).alias("kept"),
+        (F.col("rnk") * 1.0 / F.col("n_docs")).alias("quality_pctile"),
+    )
+
+
+ORACLE_PERPLEXITY_GATE = f"""
+WITH scored AS ({ORACLE_KNESER_NEY_BIGRAM}),
+r AS (
+  SELECT doc_id, n_bigrams, mean_logprob,
+         row_number() OVER (ORDER BY mean_logprob, doc_id) AS rnk,
+         COUNT(*) OVER () AS n_docs
+  FROM scored
+)
+SELECT doc_id, n_bigrams, mean_logprob,
+       rnk > CEIL(n_docs * 0.10) AS kept,
+       rnk * 1.0 / n_docs AS quality_pctile
+FROM r
+"""
+
+register("perplexity_gate", q_perplexity_gate, ORACLE_PERPLEXITY_GATE)
