@@ -40,27 +40,29 @@ PACK_CAPACITY = 2048
 
 def with_global_offsets(
     df: DataFrame,
-    order_col: str,
+    order_col,
     weight_col: str,
     num_partitions: int = 32,
 ) -> DataFrame:
     """Add ``global_offset`` = exclusive prefix sum of ``weight_col``
-    in ``order_col`` order, via the two-phase distributed scan (no
-    single-partition global window). Input must have unique
-    ``order_col`` values."""
+    in ``order_col`` order (a column name or a list of names — the
+    composite orders lexicographically), via the two-phase distributed
+    scan (no single-partition global window). The combination of order
+    columns must be unique per row."""
     from data_pipeline_platform_spark.utils.cache import tracked_persist
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     ranged = tracked_persist(
-        df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
-            "__pid", F.spark_partition_id()
-        )
+        df.repartitionByRange(
+            num_partitions, *[F.col(c) for c in order_cols]
+        ).withColumn("__pid", F.spark_partition_id())
     )
     # phase 2: k-bounded driver hop — one row per partition
     totals = (
         ranged.groupBy("__pid")
         .agg(
             F.sum(weight_col).alias("__tot"),
-            F.min(order_col).alias("__lo"),
+            F.min(F.struct(*order_cols)).alias("__lo"),
         )
         .collect()
     )
@@ -68,7 +70,7 @@ def with_global_offsets(
     # each partition's minimum key to build the exclusive offsets
     running = 0
     offsets = []
-    for row in sorted(totals, key=lambda r: r["__lo"]):
+    for row in sorted(totals, key=lambda r: tuple(r["__lo"])):
         offsets.append((row["__pid"], running))
         running += int(row["__tot"] or 0)
     off_df = df.sparkSession.createDataFrame(
@@ -76,7 +78,7 @@ def with_global_offsets(
     )
     w = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (

@@ -829,26 +829,34 @@ def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; mean_logprob itself is the 1e-6 fixed-point fold both
     engines already reproduce bitwise.
 
-    SCALE: the scored set is the held-out SLICE (sample-sized by
-    construction), so the rank window over it is bounded — the
-    corpus-sized work is the LM scoring join, which is the already-
-    gated kneser_ney_bigram plan."""
-    from pyspark.sql import Window
+    SCALE: the held-out slice is data-scaled (a fixed corpus share),
+    so the global rank is NOT a bare orderBy window (the registry-wide
+    plan gate rejects those) — it rides the same two-phase distributed
+    prefix sum as sequence packing (`packing.with_global_offsets`,
+    composite (mean_logprob, doc_id) order): range partitions, one
+    #partitions-row driver hop, per-partition windows. The corpus-
+    sized work is the LM scoring join, the already-gated
+    kneser_ney_bigram plan."""
+    from data_pipeline_platform_spark.functions.packing import (
+        with_global_offsets,
+    )
 
     scored = q_kneser_ney_bigram(spark, sf_dir).select(
-        "doc_id", "n_bigrams", "mean_logprob"
+        "doc_id", "n_bigrams", "mean_logprob", F.lit(1).alias("__one")
     )
-    w = Window.orderBy("mean_logprob", "doc_id")
-    n = Window.partitionBy()
-    ranked = scored.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "n_docs", F.count(F.lit(1)).over(n)
-    )
-    return ranked.select(
-        "doc_id",
-        "n_bigrams",
-        "mean_logprob",
-        (F.col("rnk") > F.ceil(F.col("n_docs") * 0.10)).alias("kept"),
-        (F.col("rnk") * 1.0 / F.col("n_docs")).alias("quality_pctile"),
+    ranked = with_global_offsets(
+        scored, ["mean_logprob", "doc_id"], "__one"
+    ).withColumn("rnk", F.col("global_offset") + 1)
+    n_docs = ranked.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "mean_logprob",
+            (F.col("rnk") > F.ceil(F.col("n_docs") * 0.10)).alias("kept"),
+            (F.col("rnk") * 1.0 / F.col("n_docs")).alias("quality_pctile"),
+        )
     )
 
 
