@@ -1016,3 +1016,41 @@ QUALIFY sample_rank <= {BOTTOMK_PER_GROUP}
 """
 
 register("bottomk_per_source", q_bottomk_per_source, ORACLE_BOTTOMK_PER_SOURCE)
+
+
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a Bloom pre-filter on the CORPUS side —
+    the 100 TB shape of `contamination_check`: the exact version
+    shuffles every distinct (train doc, 5-gram) pair into the
+    benchmark join; here a 64 Kbit Bloom filter of the benchmark's
+    5-grams broadcasts to every scan task and drops non-candidate
+    corpus n-grams ROW-LOCAL before anything shuffles — only the
+    (tiny) maybe-matching sliver plus bounded false positives reach
+    the exact join, which removes the false positives. No false
+    negatives by construction (Bloom), so the result is value-
+    identical to the unfiltered exact check — which is literally the
+    oracle this twin is graded against."""
+    from data_pipeline_platform_spark.functions.scale import (
+        bloom_prune,
+        build_bloom,
+    )
+
+    docs = _docs(spark, sf_dir)
+    evalset = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    eg = with_ngrams(evalset, CONTAM_NGRAM, "ng").select("ng").distinct()
+    bloom = build_bloom(eg, "ng")
+    tg = with_ngrams(train, CONTAM_NGRAM, "ng").select("doc_id", "ng").distinct()
+    survivors = bloom_prune(tg, "ng", bloom)
+    return (
+        survivors.join(eg, "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+register(
+    "bloom_decontamination",
+    q_bloom_decontamination,
+    ORACLE_CONTAMINATION_CHECK,
+)

@@ -3305,3 +3305,37 @@ def test_ima_adpcm_roundtrip_and_wav_container(spark):
     bad = make_compressed_wav_bytes(b"\x00" * 10, 0x0050, 8000, 10, 8, 1)
     with _pt.raises(ValueError):
         decode_wav_any(bad)
+
+
+def test_bloom_decontamination_prunes_and_loses_nothing(spark):
+    """The Bloom pre-filter must actually PRUNE (candidate n-grams a
+    small fraction of the corpus n-grams on this data) and must lose
+    nothing: flagged docs and shared-n-gram counts equal the exact
+    unfiltered check's."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.corpus import (
+        CONTAM_NGRAM,
+        contamination_check,
+        with_ngrams,
+    )
+    from data_pipeline_platform_spark.functions.scale import (
+        bloom_prune,
+        build_bloom,
+    )
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    evalset = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    eg = with_ngrams(evalset, CONTAM_NGRAM, "ng").select("ng").distinct()
+    tg = with_ngrams(train, CONTAM_NGRAM, "ng").select("doc_id", "ng").distinct()
+    survivors = bloom_prune(tg, "ng", build_bloom(eg, "ng"))
+    n_all, n_surv = tg.count(), survivors.count()
+    assert n_surv < 0.25 * n_all, (n_surv, n_all)  # real pruning
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in
+           survivors.join(eg, "ng").groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shared_ngrams")).collect()}
+    want = {r["doc_id"]: r["n_shared_ngrams"] for r in
+            contamination_check(train, evalset).collect()}
+    assert got == want  # zero false negatives, FPs removed by the join
