@@ -176,6 +176,7 @@ HEADLINE = [
     "dedup_incremental_lsh_bucketed",
     "ann_ivfpq_refresh",
     "sequence_packing",
+    "bloom_decontamination",
 ]
 
 
