@@ -230,3 +230,131 @@ GROUP BY bin_id
 
 register("sequence_packing", q_sequence_packing, ORACLE_SEQUENCE_PACKING)
 register("packing_bin_stats", q_packing_bin_stats, ORACLE_PACKING_BIN_STATS)
+
+
+_PACK_STREAM = "pack"
+
+
+class IncrementalPacker:
+    """Exactly-once INCREMENTAL sequence packing — the production shape
+    of `pack_sequences`: daily ingest batches append to one persisted
+    packed-corpus manifest (an AcidTable of per-doc bin spans), each
+    batch continuing from the stored high-water token offset.
+
+    The running total rides in the append commit's meta
+    ({stream_id, batch_id, total_tokens}), so resuming costs an O(1)
+    newest-first commit walk — never a SUM over the manifest — and a
+    redelivered batch is skipped by its marker (the cdc_apply /
+    LSH-index exactly-once pattern). Within a batch the offsets come
+    from the same two-phase distributed prefix sum as the one-shot
+    path, so delivering the corpus as ordered slices reproduces the
+    one-shot packing BITWISE (the graded twin's contract)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 capacity: int = PACK_CAPACITY):
+        from data_pipeline_platform_spark.sinks.acid import AcidTable
+
+        self.spark = spark
+        self.table = AcidTable(spark, path)
+        self.capacity = capacity
+
+    def _state(self):
+        """(last_batch_id, running_total_tokens) from commit meta."""
+        if not self.table.exists():
+            return -1, 0
+        for v in range(self.table.latest_version(), 0, -1):
+            commit = self.table._read_commit(v)
+            if self.table._txn_state(commit) in ("pending", "aborted"):
+                continue
+            meta = commit.get("meta") or {}
+            if meta.get("stream_id") == _PACK_STREAM:
+                return int(meta["batch_id"]), int(meta["total_tokens"])
+        return -1, 0
+
+    def pack_batch(self, docs: DataFrame, batch_id: int,
+                   order_col: str = "doc_id",
+                   tokens_col: str = "n_tokens") -> Dict:
+        last, base = self._state()
+        if batch_id <= last:
+            return {"batch_id": batch_id, "replay": 1, "added": 0}
+        from data_pipeline_platform_spark.utils.cache import tracked_persist
+
+        out = tracked_persist(
+            with_global_offsets(docs, order_col, tokens_col).withColumn(
+                "global_offset", F.col("global_offset") + F.lit(base)
+            )
+        )
+        try:
+            cap = self.capacity
+            first = (F.col("global_offset") / cap).cast("bigint")
+            last_b = (
+                (F.col("global_offset") + F.col(tokens_col) - 1) / cap
+            ).cast("bigint")
+            rows = (
+                out.withColumn("first_bin", first)
+                .withColumn("last_bin", last_b)
+                .withColumn("n_bins", (last_b - first + 1).cast("bigint"))
+            )
+            stats = out.agg(
+                F.count(F.lit(1)).alias("n"), F.sum(tokens_col).alias("t")
+            ).collect()[0]
+            self.table.write(
+                rows,
+                mode="append",
+                extra_meta={
+                    "stream_id": _PACK_STREAM,
+                    "batch_id": batch_id,
+                    "total_tokens": base + int(stats["t"] or 0),
+                },
+            )
+            return {"batch_id": batch_id, "replay": 0,
+                    "added": int(stats["n"])}
+        finally:
+            out.unpersist(blocking=False)
+
+    def manifest(self) -> DataFrame:
+        return self.table.read()
+
+
+def q_sequence_packing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three ordered ingest slices (doc_id thirds by RANGE — the
+    arrival order a partitioned ingest gives) through the persisted
+    packer, with slice 1 REDELIVERED to prove the replay skip; the
+    accumulated manifest must bitwise-equal the ONE-SHOT packing of
+    the whole corpus — the same oracle `sequence_packing` grades
+    against — so a wrong high-water offset, a dropped row, or a
+    double-applied batch is a value mismatch."""
+    import tempfile
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    m = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut1, cut2 = m // 3, 2 * m // 3
+    packer = IncrementalPacker(spark, tempfile.mkdtemp(prefix="incpack_"))
+    slices = [
+        docs.filter(F.col("doc_id") <= cut1),
+        docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        docs.filter(F.col("doc_id") > cut2),
+    ]
+    for b, sl in enumerate(slices):
+        packer.pack_batch(sl, batch_id=b)
+        if b == 1:
+            out = packer.pack_batch(sl, batch_id=b)  # redelivery
+            assert out["replay"] == 1, "replay not skipped"
+    return packer.manifest().select(
+        "doc_id", "n_tokens", "global_offset", "first_bin", "last_bin",
+        "n_bins",
+    )
+
+
+register(
+    "sequence_packing_incremental",
+    q_sequence_packing_incremental,
+    ORACLE_SEQUENCE_PACKING,
+)
