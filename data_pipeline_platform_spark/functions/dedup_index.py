@@ -101,15 +101,37 @@ class IncrementalLshIndex:
             and self.spark.catalog.tableExists(self.bands_table)
         )
 
+    def _delete_partition_dir(self, batch_id: int) -> None:
+        # The bands table is EXTERNAL (explicit path option), so
+        # ALTER TABLE DROP PARTITION removes only catalog metadata and
+        # leaves the old parquet files in place; the subsequent append
+        # would re-register the partition and read BOTH generations.
+        # Physical deletion via the Hadoop FS API (works for local FS,
+        # HDFS, and object-store connectors alike) makes the republish
+        # a true overwrite.
+        jvm = self.spark._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        part = jvm.org.apache.hadoop.fs.Path(
+            f"{self.bands_path}/batch_id={int(batch_id)}"
+        )
+        fs = part.getFileSystem(hconf)
+        if fs.exists(part):
+            fs.delete(part, True)
+
     def _publish_bands(self, new_bands: DataFrame, batch_id: int) -> None:
         """Append the batch's band rows to the bucketed catalog table,
-        idempotently: the batch's partition is dropped first, so a
-        crash-replay republishes instead of duplicating."""
+        idempotently: the batch's partition is dropped from the catalog
+        AND its directory deleted on disk first, so a crash-replay
+        republishes instead of duplicating (catalog-only DROP PARTITION
+        on an external table leaves the old files readable)."""
         if self._bands_ready():
             self.spark.sql(
                 f"ALTER TABLE {self.bands_table} DROP IF EXISTS "
                 f"PARTITION (batch_id={int(batch_id)})"
             )
+        # unconditional: a crash during the very first publish can
+        # leave files on disk with no catalog entry yet
+        self._delete_partition_dir(batch_id)
         (
             # repartition by the SAME hash the bucketing uses so each
             # task holds exactly one bucket's rows -> one file per

@@ -103,10 +103,12 @@ def pack_sequences(
     A document straddles bins iff its token run crosses a multiple of
     ``capacity``."""
     out = with_global_offsets(docs, order_col, tokens_col)
-    first = (F.col("global_offset") / capacity).cast("bigint")
-    last = (
-        (F.col("global_offset") + F.col(tokens_col) - 1) / capacity
-    ).cast("bigint")
+    # integer DIV, not double division: `/` is exact only while capacity
+    # is a power of two; near 2^53 a double-rounded quotient can shift a
+    # boundary document by one bin, diverging from the oracle's `//`
+    cap = int(capacity)
+    first = F.expr(f"global_offset DIV {cap}")
+    last = F.expr(f"(global_offset + `{tokens_col}` - 1) DIV {cap}")
     return (
         out.withColumn("first_bin", first)
         .withColumn("last_bin", last)

@@ -478,10 +478,14 @@ def q_bucketed_fact_join(spark, sf_dir: str) -> DataFrame:
     it: at 100 TB neither side broadcasts; the bucketed-join plan gate
     is tests/test_bucketing.py). This graded twin proves the layout
     changes the PLAN, not the ANSWER: values are the plain-join
-    aggregate the oracle computes. The bucketed tables are rebuilt
-    under a temp warehouse per run (mode=overwrite -> re-runs are
-    idempotent); at production scale they are written once and every
-    orderkey-joined query reuses the layout."""
+    aggregate the oracle computes. The bucketed tables carry a per-run
+    token in their names (two sessions sharing a metastore, or
+    interleaved runs against different sf_dirs, must not collide) and
+    are DROPPED — with their temp directory removed — once the 3-row
+    aggregate is materialized; at production scale they are written
+    once and every orderkey-joined query reuses the layout."""
+    import os
+    import shutil
     import tempfile
 
     from data_pipeline_platform_spark.sources.readers import load_table
@@ -494,23 +498,26 @@ def q_bucketed_fact_join(spark, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
     )
     base = tempfile.mkdtemp(prefix="bktjoin_")
-    for df, name, col in (
-        (orders, "dpps_bkt_orders", "o_orderkey"),
-        (li, "dpps_bkt_lineitem", "l_orderkey"),
-    ):
-        (
-            df.repartition(8, col)
-            .write.mode("overwrite")
-            .bucketBy(8, col)
-            .sortBy(col)
-            .option("path", f"{base}/{name}")
-            .saveAsTable(name)
-        )
-    o = spark.table("dpps_bkt_orders")
-    l = spark.table("dpps_bkt_lineitem")
+    run = os.path.basename(base).replace("bktjoin_", "")
+    t_orders = f"dpps_bkt_orders_{run}"
+    t_lineitem = f"dpps_bkt_lineitem_{run}"
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        for df, name, col in (
+            (orders, t_orders, "o_orderkey"),
+            (li, t_lineitem, "l_orderkey"),
+        ):
+            (
+                df.repartition(8, col)
+                .write.mode("overwrite")
+                .bucketBy(8, col)
+                .sortBy(col)
+                .option("path", f"{base}/{name}")
+                .saveAsTable(name)
+            )
+        o = spark.table(t_orders)
+        l = spark.table(t_lineitem)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         out = (
             l.join(o, l.l_orderkey == o.o_orderkey)
             .groupBy("o_orderstatus")
@@ -524,9 +531,16 @@ def q_bucketed_fact_join(spark, sf_dir: str) -> DataFrame:
         # layout with at most the final group-by exchanging
         assert "Bucketed: true" in plan, plan
         assert plan.count("Exchange hashpartitioning") <= 1, plan
+        # materialize the (tiny) aggregate so the tables can be dropped
+        # and the temp dir reclaimed before returning
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    return out
+        for name in (t_orders, t_lineitem):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(base, ignore_errors=True)
+    return result
 
 
 ORACLE_BUCKETED_FACT_JOIN = """

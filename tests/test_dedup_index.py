@@ -284,3 +284,64 @@ def test_ann_refresh_encodes_only_the_delta(spark, tmp_path):
     assert idx.refresh(emb, batch_id=1) == {"added": 0, "replay": 1}
     # vec_ids stay unique — the anti-join never re-appends a coded row
     assert idx.ivf.read().select("vec_id").distinct().count() == total
+
+
+def test_bands_republish_is_idempotent(spark, tmp_path):
+    """Crash between the bands publish and the index marker write must
+    not duplicate the batch's band rows on replay: the bands table is
+    EXTERNAL, so a catalog-only DROP PARTITION leaves the old parquet
+    files readable — _publish_bands must physically overwrite the
+    partition (advisor r11, dedup_index.py)."""
+    docs = _docs(spark)
+    idx = IncrementalLshIndex(
+        spark,
+        str(tmp_path / "bidx"),
+        str(tmp_path / "bprs"),
+        bands_table="lsh_bands_replay_gate",
+        bands_path=str(tmp_path / "bands"),
+    )
+    try:
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == 0), batch_id=0)
+        b1 = docs.filter(F.col("doc_id") % 3 == 1)
+
+        # crash AFTER the bands publish, BEFORE the index marker commit
+        orig_write = idx.index.write
+        idx.index.write = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated crash")
+        )
+        try:
+            idx.add_batch(b1, batch_id=1)
+        except RuntimeError:
+            pass
+        idx.index.write = orig_write
+        per_batch_crash = {
+            r["batch_id"]: r["n"]
+            for r in spark.table(idx.bands_table)
+            .groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert 1 in per_batch_crash  # bands made it out before the crash
+
+        # replay republishes batch 1's partition: counts UNCHANGED
+        idx.add_batch(b1, batch_id=1)
+        per_batch = {
+            r["batch_id"]: r["n"]
+            for r in spark.table(idx.bands_table)
+            .groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_batch == per_batch_crash  # no doubled partition
+        # band rows are unique per (doc, band) — duplicates would break this
+        total = spark.table(idx.bands_table).count()
+        distinct = (
+            spark.table(idx.bands_table)
+            .select("doc_id", "band").distinct().count()
+        )
+        assert total == distinct
+
+        # end state still equals the one-shot oracle
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == 2), batch_id=2)
+        got = _pairs(idx.all_pairs())
+        want = _pairs(q_dedup_minhash_lsh(spark, SF))
+        release_tracked()
+        assert got == want
+    finally:
+        idx.drop_bands_table()

@@ -63,8 +63,8 @@ def main(src: str, dst: str, factor: int = 1) -> None:
     else:
         shutil.copy(src_cust, dst_cust)
     n = skewed.count()
-    hot = skewed.filter(F.col("user_id") == 1).count()
-    print(f"wrote {n} rows, hot-key share {hot / n:.3f} -> {dst}")
+    n_hot = skewed.filter(F.col("user_id") == 1).count()
+    print(f"wrote {n} rows, hot-key share {n_hot / n:.3f} -> {dst}")
 
 
 if __name__ == "__main__":
