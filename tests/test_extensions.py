@@ -3339,3 +3339,39 @@ def test_bloom_decontamination_prunes_and_loses_nothing(spark):
     want = {r["doc_id"]: r["n_shared_ngrams"] for r in
             contamination_check(train, evalset).collect()}
     assert got == want  # zero false negatives, FPs removed by the join
+
+
+def test_redact_pii_extended_luhn_gate(spark):
+    """The credit-card scrub is checksum-gated, not regex-gated: a
+    Luhn-valid PAN is redacted in both plain and hyphenated form, a
+    Luhn-invalid 16-digit candidate survives verbatim (hyphenated) or
+    falls through to the digit-run scrubber (contiguous), and MAC /
+    IBAN get their own tags."""
+    from data_pipeline_platform_spark.functions.redact import (
+        redact_pii_extended,
+    )
+
+    rows = [
+        (1, "card 4111111111111111 alt 4111-1111-1111-1111 "
+            "bad 0000-0000-0000-0001 badrun 1234567890123456"),
+        (2, "mac 0a:1B:2c:3D:4e:5f iban DE44500105175407324931 ok"),
+        (3, "mail a@b.io ip 10.0.0.1 tel 555-123-4567 acct 987654321"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii_extended(df).collect()}
+    r1 = out[1]
+    assert r1["n_credit_card"] == 2  # plain + hyphenated valid forms
+    assert r1["redacted"].count("[CC]") == 2
+    # invalid hyphenated candidate survives untouched; invalid
+    # contiguous candidate is still scrubbed — but as a digit run
+    assert "0000-0000-0000-0001" in r1["redacted"]
+    assert "1234567890123456" not in r1["redacted"]
+    assert r1["n_digit_run"] == 1
+    assert "4111" not in r1["redacted"]
+    r2 = out[2]
+    assert (r2["n_mac"], r2["n_iban"]) == (1, 1)
+    assert "[MAC]" in r2["redacted"] and "[IBAN]" in r2["redacted"]
+    assert "0a:1B" not in r2["redacted"] and "DE44" not in r2["redacted"]
+    r3 = out[3]
+    assert (r3["n_email"], r3["n_ipv4"], r3["n_phone"], r3["n_digit_run"],
+            r3["n_credit_card"]) == (1, 1, 1, 1, 0)
