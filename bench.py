@@ -177,6 +177,10 @@ HEADLINE = [
     "ann_ivfpq_refresh",
     "sequence_packing",
     "bloom_decontamination",
+    # r12: the embedding index's bucketed band-table layout (the vector
+    # twin of dedup_incremental_lsh_bucketed — zero index-side Exchange,
+    # plan-gated)
+    "embedding_incremental_near_dup_bucketed",
 ]
 
 

@@ -66,6 +66,68 @@ def _last_batch(table: AcidTable, stream: str = _STREAM) -> int:
     return -1
 
 
+class _BucketedBandTable:
+    """The production band-table layout shared by the text-LSH and
+    embedding indexes: an EXTERNAL catalog table of exploded band rows,
+    bucketed on the candidate-join key (so the per-batch join reads the
+    stored side bucket-aligned with ZERO Exchange) and partitioned by
+    batch_id (so a crash-replay republishes its partition idempotently
+    — catalog DROP PARTITION plus a physical directory delete, because
+    the table is external and a catalog-only drop leaves the old files
+    readable)."""
+
+    def __init__(self, spark: SparkSession, table: str, path: str,
+                 bucket_cols, num_buckets: int):
+        self.spark = spark
+        self.table = table
+        self.path = path
+        self.bucket_cols = list(bucket_cols)
+        self.num_buckets = num_buckets
+
+    def ready(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def _delete_partition_dir(self, batch_id: int) -> None:
+        jvm = self.spark._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        part = jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/batch_id={int(batch_id)}"
+        )
+        fs = part.getFileSystem(hconf)
+        if fs.exists(part):
+            fs.delete(part, True)
+
+    def publish(self, rows: DataFrame, batch_id: int) -> None:
+        if self.ready():
+            self.spark.sql(
+                f"ALTER TABLE {self.table} DROP IF EXISTS "
+                f"PARTITION (batch_id={int(batch_id)})"
+            )
+        # unconditional: a crash during the very first publish can
+        # leave files on disk with no catalog entry yet
+        self._delete_partition_dir(batch_id)
+        (
+            # repartition by the SAME hash the bucketing uses so each
+            # task holds exactly one bucket's rows -> one file per
+            # bucket per batch, not tasks x buckets small files
+            rows.withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition(self.num_buckets, *self.bucket_cols)
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .bucketBy(self.num_buckets, *self.bucket_cols)
+            .option("path", self.path)
+            .saveAsTable(self.table)
+        )
+
+    def before(self, batch_id: int) -> DataFrame:
+        return self.spark.table(self.table).filter(
+            F.col("batch_id") < int(batch_id)
+        )
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+
+
 class IncrementalLshIndex:
     """ACID-backed MinHash index (rows: doc_id, shingles, sig) plus the
     accumulated verified near-duplicate pairs.
@@ -94,60 +156,25 @@ class IncrementalLshIndex:
         self.bands_table = bands_table
         self.bands_path = bands_path
         self.num_buckets = num_buckets
+        self._bands = (
+            _BucketedBandTable(
+                spark, bands_table, bands_path, ("band", "sig"), num_buckets
+            )
+            if bands_table
+            else None
+        )
 
     def _bands_ready(self) -> bool:
-        return bool(
-            self.bands_table
-            and self.spark.catalog.tableExists(self.bands_table)
-        )
-
-    def _delete_partition_dir(self, batch_id: int) -> None:
-        # The bands table is EXTERNAL (explicit path option), so
-        # ALTER TABLE DROP PARTITION removes only catalog metadata and
-        # leaves the old parquet files in place; the subsequent append
-        # would re-register the partition and read BOTH generations.
-        # Physical deletion via the Hadoop FS API (works for local FS,
-        # HDFS, and object-store connectors alike) makes the republish
-        # a true overwrite.
-        jvm = self.spark._jvm
-        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        part = jvm.org.apache.hadoop.fs.Path(
-            f"{self.bands_path}/batch_id={int(batch_id)}"
-        )
-        fs = part.getFileSystem(hconf)
-        if fs.exists(part):
-            fs.delete(part, True)
+        return bool(self._bands and self._bands.ready())
 
     def _publish_bands(self, new_bands: DataFrame, batch_id: int) -> None:
         """Append the batch's band rows to the bucketed catalog table,
-        idempotently: the batch's partition is dropped from the catalog
-        AND its directory deleted on disk first, so a crash-replay
-        republishes instead of duplicating (catalog-only DROP PARTITION
-        on an external table leaves the old files readable)."""
-        if self._bands_ready():
-            self.spark.sql(
-                f"ALTER TABLE {self.bands_table} DROP IF EXISTS "
-                f"PARTITION (batch_id={int(batch_id)})"
-            )
-        # unconditional: a crash during the very first publish can
-        # leave files on disk with no catalog entry yet
-        self._delete_partition_dir(batch_id)
-        (
-            # repartition by the SAME hash the bucketing uses so each
-            # task holds exactly one bucket's rows -> one file per
-            # bucket per batch, not tasks x buckets small files
-            new_bands.withColumn("batch_id", F.lit(int(batch_id)))
-            .repartition(self.num_buckets, "band", "sig")
-            .write.mode("append")
-            .partitionBy("batch_id")
-            .bucketBy(self.num_buckets, "band", "sig")
-            .option("path", self.bands_path)
-            .saveAsTable(self.bands_table)
-        )
+        idempotently (see _BucketedBandTable.publish)."""
+        self._bands.publish(new_bands, batch_id)
 
     def drop_bands_table(self) -> None:
-        if self.bands_table:
-            self.spark.sql(f"DROP TABLE IF EXISTS {self.bands_table}")
+        if self._bands:
+            self._bands.drop()
 
     def add_batch(self, docs: DataFrame, batch_id: int) -> Dict[str, int]:
         """Ingest one batch (columns doc_id, text): discover new-new and
@@ -182,10 +209,8 @@ class IncrementalLshIndex:
                 if self._bands_ready():
                     # bucket-aligned index side: scans its buckets in
                     # place, no Exchange over the stored bands
-                    old_bands = (
-                        self.spark.table(self.bands_table)
-                        .filter(F.col("batch_id") < batch_id)
-                        .select(F.col("doc_id").alias("old_id"), "band", "sig")
+                    old_bands = self._bands.before(batch_id).select(
+                        F.col("doc_id").alias("old_id"), "band", "sig"
                     )
                 else:
                     old_bands = bands_from_signatures(
@@ -330,10 +355,34 @@ class IncrementalEmbeddingIndex:
     equals the one-shot banded pass exactly — the graded twin shares
     `embedding_near_dup`'s plane-replaying oracle."""
 
-    def __init__(self, spark: SparkSession, index_path: str, pairs_path: str):
+    def __init__(self, spark: SparkSession, index_path: str, pairs_path: str,
+                 bands_table: Optional[str] = None,
+                 bands_path: Optional[str] = None,
+                 num_buckets: int = 32):
         self.spark = spark
         self.index = AcidTable(spark, index_path)
         self.pairs = AcidTable(spark, pairs_path)
+        if bands_table and not bands_path:
+            raise ValueError("bands_table requires bands_path")
+        self.bands_table = bands_table
+        self.num_buckets = num_buckets
+        #: production layout (r12, mirroring the text-LSH index): the
+        #: exploded (vec_id, band_idx, band_val) rows as a catalog
+        #: table bucketed on the join key — the per-batch candidate
+        #: join reads the stored side with ZERO Exchange instead of
+        #: re-shuffling every stored band row per batch
+        self._bands = (
+            _BucketedBandTable(
+                spark, bands_table, bands_path,
+                ("band_idx", "band_val"), num_buckets,
+            )
+            if bands_table
+            else None
+        )
+
+    def drop_bands_table(self) -> None:
+        if self._bands:
+            self._bands.drop()
 
     def add_batch(self, emb: DataFrame, batch_id: int) -> Dict[str, int]:
         """``emb``: (vec_id, vec array<double>) rows new to the corpus.
@@ -371,10 +420,19 @@ class IncrementalEmbeddingIndex:
             )
             if self.index.exists():
                 old = self.index.read()
-                # stored band keys: an integer explode, zero dot products
-                old_bands = explode_band_array(old).select(
-                    F.col("vec_id").alias("old_id"), "band_idx", "band_val"
-                )
+                if self._bands and self._bands.ready():
+                    # bucket-aligned stored side: scans its buckets in
+                    # place, no Exchange over the index's band rows
+                    old_bands = self._bands.before(batch_id).select(
+                        F.col("vec_id").alias("old_id"),
+                        "band_idx", "band_val",
+                    )
+                else:
+                    # stored band keys: an integer explode, zero dot
+                    # products (but the join still shuffles them)
+                    old_bands = explode_band_array(old).select(
+                        F.col("vec_id").alias("old_id"), "band_idx", "band_val"
+                    )
                 cross = new_bands.join(
                     old_bands, ["band_idx", "band_val"]
                 ).select(
@@ -408,6 +466,14 @@ class IncrementalEmbeddingIndex:
                     n_pairs = verified.count()
                     self.pairs.write(verified, mode="append", extra_meta=marker)
                 if batch_id > _last_batch(self.index, _EMB_STREAM):
+                    if self._bands:
+                        # before the index marker: if the index has the
+                        # batch, the bands do too; a crash in between
+                        # republishes the partition idempotently
+                        self._bands.publish(
+                            new_bands.select("vec_id", "band_idx", "band_val"),
+                            batch_id,
+                        )
                     self.index.write(prepared, mode="append", extra_meta=marker)
             finally:
                 verified.unpersist(blocking=False)
@@ -454,6 +520,44 @@ def q_embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFr
     return idx.all_pairs()
 
 
+def q_embedding_incremental_near_dup_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bucketed-band-table production layout of the embedding
+    index: identical three-batch ingest and the SAME plane-replaying
+    oracle, but the per-batch candidate join reads the stored
+    (band_idx, band_val) rows bucket-aligned — no Exchange over the
+    index side, only the batch shuffles. Value-parity with
+    `embedding_incremental_near_dup` proves the layout changes the
+    plan, not the answer."""
+    import os as _os
+
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+    )
+
+    base = _emb(spark, sf_dir).select(
+        "vec_id", _as_double("embedding").alias("vec")
+    )
+    root = tempfile.mkdtemp(prefix="embbkt_")
+    idx = IncrementalEmbeddingIndex(
+        spark,
+        _os.path.join(root, "idx"),
+        _os.path.join(root, "pairs"),
+        bands_table=(
+            f"emb_bands_{_os.path.basename(root).replace('embbkt_', '')}"
+        ),
+        bands_path=_os.path.join(root, "bands"),
+    )
+    try:
+        for b in range(3):
+            idx.add_batch(base.filter(F.col("vec_id") % 3 == b), batch_id=b)
+    finally:
+        idx.drop_bands_table()  # result rides the pairs table, not this
+    return idx.all_pairs()
+
+
 def _register_embedding_incremental() -> None:
     from data_pipeline_platform_spark.functions.similarity import (
         ORACLE_EMBEDDING_NEAR_DUP,
@@ -462,6 +566,11 @@ def _register_embedding_incremental() -> None:
     register(
         "embedding_incremental_near_dup",
         q_embedding_incremental_near_dup,
+        ORACLE_EMBEDDING_NEAR_DUP,
+    )
+    register(
+        "embedding_incremental_near_dup_bucketed",
+        q_embedding_incremental_near_dup_bucketed,
         ORACLE_EMBEDDING_NEAR_DUP,
     )
 

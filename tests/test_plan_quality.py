@@ -725,3 +725,57 @@ def test_sequence_packing_has_no_global_window(spark):
         # Window [exprs], [partSpec], [orderSpec] — empty partSpec = global
         assert m.group(1).strip(), f"partition-less Window in plan:\n{plan}"
     assert "rangepartitioning" in plan.lower()
+
+
+def test_bucketed_embedding_band_join_no_exchange_on_index_side(
+    spark, tmp_path
+):
+    """The embedding twin of the bucketed LSH gate (r12, verdict #5):
+    with IncrementalEmbeddingIndex(bands_table=...), the per-batch
+    candidate join must read the stored (band_idx, band_val) rows
+    bucket-aligned — exactly ONE Exchange (the batch side), zero over
+    the index scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_platform_spark.functions.dedup_index import (
+        IncrementalEmbeddingIndex,
+    )
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+        explode_band_array,
+        hyperplane_band_array,
+    )
+
+    base = _emb(spark, SF).select(
+        "vec_id", _as_double("embedding").alias("vec")
+    )
+    idx = IncrementalEmbeddingIndex(
+        spark, str(tmp_path / "i"), str(tmp_path / "p"),
+        bands_table="emb_bands_plan_gate", bands_path=str(tmp_path / "b"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        idx.add_batch(base.filter(F.col("vec_id") % 3 == 0), batch_id=0)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        new_bands = explode_band_array(
+            hyperplane_band_array(
+                base.filter(F.col("vec_id") % 3 == 1).select("vec_id", "vec")
+            )
+        )
+        old_bands = idx._bands.before(1).select(
+            F.col("vec_id").alias("old_id"), "band_idx", "band_val"
+        )
+        plan = _physical_plan(
+            new_bands.join(old_bands, ["band_idx", "band_val"])
+        )
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        part = os.path.join(str(tmp_path / "b"), "batch_id=0")
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert len(files) <= idx.num_buckets
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        idx.drop_bands_table()
