@@ -287,11 +287,11 @@ class IncrementalPacker:
             )
         )
         try:
-            cap = self.capacity
-            first = (F.col("global_offset") / cap).cast("bigint")
-            last_b = (
-                (F.col("global_offset") + F.col(tokens_col) - 1) / cap
-            ).cast("bigint")
+            cap = int(self.capacity)
+            # integer DIV (same fix as with_bin_spans): double division
+            # is exact only for power-of-two capacities
+            first = F.expr(f"global_offset DIV {cap}")
+            last_b = F.expr(f"(global_offset + `{tokens_col}` - 1) DIV {cap}")
             rows = (
                 out.withColumn("first_bin", first)
                 .withColumn("last_bin", last_b)

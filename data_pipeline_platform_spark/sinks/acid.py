@@ -234,16 +234,31 @@ class AcidTable:
             payload["schema"] = schema.jsonValue()
         if txn is not None:
             payload["txn"] = {"id": txn["id"], "status_dir": txn["status_dir"]}
+        # Stage the full record first, then publish it with one atomic
+        # link: the version file either exists COMPLETE or not at all.
+        # (The old single open(..., "x") + json.dump had a torn-write
+        # window — a crash mid-dump left a truncated N.json that broke
+        # every subsequent read of the table. On an object store the
+        # whole operation is one put-if-absent — S3 conditional put /
+        # GCS precondition — which is torn-proof by construction; link
+        # is the local-FS mapping of that primitive, preserving both
+        # the atomicity AND the exactly-one-winner conflict check.)
+        tmp = self._version_file(version) + f".stage-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())  # durable before it becomes visible
         try:
-            # O_CREAT|O_EXCL: the one atomic publish point. On an object
-            # store this maps to put-if-absent (S3 conditional put /
-            # GCS precondition), per the Delta protocol's requirement.
-            with open(self._version_file(version), "x") as f:
-                json.dump(payload, f)
+            os.link(tmp, self._version_file(version))
         except FileExistsError:
             raise CommitConflictError(
                 f"version {version} already committed at {self.path}"
             ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass  # a leaked stage file is inert (never read back)
         # never checkpoint a txn commit: its files are unresolved at
         # write time, and a checkpoint must bake in only settled state
         if version % _CHECKPOINT_INTERVAL == 0 and txn is None:
