@@ -181,6 +181,9 @@ HEADLINE = [
     # twin of dedup_incremental_lsh_bucketed — zero index-side Exchange,
     # plan-gated)
     "embedding_incremental_near_dup_bucketed",
+    # r12: C4/FineWeb line-level cleaning — full-corpus line explode +
+    # the global duplicate-line census shuffle
+    "c4_line_filter",
 ]
 
 

@@ -1054,3 +1054,181 @@ register(
     q_bloom_decontamination,
     ORACLE_CONTAMINATION_CHECK,
 )
+
+
+# ---------------------------------------------------------------------------
+# C4 / FineWeb-style LINE-level cleaning (r12)
+# ---------------------------------------------------------------------------
+
+#: line-level rules, after C4 (Raffel et al. 2020 §2.2) and FineWeb:
+#: a retained line needs >= C4_MIN_WORDS words, terminal punctuation,
+#: and none of the blocked boilerplate phrases; any line whose exact
+#: text appears in >= C4_DUP_DOCS distinct documents is corpus
+#: boilerplate and is dropped from EVERY document.
+C4_MIN_WORDS = 3
+C4_DUP_DOCS = 2
+C4_BLOCKED = ("cookie policy", "javascript", "lorem ipsum")
+
+
+def clean_lines_c4(lines: DataFrame) -> DataFrame:
+    """(doc_id, line_no, line) -> per-document cleaning summary +
+    reassembled clean text.
+
+    Scale shape: the per-line rules are row-local Column expressions;
+    the ONLY shuffle is the global duplicate-line census — a groupBy on
+    the line text (at 100 TB: hash-partitioned by line content, partial
+    countDistinct map-side) joined back onto the lines. Nothing
+    collects; the reassembly is one doc-keyed aggregate."""
+    rule_ok = (
+        (F.size(F.split(F.trim("line"), r"\s+")) >= C4_MIN_WORDS)
+        & F.col("line").rlike(r"[.!?]$")
+    )
+    for phrase in C4_BLOCKED:
+        rule_ok = rule_ok & ~F.contains(F.lower("line"), F.lit(phrase))
+    flagged = lines.withColumn("rule_ok", rule_ok)
+    dup_lines = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= C4_DUP_DOCS)
+        .select("line", F.lit(True).alias("is_dup"))
+    )
+    judged = flagged.join(dup_lines, "line", "left").withColumn(
+        "kept", F.col("rule_ok") & F.col("is_dup").isNull()
+    )
+    return (
+        judged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.sum((~F.col("rule_ok")).cast("bigint")).alias("n_dropped_rules"),
+            F.sum(
+                (F.col("rule_ok") & F.col("is_dup").isNotNull()).cast("bigint")
+            ).alias("n_dropped_dup"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .withColumn("clean_chars", F.length("clean_text").cast("bigint"))
+    )
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning under the correctness gate. The corpus
+    fixture synthesizes deterministic multi-line documents from the
+    single-line testdata: a newline after every 7th word, terminal
+    punctuation planted on 3 of every 4 lines (keyed on doc_id*31 +
+    line_no), a corpus-wide boilerplate line injected as line 0 of
+    every 5th document (must be removed EVERYWHERE by the duplicate
+    census), and a 'cookie policy' phrase prepended to line 1 of every
+    7th document (must fail the phrase rule). The oracle rebuilds the
+    identical lines in DuckDB and replays the identical rules — counts
+    and the reassembled clean text must match bitwise."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    multiline = docs.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){6}\S+) ", "$1\n")
+    )
+    d, ln = F.col("doc_id"), F.col("line_no")
+    lines = (
+        multiline.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+        )
+        .withColumn(
+            "line",
+            F.when((d % 5 == 0) & (ln == 0),
+                   F.lit("subscribe to our newsletter today."))
+            .when((d % 7 == 0) & (ln == 1),
+                  F.concat(F.lit("cookie policy "), F.col("line")))
+            .otherwise(F.col("line")),
+        )
+        .withColumn(
+            "line",
+            F.when(
+                ((d * 31 + ln) % 4 != 0)
+                & ~F.endswith("line", F.lit(".")),
+                F.concat(F.col("line"), F.lit(".")),
+            ).otherwise(F.col("line")),
+        )
+    )
+    return clean_lines_c4(lines).select(
+        "doc_id", "n_lines", "n_kept", "n_dropped_rules", "n_dropped_dup",
+        "clean_chars", "clean_text",
+    )
+
+
+ORACLE_C4_LINE_FILTER = r"""
+WITH ml AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){6}\S+) ', '\1' || chr(10), 'g')
+           AS t
+  FROM documents
+), splitted AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ls FROM ml
+), raw_lines AS (
+  SELECT doc_id,
+         generate_subscripts(ls, 1) - 1 AS line_no,
+         unnest(ls) AS line
+  FROM splitted
+), planted AS (
+  SELECT doc_id, line_no,
+         CASE
+           WHEN doc_id % 5 = 0 AND line_no = 0
+             THEN 'subscribe to our newsletter today.'
+           WHEN doc_id % 7 = 0 AND line_no = 1
+             THEN 'cookie policy ' || line
+           ELSE line
+         END AS line
+  FROM raw_lines
+), lines AS (
+  SELECT doc_id, line_no,
+         CASE
+           WHEN (doc_id * 31 + line_no) % 4 <> 0
+                AND NOT line LIKE '%.'
+             THEN line || '.'
+           ELSE line
+         END AS line
+  FROM planted
+), judged AS (
+  SELECT doc_id, line_no, line,
+         (len(regexp_extract_all(trim(line), '\S+')) >= 3
+          AND regexp_matches(line, '[.!?]$')
+          AND NOT contains(lower(line), 'cookie policy')
+          AND NOT contains(lower(line), 'javascript')
+          AND NOT contains(lower(line), 'lorem ipsum')) AS rule_ok,
+         COUNT(DISTINCT doc_id) OVER (PARTITION BY line) >= 2 AS is_dup
+  FROM lines
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN rule_ok AND NOT is_dup THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN NOT rule_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_rules,
+       CAST(SUM(CASE WHEN rule_ok AND is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_dup,
+       CAST(length(COALESCE(
+         string_agg(CASE WHEN rule_ok AND NOT is_dup THEN line END,
+                    chr(10) ORDER BY line_no), '')) AS BIGINT)
+         AS clean_chars,
+       COALESCE(
+         string_agg(CASE WHEN rule_ok AND NOT is_dup THEN line END,
+                    chr(10) ORDER BY line_no), '') AS clean_text
+FROM judged
+GROUP BY doc_id
+"""
+
+
+register("c4_line_filter", q_c4_line_filter, ORACLE_C4_LINE_FILTER)

@@ -305,3 +305,35 @@ def test_streaming_bottomk_matches_batch_bitwise(spark, tmp_path):
     n_distinct = events.select("user_id").distinct().count()
     assert len(streamed) == min(32, n_distinct)
     assert len({u for u, _ in streamed}) == len(streamed)
+
+
+def test_clean_lines_c4_rules_and_global_dedup(spark):
+    """Line rules are row-local; the duplicate census drops a repeated
+    line from EVERY document (including its first occurrence)."""
+    from data_pipeline_platform_spark.functions.corpus import (
+        clean_lines_c4,
+    )
+
+    rows = [
+        # doc 1: one good line, one too-short, one no-punct, one blocked
+        (1, 0, "this line is perfectly fine."),
+        (1, 1, "too short."),
+        (1, 2, "this one has no terminal punctuation"),
+        (1, 3, "please accept our cookie policy now."),
+        # docs 2+3 share a boilerplate line -> dropped from both
+        (2, 0, "subscribe to our newsletter today."),
+        (2, 1, "unique content in document two."),
+        (3, 0, "subscribe to our newsletter today."),
+        (3, 1, "unique content in document three."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, line_no int, line string")
+    out = {r["doc_id"]: r for r in clean_lines_c4(df).collect()}
+    r1 = out[1]
+    assert (r1["n_lines"], r1["n_kept"], r1["n_dropped_rules"],
+            r1["n_dropped_dup"]) == (4, 1, 3, 0)
+    assert r1["clean_text"] == "this line is perfectly fine."
+    for d in (2, 3):
+        r = out[d]
+        assert (r["n_kept"], r["n_dropped_dup"]) == (1, 1)
+        assert "newsletter" not in r["clean_text"]
+        assert r["clean_text"].startswith("unique content")
