@@ -124,6 +124,58 @@ class _BucketedBandTable:
             F.col("batch_id") < int(batch_id)
         )
 
+    def partition_ids(self):
+        """batch_ids with a live partition, read from the FILESYSTEM
+        (authoritative even when a crash left the catalog behind)."""
+        jvm = self.spark._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(hconf)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def compact(self, rows: DataFrame, through_batch: int) -> Dict[str, int]:
+        """Fold every partition with batch_id <= ``through_batch`` (and
+        any older compaction base) into ONE fresh base partition,
+        bounding the file count at num_buckets + one set per
+        not-yet-compacted batch instead of batches x buckets.
+
+        ``rows`` must be the AUTHORITATIVE consolidated band rows for
+        all batches <= through_batch (derived from the index store, a
+        pure projection — never re-shingled/re-projected).
+
+        Crash-safety by invariant, not by atomicity: base partitions
+        use NEGATIVE batch_ids (always < any real batch, so ``before``
+        reads them for every join), and the order is (1) publish the
+        consolidated copy at a FRESH negative id, (2) drop the folded
+        partitions. A crash anywhere leaves the row multiset a
+        SUPERSET of the true set — candidate generation tolerates
+        duplicates (pairs are .distinct()ed) — and the next compact()
+        sweeps the leftovers. Rows are never lost mid-protocol."""
+        existing = self.partition_ids()
+        new_base = min([0] + [b for b in existing if b < 0]) - 1
+        self.publish(rows, new_base)
+        swept = 0
+        for b in existing:
+            if (0 <= b <= int(through_batch)) or (new_base < b < 0):
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} DROP IF EXISTS "
+                    f"PARTITION (batch_id={b})"
+                )
+                self._delete_partition_dir(b)
+                swept += 1
+        self.spark.catalog.refreshTable(self.table)
+        return {"base_batch_id": new_base, "swept_partitions": swept}
+
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
 
@@ -175,6 +227,20 @@ class IncrementalLshIndex:
     def drop_bands_table(self) -> None:
         if self._bands:
             self._bands.drop()
+
+    def compact_bands(self) -> Dict[str, int]:
+        """Fold the per-batch band partitions into one bucketed base
+        partition (file count: batches x buckets -> buckets + newer
+        batches). The consolidated rows re-derive from the ACID index
+        store — a cheap explode of the STORED signatures, never a
+        re-shingle — so the band table stays a pure projection of the
+        authoritative index; see _BucketedBandTable.compact for the
+        crash-safety argument."""
+        through = _last_batch(self.index)
+        rows = bands_from_signatures(
+            self.index.read().select("doc_id", "sig")
+        )
+        return self._bands.compact(rows, through)
 
     def add_batch(self, docs: DataFrame, batch_id: int) -> Dict[str, int]:
         """Ingest one batch (columns doc_id, text): discover new-new and
@@ -383,6 +449,20 @@ class IncrementalEmbeddingIndex:
     def drop_bands_table(self) -> None:
         if self._bands:
             self._bands.drop()
+
+    def compact_bands(self) -> Dict[str, int]:
+        """Embedding twin of IncrementalLshIndex.compact_bands: the
+        consolidated rows are the integer explode of the STORED band
+        arrays (zero dot products)."""
+        from data_pipeline_platform_spark.functions.similarity import (
+            explode_band_array,
+        )
+
+        through = _last_batch(self.index, _EMB_STREAM)
+        rows = explode_band_array(self.index.read()).select(
+            "vec_id", "band_idx", "band_val"
+        )
+        return self._bands.compact(rows, through)
 
     def add_batch(self, emb: DataFrame, batch_id: int) -> Dict[str, int]:
         """``emb``: (vec_id, vec array<double>) rows new to the corpus.

@@ -345,3 +345,164 @@ def test_bands_republish_is_idempotent(spark, tmp_path):
         assert got == want
     finally:
         idx.drop_bands_table()
+
+
+def test_bands_compaction_preserves_answers_and_bounds_files(
+    spark, tmp_path
+):
+    """compact_bands folds the per-batch partitions into one negative-id
+    base: candidate joins keep producing the one-shot pair set, the
+    file count drops to <= num_buckets for history, and the next
+    ingest keeps working against the compacted layout."""
+    import os
+
+    docs = _docs(spark)
+    idx = IncrementalLshIndex(
+        spark,
+        str(tmp_path / "cidx"),
+        str(tmp_path / "cprs"),
+        bands_table="lsh_bands_compact_gate",
+        bands_path=str(tmp_path / "cbands"),
+    )
+    try:
+        for b in range(2):
+            idx.add_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+        stats = idx.compact_bands()
+        assert stats["swept_partitions"] == 2
+        base = stats["base_batch_id"]
+        assert base < 0
+        # only the base partition remains; its file count is bucketed
+        assert idx._bands.partition_ids() == [base]
+        part = os.path.join(str(tmp_path / "cbands"), f"batch_id={base}")
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert 0 < len(files) <= idx.num_buckets
+        # band rows survived the fold exactly (16 bands per doc)
+        n_docs = idx.index.read().count()
+        assert spark.table(idx.bands_table).count() == 16 * n_docs
+
+        # ingest continues against the compacted base
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == 2), batch_id=2)
+        got = _pairs(idx.all_pairs())
+        want = _pairs(q_dedup_minhash_lsh(spark, SF))
+        release_tracked()
+        assert got == want
+    finally:
+        idx.drop_bands_table()
+
+
+def test_bands_compaction_crash_leaves_superset_then_heals(spark, tmp_path):
+    """A crash between the base publish and the partition sweep leaves
+    DUPLICATE band rows (never missing ones): candidates stay correct,
+    and the next compact() sweeps the leftovers."""
+    docs = _docs(spark)
+    idx = IncrementalLshIndex(
+        spark,
+        str(tmp_path / "xidx"),
+        str(tmp_path / "xprs"),
+        bands_table="lsh_bands_crash_compact",
+        bands_path=str(tmp_path / "xbands"),
+    )
+    try:
+        for b in range(2):
+            idx.add_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+        n_docs = idx.index.read().count()
+
+        # simulate: base published, crash before any partition drop
+        through = 1
+        from data_pipeline_platform_spark.functions.dedup import (
+            bands_from_signatures,
+        )
+
+        rows = bands_from_signatures(idx.index.read().select("doc_id", "sig"))
+        idx._bands.publish(rows, -1)  # what compact() does first
+        # superset now: originals + full consolidated copy
+        assert spark.table(idx.bands_table).count() == 2 * 16 * n_docs
+        assert sorted(idx._bands.partition_ids()) == [-1, 0, 1]
+
+        # duplicates do not corrupt the next ingest's answers
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == 2), batch_id=2)
+        got = _pairs(idx.all_pairs())
+        want = _pairs(q_dedup_minhash_lsh(spark, SF))
+        release_tracked()
+        assert got == want
+
+        # re-run compaction: leftovers (old batches AND the stale base)
+        # are swept into a fresh base covering batch 2 as well
+        stats = idx.compact_bands()
+        assert stats["base_batch_id"] == -2
+        assert idx._bands.partition_ids() == [-2]
+        n_docs3 = idx.index.read().count()
+        assert spark.table(idx.bands_table).count() == 16 * n_docs3
+    finally:
+        idx.drop_bands_table()
+
+
+def test_embedding_bands_compaction(spark, tmp_path):
+    """Embedding twin: compact, then ingest, answers still equal the
+    non-bucketed path and the stored side stays bucket-aligned (no
+    Exchange over the compacted base)."""
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_platform_spark.functions.dedup_index import (
+        IncrementalEmbeddingIndex,
+    )
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+        explode_band_array,
+        hyperplane_band_array,
+    )
+
+    base = _emb(spark, SF).select(
+        "vec_id", _as_double("embedding").alias("vec")
+    )
+    idx = IncrementalEmbeddingIndex(
+        spark, str(tmp_path / "ei"), str(tmp_path / "ep"),
+        bands_table="emb_bands_compact_gate",
+        bands_path=str(tmp_path / "eb"),
+    )
+    ref = IncrementalEmbeddingIndex(
+        spark, str(tmp_path / "ri"), str(tmp_path / "rp")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for b in range(2):
+            batch = base.filter(F2.col("vec_id") % 3 == b)
+            idx.add_batch(batch, batch_id=b)
+            ref.add_batch(batch, batch_id=b)
+        stats = idx.compact_bands()
+        assert stats["swept_partitions"] == 2
+        assert idx._bands.partition_ids() == [stats["base_batch_id"]]
+        # the compacted base still joins bucket-aligned
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        new_bands = explode_band_array(
+            hyperplane_band_array(
+                base.filter(F2.col("vec_id") % 3 == 2).select("vec_id", "vec")
+            )
+        )
+        old_bands = idx._bands.before(2).select(
+            F2.col("vec_id").alias("old_id"), "band_idx", "band_val"
+        )
+        plan = (
+            new_bands.join(old_bands, ["band_idx", "band_val"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+        last = base.filter(F2.col("vec_id") % 3 == 2)
+        idx.add_batch(last, batch_id=2)
+        ref.add_batch(last, batch_id=2)
+        got = sorted(
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in idx.all_pairs().collect()
+        )
+        want = sorted(
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in ref.all_pairs().collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        idx.drop_bands_table()
