@@ -1232,3 +1232,122 @@ GROUP BY doc_id
 
 
 register("c4_line_filter", q_c4_line_filter, ORACLE_C4_LINE_FILTER)
+
+
+# ---------------------------------------------------------------------------
+# URL / domain-level filtering (r12) — RefinedWeb-style curation
+# ---------------------------------------------------------------------------
+
+#: exact-host blocklist (the UT1-blocklist role) and blocked TLDs
+URL_BLOCKED_HOSTS = ("ads.tracker.com", "blogspam.net")
+URL_BLOCKED_TLDS = (".info",)
+#: hosts contributing more docs than this are over-represented and
+#: down-filtered (the FineWeb domain-balance rule)
+URL_HOST_CAP = 15
+
+
+def filter_by_url(docs_with_url: DataFrame) -> DataFrame:
+    """(doc_id, url, ...) -> per-doc URL verdict columns + keep flag.
+
+    Scale shape: host/TLD extraction and the block rules are row-local
+    Column expressions; the ONLY shuffle is the per-host census
+    (groupBy host — partial counts map-side), joined back onto the
+    docs. The blocklists are literal arrays (broadcast by value inside
+    the plan), never a driver collect."""
+    parsed = docs_with_url.withColumn(
+        "host", F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    ).withColumn("tld", F.regexp_extract("host", r"(\.[a-z]+)$", 1))
+    census = parsed.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_host")
+    )
+    judged = (
+        parsed.join(census, "host")
+        .withColumn(
+            "blocked_host",
+            F.array_contains(
+                F.array(*[F.lit(h) for h in URL_BLOCKED_HOSTS]), F.col("host")
+            ),
+        )
+        .withColumn(
+            "blocked_tld",
+            F.array_contains(
+                F.array(*[F.lit(t) for t in URL_BLOCKED_TLDS]), F.col("tld")
+            ),
+        )
+        .withColumn("over_represented", F.col("n_docs_host") > URL_HOST_CAP)
+    )
+    return judged.withColumn(
+        "keep",
+        ~F.col("blocked_host") & ~F.col("blocked_tld")
+        & ~F.col("over_represented"),
+    )
+
+
+def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation under the correctness gate: deterministic URLs are
+    synthesized from doc_id (6 domains x 4 TLDs, with every 11th doc
+    pointed at a blocklisted host), then judged by the host/TLD
+    blocklists and the per-host over-representation census. The oracle
+    rebuilds the identical URLs and replays the identical rules —
+    every verdict column compared bitwise."""
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    domains = F.array(*[F.lit(x) for x in (
+        "news-site", "blogcorp", "example", "shop", "wiki", "forum")])
+    tlds = F.array(*[F.lit(x) for x in (".com", ".org", ".net", ".info")])
+    with_url = docs.withColumn(
+        "url",
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit("https://ads.tracker.com/p/"), d),
+        ).otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.element_at(domains, (d % 6).cast("int") + 1),
+                F.element_at(tlds, (d % 4).cast("int") + 1),
+                F.lit("/p/"), d,
+            )
+        ),
+    )
+    return filter_by_url(with_url).select(
+        "doc_id", "url", "host", "tld", "n_docs_host",
+        "blocked_host", "blocked_tld", "over_represented", "keep",
+    )
+
+
+ORACLE_URL_HOST_FILTER = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+           THEN 'https://ads.tracker.com/p/' || doc_id
+           ELSE 'https://' ||
+             (['news-site','blogcorp','example','shop','wiki','forum']
+              )[doc_id % 6 + 1] ||
+             (['.com','.org','.net','.info'])[doc_id % 4 + 1] ||
+             '/p/' || doc_id
+         END AS url
+  FROM documents
+), parsed AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^https://([^/]+)/', 1) AS host
+  FROM u
+), tldd AS (
+  SELECT doc_id, url, host,
+         regexp_extract(host, '(\.[a-z]+)$', 1) AS tld,
+         CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT) AS n_docs_host
+  FROM parsed
+)
+SELECT doc_id, url, host, tld, n_docs_host,
+       host IN ('ads.tracker.com', 'blogspam.net') AS blocked_host,
+       tld IN ('.info') AS blocked_tld,
+       n_docs_host > 15 AS over_represented,
+       (host NOT IN ('ads.tracker.com', 'blogspam.net')
+        AND tld NOT IN ('.info')
+        AND n_docs_host <= 15) AS keep
+FROM tldd
+"""
+
+
+register("url_host_filter", q_url_host_filter, ORACLE_URL_HOST_FILTER)

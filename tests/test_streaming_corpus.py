@@ -337,3 +337,26 @@ def test_clean_lines_c4_rules_and_global_dedup(spark):
         assert (r["n_kept"], r["n_dropped_dup"]) == (1, 1)
         assert "newsletter" not in r["clean_text"]
         assert r["clean_text"].startswith("unique content")
+
+
+def test_filter_by_url_rules_and_census(spark):
+    """Host blocklist, TLD blocklist, and the over-representation
+    census each independently veto; clean under-cap hosts keep."""
+    from data_pipeline_platform_spark.functions.corpus import (
+        filter_by_url,
+    )
+
+    rows = (
+        [(i, f"https://example.com/p/{i}") for i in range(20)]  # over cap
+        + [(100, "https://ads.tracker.com/x"),
+           (101, "https://fine.org/a"),
+           (102, "https://sketchy.info/b")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in filter_by_url(df).collect()}
+    assert out[0]["over_represented"] and not out[0]["keep"]
+    assert out[100]["blocked_host"] and not out[100]["keep"]
+    assert out[102]["blocked_tld"] and not out[102]["keep"]
+    r = out[101]
+    assert (r["host"], r["tld"], r["n_docs_host"]) == ("fine.org", ".org", 1)
+    assert r["keep"] and not r["blocked_host"] and not r["blocked_tld"]
