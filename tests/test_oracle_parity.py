@@ -99,9 +99,54 @@ def test_registry_order_is_stable_registration_order():
 # the driver grades the FIRST 50 registrations. Since r11 the prefix is
 # the explicit family-spanning GRADED_PREFIX (queries.py) — relational
 # core, config/schema ops, ACID/MERGE/DV/CDC/WAP, IVM-medallion,
-# dedup/ANN/text/events, sketches — so a prefix-sampling harness grades
-# the whole engine. Pin BOTH that the registry leads with exactly that
-# list and that the list actually spans the families (r10 verdict #1).
+# dedup/ANN/text/events, corpus curation, sketches — so a
+# prefix-sampling harness grades the whole engine. Pin BOTH that the
+# registry leads with exactly that list and that the list actually
+# spans the families (r10 verdict #1).
+#
+# Family quotas are DATA (r12 verdict #7): each §2 family declares the
+# minimum number of prefix slots it must keep, so a future rotation that
+# starves a family fails here instead of passing silently. Membership
+# lists are the family's full roster of prefix-eligible queries; the
+# quota is the floor, letting rotations swap members within a family.
+FAMILY_QUOTAS = {
+    # family: (min prefix slots, roster of eligible members)
+    "relational": (12, {
+        "pricing_summary", "revenue_by_segment_year", "multi_join_revenue",
+        "window_rank", "running_sum", "orderby_limit", "set_ops",
+        "anti_join", "semi_join", "left_join_nulls", "having",
+        "subquery_in", "exists_correlated", "rollup_revenue", "cube_counts",
+        "pivot_segments", "top_unshipped", "window_lag_lead",
+        "distinct_count", "case_when_bucketing",
+    }),
+    "config": (6, {
+        "filter_family", "map_apply", "add_columns_revenue",
+        "rename_select_drop", "group_agg_naming", "sql_transform_upper",
+        "param_filter", "schema_validate",
+    }),
+    "acid": (6, {
+        "upsert_merge", "dv_delete_orders", "cdc_apply_orders",
+        "merge_conditional_orders", "wap_gated_ingest",
+        "sequential_ids_orders", "cdc_tombstone_orders",
+        "merge_update_set_orders",
+    }),
+    "ivm": (3, {
+        "medallion_nullable_sum", "matview_percentile_census",
+        "stream_fanout_twin", "cdf_minmax_view",
+    }),
+    "dedup_ann_text": (6, {
+        "dedup_minhash_lsh", "dedup_incremental_lsh", "cosine_topk",
+        "ann_ivfpq_topk", "text_stats", "tfidf_top_terms",
+        "events_sessionize", "training_data_pipeline",
+        "embedding_incremental_near_dup_bucketed",
+    }),
+    "corpus_llm": (2, {
+        "pii_redaction_extended", "c4_line_filter", "url_host_filter",
+    }),
+    "sketches": (2, {"hll_distinct_sources", "bloom_point_lookup"}),
+}
+
+
 def test_registry_prefix_spans_component_families():
     from data_pipeline_platform_spark.queries import GRADED_PREFIX
 
@@ -109,25 +154,15 @@ def test_registry_prefix_spans_component_families():
     assert names[:50] == GRADED_PREFIX
     assert len(GRADED_PREFIX) == 50 == len(set(GRADED_PREFIX))
     prefix = set(GRADED_PREFIX)
-    families = {
-        "acid": {"upsert_merge", "dv_delete_orders", "cdc_apply_orders",
-                 "merge_conditional_orders", "wap_gated_ingest",
-                 "sequential_ids_orders", "cdc_tombstone_orders",
-                 "merge_update_set_orders"},
-        "ivm": {"medallion_nullable_sum", "matview_percentile_census",
-                "stream_fanout_twin", "cdf_minmax_view"},
-        "dedup_ann_text": {"dedup_minhash_lsh", "dedup_incremental_lsh",
-                           "cosine_topk", "ann_ivfpq_topk", "text_stats",
-                           "tfidf_top_terms", "events_sessionize",
-                           "training_data_pipeline"},
-        "sketches": {"hll_distinct_sources", "bloom_point_lookup"},
-        "config": {"filter_family", "map_apply", "add_columns_revenue",
-                   "rename_select_drop", "group_agg_naming",
-                   "sql_transform_upper", "param_filter",
-                   "schema_validate"},
-    }
-    for fam, members in families.items():
-        assert members <= prefix, f"family {fam} fell out of the prefix"
+    for fam, (quota, roster) in FAMILY_QUOTAS.items():
+        got = len(roster & prefix)
+        assert got >= quota, (
+            f"family {fam} holds {got} prefix slots, quota is {quota}"
+        )
+    # rosters must cover the whole prefix — a new graded op needs a
+    # family (so its quota protects it on the next rotation)
+    all_rosters = set().union(*(r for _, r in FAMILY_QUOTAS.values()))
+    assert prefix <= all_rosters, sorted(prefix - all_rosters)
     # every prefix entry still carries an oracle (hash-graded, not
     # rows-only)
     oracles = se.oracle_sql()
