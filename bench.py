@@ -302,9 +302,14 @@ def main() -> None:
     # side file for post-hoc drift diagnosis.
     detail = dict(out, queries_min=mins, queries_trials=samples,
                   queries_split=split)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    # SPARK_GRAFT_BENCH_DIR redirects the side file (r12 verdict #1:
+    # tests/test_bench.py drives main() with a fixture HEADLINE and used
+    # to overwrite the round's real per-query detail at the repo root;
+    # the test now sets this to its tmp_path).
+    detail_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_DIR", os.path.dirname(os.path.abspath(__file__))
     )
+    detail_path = os.path.join(detail_dir, "bench_detail.json")
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)

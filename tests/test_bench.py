@@ -7,7 +7,7 @@ import json
 import bench
 
 
-def test_bench_isolates_query_errors(spark, monkeypatch, capsys):
+def test_bench_isolates_query_errors(spark, monkeypatch, capsys, tmp_path):
     def boom(_spark, _sf_dir):
         raise RuntimeError("deliberately broken")
 
@@ -20,6 +20,9 @@ def test_bench_isolates_query_errors(spark, monkeypatch, capsys):
         lambda: {"good_q": ok, "broken_q": boom, "also_good_q": ok},
     )
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # keep the round's real bench_detail.json at the repo root intact
+    # (r12 verdict #1: this test used to clobber it with fixture data)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DIR", str(tmp_path))
 
     bench.main()
 
@@ -30,6 +33,9 @@ def test_bench_isolates_query_errors(spark, monkeypatch, capsys):
     assert str(out["queries"]["broken_q"]).startswith("ERROR: RuntimeError")
     assert out["errors"] == 1
     assert out["value"] > 0
+    # the redirected side file landed in tmp_path, not the repo root
+    detail = json.loads((tmp_path / "bench_detail.json").read_text())
+    assert set(detail["queries"]) == {"good_q", "broken_q", "also_good_q"}
 
 
 def test_bench_headline_names_exist_in_registry():
