@@ -180,6 +180,23 @@ class _BucketedBandTable:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
 
 
+def _auto_compact_due(bands: "_BucketedBandTable", every: Optional[int]) -> bool:
+    """Auto-compaction trigger (r12 verdict #4: compact_bands existed but
+    nothing called it, so a long-running ingest re-inherited the
+    small-files drift the op was built to fix). Due when the live
+    per-batch partition count reaches ``every`` — bounding the file
+    count at num_buckets (base) + every x num_buckets steady-state — or
+    when MORE than one negative-id base partition is live, which only
+    happens after a crashed compact() left its superset leftovers: the
+    next ingest then self-heals instead of waiting for an operator."""
+    if not (every and bands and bands.ready()):
+        return False
+    live = bands.partition_ids()
+    n_batches = sum(1 for b in live if b >= 0)
+    n_bases = sum(1 for b in live if b < 0)
+    return n_batches >= int(every) or n_bases > 1
+
+
 class IncrementalLshIndex:
     """ACID-backed MinHash index (rows: doc_id, shingles, sig) plus the
     accumulated verified near-duplicate pairs.
@@ -198,7 +215,8 @@ class IncrementalLshIndex:
                  threshold: float = 0.8,
                  bands_table: Optional[str] = None,
                  bands_path: Optional[str] = None,
-                 num_buckets: int = 32):
+                 num_buckets: int = 32,
+                 auto_compact_every: Optional[int] = None):
         self.spark = spark
         self.index = AcidTable(spark, index_path)
         self.pairs = AcidTable(spark, pairs_path)
@@ -208,6 +226,9 @@ class IncrementalLshIndex:
         self.bands_table = bands_table
         self.bands_path = bands_path
         self.num_buckets = num_buckets
+        #: fold the band table every N live batch partitions (see
+        #: _auto_compact_due); None = manual compact_bands() only
+        self.auto_compact_every = auto_compact_every
         self._bands = (
             _BucketedBandTable(
                 spark, bands_table, bands_path, ("band", "sig"), num_buckets
@@ -330,7 +351,10 @@ class IncrementalLshIndex:
                 verified.unpersist(blocking=False)
         finally:
             prepared.unpersist(blocking=False)
-        return {"batch_id": batch_id, "new_pairs": n_pairs}
+        out = {"batch_id": batch_id, "new_pairs": n_pairs}
+        if _auto_compact_due(self._bands, self.auto_compact_every):
+            out["compacted"] = self.compact_bands()
+        return out
 
     def all_pairs(self) -> DataFrame:
         try:
@@ -424,7 +448,8 @@ class IncrementalEmbeddingIndex:
     def __init__(self, spark: SparkSession, index_path: str, pairs_path: str,
                  bands_table: Optional[str] = None,
                  bands_path: Optional[str] = None,
-                 num_buckets: int = 32):
+                 num_buckets: int = 32,
+                 auto_compact_every: Optional[int] = None):
         self.spark = spark
         self.index = AcidTable(spark, index_path)
         self.pairs = AcidTable(spark, pairs_path)
@@ -432,6 +457,9 @@ class IncrementalEmbeddingIndex:
             raise ValueError("bands_table requires bands_path")
         self.bands_table = bands_table
         self.num_buckets = num_buckets
+        #: fold the band table every N live batch partitions (see
+        #: _auto_compact_due); None = manual compact_bands() only
+        self.auto_compact_every = auto_compact_every
         #: production layout (r12, mirroring the text-LSH index): the
         #: exploded (vec_id, band_idx, band_val) rows as a catalog
         #: table bucketed on the join key — the per-batch candidate
@@ -559,7 +587,10 @@ class IncrementalEmbeddingIndex:
                 verified.unpersist(blocking=False)
         finally:
             prepared.unpersist(blocking=False)
-        return {"batch_id": batch_id, "new_pairs": n_pairs}
+        out = {"batch_id": batch_id, "new_pairs": n_pairs}
+        if _auto_compact_due(self._bands, self.auto_compact_every):
+            out["compacted"] = self.compact_bands()
+        return out
 
     def all_pairs(self) -> DataFrame:
         try:

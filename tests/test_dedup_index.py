@@ -506,3 +506,149 @@ def test_embedding_bands_compaction(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         idx.drop_bands_table()
+
+
+def test_auto_compaction_policy_bounds_files_over_many_batches(
+    spark, tmp_path
+):
+    """auto_compact_every=N triggers compact_bands from add_batch itself
+    (r12 verdict #4: the op existed but nothing called it). Over 10
+    batches the live batch-partition count never reaches N+1, exactly
+    one base partition is live at every step, total parquet file count
+    stays <= (N + 1) x num_buckets, and the final pair set is bitwise
+    the non-compacting index's."""
+    import os
+
+    docs = _docs(spark)
+    every = 3
+    idx = IncrementalLshIndex(
+        spark,
+        str(tmp_path / "aidx"),
+        str(tmp_path / "aprs"),
+        bands_table="lsh_bands_auto_compact",
+        bands_path=str(tmp_path / "abands"),
+        auto_compact_every=every,
+    )
+    ref = IncrementalLshIndex(
+        spark, str(tmp_path / "ridx"), str(tmp_path / "rprs")
+    )
+    bands_root = str(tmp_path / "abands")
+
+    def _n_files():
+        total = 0
+        for dirpath, _dirs, files in os.walk(bands_root):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    try:
+        n_compactions = 0
+        for b in range(10):
+            batch = docs.filter(F.col("doc_id") % 10 == b)
+            stats = idx.add_batch(batch, batch_id=b)
+            ref.add_batch(batch, batch_id=b)
+            if "compacted" in stats:
+                n_compactions += 1
+            live = idx._bands.partition_ids()
+            n_batches = sum(1 for p in live if p >= 0)
+            n_bases = sum(1 for p in live if p < 0)
+            # the policy fires AT the threshold, so the count resets
+            # to zero whenever it touches `every`
+            assert n_batches < every + 1
+            assert n_bases <= 1
+            assert _n_files() <= (every + 1) * idx.num_buckets
+        assert n_compactions == 3  # fired at batches 2, 5, 8
+        # end state: answers bitwise vs the never-compacted twin
+        got = _pairs(idx.all_pairs())
+        want = _pairs(ref.all_pairs())
+        release_tracked()
+        assert got == want and len(got) > 0
+    finally:
+        idx.drop_bands_table()
+
+
+def test_auto_compaction_sweeps_crashed_base_on_next_ingest(
+    spark, tmp_path
+):
+    """A crashed compact() leaves a second base partition; with the
+    policy on, the NEXT add_batch detects >1 live bases and re-runs the
+    fold without operator intervention."""
+    from data_pipeline_platform_spark.functions.dedup import (
+        bands_from_signatures,
+    )
+
+    docs = _docs(spark)
+    idx = IncrementalLshIndex(
+        spark,
+        str(tmp_path / "hidx"),
+        str(tmp_path / "hprs"),
+        bands_table="lsh_bands_auto_heal",
+        bands_path=str(tmp_path / "hbands"),
+        auto_compact_every=100,  # count trigger never fires here
+    )
+    try:
+        for b in range(2):
+            idx.add_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+        idx.compact_bands()  # base -1, sweeps batches 0-1
+        # simulate a crashed second compact: base published, no sweep
+        rows = bands_from_signatures(idx.index.read().select("doc_id", "sig"))
+        idx._bands.publish(rows, -2)
+        assert sorted(idx._bands.partition_ids()) == [-2, -1]
+
+        stats = idx.add_batch(
+            docs.filter(F.col("doc_id") % 3 == 2), batch_id=2
+        )
+        assert "compacted" in stats  # healed by the >1-bases trigger
+        assert len(idx._bands.partition_ids()) == 1
+        got = _pairs(idx.all_pairs())
+        want = _pairs(q_dedup_minhash_lsh(spark, SF))
+        release_tracked()
+        assert got == want
+    finally:
+        idx.drop_bands_table()
+
+
+def test_embedding_auto_compaction_trigger(spark, tmp_path):
+    """The embedding index shares _auto_compact_due: with every=2 the
+    fold fires on the second batch and ingest continues bitwise."""
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_platform_spark.functions.dedup_index import (
+        IncrementalEmbeddingIndex,
+    )
+    from data_pipeline_platform_spark.functions.similarity import (
+        _as_double,
+        _emb,
+    )
+
+    base = _emb(spark, SF).select(
+        "vec_id", _as_double("embedding").alias("vec")
+    )
+    idx = IncrementalEmbeddingIndex(
+        spark, str(tmp_path / "aei"), str(tmp_path / "aep"),
+        bands_table="emb_bands_auto_compact",
+        bands_path=str(tmp_path / "aeb"),
+        auto_compact_every=2,
+    )
+    ref = IncrementalEmbeddingIndex(
+        spark, str(tmp_path / "rei"), str(tmp_path / "rep")
+    )
+    try:
+        fired = []
+        for b in range(3):
+            batch = base.filter(F2.col("vec_id") % 3 == b)
+            stats = idx.add_batch(batch, batch_id=b)
+            ref.add_batch(batch, batch_id=b)
+            fired.append("compacted" in stats)
+        assert fired == [False, True, False]
+        assert sum(1 for p in idx._bands.partition_ids() if p < 0) == 1
+        got = sorted(
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in idx.all_pairs().collect()
+        )
+        want = sorted(
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in ref.all_pairs().collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        idx.drop_bands_table()
