@@ -1249,13 +1249,22 @@ URL_HOST_CAP = 15
 def filter_by_url(docs_with_url: DataFrame) -> DataFrame:
     """(doc_id, url, ...) -> per-doc URL verdict columns + keep flag.
 
+    Host parsing (r12 advisor): scheme is http OR https, case-
+    insensitive; the host capture stops at '/', ':', '?' or '#' so
+    ports and path-less URLs parse; the host is lower-cased before the
+    census and the blocklist checks so 'Example.COM' folds with
+    'example.com'. A URL that yields no host gets ``parseable=false``
+    and ``keep=false`` — an unparseable URL must never slip past the
+    blocklists.
+
     Scale shape: host/TLD extraction and the block rules are row-local
     Column expressions; the ONLY shuffle is the per-host census
     (groupBy host — partial counts map-side), joined back onto the
     docs. The blocklists are literal arrays (broadcast by value inside
     the plan), never a driver collect."""
     parsed = docs_with_url.withColumn(
-        "host", F.regexp_extract("url", r"^https://([^/]+)/", 1)
+        "host",
+        F.lower(F.regexp_extract("url", r"(?i)^https?://([^/:?#]+)", 1)),
     ).withColumn("tld", F.regexp_extract("host", r"(\.[a-z]+)$", 1))
     census = parsed.groupBy("host").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_host")
@@ -1275,10 +1284,11 @@ def filter_by_url(docs_with_url: DataFrame) -> DataFrame:
             ),
         )
         .withColumn("over_represented", F.col("n_docs_host") > URL_HOST_CAP)
+        .withColumn("parseable", F.col("host") != F.lit(""))
     )
     return judged.withColumn(
         "keep",
-        ~F.col("blocked_host") & ~F.col("blocked_tld")
+        F.col("parseable") & ~F.col("blocked_host") & ~F.col("blocked_tld")
         & ~F.col("over_represented"),
     )
 
@@ -1286,10 +1296,14 @@ def filter_by_url(docs_with_url: DataFrame) -> DataFrame:
 def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL curation under the correctness gate: deterministic URLs are
     synthesized from doc_id (6 domains x 4 TLDs, with every 11th doc
-    pointed at a blocklisted host), then judged by the host/TLD
-    blocklists and the per-host over-representation census. The oracle
-    rebuilds the identical URLs and replays the identical rules —
-    every verdict column compared bitwise."""
+    pointed at a blocklisted host, every 13th at an uppercase
+    HTTP://...:8080 variant, every 17th at a path-less URL, every 19th
+    at a non-URL string), then judged by the host/TLD blocklists and
+    the per-host over-representation census. The hard parse cases
+    grade the r12-advisor hardening: scheme-insensitive host capture,
+    port stripping, lowercase fold, unparseable -> keep=false. The
+    oracle rebuilds the identical URLs and replays the identical
+    rules — every verdict column compared bitwise."""
     from data_pipeline_platform_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1302,7 +1316,14 @@ def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             d % 11 == 0,
             F.concat(F.lit("https://ads.tracker.com/p/"), d),
-        ).otherwise(
+        )
+        .when(
+            d % 13 == 0,
+            F.concat(F.lit("HTTP://News-Site.COM:8080/p/"), d),
+        )
+        .when(d % 17 == 0, F.lit("https://wiki.org"))
+        .when(d % 19 == 0, F.concat(F.lit("doc:"), d))
+        .otherwise(
             F.concat(
                 F.lit("https://"),
                 F.element_at(domains, (d % 6).cast("int") + 1),
@@ -1312,7 +1333,7 @@ def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return filter_by_url(with_url).select(
-        "doc_id", "url", "host", "tld", "n_docs_host",
+        "doc_id", "url", "host", "tld", "n_docs_host", "parseable",
         "blocked_host", "blocked_tld", "over_represented", "keep",
     )
 
@@ -1320,8 +1341,13 @@ def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_URL_HOST_FILTER = r"""
 WITH u AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 11 = 0
-           THEN 'https://ads.tracker.com/p/' || doc_id
+         CASE
+           WHEN doc_id % 11 = 0
+             THEN 'https://ads.tracker.com/p/' || doc_id
+           WHEN doc_id % 13 = 0
+             THEN 'HTTP://News-Site.COM:8080/p/' || doc_id
+           WHEN doc_id % 17 = 0 THEN 'https://wiki.org'
+           WHEN doc_id % 19 = 0 THEN 'doc:' || doc_id
            ELSE 'https://' ||
              (['news-site','blogcorp','example','shop','wiki','forum']
               )[doc_id % 6 + 1] ||
@@ -1331,7 +1357,7 @@ WITH u AS (
   FROM documents
 ), parsed AS (
   SELECT doc_id, url,
-         regexp_extract(url, '^https://([^/]+)/', 1) AS host
+         lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)) AS host
   FROM u
 ), tldd AS (
   SELECT doc_id, url, host,
@@ -1340,10 +1366,12 @@ WITH u AS (
   FROM parsed
 )
 SELECT doc_id, url, host, tld, n_docs_host,
+       host <> '' AS parseable,
        host IN ('ads.tracker.com', 'blogspam.net') AS blocked_host,
        tld IN ('.info') AS blocked_tld,
        n_docs_host > 15 AS over_represented,
-       (host NOT IN ('ads.tracker.com', 'blogspam.net')
+       (host <> ''
+        AND host NOT IN ('ads.tracker.com', 'blogspam.net')
         AND tld NOT IN ('.info')
         AND n_docs_host <= 15) AS keep
 FROM tldd

@@ -350,7 +350,13 @@ def test_filter_by_url_rules_and_census(spark):
         [(i, f"https://example.com/p/{i}") for i in range(20)]  # over cap
         + [(100, "https://ads.tracker.com/x"),
            (101, "https://fine.org/a"),
-           (102, "https://sketchy.info/b")]
+           (102, "https://sketchy.info/b"),
+           # r12-advisor parse hardening
+           (103, "http://plain-http.org/a"),      # http scheme
+           (104, "https://no-path.org"),          # no trailing slash
+           (105, "HTTPS://Ads.Tracker.COM:443/x"),  # case + port
+           (106, "ftp://files.org/a"),            # unsupported scheme
+           (107, "not a url at all")]             # garbage
     )
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = {r["doc_id"]: r for r in filter_by_url(df).collect()}
@@ -360,3 +366,13 @@ def test_filter_by_url_rules_and_census(spark):
     r = out[101]
     assert (r["host"], r["tld"], r["n_docs_host"]) == ("fine.org", ".org", 1)
     assert r["keep"] and not r["blocked_host"] and not r["blocked_tld"]
+    # http:// and path-less URLs parse and keep
+    assert out[103]["host"] == "plain-http.org" and out[103]["keep"]
+    assert out[104]["host"] == "no-path.org" and out[104]["keep"]
+    # uppercase + port folds onto the blocklisted host -> veto
+    assert out[105]["host"] == "ads.tracker.com"
+    assert out[105]["blocked_host"] and not out[105]["keep"]
+    # unparseable never slips past the blocklists
+    for d in (106, 107):
+        assert out[d]["host"] == "" and not out[d]["parseable"]
+        assert not out[d]["keep"]
