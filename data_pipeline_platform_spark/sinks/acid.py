@@ -42,6 +42,7 @@ of files, not the table.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import time
@@ -59,6 +60,36 @@ _VERSION_DIGITS = 20
 #: from genesis — the Delta checkpoint-parquet pattern (JSON here; the
 #: content is the same live add-action set)
 _CHECKPOINT_INTERVAL = 10
+
+
+#: errnos meaning "this filesystem cannot hard-link" (FUSE/object-store
+#: mounts) — anything else from os.link is a real error and propagates
+_LINK_UNSUPPORTED_ERRNOS = frozenset(
+    x for x in (
+        errno.EPERM,
+        errno.ENOSYS,
+        errno.EXDEV,
+        getattr(errno, "EOPNOTSUPP", None),
+        getattr(errno, "ENOTSUP", None),
+    ) if x is not None
+)
+
+
+def _fsync_dir(path: str) -> None:
+    """Best-effort fsync of a DIRECTORY so a just-published entry name
+    survives power failure. Some platforms/filesystems reject opening
+    or fsyncing a directory — degrade silently (the entry bytes are
+    already fsynced; only the name's durability window widens)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 #: per-file bloom index geometry: 8192 bits = 1 KB hex in the JSON log
@@ -254,11 +285,38 @@ class AcidTable:
             raise CommitConflictError(
                 f"version {version} already committed at {self.path}"
             ) from None
+        except OSError as e:
+            # Filesystems without hard-link support (some FUSE /
+            # object-store mounts — r12 advisor): fall back to an
+            # exclusive-create write. One-winner is preserved (O_EXCL);
+            # the complete-or-absent publish is NOT — a crash mid-write
+            # can leave a torn version file on such mounts, the
+            # documented trade against failing every commit outright.
+            if e.errno not in _LINK_UNSUPPORTED_ERRNOS:
+                raise
+            try:
+                fd = os.open(
+                    self._version_file(version),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                    0o644,
+                )
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"version {version} already committed at {self.path}"
+                ) from None
+            with os.fdopen(fd, "w") as out:
+                json.dump(payload, out)
+                out.flush()
+                os.fsync(out.fileno())
         finally:
             try:
                 os.unlink(tmp)
             except OSError:
                 pass  # a leaked stage file is inert (never read back)
+        # fsync the log DIRECTORY too: the staged bytes were fsynced,
+        # but the published NAME lives in the directory — without this
+        # a power failure can forget the link itself (r12 advisor)
+        _fsync_dir(self.log_dir)
         # never checkpoint a txn commit: its files are unresolved at
         # write time, and a checkpoint must bake in only settled state
         if version % _CHECKPOINT_INTERVAL == 0 and txn is None:

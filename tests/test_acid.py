@@ -931,3 +931,49 @@ def test_merge_update_set_partial_columns(spark, table):
     assert rows[1] == ("keep-a", 107)   # updated, v untouched
     assert rows[2] == ("keep-b", 100)   # unmatched target untouched
     assert rows[9] == (None, 3)         # insert: default bal, NULL v
+
+
+def test_commit_publish_falls_back_when_hardlinks_unsupported(
+    spark, table, monkeypatch
+):
+    """FUSE/object-store mounts can refuse os.link (r12 advisor): the
+    commit must still publish via the exclusive-create fallback, keep
+    the one-winner conflict check, and leave no stage litter."""
+    import errno as _errno
+
+    def no_link(src, dst, *a, **k):
+        raise OSError(_errno.EPERM, "Operation not permitted", dst)
+
+    monkeypatch.setattr(os, "link", no_link)
+    v1 = table.write(_df(spark, [(1, "a"), (2, "b")]))
+    assert v1 == 1 and table.read().count() == 2
+    v2 = table.write(_df(spark, [(3, "c")]), mode="append")
+    assert v2 == 2 and table.read().count() == 3
+    # the published record is complete JSON
+    rec = table._read_commit(2)
+    assert rec["version"] == 2 and rec["op"].lower() == "append"
+    # one-winner: a concurrent version-3 winner still conflicts
+    with open(table._version_file(3), "x") as f:
+        json.dump({"version": 3, "op": "append", "ts": 0.0,
+                   "add": [], "remove": [], "meta": {}}, f)
+    with pytest.raises(CommitConflictError):
+        table._commit(2, "append", [], [])
+    # no leaked .stage-* files
+    stray = [f for f in os.listdir(table.log_dir) if ".stage-" in f]
+    assert stray == []
+
+
+def test_commit_unexpected_link_oserror_propagates(spark, table, monkeypatch):
+    """Only link-unsupported errnos trigger the fallback; a genuine I/O
+    failure (e.g. EIO) must surface, not silently degrade."""
+    import errno as _errno
+
+    table.write(_df(spark, [(1, "a")]))
+
+    def eio(src, dst, *a, **k):
+        raise OSError(_errno.EIO, "I/O error", dst)
+
+    monkeypatch.setattr(os, "link", eio)
+    with pytest.raises(OSError) as exc:
+        table.write(_df(spark, [(2, "b")]), mode="append")
+    assert exc.value.errno == _errno.EIO
