@@ -108,16 +108,23 @@ def redact_pii_extended(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         redacted = F.regexp_replace(redacted, pat, tag)
     # credit card: nominate 16-digit(-ish) candidates, keep only the
-    # Luhn-valid ones; count every occurrence, replace each distinct
-    # valid candidate literally via an aggregate fold
+    # Luhn-valid ones; count every occurrence, then rewrite POSITION-
+    # ANCHORED (r12 advisor): one \b-wrapped alternation over the
+    # distinct valid candidates, so only the occurrences the nominating
+    # pattern could see are tagged — the same PAN embedded inside a
+    # longer digit run stays for the digit-run scrubber, and the [CC]
+    # tag count always equals n_credit_card. Candidates are digits and
+    # hyphens only, so the alternation needs no regex escaping.
     cands = F.regexp_extract_all(redacted, F.lit(CC_PATTERN), F.lit(0))
     valid = F.filter(cands, _luhn_valid)
     out = out.withColumn("n_credit_card", F.size(valid).cast("bigint"))
-    redacted = F.aggregate(
-        F.array_distinct(valid),
-        redacted,
-        lambda acc, c: F.replace(acc, c, F.lit("[CC]")),
+    cc_pat = F.concat(
+        F.lit(r"\b("), F.array_join(F.array_distinct(valid), "|"),
+        F.lit(r")\b"),
     )
+    redacted = F.when(
+        F.size(valid) > 0, F.regexp_replace(redacted, cc_pat, F.lit("[CC]"))
+    ).otherwise(redacted)
     for kind, pat, tag in tail:
         out = out.withColumn(
             f"n_{kind}", F.regexp_count(redacted, F.lit(pat)).cast("bigint")
@@ -347,8 +354,11 @@ WITH c AS (
 ), r6 AS (
   SELECT doc_id, n_email, n_ipv4, n_mac, n_iban,
          CAST(len(valid) AS BIGINT) AS n_credit_card,
-         list_reduce(list_prepend(t4, list_distinct(valid)),
-                     (acc, x) -> replace(acc, x, '[CC]')) AS t5
+         CASE WHEN len(valid) > 0 THEN
+           regexp_replace(t4,
+             '\b(' || array_to_string(list_distinct(valid), '|') || ')\b',
+             '[CC]', 'g')
+         ELSE t4 END AS t5
   FROM r5
 ), r7 AS (
   SELECT doc_id, n_email, n_ipv4, n_mac, n_iban, n_credit_card,

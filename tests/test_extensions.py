@@ -3375,3 +3375,36 @@ def test_redact_pii_extended_luhn_gate(spark):
     r3 = out[3]
     assert (r3["n_email"], r3["n_ipv4"], r3["n_phone"], r3["n_digit_run"],
             r3["n_credit_card"]) == (1, 1, 1, 1, 0)
+
+
+def test_redact_pii_extended_cc_rewrite_is_position_anchored(spark):
+    """r12 advisor: the CC rewrite must tag only \\b-delimited
+    occurrences — the same PAN embedded inside a longer digit run is
+    NOT a nominated candidate and falls to the digit-run scrubber, and
+    the number of [CC] tags always equals n_credit_card."""
+    from data_pipeline_platform_spark.functions.redact import (
+        redact_pii_extended,
+    )
+
+    rows = [
+        # standalone valid PAN + same PAN embedded in a 20-digit run
+        (1, "card 4111111111111111 run 99994111111111111111 end"),
+        # PAN appears twice standalone: two tags, count 2
+        (2, "a 4111111111111111 b 4111111111111111"),
+        # embedded only, never standalone: zero CC, one digit run
+        (3, "run 99994111111111111111 only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii_extended(df).collect()}
+    r1 = out[1]
+    assert r1["n_credit_card"] == 1
+    assert r1["redacted"].count("[CC]") == 1
+    assert "[NUM]" in r1["redacted"]  # the 20-digit run, scrubbed as a run
+    assert "4111" not in r1["redacted"]
+    r2 = out[2]
+    assert r2["n_credit_card"] == 2
+    assert r2["redacted"].count("[CC]") == 2
+    r3 = out[3]
+    assert r3["n_credit_card"] == 0
+    assert "[CC]" not in r3["redacted"]
+    assert r3["n_digit_run"] == 1 and "[NUM]" in r3["redacted"]
