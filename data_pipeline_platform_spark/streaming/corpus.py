@@ -112,3 +112,120 @@ def curated_ingest(
         .trigger(**trigger)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental C4 line-level cleaning (r13, r12 verdict #6)
+# ---------------------------------------------------------------------------
+
+_C4_STREAM = "c4-lines"
+
+
+class IncrementalLineCleaner:
+    """foreachBatch-incremental variant of
+    ``functions/corpus.py::clean_lines_c4``: the global duplicate-line
+    census — the one shuffle of the one-shot pass — is maintained
+    INCREMENTALLY as a MaterializedAgg (sinks/matview.py's additive IVM
+    fold), so each micro-batch folds only its own per-line counts and
+    history is never re-censused.
+
+    Per batch: (1) judge the batch's lines with the shared row-local
+    rule Column and append them to an ACID lines store, marker-guarded;
+    (2) fold the batch's per-line DISTINCT-doc counts into the census
+    view via ``fold_batch`` (marker inside the same atomic commit as
+    the fold). Each side skips replayed batch ids independently, so a
+    crash between the two commits heals on redelivery and a duplicate
+    delivery is a no-op — the crash-schedule contract of the
+    exactly-once family.
+
+    Additivity contract: every document rides in EXACTLY ONE batch
+    (the standard stream partitioning — a doc is one source record),
+    so corpus-wide COUNT(DISTINCT doc) per line equals the sum over
+    batches of per-batch distinct-doc counts.
+
+    ``summaries()`` joins the stored judged lines with the CURRENT
+    census — a line that crossed the duplicate threshold in batch N
+    retroactively drops from batch-1 documents, exactly as the
+    one-shot census would — and reuses ``summarize_judged_lines`` so
+    the output is byte-identical to ``clean_lines_c4`` over the same
+    corpus."""
+
+    def __init__(self, spark: SparkSession, lines_path: str,
+                 census_path: str):
+        from data_pipeline_platform_spark.sinks.acid import AcidTable
+        from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+
+        self.spark = spark
+        self.lines = AcidTable(spark, lines_path)
+        self.census = MaterializedAgg(
+            spark, census_path, keys=["line"], aggs=[("nd", "sum", "d1")]
+        )
+
+    def _last_lines_batch(self) -> int:
+        for v in range(self.lines.latest_version(), 0, -1):
+            meta = self.lines._read_commit(v).get("meta") or {}
+            if meta.get("stream_id") == _C4_STREAM:
+                return int(meta["batch_id"])
+        return -1
+
+    def process_batch(self, batch_lines: DataFrame,
+                      batch_id: int) -> Dict[str, Any]:
+        """Ingest one (doc_id, line_no, line) micro-batch idempotently."""
+        from data_pipeline_platform_spark.functions.corpus import c4_rule_ok
+        from data_pipeline_platform_spark.streaming.matview import fold_batch
+
+        marker = {"stream_id": _C4_STREAM, "batch_id": batch_id}
+        appended = False
+        if batch_id > self._last_lines_batch():
+            judged = batch_lines.select("doc_id", "line_no", "line").withColumn(
+                "rule_ok", c4_rule_ok()
+            )
+            self.lines.write(judged, mode="append", extra_meta=marker)
+            appended = True
+        # distinct (line, doc) within the batch -> additive d1 counts;
+        # fold_batch's in-commit marker makes the fold exactly-once
+        per_line = (
+            batch_lines.select("line", "doc_id").distinct()
+            .select("line", F.lit(1).cast("bigint").alias("d1"))
+        )
+        folded = fold_batch(self.census, _C4_STREAM, per_line, batch_id)
+        return {"batch_id": batch_id, "appended": appended, "folded": folded}
+
+    def summaries(self) -> DataFrame:
+        """Per-document cleaning summary against the CURRENT census —
+        byte-identical to clean_lines_c4 over the ingested corpus."""
+        from data_pipeline_platform_spark.functions.corpus import (
+            C4_DUP_DOCS,
+            summarize_judged_lines,
+        )
+
+        dup = (
+            self.census.read()
+            .filter(F.col("nd") >= C4_DUP_DOCS)
+            .select("line", F.lit(True).alias("is_dup"))
+        )
+        judged = self.lines.read().join(dup, "line", "left").withColumn(
+            "kept", F.col("rule_ok") & F.col("is_dup").isNull()
+        )
+        return summarize_judged_lines(judged)
+
+
+def stream_clean_lines(
+    lines_stream: DataFrame,
+    cleaner: IncrementalLineCleaner,
+    checkpoint: str,
+    trigger: Optional[Dict[str, Any]] = None,
+):
+    """Wire the cleaner under a real Structured Streaming query
+    (foreachBatch); availableNow by default — drain and stop."""
+    trigger = {"availableNow": True} if trigger is None else trigger
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cleaner.process_batch(batch_df, batch_id)
+
+    return (
+        lines_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )

@@ -376,3 +376,90 @@ def test_filter_by_url_rules_and_census(spark):
     for d in (106, 107):
         assert out[d]["host"] == "" and not out[d]["parseable"]
         assert not out[d]["keep"]
+
+
+def test_incremental_line_cleaner_matches_one_shot_with_retroactive_drop(
+    spark, tmp_path
+):
+    """The census-maintained cleaner equals clean_lines_c4 bitwise even
+    when a line only crosses the duplicate threshold in a LATER batch
+    (the batch-1 doc must retroactively lose it), and duplicate
+    delivery of a batch is a no-op on both the lines store and the
+    census."""
+    from data_pipeline_platform_spark.functions.corpus import clean_lines_c4
+    from data_pipeline_platform_spark.streaming.corpus import (
+        IncrementalLineCleaner,
+    )
+
+    rows = [
+        # doc 1 (batch 0) and doc 5 (batch 2) share the boilerplate
+        # line: it becomes a duplicate only once batch 2 folds
+        (1, 0, "shared boilerplate line appears twice here."),
+        (1, 1, "unique one first document content line."),
+        (2, 0, "unique two second document content line."),
+        (5, 0, "shared boilerplate line appears twice here."),
+        (5, 1, "unique five fifth document content line."),
+        (4, 0, "short."),  # fails the min-words rule
+    ]
+    lines = spark.createDataFrame(
+        rows, "doc_id long, line_no int, line string"
+    )
+    cleaner = IncrementalLineCleaner(
+        spark, str(tmp_path / "lines"), str(tmp_path / "census")
+    )
+    for b in range(3):
+        batch = lines.filter(F.col("doc_id") % 3 == b)
+        cleaner.process_batch(batch, batch_id=b)
+    # duplicate delivery of the last batch: no state change
+    v_lines = cleaner.lines.latest_version()
+    v_census = cleaner.census.acid.latest_version()
+    stats = cleaner.process_batch(
+        lines.filter(F.col("doc_id") % 3 == 2), batch_id=2
+    )
+    assert not stats["appended"] and not stats["folded"]
+    assert cleaner.lines.latest_version() == v_lines
+    assert cleaner.census.acid.latest_version() == v_census
+
+    got = {r["doc_id"]: r.asDict() for r in cleaner.summaries().collect()}
+    want = {r["doc_id"]: r.asDict() for r in clean_lines_c4(lines).collect()}
+    assert got == want
+    # the retroactive drop actually happened: doc 1's shared line is
+    # counted as a duplicate drop even though it arrived in batch 0
+    assert got[1]["n_dropped_dup"] == 1
+    assert "shared boilerplate" not in got[1]["clean_text"]
+
+
+def test_incremental_line_cleaner_under_structured_streaming(
+    spark, tmp_path
+):
+    """stream_clean_lines drives the same cleaner under a real
+    foreachBatch query (file source, availableNow) and still matches
+    the one-shot pass."""
+    from data_pipeline_platform_spark.functions.corpus import clean_lines_c4
+    from data_pipeline_platform_spark.streaming.corpus import (
+        IncrementalLineCleaner,
+        stream_clean_lines,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(60)
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\. ")).alias("line_no", "line"),
+    ).withColumn("line", F.concat(F.col("line"), F.lit(".")))
+    src = str(tmp_path / "lines_in")
+    lines.repartition(4).write.parquet(src)
+
+    cleaner = IncrementalLineCleaner(
+        spark, str(tmp_path / "slines"), str(tmp_path / "scensus")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, line_no int, line string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = stream_clean_lines(stream, cleaner, str(tmp_path / "sckpt"))
+    q.awaitTermination(180)
+
+    got = {r["doc_id"]: r.asDict() for r in cleaner.summaries().collect()}
+    want = {r["doc_id"]: r.asDict() for r in clean_lines_c4(lines).collect()}
+    assert got == want and len(got) > 0
