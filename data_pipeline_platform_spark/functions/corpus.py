@@ -16,6 +16,8 @@ size — the candidates→verify shape shared with `functions/dedup.py`.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1083,7 +1085,8 @@ def c4_rule_ok():
     return rule_ok
 
 
-def clean_lines_c4(lines: DataFrame) -> DataFrame:
+def clean_lines_c4(lines: DataFrame,
+                   salt_buckets: Optional[int] = None) -> DataFrame:
     """(doc_id, line_no, line) -> per-document cleaning summary +
     reassembled clean text.
 
@@ -1091,7 +1094,23 @@ def clean_lines_c4(lines: DataFrame) -> DataFrame:
     the ONLY shuffle is the global duplicate-line census — a groupBy on
     the line text (at 100 TB: hash-partitioned by line content, partial
     countDistinct map-side) joined back onto the lines. Nothing
-    collects; the reassembly is one doc-keyed aggregate."""
+    collects; the reassembly is one doc-keyed aggregate.
+
+    Skew (r12 verdict #5): the census AGGREGATION is structurally
+    skew-safe — count_distinct's first exchange keys on (line, doc_id)
+    so a boilerplate line in 60% of documents still spreads across
+    reducers, and the final per-line exchange carries one partial row
+    per (line, mapper). The JOIN-BACK is the vulnerable shuffle: when
+    the census is too big to broadcast, the sort-merge join keys on the
+    raw line and the hot line lands on ONE reducer (measured 20x
+    max/median at 60% hot share — tools/census_skew_stress.py; AQE's
+    byte-threshold skew split did not engage on this shape at test
+    scale). ``salt_buckets`` > 1 routes the join-back through
+    ``salted_join`` — dup-line marks replicate per salt, rows spread —
+    with identical output. Size it with scale.choose_salt_buckets from
+    a diagnose_skew profile."""
+    from data_pipeline_platform_spark.functions.scale import salted_join
+
     flagged = lines.withColumn("rule_ok", c4_rule_ok())
     dup_lines = (
         lines.groupBy("line")
@@ -1099,7 +1118,12 @@ def clean_lines_c4(lines: DataFrame) -> DataFrame:
         .filter(F.col("nd") >= C4_DUP_DOCS)
         .select("line", F.lit(True).alias("is_dup"))
     )
-    judged = flagged.join(dup_lines, "line", "left").withColumn(
+    if salt_buckets and salt_buckets > 1:
+        joined = salted_join(flagged, dup_lines, "line", how="left",
+                             salt_buckets=salt_buckets)
+    else:
+        joined = flagged.join(dup_lines, "line", "left")
+    judged = joined.withColumn(
         "kept", F.col("rule_ok") & F.col("is_dup").isNull()
     )
     return summarize_judged_lines(judged)
@@ -1305,7 +1329,8 @@ URL_BLOCKED_TLDS = (".info",)
 URL_HOST_CAP = 15
 
 
-def filter_by_url(docs_with_url: DataFrame) -> DataFrame:
+def filter_by_url(docs_with_url: DataFrame,
+                  salt_buckets: Optional[int] = None) -> DataFrame:
     """(doc_id, url, ...) -> per-doc URL verdict columns + keep flag.
 
     Host parsing (r12 advisor): scheme is http OR https, case-
@@ -1320,7 +1345,16 @@ def filter_by_url(docs_with_url: DataFrame) -> DataFrame:
     Column expressions; the ONLY shuffle is the per-host census
     (groupBy host — partial counts map-side), joined back onto the
     docs. The blocklists are literal arrays (broadcast by value inside
-    the plan), never a driver collect."""
+    the plan), never a driver collect.
+
+    Skew (r12 verdict #5): one host can dominate a crawl; the census
+    groupBy itself ships one partial row per (host, mapper), but the
+    join-back concentrates the hot host on one reducer when the census
+    outgrows broadcast. ``salt_buckets`` > 1 routes it through
+    ``salted_join`` (census rows replicate per salt) with identical
+    output — see clean_lines_c4 for the measured balance numbers."""
+    from data_pipeline_platform_spark.functions.scale import salted_join
+
     parsed = docs_with_url.withColumn(
         "host",
         F.lower(F.regexp_extract("url", r"(?i)^https?://([^/:?#]+)", 1)),
@@ -1328,8 +1362,13 @@ def filter_by_url(docs_with_url: DataFrame) -> DataFrame:
     census = parsed.groupBy("host").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_host")
     )
+    if salt_buckets and salt_buckets > 1:
+        joined = salted_join(parsed, census, "host", how="inner",
+                             salt_buckets=salt_buckets)
+    else:
+        joined = parsed.join(census, "host")
     judged = (
-        parsed.join(census, "host")
+        joined
         .withColumn(
             "blocked_host",
             F.array_contains(

@@ -463,3 +463,49 @@ def test_incremental_line_cleaner_under_structured_streaming(
     got = {r["doc_id"]: r.asDict() for r in cleaner.summaries().collect()}
     want = {r["doc_id"]: r.asDict() for r in clean_lines_c4(lines).collect()}
     assert got == want and len(got) > 0
+
+
+def test_salted_census_join_back_is_equivalent_and_spreads_key(spark):
+    """salt_buckets routes the census join-back through salted_join:
+    output identical to the unsalted path, and the join exchange keys
+    on (content key, __salt) so a 60%-hot key spreads across reducers
+    (r12 verdict #5; balance numbers in SCALE.md via
+    tools/census_skew_stress.py)."""
+    from data_pipeline_platform_spark.functions.corpus import (
+        clean_lines_c4,
+        filter_by_url,
+    )
+
+    hot = "shared boilerplate content line appearing everywhere."
+    rows = [(d, 0, hot) for d in range(30)] + [
+        (d, 1, f"unique content line number {d} with many words in it.")
+        for d in range(30)
+    ]
+    lines = spark.createDataFrame(
+        rows, "doc_id long, line_no int, line string"
+    )
+    plain = {r["doc_id"]: r.asDict() for r in clean_lines_c4(lines).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted_df = clean_lines_c4(lines, salt_buckets=8)
+        salted = {r["doc_id"]: r.asDict() for r in salted_df.collect()}
+        assert salted == plain
+        plan = salted_df._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan  # the join really keys on (line, salt)
+
+        urls = spark.createDataFrame(
+            [(d, "https://hot.example.com/p/%d" % d) for d in range(30)]
+            + [(100, "https://fine.org/a")],
+            "doc_id long, url string",
+        )
+        plain_u = {r["doc_id"]: r.asDict()
+                   for r in filter_by_url(urls).collect()}
+        salted_u_df = filter_by_url(urls, salt_buckets=8)
+        salted_u = {r["doc_id"]: r.asDict() for r in salted_u_df.collect()}
+        assert salted_u == plain_u
+        assert "__salt" in (
+            salted_u_df._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
