@@ -290,6 +290,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "trials": trials,
         "warmup": 1,
+        # protocol lineage (r12 advisor): medians are steady-state
+        # (post-discarded-warm-up) since r12 — deltas vs pre-r12 BENCH
+        # files conflate this protocol switch with code change
+        "protocol": "warmup1-since-r12",
         "load_avg_start": load_start,
         "load_avg_end": load,
     }

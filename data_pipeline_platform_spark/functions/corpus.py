@@ -1317,6 +1317,26 @@ register(
 )
 
 
+def q_c4_line_filter_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened census join-back under the correctness gate:
+    identical fixture and oracle to c4_line_filter, with the dup-line
+    marks joined back through salted_join (salt_buckets=8) — the path
+    a 60%-hot boilerplate line takes at 100 TB (SCALE.md r13 balance
+    numbers). Output must stay bitwise identical to the unsalted
+    oracle."""
+    return clean_lines_c4(
+        _c4_fixture_lines(spark, sf_dir), salt_buckets=8
+    ).select(
+        "doc_id", "n_lines", "n_kept", "n_dropped_rules", "n_dropped_dup",
+        "clean_chars", "clean_text",
+    )
+
+
+register(
+    "c4_line_filter_salted", q_c4_line_filter_salted, ORACLE_C4_LINE_FILTER
+)
+
+
 # ---------------------------------------------------------------------------
 # URL / domain-level filtering (r12) — RefinedWeb-style curation
 # ---------------------------------------------------------------------------
@@ -1402,6 +1422,15 @@ def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     port stripping, lowercase fold, unparseable -> keep=false. The
     oracle rebuilds the identical URLs and replays the identical
     rules — every verdict column compared bitwise."""
+    return filter_by_url(_url_fixture(spark, sf_dir)).select(
+        "doc_id", "url", "host", "tld", "n_docs_host", "parseable",
+        "blocked_host", "blocked_tld", "over_represented", "keep",
+    )
+
+
+def _url_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (doc_id, url) fixture shared by the plain and
+    salted graded twins (see q_url_host_filter's docstring)."""
     from data_pipeline_platform_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1409,7 +1438,7 @@ def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     domains = F.array(*[F.lit(x) for x in (
         "news-site", "blogcorp", "example", "shop", "wiki", "forum")])
     tlds = F.array(*[F.lit(x) for x in (".com", ".org", ".net", ".info")])
-    with_url = docs.withColumn(
+    return docs.withColumn(
         "url",
         F.when(
             d % 11 == 0,
@@ -1430,7 +1459,15 @@ def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    return filter_by_url(with_url).select(
+
+
+def q_url_host_filter_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened twin of url_host_filter: the host census joins
+    back through salted_join (salt_buckets=8) — the dominant-crawl-host
+    path at 100 TB. Same fixture, same oracle, bitwise."""
+    return filter_by_url(
+        _url_fixture(spark, sf_dir), salt_buckets=8
+    ).select(
         "doc_id", "url", "host", "tld", "n_docs_host", "parseable",
         "blocked_host", "blocked_tld", "over_represented", "keep",
     )
@@ -1477,3 +1514,7 @@ FROM tldd
 
 
 register("url_host_filter", q_url_host_filter, ORACLE_URL_HOST_FILTER)
+register(
+    "url_host_filter_salted", q_url_host_filter_salted,
+    ORACLE_URL_HOST_FILTER,
+)
