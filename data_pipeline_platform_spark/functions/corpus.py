@@ -1375,10 +1375,7 @@ def filter_by_url(docs_with_url: DataFrame,
     output — see clean_lines_c4 for the measured balance numbers."""
     from data_pipeline_platform_spark.functions.scale import salted_join
 
-    parsed = docs_with_url.withColumn(
-        "host",
-        F.lower(F.regexp_extract("url", r"(?i)^https?://([^/:?#]+)", 1)),
-    ).withColumn("tld", F.regexp_extract("host", r"(\.[a-z]+)$", 1))
+    parsed = parse_url_host(docs_with_url)
     census = parsed.groupBy("host").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_host")
     )
@@ -1387,6 +1384,23 @@ def filter_by_url(docs_with_url: DataFrame,
                              salt_buckets=salt_buckets)
     else:
         joined = parsed.join(census, "host")
+    return url_verdicts(joined)
+
+
+def parse_url_host(docs_with_url: DataFrame) -> DataFrame:
+    """Row-local host/TLD extraction (see filter_by_url's parsing
+    contract) — shared with the incremental filter in
+    streaming/corpus.py."""
+    return docs_with_url.withColumn(
+        "host",
+        F.lower(F.regexp_extract("url", r"(?i)^https?://([^/:?#]+)", 1)),
+    ).withColumn("tld", F.regexp_extract("host", r"(\.[a-z]+)$", 1))
+
+
+def url_verdicts(joined: DataFrame) -> DataFrame:
+    """Blocklist / over-representation / parseability verdicts over
+    rows that already carry (host, tld, n_docs_host) — shared by the
+    one-shot and incremental paths so both produce identical output."""
     judged = (
         joined
         .withColumn(
@@ -1516,5 +1530,44 @@ FROM tldd
 register("url_host_filter", q_url_host_filter, ORACLE_URL_HOST_FILTER)
 register(
     "url_host_filter_salted", q_url_host_filter_salted,
+    ORACLE_URL_HOST_FILTER,
+)
+
+
+def q_url_host_filter_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Streaming twin of url_host_filter: the fixture docs arrive as
+    three doc-partitioned micro-batches; the host census is maintained
+    incrementally (additive MaterializedAgg COUNT fold, marker inside
+    the fold commit), with batch 1 REDELIVERED to prove the replay
+    skip. A host that crosses the over-representation cap only once a
+    later batch folds must retroactively flip keep=false on earlier
+    docs — the final verdicts must match the one-shot oracle
+    bitwise."""
+    import tempfile
+
+    from data_pipeline_platform_spark.streaming.corpus import (
+        IncrementalUrlFilter,
+    )
+
+    docs = _url_fixture(spark, sf_dir)
+    flt = IncrementalUrlFilter(
+        spark,
+        tempfile.mkdtemp(prefix="urlinc_docs_"),
+        tempfile.mkdtemp(prefix="urlinc_census_"),
+    )
+    for i in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == i)
+        flt.process_batch(batch, batch_id=i)
+        if i == 1:  # duplicate delivery: both sides must skip
+            flt.process_batch(batch, batch_id=i)
+    return flt.verdicts().select(
+        "doc_id", "url", "host", "tld", "n_docs_host", "parseable",
+        "blocked_host", "blocked_tld", "over_represented", "keep",
+    )
+
+
+register(
+    "url_host_filter_incremental", q_url_host_filter_incremental,
     ORACLE_URL_HOST_FILTER,
 )

@@ -229,3 +229,94 @@ def stream_clean_lines(
         .trigger(**trigger)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental URL/host curation (r13) — the host census as an IVM fold
+# ---------------------------------------------------------------------------
+
+_URL_STREAM = "url-hosts"
+
+
+class IncrementalUrlFilter:
+    """foreachBatch-incremental twin of
+    ``functions/corpus.py::filter_by_url``: per batch, parse hosts
+    row-locally, append the parsed docs to an ACID store
+    (marker-guarded) and fold the batch's per-host doc counts into a
+    MaterializedAgg census — plain COUNT is additive, so the fold needs
+    no distinct bookkeeping at all. ``verdicts()`` joins the stored
+    docs against the CURRENT census and applies the shared verdict
+    expressions, so a host that crosses the over-representation cap in
+    a later batch retroactively flips keep=false on earlier documents —
+    byte-identical to the one-shot pass over the same corpus.
+
+    Exactly-once: same two-marker shape as IncrementalLineCleaner —
+    each side skips replayed batch ids independently; a crash between
+    the two commits heals on redelivery."""
+
+    def __init__(self, spark: SparkSession, docs_path: str,
+                 census_path: str):
+        from data_pipeline_platform_spark.sinks.acid import AcidTable
+        from data_pipeline_platform_spark.sinks.matview import MaterializedAgg
+
+        self.spark = spark
+        self.docs = AcidTable(spark, docs_path)
+        self.census = MaterializedAgg(
+            spark, census_path, keys=["host"],
+            aggs=[("n_docs_host", "count", "")],
+        )
+
+    def _last_docs_batch(self) -> int:
+        for v in range(self.docs.latest_version(), 0, -1):
+            meta = self.docs._read_commit(v).get("meta") or {}
+            if meta.get("stream_id") == _URL_STREAM:
+                return int(meta["batch_id"])
+        return -1
+
+    def process_batch(self, batch_docs: DataFrame,
+                      batch_id: int) -> Dict[str, Any]:
+        """Ingest one (doc_id, url, ...) micro-batch idempotently."""
+        from data_pipeline_platform_spark.functions.corpus import (
+            parse_url_host,
+        )
+        from data_pipeline_platform_spark.streaming.matview import fold_batch
+
+        parsed = parse_url_host(batch_docs)
+        marker = {"stream_id": _URL_STREAM, "batch_id": batch_id}
+        appended = False
+        if batch_id > self._last_docs_batch():
+            self.docs.write(parsed, mode="append", extra_meta=marker)
+            appended = True
+        folded = fold_batch(
+            self.census, _URL_STREAM, parsed.select("host"), batch_id
+        )
+        return {"batch_id": batch_id, "appended": appended, "folded": folded}
+
+    def verdicts(self) -> DataFrame:
+        """Per-doc URL verdicts against the CURRENT host census —
+        byte-identical to filter_by_url over the ingested corpus."""
+        from data_pipeline_platform_spark.functions.corpus import url_verdicts
+
+        census = self.census.read().select("host", "n_docs_host")
+        return url_verdicts(self.docs.read().join(census, "host"))
+
+
+def stream_filter_urls(
+    docs_stream: DataFrame,
+    flt: IncrementalUrlFilter,
+    checkpoint: str,
+    trigger: Optional[Dict[str, Any]] = None,
+):
+    """Wire the URL filter under a real Structured Streaming query
+    (foreachBatch); availableNow by default."""
+    trigger = {"availableNow": True} if trigger is None else trigger
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        flt.process_batch(batch_df, batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )

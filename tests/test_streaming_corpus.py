@@ -509,3 +509,83 @@ def test_salted_census_join_back_is_equivalent_and_spreads_key(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_incremental_url_filter_retroactive_cap_and_replay(spark, tmp_path):
+    """The census-maintained URL filter equals filter_by_url bitwise
+    even when a host only crosses the over-representation cap in a
+    later batch (earlier docs retroactively flip keep=false), and a
+    duplicate batch delivery is a no-op on both stores."""
+    from data_pipeline_platform_spark.functions.corpus import (
+        URL_HOST_CAP,
+        filter_by_url,
+    )
+    from data_pipeline_platform_spark.streaming.corpus import (
+        IncrementalUrlFilter,
+    )
+
+    # hot.example.com: 10 docs in batch 0, 10 in batch 2 -> crosses the
+    # cap (15) only once batch 2 folds
+    rows = (
+        [(d, "https://hot.example.com/p/%d" % d) for d in range(0, 30, 3)]
+        + [(d, "https://hot.example.com/p/%d" % d) for d in range(2, 32, 3)]
+        + [(100, "https://fine.org/a"), (103, "http://also-fine.org/b")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    flt = IncrementalUrlFilter(
+        spark, str(tmp_path / "docs"), str(tmp_path / "census")
+    )
+    for b in range(3):
+        flt.process_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+    v_docs = flt.docs.latest_version()
+    v_census = flt.census.acid.latest_version()
+    stats = flt.process_batch(
+        docs.filter(F.col("doc_id") % 3 == 2), batch_id=2
+    )
+    assert not stats["appended"] and not stats["folded"]
+    assert flt.docs.latest_version() == v_docs
+    assert flt.census.acid.latest_version() == v_census
+
+    got = {r["doc_id"]: r.asDict() for r in flt.verdicts().collect()}
+    want = {r["doc_id"]: r.asDict() for r in filter_by_url(docs).collect()}
+    assert got == want
+    # the retroactive flip: a batch-0 doc of the hot host is now over
+    # the cap even though its batch saw only 10 docs
+    assert got[0]["n_docs_host"] == 20 > URL_HOST_CAP
+    assert got[0]["over_represented"] and not got[0]["keep"]
+    assert got[100]["keep"] and got[103]["keep"]
+
+
+def test_incremental_url_filter_under_structured_streaming(spark, tmp_path):
+    """stream_filter_urls drives the same filter under a real
+    foreachBatch query and matches the one-shot pass."""
+    from data_pipeline_platform_spark.functions.corpus import filter_by_url
+    from data_pipeline_platform_spark.streaming.corpus import (
+        IncrementalUrlFilter,
+        stream_filter_urls,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(80).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), F.col("doc_id") % 4, F.lit(".example.org/p/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    src = str(tmp_path / "urls_in")
+    docs.repartition(4).write.parquet(src)
+
+    flt = IncrementalUrlFilter(
+        spark, str(tmp_path / "sdocs"), str(tmp_path / "scensus")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = stream_filter_urls(stream, flt, str(tmp_path / "uckpt"))
+    q.awaitTermination(180)
+
+    got = {r["doc_id"]: r.asDict() for r in flt.verdicts().collect()}
+    want = {r["doc_id"]: r.asDict() for r in filter_by_url(docs).collect()}
+    assert got == want and len(got) > 0
