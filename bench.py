@@ -184,6 +184,11 @@ HEADLINE = [
     # r12: C4/FineWeb line-level cleaning — full-corpus line explode +
     # the global duplicate-line census shuffle
     "c4_line_filter",
+    # r13: the incremental census twin (3 ACID batches + IVM folds —
+    # the exactly-once ingest path's real cost). The salted twins and
+    # url_host_filter_incremental are census-cheap at sf0.1 and stay
+    # under the parity gate.
+    "c4_line_filter_incremental",
 ]
 
 
