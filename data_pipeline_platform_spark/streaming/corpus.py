@@ -191,20 +191,30 @@ class IncrementalLineCleaner:
         folded = fold_batch(self.census, _C4_STREAM, per_line, batch_id)
         return {"batch_id": batch_id, "appended": appended, "folded": folded}
 
-    def summaries(self) -> DataFrame:
+    def summaries(self, salt_buckets: Optional[int] = None) -> DataFrame:
         """Per-document cleaning summary against the CURRENT census —
-        byte-identical to clean_lines_c4 over the ingested corpus."""
+        byte-identical to clean_lines_c4 over the ingested corpus.
+        ``salt_buckets`` salts the census join-back exactly like
+        ``clean_lines_c4(salt_buckets=)`` (same hot-boilerplate
+        exposure; SCALE.md r13 balance numbers)."""
         from data_pipeline_platform_spark.functions.corpus import (
             C4_DUP_DOCS,
             summarize_judged_lines,
         )
+        from data_pipeline_platform_spark.functions.scale import salted_join
 
         dup = (
             self.census.read()
             .filter(F.col("nd") >= C4_DUP_DOCS)
             .select("line", F.lit(True).alias("is_dup"))
         )
-        judged = self.lines.read().join(dup, "line", "left").withColumn(
+        stored = self.lines.read()
+        if salt_buckets and salt_buckets > 1:
+            joined = salted_join(stored, dup, "line", how="left",
+                                 salt_buckets=salt_buckets)
+        else:
+            joined = stored.join(dup, "line", "left")
+        judged = joined.withColumn(
             "kept", F.col("rule_ok") & F.col("is_dup").isNull()
         )
         return summarize_judged_lines(judged)
@@ -292,13 +302,22 @@ class IncrementalUrlFilter:
         )
         return {"batch_id": batch_id, "appended": appended, "folded": folded}
 
-    def verdicts(self) -> DataFrame:
+    def verdicts(self, salt_buckets: Optional[int] = None) -> DataFrame:
         """Per-doc URL verdicts against the CURRENT host census —
-        byte-identical to filter_by_url over the ingested corpus."""
+        byte-identical to filter_by_url over the ingested corpus.
+        ``salt_buckets`` salts the census join-back (dominant-host
+        exposure; SCALE.md r13)."""
         from data_pipeline_platform_spark.functions.corpus import url_verdicts
+        from data_pipeline_platform_spark.functions.scale import salted_join
 
         census = self.census.read().select("host", "n_docs_host")
-        return url_verdicts(self.docs.read().join(census, "host"))
+        stored = self.docs.read()
+        if salt_buckets and salt_buckets > 1:
+            joined = salted_join(stored, census, "host", how="inner",
+                                 salt_buckets=salt_buckets)
+        else:
+            joined = stored.join(census, "host")
+        return url_verdicts(joined)
 
 
 def stream_filter_urls(

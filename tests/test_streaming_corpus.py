@@ -589,3 +589,42 @@ def test_incremental_url_filter_under_structured_streaming(spark, tmp_path):
     got = {r["doc_id"]: r.asDict() for r in flt.verdicts().collect()}
     want = {r["doc_id"]: r.asDict() for r in filter_by_url(docs).collect()}
     assert got == want and len(got) > 0
+
+
+def test_incremental_summaries_salted_equivalence(spark, tmp_path):
+    """summaries(salt_buckets=)/verdicts(salt_buckets=) keep bitwise
+    output — the incremental paths share the one-shot join-back's skew
+    hardening."""
+    from data_pipeline_platform_spark.streaming.corpus import (
+        IncrementalLineCleaner,
+        IncrementalUrlFilter,
+    )
+
+    lines = spark.createDataFrame(
+        [(d, 0, "common boilerplate line with many words here.")
+         for d in range(10)]
+        + [(d, 1, f"unique content line {d} with several words in it.")
+           for d in range(10)],
+        "doc_id long, line_no int, line string",
+    )
+    cl = IncrementalLineCleaner(
+        spark, str(tmp_path / "l"), str(tmp_path / "c")
+    )
+    cl.process_batch(lines, 0)
+    plain = {r["doc_id"]: r.asDict() for r in cl.summaries().collect()}
+    salted = {r["doc_id"]: r.asDict()
+              for r in cl.summaries(salt_buckets=4).collect()}
+    assert salted == plain
+
+    urls = spark.createDataFrame(
+        [(d, "https://hot.example.com/p/%d" % d) for d in range(20)],
+        "doc_id long, url string",
+    )
+    uf = IncrementalUrlFilter(
+        spark, str(tmp_path / "d"), str(tmp_path / "uc")
+    )
+    uf.process_batch(urls, 0)
+    plain_u = {r["doc_id"]: r.asDict() for r in uf.verdicts().collect()}
+    salted_u = {r["doc_id"]: r.asDict()
+                for r in uf.verdicts(salt_buckets=4).collect()}
+    assert salted_u == plain_u
