@@ -265,3 +265,121 @@ def test_leaked_stage_file_is_inert(spark, tmp_path):
     )
     assert t.latest_version() == 2
     assert t.read().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# IncrementalLineCleaner (two stores: lines AcidTable + census fold)
+# ---------------------------------------------------------------------------
+
+_LINE_DOCS = 9  # 3 batches of 3 docs; boilerplate spans all batches
+
+
+def _cleaner(spark, base):
+    from data_pipeline_platform_spark.streaming.corpus import (
+        IncrementalLineCleaner,
+    )
+
+    return IncrementalLineCleaner(
+        spark, os.path.join(base, "lines"), os.path.join(base, "census")
+    )
+
+
+def _line_rows(spark, lo, hi):
+    rows = []
+    for d in range(lo, hi):
+        rows.append(
+            (d, 0, "shared boilerplate sentence appearing in every doc.")
+        )
+        rows.append(
+            (d, 1, f"unique content line {d} with several words in it.")
+        )
+    return spark.createDataFrame(rows, "doc_id long, line_no int, line string")
+
+
+def _cleaner_state(spark, base):
+    c = _cleaner(spark, base)
+    return sorted(
+        tuple(r) for r in c.summaries().select(
+            "doc_id", "n_lines", "n_kept", "n_dropped_rules",
+            "n_dropped_dup", "clean_text",
+        ).collect()
+    )
+
+
+@st.composite
+def _cleaner_schedules(draw):
+    # per batch: (target store, crash mode) attempts before the clean
+    # delivery, then duplicate redeliveries of already-delivered batches
+    return [
+        (
+            draw(st.lists(
+                st.tuples(st.sampled_from(("lines", "census")),
+                          st.sampled_from(CRASH_MODES)),
+                max_size=2,
+            )),
+            draw(st.lists(st.integers(0, b), max_size=1)),
+        )
+        for b in range(3)
+    ]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sched=_cleaner_schedules())
+def test_line_cleaner_crash_schedule_equals_one_shot(spark, sched):
+    """The cleaner's two commits (lines append, census fold) are
+    marker-guarded independently: any crash schedule over either store,
+    followed by restarts and duplicate redeliveries, must converge to
+    the one-shot clean_lines_c4 summary."""
+    base = tempfile.mkdtemp(prefix="crashclean_")
+    for b, (crashes, dups) in enumerate(sched):
+        lo, hi = 3 * b, 3 * b + 3
+        lines_done = census_done = False
+        for target, mode in crashes:
+            c = _cleaner(spark, base)  # fresh 'process'
+            table = c.lines if target == "lines" else c.census.acid
+            _inject(table, mode)
+            # the armed commit is reached unless its marker already
+            # skips it (census pre_write patches acid.write/.merge,
+            # which MaterializedAgg.update calls — still reachable)
+            armed_reachable = (
+                (target == "lines" and not lines_done)
+                or (target == "census" and not census_done)
+            )
+            if not armed_reachable:
+                # the armed commit already happened: marker skips it
+                # BEFORE the crash point; the OTHER store may complete
+                stats = c.process_batch(_line_rows(spark, lo, hi), b)
+                lines_done = lines_done or stats["appended"]
+                census_done = census_done or stats["folded"]
+                continue
+            with pytest.raises(RuntimeError):
+                c.process_batch(_line_rows(spark, lo, hi), b)
+            if target == "lines":
+                # census fold never ran (exception before it)
+                lines_done = mode == "post_commit"
+            else:
+                # lines commit precedes the census fold: it completed
+                # unless it was already done
+                lines_done = True
+                census_done = mode == "post_commit"
+        # restart + clean delivery
+        stats = _cleaner(spark, base).process_batch(
+            _line_rows(spark, lo, hi), b
+        )
+        assert stats["appended"] == (not lines_done)
+        assert stats["folded"] == (not census_done)
+        for d in dups:
+            s = _cleaner(spark, base).process_batch(
+                _line_rows(spark, 3 * d, 3 * d + 3), d
+            )
+            assert not s["appended"] and not s["folded"]
+
+    oracle_base = tempfile.mkdtemp(prefix="crashclean_oracle_")
+    _cleaner(spark, oracle_base).process_batch(
+        _line_rows(spark, 0, _LINE_DOCS), 0
+    )
+    assert _cleaner_state(spark, base) == _cleaner_state(spark, oracle_base)
