@@ -324,7 +324,34 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
-    print(json.dumps(out, separators=(",", ":")))
+    # The driver records only the LAST ~2000 chars of stdout; with the
+    # headline set past ~70 entries the full queries dict overflowed
+    # that window and BENCH_r11/r12 recorded parsed=null (found r13).
+    # The stdout line therefore carries the TOP-50 slowest medians (the
+    # perf signal) + every error entry + the aggregate of the rest; the
+    # complete per-query data lives in the side file, a committed copy
+    # of which (bench_detail_r{N}.json) is the cross-round record.
+    floats = {k: v for k, v in medians.items() if isinstance(v, float)}
+    errs = {k: v for k, v in medians.items() if not isinstance(v, float)}
+    ranked = sorted(floats.items(), key=lambda kv: -kv[1])
+    out["n_queries"] = len(medians)
+    out["detail"] = "bench_detail.json"
+    out.pop("load_avg_start", None)  # live in the detail file instead
+    out.pop("load_avg_end", None)
+    n = min(50, len(ranked))
+    while True:  # shrink until the line verifiably fits the window
+        top = dict(ranked[:n])
+        out["queries"] = {
+            **{k: round(v, 2) for k, v in top.items()}, **errs
+        }
+        out["others_total"] = round(
+            sum(v for k, v in floats.items() if k not in top), 2
+        )
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= 1900 or n == 0:
+            break
+        n -= 5
+    print(line)
 
 
 if __name__ == "__main__":

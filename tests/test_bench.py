@@ -46,3 +46,44 @@ def test_bench_headline_names_exist_in_registry():
     registry = set(all_queries())
     missing = [q for q in bench.HEADLINE if q not in registry]
     assert missing == []
+
+
+def test_bench_stdout_line_fits_driver_tail_window(
+    spark, monkeypatch, capsys, tmp_path
+):
+    """The driver records only the last ~2000 chars of stdout; the
+    bench line must fit (BENCH_r11/r12 recorded parsed=null because
+    the full queries dict overflowed). With 120 registered queries the
+    stdout line carries the top-50 slowest + errors + the rest as an
+    aggregate, while the detail side file keeps everything."""
+    import json as _json
+
+    def mk(i):
+        def q(spark_, _sf):
+            return spark_.range(1)
+        return q
+
+    names = [f"headline_query_with_a_long_name_{i:03d}" for i in range(120)]
+    registry = {n: mk(i) for i, n in enumerate(names)}
+    monkeypatch.setattr(bench, "HEADLINE", names)
+    monkeypatch.setattr(
+        "data_pipeline_platform_spark.queries.all_queries", lambda: registry
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DIR", str(tmp_path))
+
+    bench.main()
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 2000, len(line)
+    out = _json.loads(line)
+    assert out["n_queries"] == 120
+    assert 0 < len(out["queries"]) <= 50
+    assert isinstance(out["others_total"], float)
+    # the side file still has every query at full precision
+    detail = _json.loads((tmp_path / "bench_detail.json").read_text())
+    assert len(detail["queries"]) == 120
+    # total includes the omitted entries, not just the printed ones
+    assert out["value"] >= sum(
+        v for v in out["queries"].values() if isinstance(v, float)
+    ) - 0.5
