@@ -27,13 +27,14 @@ from pyspark.sql import functions as F
 
 
 def partition_balance(df) -> tuple[int, float]:
-    rows = (
-        df.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid")
-        .count()
-        .collect()
+    # rdd.mapPartitions, NOT a spark_partition_id() projection: Catalyst
+    # can collapse the projection below the join's exchange and report
+    # the upstream layout instead of the join output's (this silently
+    # hid a 20x skew in the r13 census measurements —
+    # tools/census_skew_stress.py)
+    counts = sorted(
+        df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
     )
-    counts = sorted(r["count"] for r in rows)
     return counts[-1], float(statistics.median(counts))
 
 
