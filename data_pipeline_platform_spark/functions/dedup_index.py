@@ -432,6 +432,51 @@ register(
 )
 
 
+def q_dedup_incremental_lsh_autocompact(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """The auto-compaction policy under the correctness gate: same
+    three-batch bucketed ingest and one-shot oracle as
+    dedup_incremental_lsh_bucketed, but auto_compact_every=2 folds the
+    band table MID-INGEST (after batch 1) — batch 2's candidate join
+    reads history from the compacted negative-id base, and the final
+    pair set must still be bitwise the one-shot LSH answer. Grades the
+    r13 policy (r12 verdict #4), not just the manual compact() op."""
+    import os as _os
+
+    from data_pipeline_platform_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lshac_")
+    idx = IncrementalLshIndex(
+        spark,
+        _os.path.join(root, "idx"),
+        _os.path.join(root, "pairs"),
+        bands_table=(
+            f"lsh_acbands_{_os.path.basename(root).replace('lshac_', '')}"
+        ),
+        bands_path=_os.path.join(root, "bands"),
+        auto_compact_every=2,
+    )
+    try:
+        compactions = 0
+        for b in range(3):
+            stats = idx.add_batch(
+                docs.filter(F.col("doc_id") % 3 == b), batch_id=b
+            )
+            compactions += "compacted" in stats
+        assert compactions >= 1, "policy never fired"
+    finally:
+        idx.drop_bands_table()  # result rides the pairs table, not this
+    return idx.all_pairs()
+
+
+register(
+    "dedup_incremental_lsh_autocompact",
+    q_dedup_incremental_lsh_autocompact,
+    ORACLE_DEDUP_MINHASH_LSH,
+)
+
+
 _EMB_STREAM = "emb-lsh"
 
 
