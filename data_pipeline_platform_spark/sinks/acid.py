@@ -1376,23 +1376,43 @@ class AcidTable:
             target_schema = aligned_schema
             if aligned_schema != current:
                 record_schema = aligned_schema  # this commit widens
-        for attempt in range(max_retries):
-            try:
-                return self._merge_attempt(
-                    source,
-                    keys,
-                    delete_matched,
-                    extra_meta,
-                    delete_keys,
-                    target_schema,
-                    record_schema,
-                    txn,
-                    commit_guard,
-                )
-            except CommitConflictError:
-                if attempt == max_retries - 1:
-                    raise
-        raise CommitConflictError(f"gave up after {max_retries} retries")
+        # Materialize the deduped source ONCE for every attempt: the
+        # resolution re-reads it >= 3 times (file-range probe, touched-
+        # file semi-join, survivor rewrite), and an uncached source plan
+        # (often itself a join against the snapshot, e.g.
+        # merge_conditional's clause resolution) would re-execute per
+        # use — and per OCC retry. Batch-sized state, standard delta-
+        # caching posture; also pins ONE in-batch last-wins choice so
+        # every phase of the resolution sees the same row per key.
+        key_list = list(keys)
+        src_cached = source.dropDuplicates(key_list).persist()
+        dk_cached = (
+            delete_keys.select(*key_list).dropDuplicates(key_list).persist()
+            if delete_keys is not None
+            else None
+        )
+        try:
+            for attempt in range(max_retries):
+                try:
+                    return self._merge_attempt(
+                        src_cached,
+                        keys,
+                        delete_matched,
+                        extra_meta,
+                        dk_cached,
+                        target_schema,
+                        record_schema,
+                        txn,
+                        commit_guard,
+                    )
+                except CommitConflictError:
+                    if attempt == max_retries - 1:
+                        raise
+            raise CommitConflictError(f"gave up after {max_retries} retries")
+        finally:
+            src_cached.unpersist(blocking=False)
+            if dk_cached is not None:
+                dk_cached.unpersist(blocking=False)
 
     def _merge_attempt(
         self,
@@ -1419,7 +1439,10 @@ class AcidTable:
             raise FileNotFoundError(f"merge target {self.path} is empty")
         key_list = list(keys)
 
-        src = source.dropDuplicates(key_list)  # in-batch last-wins proxy
+        # merge() hands us the source already key-deduped AND persisted
+        # (in-batch last-wins proxy, materialized once for the whole
+        # resolution — see merge())
+        src = source
         if not files:
             # the table EXISTS but its current snapshot holds no rows
             # (e.g. every row was deleted): MERGE degenerates to pure
@@ -1446,9 +1469,10 @@ class AcidTable:
         # the probe that decides which files are candidates/touched
         probe = src.select(*key_list)
         if delete_keys is not None:
-            probe = probe.unionByName(
-                delete_keys.select(*key_list).dropDuplicates(key_list)
-            ).dropDuplicates(key_list)
+            # delete_keys arrives key-projected + deduped (see merge());
+            # the cross-frame dedup (a key in both resolves to the
+            # source row) still needs one pass over the union
+            probe = probe.unionByName(delete_keys).dropDuplicates(key_list)
 
         # 1. file skipping: a file can contain matches only if SOME
         # source row falls inside its footer [min, max] on EVERY key

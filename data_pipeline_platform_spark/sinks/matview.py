@@ -139,35 +139,43 @@ class MaterializedAgg:
                 "already counted); feed this view through the change-feed "
                 "path (update_changes with snapshot)"
             )
-        part = self._partial(batch)
-        if not self.acid.exists():
-            version = self.acid.write(
-                part, stats_cols=self.keys, extra_meta=commit_meta, txn=txn,
+        # group-sized partial, materialized ONCE: it feeds the touched
+        # semi-join, the fold join, and (via merge's resolution) three
+        # more re-reads — an uncached partial re-aggregates the fact
+        # batch on every one of them
+        part = self._partial(batch).persist()
+        try:
+            if not self.acid.exists():
+                version = self.acid.write(
+                    part, stats_cols=self.keys, extra_meta=commit_meta,
+                    txn=txn, commit_guard=commit_guard,
+                )
+                return {"groups_touched": part.count(), "files_rewritten": 0,
+                        "version": version}
+            cur = self.acid.read()
+            # fold ONLY the groups present in this batch: untouched
+            # groups' state rows stay in their files and the merge
+            # prunes them. eqNullSafe: groupBy emits a NULL group, and
+            # its state row must fold like any other (same null-safe
+            # contract as acid.merge)
+            cond = F.lit(True)
+            for k in self.keys:
+                cond = cond & F.col(f"c.{k}").eqNullSafe(F.col(f"p.{k}"))
+            touched = cur.alias("c").join(
+                part.select(*self.keys).alias("p"), cond, "left_semi"
+            )
+            folded = self._fold(touched, part)
+            stats = self.acid.merge(
+                folded, keys=self.keys, extra_meta=commit_meta, txn=txn,
                 commit_guard=commit_guard,
             )
-            return {"groups_touched": part.count(), "files_rewritten": 0,
-                    "version": version}
-        cur = self.acid.read()
-        # fold ONLY the groups present in this batch: untouched groups'
-        # state rows stay in their files and the merge prunes them.
-        # eqNullSafe: groupBy emits a NULL group, and its state row must
-        # fold like any other (same null-safe contract as acid.merge)
-        cond = F.lit(True)
-        for k in self.keys:
-            cond = cond & F.col(f"c.{k}").eqNullSafe(F.col(f"p.{k}"))
-        touched = cur.alias("c").join(
-            part.select(*self.keys).alias("p"), cond, "left_semi"
-        )
-        folded = self._fold(touched, part)
-        stats = self.acid.merge(
-            folded, keys=self.keys, extra_meta=commit_meta, txn=txn,
-            commit_guard=commit_guard,
-        )
-        return {
-            "groups_touched": folded.count(),
-            "files_rewritten": stats["files_rewritten"],
-            "version": stats.get("version"),
-        }
+            return {
+                "groups_touched": folded.count(),
+                "files_rewritten": stats["files_rewritten"],
+                "version": stats.get("version"),
+            }
+        finally:
+            part.unpersist(blocking=False)
 
     def update_changes(
         self,
@@ -248,7 +256,12 @@ class MaterializedAgg:
                 agg = F.min if kind == "min" else F.max
                 exprs.append(agg(ins).alias(name))
                 exprs.append(agg(ret).alias(f"__ret_{name}"))
-        part = feed.groupBy(*self.keys).agg(*exprs)
+        # group-sized signed partial, materialized ONCE: an uncached
+        # partial would re-run the change feed's touched-file diff
+        # (changes(): scan + full-outer join) on every downstream read
+        # — the touched semi-join, the fold join, and merge's 3-phase
+        # resolution each re-execute it otherwise
+        part = feed.groupBy(*self.keys).agg(*exprs).persist()
         state_cols = list(self.keys)
         for a in self.aggs:
             state_cols.append(a[0])
@@ -258,10 +271,15 @@ class MaterializedAgg:
             # a fresh view's first feed is insert-only by construction
             # (changes() of an initial write emits only inserts), so the
             # insert-side extremes ARE the group extremes
-            first = part.select(*state_cols)
-            self.acid.write(first, stats_cols=self.keys, extra_meta=commit_meta)
-            return {"groups_touched": first.count(), "files_rewritten": 0,
-                    "groups_recomputed": 0}
+            try:
+                first = part.select(*state_cols)
+                self.acid.write(
+                    first, stats_cols=self.keys, extra_meta=commit_meta
+                )
+                return {"groups_touched": first.count(),
+                        "files_rewritten": 0, "groups_recomputed": 0}
+            finally:
+                part.unpersist(blocking=False)
         cur = self.acid.read()
         cond = F.lit(True)
         for k in self.keys:
@@ -354,6 +372,7 @@ class MaterializedAgg:
             n_groups = folded.count()
         finally:
             folded.unpersist(blocking=False)
+            part.unpersist(blocking=False)
         return {
             "groups_touched": n_groups,
             "files_rewritten": stats["files_rewritten"],
