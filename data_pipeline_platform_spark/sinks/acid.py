@@ -1038,21 +1038,27 @@ class AcidTable:
         if new is None:
             return _tag(old, "delete")
         if check_unique:
-            for side, df in (("pre", old), ("post", new)):
-                dup = (
-                    df.groupBy(*key_list)
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .filter(F.col("__n") > 1)
-                    .limit(1)
-                    .count()
+            # ONE job for both sides (was one per side): tag rows with
+            # their image side and look for any (side, key) group > 1
+            dup = (
+                old.select(F.lit("pre").alias("__side"), *key_list)
+                .unionByName(
+                    new.select(F.lit("post").alias("__side"), *key_list)
                 )
-                if dup:
-                    raise ValueError(
-                        f"changes() requires unique keys {key_list}; the "
-                        f"{side}-image files between v{v_from} and v{v_to} "
-                        "contain duplicates (pass check_unique=False only "
-                        "if fan-out is acceptable)"
-                    )
+                .groupBy("__side", *key_list)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select("__side")
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"changes() requires unique keys {key_list}; the "
+                    f"{dup[0]['__side']}-image files between v{v_from} and "
+                    f"v{v_to} contain duplicates (pass check_unique=False "
+                    "only if fan-out is acceptable)"
+                )
         # presence markers, not key-null tests: a NULL business key must
         # not make a row invisible to the classifier
         o = old.withColumn("__in_old", F.lit(True)).alias("o")

@@ -164,16 +164,19 @@ class MaterializedAgg:
             touched = cur.alias("c").join(
                 part.select(*self.keys).alias("p"), cond, "left_semi"
             )
-            folded = self._fold(touched, part)
-            stats = self.acid.merge(
-                folded, keys=self.keys, extra_meta=commit_meta, txn=txn,
-                commit_guard=commit_guard,
-            )
-            return {
-                "groups_touched": folded.count(),
-                "files_rewritten": stats["files_rewritten"],
-                "version": stats.get("version"),
-            }
+            folded = self._fold(touched, part).persist()
+            try:
+                stats = self.acid.merge(
+                    folded, keys=self.keys, extra_meta=commit_meta, txn=txn,
+                    commit_guard=commit_guard,
+                )
+                return {
+                    "groups_touched": folded.count(),
+                    "files_rewritten": stats["files_rewritten"],
+                    "version": stats.get("version"),
+                }
+            finally:
+                folded.unpersist(blocking=False)
         finally:
             part.unpersist(blocking=False)
 
@@ -319,7 +322,13 @@ class MaterializedAgg:
         folded = j.select(*outs, at_risk.alias("__recompute"))
         folded = folded.persist()
         try:
-            n_rec = folded.filter(F.col("__recompute")).count()
+            # ONE agg job for both bookkeeping numbers (was two count
+            # jobs): total groups + flagged-for-recompute groups
+            counts = folded.agg(
+                F.count(F.lit(1)).alias("__all"),
+                F.count(F.when(F.col("__recompute"), True)).alias("__rec"),
+            ).collect()[0]
+            n_rec, n_groups = counts["__rec"], counts["__all"]
             if n_rec == 0:
                 final = folded.drop("__recompute")
             else:
@@ -369,7 +378,6 @@ class MaterializedAgg:
                             fouts.append(F.col(f"f.{nn}").alias(nn))
                 final = fj.select(*fouts)
             stats = self.acid.merge(final, keys=self.keys, extra_meta=commit_meta)
-            n_groups = folded.count()
         finally:
             folded.unpersist(blocking=False)
             part.unpersist(blocking=False)
