@@ -815,21 +815,28 @@ class IncrementalAnnIndex:
             # table is the quantizer search_by_id probes with, and a
             # disagreeing ivf would hide vectors in never-probed cells
             cent = self.centroids.read()
-        assigned = ivfx_assign(emb, cent)
-        if self.pq is not None and not self.pq.exists():
-            from data_pipeline_platform_spark.functions.pq import pq_train
+        # batch-sized assignment, materialized once: it feeds PQ
+        # training residuals, _with_codes' residual/join pair, and the
+        # final write — uncached, the broadcast-assign re-executed up
+        # to 4x (once per consumer)
+        assigned = ivfx_assign(emb, cent).persist()
+        try:
+            if self.pq is not None and not self.pq.exists():
+                from data_pipeline_platform_spark.functions.pq import pq_train
 
-            self.pq.write(
-                pq_train(self._residuals(assigned, cent)),
-                extra_meta=marker,
-            )
-        if batch_id > _last_batch(self.ivf, _ANN_STREAM):
-            rows = (
-                self._with_codes(assigned, cent)
-                if self.pq is not None
-                else assigned
-            )
-            self.ivf.write(rows, mode="append", extra_meta=marker)
+                self.pq.write(
+                    pq_train(self._residuals(assigned, cent)),
+                    extra_meta=marker,
+                )
+            if batch_id > _last_batch(self.ivf, _ANN_STREAM):
+                rows = (
+                    self._with_codes(assigned, cent)
+                    if self.pq is not None
+                    else assigned
+                )
+                self.ivf.write(rows, mode="append", extra_meta=marker)
+        finally:
+            assigned.unpersist(blocking=False)
 
     def add_batch(self, emb: DataFrame, batch_id: int) -> None:
         from data_pipeline_platform_spark.functions.similarity import (
@@ -838,14 +845,22 @@ class IncrementalAnnIndex:
 
         cent = self.centroids.read()
         if batch_id > _last_batch(self.ivf, _ANN_STREAM):
-            rows = ivfx_assign(emb, cent)
-            if self.pq is not None:
-                rows = self._with_codes(rows, cent)
-            self.ivf.write(
-                rows,
-                mode="append",
-                extra_meta={"stream_id": _ANN_STREAM, "batch_id": batch_id},
-            )
+            # persist: _with_codes consumes the assignment twice
+            # (residual encode + code join) and the write a third time
+            assigned = ivfx_assign(emb, cent).persist()
+            try:
+                rows = assigned
+                if self.pq is not None:
+                    rows = self._with_codes(assigned, cent)
+                self.ivf.write(
+                    rows,
+                    mode="append",
+                    extra_meta={
+                        "stream_id": _ANN_STREAM, "batch_id": batch_id,
+                    },
+                )
+            finally:
+                assigned.unpersist(blocking=False)
 
     def refresh(self, emb: DataFrame, batch_id: int) -> Dict[str, int]:
         """Snapshot-refresh ingestion: hand the WHOLE corpus (or any
@@ -870,9 +885,13 @@ class IncrementalAnnIndex:
         new = emb.join(
             self.ivf.read().select("vec_id"), "vec_id", "left_anti"
         )
-        rows = ivfx_assign(new, cent)
+        # persist the delta assignment: _with_codes reads it twice
+        # (residual encode + code join), so the anti-join + broadcast-
+        # assign would otherwise run twice before rows even persists
+        assigned = ivfx_assign(new, cent).persist()
+        rows = assigned
         if self.pq is not None:
-            rows = self._with_codes(rows, cent)
+            rows = self._with_codes(assigned, cent)
         from data_pipeline_platform_spark.utils.cache import tracked_persist
 
         rows = tracked_persist(rows)
@@ -887,6 +906,7 @@ class IncrementalAnnIndex:
             )
         finally:
             rows.unpersist(blocking=False)
+            assigned.unpersist(blocking=False)
         return {"added": n, "replay": 0}
 
     def erase(self, vec_ids) -> Dict[str, int]:

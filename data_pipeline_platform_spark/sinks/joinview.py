@@ -115,19 +115,25 @@ class MaterializedJoin:
         ``txn`` stages the fold under a multi-table transaction, so
         ``fold_batch_multi`` can fan one micro-batch out across agg AND
         join views atomically."""
-        upserts = self._join(batch)
-        if not self.acid.exists():
-            version = self.acid.write(
-                upserts, stats_cols=self.row_keys, extra_meta=commit_meta,
-                txn=txn, commit_guard=commit_guard,
+        # batch-sized join result, consumed by the write/merge resolution
+        # AND the bookkeeping count — persist so the batch-dim join runs
+        # once per fold, not once per consumer
+        upserts = self._join(batch).persist()
+        try:
+            if not self.acid.exists():
+                version = self.acid.write(
+                    upserts, stats_cols=self.row_keys, extra_meta=commit_meta,
+                    txn=txn, commit_guard=commit_guard,
+                )
+                return {"rows_upserted": upserts.count(),
+                        "files_rewritten": 0, "version": version}
+            stats = self.acid.merge(
+                upserts, keys=self.row_keys, extra_meta=commit_meta, txn=txn,
+                commit_guard=commit_guard,
             )
-            return {"rows_upserted": upserts.count(), "files_rewritten": 0,
-                    "version": version}
-        stats = self.acid.merge(
-            upserts, keys=self.row_keys, extra_meta=commit_meta, txn=txn,
-            commit_guard=commit_guard,
-        )
-        return {"rows_upserted": upserts.count(), **stats}
+            return {"rows_upserted": upserts.count(), **stats}
+        finally:
+            upserts.unpersist(blocking=False)
 
     def update_changes(
         self,
@@ -140,31 +146,38 @@ class MaterializedJoin:
         post = feed.filter(
             F.col("change_type").isin("insert", "update_postimage")
         ).drop("change_type")
-        upserts = self._join(post)
-        deletes = feed.filter(F.col("change_type") == "delete").select(
-            *self.row_keys
-        )
-        if self.how == "inner":
-            # postimages that no longer match any dim row LEAVE the view
-            dim = F.broadcast(self.dim) if self.broadcast_dim else self.dim
-            cond = F.lit(True)
-            for bc, dc in self.on:
-                cond = cond & (post[bc] == dim[dc])
-            deletes = deletes.unionByName(
-                post.join(dim, cond, "left_anti").select(*self.row_keys)
+        # the change-feed diff behind `post` (touched-file scan + full-
+        # outer join) would re-execute per consumer — persist the batch-
+        # sized join result across the merge resolution + count
+        upserts = self._join(post).persist()
+        try:
+            deletes = feed.filter(F.col("change_type") == "delete").select(
+                *self.row_keys
             )
-        if not self.acid.exists():
-            self.acid.write(
-                upserts, stats_cols=self.row_keys, extra_meta=commit_meta
+            if self.how == "inner":
+                # postimages that no longer match any dim row LEAVE the view
+                dim = F.broadcast(self.dim) if self.broadcast_dim else self.dim
+                cond = F.lit(True)
+                for bc, dc in self.on:
+                    cond = cond & (post[bc] == dim[dc])
+                deletes = deletes.unionByName(
+                    post.join(dim, cond, "left_anti").select(*self.row_keys)
+                )
+            if not self.acid.exists():
+                self.acid.write(
+                    upserts, stats_cols=self.row_keys, extra_meta=commit_meta
+                )
+                return {"rows_upserted": upserts.count(),
+                        "files_rewritten": 0}
+            stats = self.acid.merge(
+                upserts,
+                keys=self.row_keys,
+                delete_keys=deletes,
+                extra_meta=commit_meta,
             )
-            return {"rows_upserted": upserts.count(), "files_rewritten": 0}
-        stats = self.acid.merge(
-            upserts,
-            keys=self.row_keys,
-            delete_keys=deletes,
-            extra_meta=commit_meta,
-        )
-        return {"rows_upserted": upserts.count(), **stats}
+            return {"rows_upserted": upserts.count(), **stats}
+        finally:
+            upserts.unpersist(blocking=False)
 
     def update_dim_changes(
         self,
@@ -225,11 +238,14 @@ class MaterializedJoin:
                 *[F.lit(None).cast(dtypes[c]).alias(c) for c in dim_cols],
             )
         )
-        upserts = matched.unionByName(nulled)
-        stats = self.acid.merge(
-            upserts, keys=self.row_keys, extra_meta=commit_meta
-        )
-        return {"rows_upserted": upserts.count(), **stats}
+        upserts = matched.unionByName(nulled).persist()
+        try:
+            stats = self.acid.merge(
+                upserts, keys=self.row_keys, extra_meta=commit_meta
+            )
+            return {"rows_upserted": upserts.count(), **stats}
+        finally:
+            upserts.unpersist(blocking=False)
 
     # ------------------------------------------------------------------
     def read(self, drop_empty_on: str = None) -> DataFrame:

@@ -149,8 +149,13 @@ class Scd2Table:
         # materialize the counts BEFORE the merge commits: they read the
         # persisted `opens` frame, so a post-commit recount that would
         # race a concurrent vacuum (superseded files vanishing mid-read)
-        # never happens
-        n_opened, n_closed = opened.count(), closed.count()
+        # never happens. ONE agg job for both: opened = every opens row,
+        # closed = the existing-key subset
+        counts = opens.agg(
+            F.count(F.lit(1)).alias("__o"),
+            F.count(F.when(~new_key, True)).alias("__c"),
+        ).collect()[0]
+        n_opened, n_closed = counts["__o"], counts["__c"]
         source = closed.unionByName(opened)
         # ONE copy-on-write merge: (keys, valid_from) uniquely addresses a
         # version row — closed rows match and take the new valid_to /
