@@ -333,22 +333,25 @@ class IncrementalLshIndex:
                 .filter(F.col("jaccard") >= self.threshold)
                 .select("doc_a", "doc_b", "jaccard")
             )
-            verified = verified.persist()  # ONE computation: count + write
             marker = {"stream_id": _STREAM, "batch_id": batch_id}
             n_pairs = 0
-            try:
-                if batch_id > _last_batch(self.pairs):
-                    n_pairs = verified.count()
-                    self.pairs.write(verified, mode="append", extra_meta=marker)
-                if batch_id > _last_batch(self.index):
-                    if self.bands_table:
-                        # before the index marker: if the index has the
-                        # batch, the bands do too; a crash in between
-                        # republishes the batch partition idempotently
-                        self._publish_bands(new_bands, batch_id)
-                    self.index.write(prepared, mode="append", extra_meta=marker)
-            finally:
-                verified.unpersist(blocking=False)
+            if batch_id > _last_batch(self.pairs):
+                # n_pairs comes from the commit's add-actions (footer
+                # row counts the staged write already produced) — the
+                # old count()+persist+write shape scheduled one extra
+                # job per batch and materialized the verify join into
+                # cache just to read it back once
+                v = self.pairs.write(verified, mode="append", extra_meta=marker)
+                n_pairs = sum(
+                    a["rows"] for a in self.pairs._read_commit(v)["add"]
+                )
+            if batch_id > _last_batch(self.index):
+                if self.bands_table:
+                    # before the index marker: if the index has the
+                    # batch, the bands do too; a crash in between
+                    # republishes the batch partition idempotently
+                    self._publish_bands(new_bands, batch_id)
+                self.index.write(prepared, mode="append", extra_meta=marker)
         finally:
             prepared.unpersist(blocking=False)
         out = {"batch_id": batch_id, "new_pairs": n_pairs}
@@ -611,25 +614,27 @@ class IncrementalEmbeddingIndex:
                 )
                 .filter(F.col("cosine") >= ND_THRESHOLD)
                 .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-            ).persist()  # ONE computation feeds both the count and the write
+            )
             marker = {"stream_id": _EMB_STREAM, "batch_id": batch_id}
             n_pairs = 0
-            try:
-                if batch_id > _last_batch(self.pairs, _EMB_STREAM):
-                    n_pairs = verified.count()
-                    self.pairs.write(verified, mode="append", extra_meta=marker)
-                if batch_id > _last_batch(self.index, _EMB_STREAM):
-                    if self._bands:
-                        # before the index marker: if the index has the
-                        # batch, the bands do too; a crash in between
-                        # republishes the partition idempotently
-                        self._bands.publish(
-                            new_bands.select("vec_id", "band_idx", "band_val"),
-                            batch_id,
-                        )
-                    self.index.write(prepared, mode="append", extra_meta=marker)
-            finally:
-                verified.unpersist(blocking=False)
+            if batch_id > _last_batch(self.pairs, _EMB_STREAM):
+                # n_pairs from the commit's add-actions (see the text
+                # twin above): one staged write computes the verify
+                # join once, no count() job, no cache round-trip
+                v = self.pairs.write(verified, mode="append", extra_meta=marker)
+                n_pairs = sum(
+                    a["rows"] for a in self.pairs._read_commit(v)["add"]
+                )
+            if batch_id > _last_batch(self.index, _EMB_STREAM):
+                if self._bands:
+                    # before the index marker: if the index has the
+                    # batch, the bands do too; a crash in between
+                    # republishes the partition idempotently
+                    self._bands.publish(
+                        new_bands.select("vec_id", "band_idx", "band_val"),
+                        batch_id,
+                    )
+                self.index.write(prepared, mode="append", extra_meta=marker)
         finally:
             prepared.unpersist(blocking=False)
         out = {"batch_id": batch_id, "new_pairs": n_pairs}
@@ -815,11 +820,14 @@ class IncrementalAnnIndex:
             # table is the quantizer search_by_id probes with, and a
             # disagreeing ivf would hide vectors in never-probed cells
             cent = self.centroids.read()
-        # batch-sized assignment, materialized once: it feeds PQ
-        # training residuals, _with_codes' residual/join pair, and the
-        # final write — uncached, the broadcast-assign re-executed up
-        # to 4x (once per consumer)
-        assigned = ivfx_assign(emb, cent).persist()
+        # batch-sized assignment, materialized once WHEN the PQ path
+        # multiplies its consumers (PQ training residuals, _with_codes'
+        # residual/join pair, the final write — uncached, the
+        # broadcast-assign re-executed up to 4x). Without PQ the write
+        # is the sole consumer: persisting would only add a pass.
+        assigned = ivfx_assign(emb, cent)
+        if self.pq is not None:
+            assigned = assigned.persist()
         try:
             if self.pq is not None and not self.pq.exists():
                 from data_pipeline_platform_spark.functions.pq import pq_train
@@ -836,7 +844,8 @@ class IncrementalAnnIndex:
                 )
                 self.ivf.write(rows, mode="append", extra_meta=marker)
         finally:
-            assigned.unpersist(blocking=False)
+            if self.pq is not None:
+                assigned.unpersist(blocking=False)
 
     def add_batch(self, emb: DataFrame, batch_id: int) -> None:
         from data_pipeline_platform_spark.functions.similarity import (
@@ -845,9 +854,14 @@ class IncrementalAnnIndex:
 
         cent = self.centroids.read()
         if batch_id > _last_batch(self.ivf, _ANN_STREAM):
-            # persist: _with_codes consumes the assignment twice
-            # (residual encode + code join) and the write a third time
-            assigned = ivfx_assign(emb, cent).persist()
+            # persist ONLY on the PQ path, where _with_codes consumes
+            # the assignment twice (residual encode + code join) and
+            # the write a third time; without PQ the write is the sole
+            # consumer and a persist is a pure extra materialization
+            # pass (measured 0.72x on ann_incremental_topk)
+            assigned = ivfx_assign(emb, cent)
+            if self.pq is not None:
+                assigned = assigned.persist()
             try:
                 rows = assigned
                 if self.pq is not None:
@@ -860,7 +874,8 @@ class IncrementalAnnIndex:
                     },
                 )
             finally:
-                assigned.unpersist(blocking=False)
+                if self.pq is not None:
+                    assigned.unpersist(blocking=False)
 
     def refresh(self, emb: DataFrame, batch_id: int) -> Dict[str, int]:
         """Snapshot-refresh ingestion: hand the WHOLE corpus (or any
@@ -885,10 +900,12 @@ class IncrementalAnnIndex:
         new = emb.join(
             self.ivf.read().select("vec_id"), "vec_id", "left_anti"
         )
-        # persist the delta assignment: _with_codes reads it twice
-        # (residual encode + code join), so the anti-join + broadcast-
-        # assign would otherwise run twice before rows even persists
-        assigned = ivfx_assign(new, cent).persist()
+        # persist the delta assignment ONLY when the PQ path reads it
+        # twice (residual encode + code join) — without PQ, rows IS the
+        # assignment and the tracked_persist below already pins it
+        assigned = ivfx_assign(new, cent)
+        if self.pq is not None:
+            assigned = assigned.persist()
         rows = assigned
         if self.pq is not None:
             rows = self._with_codes(assigned, cent)
@@ -906,7 +923,8 @@ class IncrementalAnnIndex:
             )
         finally:
             rows.unpersist(blocking=False)
-            assigned.unpersist(blocking=False)
+            if self.pq is not None:
+                assigned.unpersist(blocking=False)
         return {"added": n, "replay": 0}
 
     def erase(self, vec_ids) -> Dict[str, int]:

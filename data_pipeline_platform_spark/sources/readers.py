@@ -150,6 +150,28 @@ def spread_scan(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # Probe the split count ONLY for narrow plans (row-local ops over a
+    # file relation), where ``df.rdd`` is pure planning. On a plan with
+    # a wide operator (join/aggregate/window/repartition) or a cached
+    # relation, ``df.rdd.getNumPartitions()`` under AQE materializes
+    # every upstream query stage — a full hidden EXECUTION of the
+    # upstream pipeline per call (measured 0.5-4s per query at sf0.1,
+    # and at scale it would run the upstream shuffles twice). Those
+    # plans already carry the session's shuffle partitioning (explicit
+    # repartitions keep their count; cached plans pin theirs —
+    # canChangeCachedPlanOutputPartitioning defaults false), so the
+    # spread is either already there or was applied below the wide op
+    # by the inner spread_scan call — return the frame unchanged.
+    import re
+
+    tree = df._jdf.queryExecution().optimizedPlan().toString()
+    nodes = {
+        m.group(1)
+        for m in re.finditer(r"(?:^|\n)[+:|\- ]*([A-Za-z]+)", tree)
+    }
+    narrow = {"Project", "Filter", "Relation", "LogicalRDD", "Range"}
+    if not nodes <= narrow:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

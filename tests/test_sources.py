@@ -358,3 +358,51 @@ def test_ingest_files_orc_round_trips_orders_slice(spark, tmp_path):
         spark, path, "orc", "o_orderkey bigint, o_orderstatus string, cents bigint, d date"
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_spread_scan_spreads_narrow_single_split(spark, tmp_path):
+    """A single-row-group parquet scan (one input split) fans out to
+    defaultParallelism so per-row-heavy downstream work uses every
+    core."""
+    from data_pipeline_platform_spark.sources.readers import spread_scan
+
+    p = str(tmp_path / "one_split")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    out = spread_scan(spark.read.parquet(p))
+    assert (
+        out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    assert out.count() == 1000
+
+
+def test_spread_scan_leaves_wide_plans_unchanged_without_execution(spark):
+    """On a plan with a wide operator (aggregate/join/window) the probe
+    must NOT run: under AQE, df.rdd.getNumPartitions() materializes
+    every upstream query stage — a hidden re-execution of the pipeline
+    per call. spread_scan now reads the optimized logical plan and
+    returns such frames untouched, scheduling ZERO jobs."""
+    from data_pipeline_platform_spark.sources.readers import spread_scan
+
+    sc = spark.sparkContext
+    agg = spark.range(10_000).groupBy("id").count()
+    # job-id watermark: ids are monotone per context
+    sc.parallelize([0], 1).count()
+    ids_before = max(sc.statusTracker().getJobIdsForGroup(None))
+    out = spread_scan(agg)
+    ids_after = max(sc.statusTracker().getJobIdsForGroup(None))
+    assert out is agg  # unchanged frame, no added repartition
+    assert ids_after == ids_before  # and no job was scheduled
+
+
+def test_spread_scan_leaves_cached_plans_unchanged(spark):
+    """Cached relations pin their own partitioning
+    (canChangeCachedPlanOutputPartitioning default) — spread_scan must
+    not wrap them in a repartition or force materialization."""
+    from data_pipeline_platform_spark.sources.readers import spread_scan
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v").cache()
+    try:
+        out = spread_scan(df)
+        assert out is df
+    finally:
+        df.unpersist()
