@@ -29,13 +29,99 @@ from pyspark.sql.window import Window
 from data_pipeline_platform_spark.functions import register
 from data_pipeline_platform_spark.functions.similarity import (
     _as_double,
-    _dist_fp_sql,
     _duck_dist_fp,
 )
 
 N_PROBES = 20
 K = 10
 LCM_K = 2520  # lcm(1..10): L/k is an exact integer for every k <= 10
+
+
+def _probe_topk_partials(emb: DataFrame, probes_rows, k: int) -> DataFrame:
+    """Per-batch partial top-k candidates for a bounded probe panel,
+    computed batch-vectorized in numpy (guide §4.2) instead of per-row
+    JVM lambda folds: the former shape evaluated |corpus| x |probes| x
+    d interpreted aggregate-lambda steps (measured ~4s at sf0.1 for a
+    2000-row corpus — the expression interpreter, not the data, was
+    the cost).
+
+    Exactness: quantization replicates SQL round() (half away from
+    zero on the exact double) and distances are int64 sums of squared
+    quantized diffs — the identical integers `_dist_fp_sql` folds to,
+    bit for bit (d * (2 * FP_SCALE)^2 << 2^63 for unit-scale vectors;
+    the synthetic corpus bound). Emitting each batch's k smallest
+    (dist_fp, vec_id) rows per probe preserves the global top-k
+    through the downstream window: top-k of a union of per-subset
+    top-ks is the global top-k.
+
+    ``probes_rows``: collected probe panel (bounded by construction —
+    the same rows the old plan broadcast). Returns (probe_id,
+    probe_label, vec_id, label, dist_fp)."""
+    pids = [int(r["probe_id"]) for r in probes_rows]
+    plabels = [int(r["probe_label"]) for r in probes_rows]
+    pvecs = [list(map(float, r["pvec"])) for r in probes_rows]
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def quant(v):
+            # SQL round(): half away from zero on the exact double
+            f = np.floor(v)
+            frac = v - f
+            up = (frac > 0.5) | ((frac == 0.5) & (v > 0))
+            return (f + up).astype(np.int64)
+
+        Qp = quant(np.asarray(pvecs, dtype=np.float64) * 1_000_000.0)
+        probe_id_arr = np.asarray(pids, dtype=np.int64)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec_col = batch.column(2)
+            if vec_col.null_count or batch.column(0).null_count:
+                raise ValueError(
+                    "probe_topk: NULL vec_id/vec rows are outside the "
+                    "embeddings contract"
+                )
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            X = (
+                vec_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, -1)
+                .astype(np.float64, copy=False)
+            )
+            Qx = quant(X * 1_000_000.0)
+            out_p, out_idx, out_d = [], [], []
+            for j in range(len(pids)):
+                diff = Qx - Qp[j]
+                d2 = np.einsum("ij,ij->i", diff, diff)
+                keep = np.flatnonzero(ids != probe_id_arr[j])
+                # k smallest by (dist_fp, vec_id) — lexsort: last key
+                # is primary
+                order = keep[np.lexsort((ids[keep], d2[keep]))][:k]
+                out_p.append(np.full(len(order), pids[j], dtype=np.int64))
+                out_idx.append(order)
+                out_d.append(d2[order])
+            idx = np.concatenate(out_idx)
+            take = pa.array(idx, pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_p), pa.int64()),
+                    batch.column(0).take(take),
+                    batch.column(1).take(take),
+                    pa.array(np.concatenate(out_d), pa.int64()),
+                ],
+                ["probe_id", "vec_id", "label", "dist_fp"],
+            )
+
+    partial = emb.select("vec_id", "label", "vec").mapInArrow(
+        gen, "probe_id long, vec_id long, label int, dist_fp long"
+    )
+    plabel_map = F.create_map(
+        *[x for pid, pl in zip(pids, plabels) for x in (F.lit(pid), F.lit(pl))]
+    )
+    return partial.withColumn("probe_label", plabel_map[F.col("probe_id")])
 
 
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,14 +141,13 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total relevant per probe label (excluding the probe itself) for
     # the AP@K normalizer min(R, K)
     label_counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
-    scored = (
-        emb.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("dist_fp", F.expr(_dist_fp_sql("vec", "pvec")))
-    )
+    # bounded probe panel (N_PROBES rows) — the same rows the former
+    # plan broadcast; the scoring runs batch-vectorized (see
+    # _probe_topk_partials), the final top-K stays a keyed window
+    cand = _probe_topk_partials(emb, probes.collect(), K)
     w = Window.partitionBy("probe_id").orderBy("dist_fp", "vec_id")
     top = (
-        scored.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= K)
         .withColumn("rel", (F.col("label") == F.col("probe_label")).cast("bigint"))
     )
@@ -182,14 +267,11 @@ def q_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("pvec"),
     )
     label_counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
-    scored = (
-        emb.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("dist_fp", F.expr(_dist_fp_sql("vec", "pvec")))
-    )
+    # same vectorized partial-top-k shape as retrieval_eval
+    cand = _probe_topk_partials(emb, probes.collect(), K)
     w = Window.partitionBy("probe_id").orderBy("dist_fp", "vec_id")
     top = (
-        scored.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= K)
         .withColumn("rel", (F.col("label") == F.col("probe_label")).cast("bigint"))
         .withColumn("disc", F.expr(_case_by_rank("rn", _NDCG_W)))
