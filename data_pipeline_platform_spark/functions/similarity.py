@@ -1465,28 +1465,93 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the quantizer bounds each vector's candidate set to
     its cell (corpus/n_cells expected, constant in-cell density as
-    cells scale with data); the cell self-join is an equi-join; both
-    windows partition by vec_id — no global ordering anywhere."""
+    cells scale with data); ONE exchange co-locates each cell, the
+    in-cell scoring runs batch-vectorized (guide §4.2 — the former
+    cell self-join evaluated an interpreted fixed-point fold per
+    (query, neighbor) pair: |cell|^2 x d lambda steps, ~3s at sf0.1),
+    and the vote window partitions by vec_id — no global ordering
+    anywhere. Task memory holds its cells' vectors, the same
+    cell-bounded budget the self-join's per-key build side needed."""
     from pyspark.sql.window import Window
 
     _, ivf = ivfx_index(spark, sf_dir)
-    a = ivf.select(
-        "cell",
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("vec").alias("qv"),
-    )
-    b = ivf.select(
-        "cell", F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
-        F.col("vec").alias("nv"),
-    )
-    w_rank = Window.partitionBy("qid").orderBy(F.col("dist_fp"), F.col("nid"))
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def quant(v):
+            # SQL round(): half away from zero on the exact double
+            f = np.floor(v)
+            frac = v - f
+            up = (frac > 0.5) | ((frac == 0.5) & (v > 0))
+            return (f + up).astype(np.int64)
+
+        cells_l, ids_l, labels_l, vecs_l = [], [], [], []
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            cells_l.append(
+                batch.column(0).to_numpy(zero_copy_only=False)
+            )
+            ids_l.append(batch.column(1).to_numpy(zero_copy_only=False))
+            labels_l.append(
+                batch.column(2).to_numpy(zero_copy_only=False)
+            )
+            vc = batch.column(3)
+            vecs_l.append(
+                vc.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(batch.num_rows, -1)
+            )
+        if not ids_l:
+            return
+        cells = np.concatenate(cells_l)
+        ids = np.concatenate(ids_l)
+        labels = np.concatenate(labels_l)
+        Qx = quant(np.concatenate(vecs_l).astype(np.float64) * 1_000_000.0)
+        out_q, out_ql, out_nl = [], [], []
+        for c in np.unique(cells):
+            idx = np.flatnonzero(cells == c)
+            m = len(idx)
+            if m < 2:
+                continue  # no neighbors: the self-join dropped it too
+            Q = Qx[idx]
+            cid = ids[idx]
+            clab = labels[idx]
+            # exact int64 pairwise distances, query-blocked to bound
+            # the m x m intermediate
+            for s0 in range(0, m, 256):
+                blk = Q[s0 : s0 + 256]
+                diff = blk[:, None, :] - Q[None, :, :]
+                d2 = np.einsum("ijk,ijk->ij", diff, diff)
+                for r in range(blk.shape[0]):
+                    qpos = s0 + r
+                    keep = np.flatnonzero(np.arange(m) != qpos)
+                    order = keep[np.lexsort((cid[keep], d2[r][keep]))][
+                        :KNN_K
+                    ]
+                    out_q.append(
+                        np.full(len(order), cid[qpos], dtype=np.int64)
+                    )
+                    out_ql.append(
+                        np.full(len(order), clab[qpos], dtype=np.int32)
+                    )
+                    out_nl.append(clab[order].astype(np.int32))
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), pa.int64()),
+                    pa.array(np.concatenate(out_ql), pa.int32()),
+                    pa.array(np.concatenate(out_nl), pa.int32()),
+                ],
+                ["qid", "qlabel", "nlabel"],
+            )
+
     top = (
-        a.join(b, "cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .withColumn("dist_fp", F.expr(_dist_fp_sql("qv", "nv")))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= KNN_K)
+        ivf.select("cell", "vec_id", "label", "vec")
+        .repartition("cell")
+        .mapInArrow(gen, "qid long, qlabel int, nlabel int")
     )
     votes = top.groupBy("qid", "qlabel", "nlabel").agg(
         F.count(F.lit(1)).alias("votes")
