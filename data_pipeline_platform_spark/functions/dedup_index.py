@@ -333,25 +333,34 @@ class IncrementalLshIndex:
                 .filter(F.col("jaccard") >= self.threshold)
                 .select("doc_a", "doc_b", "jaccard")
             )
+            # persist + eager count, deliberately: the count LOOKS like
+            # a redundant job (the staged write's footers carry the row
+            # count), but materializing the verify join as a CACHE BUILD
+            # executes its ~dozen tiny shuffle stages as ONE non-AQE job
+            # with concurrent stage scheduling, where the staged parquet
+            # write would run them under AQE — one sequential driver
+            # round-trip per query stage. Measured on the embedding twin
+            # at sf0.1: AQE-staged 3.7-5.2s vs single-job 1.2-1.7s per
+            # batch (an attempt to drop this count/persist pair was a
+            # 0.75x regression, reverted; see OPTIMIZATION_r13.md). At
+            # cluster scale stage work dwarfs dispatch latency and the
+            # cache is batch-sized either way.
+            verified = verified.persist()
             marker = {"stream_id": _STREAM, "batch_id": batch_id}
             n_pairs = 0
-            if batch_id > _last_batch(self.pairs):
-                # n_pairs comes from the commit's add-actions (footer
-                # row counts the staged write already produced) — the
-                # old count()+persist+write shape scheduled one extra
-                # job per batch and materialized the verify join into
-                # cache just to read it back once
-                v = self.pairs.write(verified, mode="append", extra_meta=marker)
-                n_pairs = sum(
-                    a["rows"] for a in self.pairs._read_commit(v)["add"]
-                )
-            if batch_id > _last_batch(self.index):
-                if self.bands_table:
-                    # before the index marker: if the index has the
-                    # batch, the bands do too; a crash in between
-                    # republishes the batch partition idempotently
-                    self._publish_bands(new_bands, batch_id)
-                self.index.write(prepared, mode="append", extra_meta=marker)
+            try:
+                if batch_id > _last_batch(self.pairs):
+                    n_pairs = verified.count()
+                    self.pairs.write(verified, mode="append", extra_meta=marker)
+                if batch_id > _last_batch(self.index):
+                    if self.bands_table:
+                        # before the index marker: if the index has the
+                        # batch, the bands do too; a crash in between
+                        # republishes the batch partition idempotently
+                        self._publish_bands(new_bands, batch_id)
+                    self.index.write(prepared, mode="append", extra_meta=marker)
+            finally:
+                verified.unpersist(blocking=False)
         finally:
             prepared.unpersist(blocking=False)
         out = {"batch_id": batch_id, "new_pairs": n_pairs}
@@ -615,26 +624,30 @@ class IncrementalEmbeddingIndex:
                 .filter(F.col("cosine") >= ND_THRESHOLD)
                 .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
             )
+            # persist + eager count: materializes the verify join as a
+            # single non-AQE cache-build job — see the text twin above
+            # for the measured rationale (AQE stages the deep tiny-
+            # shuffle plan one driver round-trip at a time: 3.7-5.2s vs
+            # 1.2-1.7s per batch at sf0.1)
+            verified = verified.persist()
             marker = {"stream_id": _EMB_STREAM, "batch_id": batch_id}
             n_pairs = 0
-            if batch_id > _last_batch(self.pairs, _EMB_STREAM):
-                # n_pairs from the commit's add-actions (see the text
-                # twin above): one staged write computes the verify
-                # join once, no count() job, no cache round-trip
-                v = self.pairs.write(verified, mode="append", extra_meta=marker)
-                n_pairs = sum(
-                    a["rows"] for a in self.pairs._read_commit(v)["add"]
-                )
-            if batch_id > _last_batch(self.index, _EMB_STREAM):
-                if self._bands:
-                    # before the index marker: if the index has the
-                    # batch, the bands do too; a crash in between
-                    # republishes the partition idempotently
-                    self._bands.publish(
-                        new_bands.select("vec_id", "band_idx", "band_val"),
-                        batch_id,
-                    )
-                self.index.write(prepared, mode="append", extra_meta=marker)
+            try:
+                if batch_id > _last_batch(self.pairs, _EMB_STREAM):
+                    n_pairs = verified.count()
+                    self.pairs.write(verified, mode="append", extra_meta=marker)
+                if batch_id > _last_batch(self.index, _EMB_STREAM):
+                    if self._bands:
+                        # before the index marker: if the index has the
+                        # batch, the bands do too; a crash in between
+                        # republishes the partition idempotently
+                        self._bands.publish(
+                            new_bands.select("vec_id", "band_idx", "band_val"),
+                            batch_id,
+                        )
+                    self.index.write(prepared, mode="append", extra_meta=marker)
+            finally:
+                verified.unpersist(blocking=False)
         finally:
             prepared.unpersist(blocking=False)
         out = {"batch_id": batch_id, "new_pairs": n_pairs}

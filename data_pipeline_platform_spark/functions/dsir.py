@@ -41,12 +41,14 @@ _GRAMS = (
     "(a, b) -> concat(a, ' ', b)))"
 )
 
-# md5 -> 16-bit fold -> bucket; engine-portable (see sketches.py)
+# md5 -> 16-bit prefix value -> bucket. The Spark side decodes the hex
+# prefix with the native conv() expression (exact for 4 hex digits:
+# max 65535); the DuckDB oracle keeps the equivalent char fold — both
+# are the integer value of the same 4 hex chars, so parity is bitwise.
+# (A regex-split + aggregate() lambda fold computed the same value
+# interpreted, ~4 lambda steps + a regex per gram — guide §4.)
 _BUCKET_SPARK = (
-    "aggregate(filter(split(substring(md5(g), 1, 4), '(?!$)'), c -> c != ''), "
-    "CAST(0 AS BIGINT), "
-    "(acc, c) -> acc * 16 + CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)) "
-    f"% {DSIR_BUCKETS}"
+    f"CAST(conv(substring(md5(g), 1, 4), 16, 10) AS BIGINT) % {DSIR_BUCKETS}"
 )
 
 

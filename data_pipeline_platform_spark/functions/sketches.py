@@ -42,12 +42,12 @@ _RHO_HEX = 12
 # bits; the bucket is the value modulo m, identical both engines)
 _BUCKET_HEX = 2
 
-_HEX_FOLD = (
-    "aggregate(filter(split(substring({h}, 1, %d), '(?!$)'), c -> c != ''), "
-    "CAST(0 AS BIGINT), "
-    "(acc, c) -> acc * 16 + CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))"
-    % _BUCKET_HEX
-)
+# native hex decode of the bucket prefix: conv() is exact far beyond 2
+# hex digits, and the value equals the char fold the DuckDB oracle
+# keeps (both are the integer value of the same hex prefix) — the
+# former regex-split + aggregate() lambda fold computed it interpreted,
+# per hashed row (guide §4)
+_HEX_FOLD = "CAST(conv(substring({h}, 1, %d), 16, 10) AS BIGINT)" % _BUCKET_HEX
 
 # extra leading zero bits contributed by the first non-zero hex digit
 _DIGIT_ZEROS = (
