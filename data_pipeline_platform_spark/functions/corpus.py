@@ -274,17 +274,25 @@ def contamination_check(
     evaluation/benchmark set (decontamination, the step every serious
     pretraining pipeline runs).
 
-    Shape: distinct (doc, shingle) on both sides, equi-join on shingle,
-    count distinct shared shingles per train doc. The join key
-    distributes over shingles, so the cost is bounded by the EVAL side
-    (benchmarks are small — thousands of docs against 100 TB of train),
-    and a document-frequency cutoff on train shingles (the
+    Shape (r13, guide §3.2 — reduce the big side first): the small
+    eval side is distinct-aggregated and broadcast; every RAW train
+    (doc, n-gram) occurrence probes that membership relation BEFORE
+    any train-side aggregation, so the (doc, n-gram) hash-dedup — the
+    measured whale of the old distinct-then-join plan, a string-keyed
+    aggregate over every n-gram of the corpus (132s of task time
+    inside training_data_pipeline at sf0.1) — now sees only the
+    n-grams that actually occur in the benchmark. join-then-distinct
+    equals distinct-then-join here exactly: both yield each (doc,
+    shared n-gram) pair once. The cost stays bounded by the EVAL side
+    (benchmarks are small — thousands of docs against 100 TB of
+    train), and a document-frequency cutoff on train shingles (the
     `functions/dedup.py` stop-shingle trick) applies unchanged if the
     train side has boilerplate."""
-    tg = with_ngrams(train, n, "ng").select(doc_col, "ng").distinct()
+    tg = with_ngrams(train, n, "ng").select(doc_col, "ng")
     eg = with_ngrams(evalset, n, "ng").select("ng").distinct()
     return (
         tg.join(eg, "ng")
+        .dropDuplicates([doc_col, "ng"])
         .groupBy(doc_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
