@@ -26,6 +26,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.prop_profile import prop_examples
+
 from pyspark.sql import functions as F
 
 CRASH_MODES = ("pre_write", "mid_write", "stage_leak", "post_commit")
@@ -112,7 +114,7 @@ def _pack_schedules(draw):
 
 
 @settings(
-    max_examples=6,
+    max_examples=prop_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -209,7 +211,7 @@ def _cdc_schedules(draw):
 
 
 @settings(
-    max_examples=6,
+    max_examples=prop_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -324,7 +326,7 @@ def _cleaner_schedules(draw):
 
 
 @settings(
-    max_examples=5,
+    max_examples=prop_examples(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -10,6 +10,8 @@ import pytest
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
+from tests.prop_profile import prop_examples
+
 from data_pipeline_platform_spark.operators.config_transformer import ConfigTransformer
 
 ROWS = st.lists(
@@ -23,7 +25,7 @@ ROWS = st.lists(
 )
 
 SETTINGS = settings(
-    max_examples=15,
+    max_examples=prop_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -464,7 +466,7 @@ BATCHES = st.lists(
 
 @given(batches=BATCHES)
 @settings(
-    max_examples=8,
+    max_examples=prop_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -516,7 +518,7 @@ DQ_ROWS = st.lists(
 
 @given(rows=DQ_ROWS, lo=st.integers(-20, 0), hi=st.integers(1, 30))
 @settings(
-    max_examples=10,
+    max_examples=prop_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -673,7 +675,7 @@ _CDF_OP = st.tuples(
     ops=st.lists(_CDF_OP, min_size=1, max_size=3),
 )
 @settings(
-    max_examples=6,
+    max_examples=prop_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -756,7 +758,7 @@ _JV_OP = st.one_of(
     ops=st.lists(_JV_OP, min_size=1, max_size=3),
 )
 @settings(
-    max_examples=6,
+    max_examples=prop_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -845,7 +847,7 @@ _DOC = st.lists(st.sampled_from(_DOC_WORDS), min_size=3, max_size=8).map(" ".joi
     assign=st.lists(st.integers(0, 2), min_size=10, max_size=10),
 )
 @settings(
-    max_examples=6,
+    max_examples=prop_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -926,7 +928,7 @@ _EVO_OP = st.tuples(
     ops=[("upsert", [(6, "a", 0, 0)]), ("delete", [(6, "a", 0, 0)])],
 )
 @settings(
-    max_examples=50,
+    max_examples=prop_examples(50),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1022,7 +1024,7 @@ _TXN_SCRIPT = st.lists(
 
 @given(script=_TXN_SCRIPT)
 @settings(
-    max_examples=8,
+    max_examples=prop_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1092,7 +1094,7 @@ def test_txn_visible_state_equals_committed_replay(
     nfiles=st.integers(min_value=1, max_value=6),
 )
 @settings(
-    max_examples=6,
+    max_examples=prop_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1139,7 +1141,7 @@ def test_zorder_compaction_preserves_content(
     ),
 )
 @settings(
-    max_examples=8,
+    max_examples=prop_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1213,7 +1215,7 @@ _PS = st.sampled_from([0.0, 0.1, 0.25, 0.3, 0.5, 0.75, 0.9, 1.0])
 
 @given(cells=_CENSUS, p=_PS)
 @settings(
-    max_examples=25,
+    max_examples=prop_examples(25),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

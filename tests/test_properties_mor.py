@@ -8,13 +8,15 @@ sequential fold model."""
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from tests.prop_profile import prop_examples
 from pyspark.sql import functions as F
 
 from data_pipeline_platform_spark.sinks.acid import AcidTable
 from data_pipeline_platform_spark.sinks.cdc import apply_changes, read_current
 
 SETTINGS = settings(
-    max_examples=8,
+    max_examples=prop_examples(8),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

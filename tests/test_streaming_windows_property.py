@@ -30,6 +30,8 @@ import pyarrow.parquet as pq
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from tests.prop_profile import prop_examples
 from pyspark.sql import functions as F
 
 from data_pipeline_platform_spark.streaming.windows import (
@@ -110,7 +112,7 @@ def _agg(events):
 @pytest.mark.usefixtures("spark")
 def test_engine_vs_watermark_oracles_on_shuffled_deliveries(spark, tmp_path):
     @settings(
-        max_examples=5,
+        max_examples=prop_examples(5),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture,
                                HealthCheck.data_too_large],
