@@ -314,11 +314,15 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_DIR redirects the side file (r12 verdict #1:
     # tests/test_bench.py drives main() with a fixture HEADLINE and used
     # to overwrite the round's real per-query detail at the repo root;
-    # the test now sets this to its tmp_path).
+    # the test now sets this to its tmp_path). The cpu count is stamped
+    # into the filename (r13 verdict #7: the driver's 8-core scaling run
+    # overwrote the 32-core detail) so both runs' details coexist.
     detail_dir = os.environ.get(
         "SPARK_GRAFT_BENCH_DIR", os.path.dirname(os.path.abspath(__file__))
     )
-    detail_path = os.path.join(detail_dir, "bench_detail.json")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail_name = f"bench_detail_c{cpus}.json"
+    detail_path = os.path.join(detail_dir, detail_name)
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
@@ -335,7 +339,7 @@ def main() -> None:
     errs = {k: v for k, v in medians.items() if not isinstance(v, float)}
     ranked = sorted(floats.items(), key=lambda kv: -kv[1])
     out["n_queries"] = len(medians)
-    out["detail"] = "bench_detail.json"
+    out["detail"] = detail_name
     out.pop("load_avg_start", None)  # live in the detail file instead
     out.pop("load_avg_end", None)
     n = min(50, len(ranked))

@@ -79,23 +79,22 @@ class Settings:
         default_factory=lambda: _env("SPARK_MAX_PARTITION_BYTES", "134217728")
     )
     # AQE partition-coalescing floor (spark.sql.adaptive.coalescePartitions
-    # .minPartitionSize). The default 1 MiB models stage cost as
-    # bytes-proportional; the LLM-data operators here have CPU-dense
-    # low-byte post-shuffle stages (shingle-set verification, in-bucket
-    # pair expansion, n-gram explosion) where that model serializes tens
-    # of seconds of compute onto a handful of tasks — measured at sf0.1:
-    # the 24 MiB candidate-verify exchange of training_data_pipeline
-    # coalesced to 8 tasks carrying ~34 s of task time (4.3 s of wall on
-    # an idle 32-core host). A 256 KiB floor restores row-proportional
-    # parallelism exactly in that regime and is inert at scale: the
-    # floor only binds when a stage's total shuffle bytes are below
-    # ~cores x 1 MiB, i.e. never on data-sized exchanges, and the
-    # coalescing target is still advisoryPartitionSizeInBytes there.
-    # Interleaved A/B at sf0.1: training_data_pipeline 7.64->4.42 s,
-    # dedup_clusters 8.17->6.50 s, zero regressions across the ACID /
-    # vector / relational families (OPTIMIZATION_r13.md).
+    # .minPartitionSize), kept at Spark's 1 MiB default. r13 shipped a
+    # 256 KiB floor after an A/B on ~10 queries; the r14 full-headline
+    # interleaved A/B (tools/ab_env.py, 83 queries x 2 rounds x 2 trials,
+    # /tmp + OPTIMIZATION_r14.md) found it a net LOSS: geomean 1.03-1.05x
+    # SLOWER, with the iterative/multi-commit paths it never swept
+    # (pagerank, dedup_incremental_lsh, dv_delete, cdc_tombstone)
+    # regressing far more than the CPU-dense verify stages gained — a
+    # 4x task-count multiplier on tiny exchanges is pure scheduling
+    # overhead for multi-job fixtures. The one robust winner
+    # (training_data_pipeline's candidate-verify stage) keeps its
+    # parallelism floor-independently: functions/dedup.py pins the
+    # candidate exchange with an explicit shuffle-partition-count
+    # repartition, which AQE never coalesces. Value is a plain-byte
+    # numeric string like its siblings (r13 advisor).
     aqe_min_partition_size: str = field(
-        default_factory=lambda: _env("SPARK_AQE_MIN_PARTITION_SIZE", "256k")
+        default_factory=lambda: _env("SPARK_AQE_MIN_PARTITION_SIZE", "1048576")
     )
     broadcast_threshold: str = field(
         default_factory=lambda: _env("SPARK_BROADCAST_THRESHOLD", "67108864")

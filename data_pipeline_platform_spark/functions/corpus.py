@@ -290,8 +290,12 @@ def contamination_check(
     train side has boilerplate."""
     tg = with_ngrams(train, n, "ng").select(doc_col, "ng")
     eg = with_ngrams(evalset, n, "ng").select("ng").distinct()
+    # explicit hint (r13 advisor): the docstring's whole argument rests on
+    # the eval side being the broadcast build side — if auto-broadcast
+    # misestimated, the plan would shuffle the raw UNdeduplicated train
+    # (doc, n-gram) stream, strictly worse than the old distinct-first plan
     return (
-        tg.join(eg, "ng")
+        tg.join(F.broadcast(eg), "ng")
         .dropDuplicates([doc_col, "ng"])
         .groupBy(doc_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))

@@ -141,7 +141,27 @@ def _jaccard_pairs(
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
-        .distinct()
+        # explicit-count repartition + dropDuplicates instead of
+        # distinct(): the candidate rows are two longs each, so AQE's
+        # byte-proportional coalescing squeezes this exchange onto a
+        # handful of tasks — but the stage DOWNSTREAM of it does the
+        # exact-Jaccard verification (array_intersect over full shingle
+        # sets), the most CPU-dense work per byte in the whole plan
+        # (r13: ~34 s of task time serialized onto 8 tasks inside
+        # training_data_pipeline). A user-specified partition count is
+        # exempt from AQE coalescing, pinning the verify stage at the
+        # session's configured shuffle parallelism; same set semantics
+        # as distinct(). (The r13 fix — a global 256 KiB coalescing
+        # floor — bought this back at the price of 4x task counts on
+        # every tiny exchange in the suite; the r14 full-headline A/B
+        # measured that as a net loss, so the parallelism is pinned
+        # here, where the CPU density is, instead of globally.)
+        .repartition(
+            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "doc_a",
+            "doc_b",
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))

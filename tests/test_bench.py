@@ -20,9 +20,10 @@ def test_bench_isolates_query_errors(spark, monkeypatch, capsys, tmp_path):
         lambda: {"good_q": ok, "broken_q": boom, "also_good_q": ok},
     )
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    # keep the round's real bench_detail.json at the repo root intact
+    # keep the round's real bench_detail files at the repo root intact
     # (r12 verdict #1: this test used to clobber it with fixture data)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "4")
 
     bench.main()
 
@@ -33,8 +34,10 @@ def test_bench_isolates_query_errors(spark, monkeypatch, capsys, tmp_path):
     assert str(out["queries"]["broken_q"]).startswith("ERROR: RuntimeError")
     assert out["errors"] == 1
     assert out["value"] > 0
-    # the redirected side file landed in tmp_path, not the repo root
-    detail = json.loads((tmp_path / "bench_detail.json").read_text())
+    # the redirected side file landed in tmp_path, not the repo root —
+    # stamped with the cpu count (r13 verdict #7: the driver's 8-core
+    # scaling run used to overwrite the 32-core detail)
+    detail = json.loads((tmp_path / "bench_detail_c4.json").read_text())
     assert set(detail["queries"]) == {"good_q", "broken_q", "also_good_q"}
 
 
@@ -71,6 +74,7 @@ def test_bench_stdout_line_fits_driver_tail_window(
     )
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "4")
 
     bench.main()
 
@@ -81,7 +85,7 @@ def test_bench_stdout_line_fits_driver_tail_window(
     assert 0 < len(out["queries"]) <= 50
     assert isinstance(out["others_total"], float)
     # the side file still has every query at full precision
-    detail = _json.loads((tmp_path / "bench_detail.json").read_text())
+    detail = _json.loads((tmp_path / "bench_detail_c4.json").read_text())
     assert len(detail["queries"]) == 120
     # total includes the omitted entries, not just the printed ones
     assert out["value"] >= sum(
