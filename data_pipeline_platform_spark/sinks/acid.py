@@ -991,10 +991,13 @@ class AcidTable:
         PRECONDITION: ``keys`` uniquely identify a row on each side of
         the diff — ``write(mode='append')`` enforces no uniqueness, and
         a duplicate key would fan the diff join out into fabricated
-        update pairs.  With ``check_unique`` (default) the duplicate is
-        detected in the changed files (one agg over the touched rows,
-        same cost class as the diff itself) and raised loudly, matching
-        ``Scd2Table._validate_batch``'s posture.
+        update pairs.  With ``check_unique`` (default) each side carries
+        an in-plan per-key row count (a window sharing the diff join's
+        own exchange) and every emitted change row raises loudly if its
+        key was duplicated — zero extra jobs or scans, with the error
+        surfacing when the feed materializes rather than inside this
+        call (r14; the former eager pre-check was a dedicated
+        scan+shuffle+collect over both sides per feed).
         """
         v_to = self.latest_version() if v_to is None else v_to
         # diff on (path, dv) IDENTITY, not path alone: a merge-on-read
@@ -1038,27 +1041,29 @@ class AcidTable:
         if new is None:
             return _tag(old, "delete")
         if check_unique:
-            # ONE job for both sides (was one per side): tag rows with
-            # their image side and look for any (side, key) group > 1
-            dup = (
-                old.select(F.lit("pre").alias("__side"), *key_list)
-                .unionByName(
-                    new.select(F.lit("post").alias("__side"), *key_list)
-                )
-                .groupBy("__side", *key_list)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > 1)
-                .select("__side")
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(
-                    f"changes() requires unique keys {key_list}; the "
-                    f"{dup[0]['__side']}-image files between v{v_from} and "
-                    f"v{v_to} contain duplicates (pass check_unique=False "
-                    "only if fan-out is acceptable)"
-                )
+            # IN-PLAN guard instead of an eager pre-check job (r14,
+            # guide §1.2/§5: the old shape ran a dedicated
+            # scan+shuffle+collect over both touched sides BEFORE the
+            # diff join re-scanned the same files — one full extra pass
+            # per change feed). Each side carries its per-key row count
+            # from a window keyed exactly like the join, so the count
+            # shares the join's exchange, and every emitted change row
+            # re-raises the old error through raise_error(). A
+            # duplicate that fans the join out always emits rows (the
+            # fabricated pairs ARE rows), so every fold-corrupting case
+            # still fails loudly; the one silent corner — bit-identical
+            # duplicate rows present on BOTH sides, whose diff is empty
+            # and whose fold effect is zero — required an earlier
+            # check_unique=False to create in the first place. The
+            # error now surfaces at materialization (Spark wraps it in
+            # its runtime-exception chain) rather than inside the
+            # changes() call itself.
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*key_list)
+            old = old.withColumn("__n_pre", F.count(F.lit(1)).over(w))
+            new = new.withColumn("__n_post", F.count(F.lit(1)).over(w))
+
         # presence markers, not key-null tests: a NULL business key must
         # not make a row invisible to the classifier
         o = old.withColumn("__in_old", F.lit(True)).alias("o")
@@ -1067,6 +1072,30 @@ class AcidTable:
         for k in key_list:
             cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         j = o.join(n, cond, "full_outer")
+        if check_unique:
+            # FILTER guard (not a projected column, which count()-style
+            # consumers would let Catalyst prune away): any feed row
+            # whose key was duplicated on either side raises at
+            # materialization
+            def _raise(side: str) -> F.Column:
+                return F.raise_error(F.lit(
+                    f"changes() requires unique keys {key_list}; the "
+                    f"{side}-image files between v{v_from} and v{v_to} "
+                    "contain duplicates (pass check_unique=False only "
+                    "if fan-out is acceptable)"
+                )).cast("boolean")
+
+            j = j.filter(
+                F.when(
+                    F.coalesce(F.col("o.__n_pre"), F.lit(1)) > 1,
+                    _raise("pre"),
+                )
+                .when(
+                    F.coalesce(F.col("n.__n_post"), F.lit(1)) > 1,
+                    _raise("post"),
+                )
+                .otherwise(F.lit(True))
+            )
         in_old = F.col("o.__in_old").isNotNull()
         in_new = F.col("n.__in_new").isNotNull()
         same = F.lit(True)
@@ -1326,6 +1355,7 @@ class AcidTable:
         merge_schema: bool = False,
         txn: Optional[Dict[str, str]] = None,
         commit_guard=None,
+        assume_unique: bool = False,
     ) -> Dict[str, int]:
         """MERGE INTO this table USING source ON keys, with optimistic
         concurrency: a losing writer re-reads the NEW snapshot and
@@ -1390,8 +1420,16 @@ class AcidTable:
         # use — and per OCC retry. Batch-sized state, standard delta-
         # caching posture; also pins ONE in-batch last-wins choice so
         # every phase of the resolution sees the same row per key.
+        # ``assume_unique``: the caller guarantees source is already
+        # unique on ``keys`` (e.g. it IS a groupBy output on exactly
+        # those keys — the matview fold frames), so the last-wins
+        # dedup would be an identity computed through a full extra
+        # shuffle + aggregate before the persist (r14, guide §1.2:
+        # don't compute what you throw away).
         key_list = list(keys)
-        src_cached = source.dropDuplicates(key_list).persist()
+        src_cached = (
+            source if assume_unique else source.dropDuplicates(key_list)
+        ).persist()
         dk_cached = (
             delete_keys.select(*key_list).dropDuplicates(key_list).persist()
             if delete_keys is not None

@@ -166,9 +166,13 @@ class MaterializedAgg:
             )
             folded = self._fold(touched, part).persist()
             try:
+                # assume_unique: folded is a full-outer join of two
+                # key-unique frames (state invariant x groupBy output)
+                # on null-safe keys — merge's last-wins dedup would be
+                # an identity bought with an extra shuffle+agg (r14)
                 stats = self.acid.merge(
                     folded, keys=self.keys, extra_meta=commit_meta, txn=txn,
-                    commit_guard=commit_guard,
+                    commit_guard=commit_guard, assume_unique=True,
                 )
                 return {
                     "groups_touched": folded.count(),
@@ -377,7 +381,13 @@ class MaterializedAgg:
                             nn = self._nn[name]
                             fouts.append(F.col(f"f.{nn}").alias(nn))
                 final = fj.select(*fouts)
-            stats = self.acid.merge(final, keys=self.keys, extra_meta=commit_meta)
+            # assume_unique: final derives row-per-group from folded
+            # (full-outer join of key-unique state x key-unique signed
+            # partial) — see update()'s rationale (r14)
+            stats = self.acid.merge(
+                final, keys=self.keys, extra_meta=commit_meta,
+                assume_unique=True,
+            )
         finally:
             folded.unpersist(blocking=False)
             part.unpersist(blocking=False)

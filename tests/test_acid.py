@@ -296,8 +296,11 @@ def test_matview_null_group_key_stays_single_row(spark, tmp_path):
 def test_change_feed_duplicate_keys_raise(spark, table):
     table.write(_df(spark, [(1, "a"), (1, "b")]), stats_cols=["k"])
     table.write(_df(spark, [(2, "c")]), mode="overwrite", stats_cols=["k"])
-    with pytest.raises(ValueError, match="unique keys"):
-        table.changes(["k"], 1, 2)
+    # r14: the dup check rides inside the feed plan (no dedicated
+    # pre-check job), so it surfaces when the feed MATERIALIZES —
+    # Spark wraps the raise_error in its runtime-exception chain
+    with pytest.raises(Exception, match="unique keys"):
+        table.changes(["k"], 1, 2).count()
     # explicit opt-out still works
     assert table.changes(["k"], 1, 2, check_unique=False).count() >= 1
 
