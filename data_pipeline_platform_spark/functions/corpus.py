@@ -329,19 +329,17 @@ def fuzzy_contamination(
     ~ 5e-15 and the output equals the brute-force oracle."""
     from data_pipeline_platform_spark.functions.dedup import (
         lsh_band_keys,
-        with_shingles,
+        nonempty_shingled,
     )
     from data_pipeline_platform_spark.utils.cache import tracked_persist
 
     t_sh = tracked_persist(
-        with_shingles(train)
-        .select("doc_id", "shingles")
-        .filter(F.size("shingles") > 0)
+        nonempty_shingled(train).select("doc_id", "shingles")
     )
     b_sh = tracked_persist(
-        with_shingles(benchmark)
-        .select(F.col("doc_id").alias("bench_id"), "shingles")
-        .filter(F.size("shingles") > 0)
+        nonempty_shingled(benchmark).select(
+            F.col("doc_id").alias("bench_id"), "shingles"
+        )
     )
     cand = (
         lsh_band_keys(t_sh)

@@ -85,6 +85,25 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     ).drop("__w")
 
 
+def nonempty_shingled(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """``with_shingles`` restricted to docs that produce >= 1 shingle.
+
+    Equivalent to ``with_shingles(df).filter(size(shingles) > 0)`` —
+    a doc shingles non-empty iff it has >= k tokens — but the filter is
+    applied BEFORE the shingle projection, on the token count alone.
+    The post-projection spelling let Catalyst push ``size(shingles) >
+    0`` below the projection as a predicate over the raw text, so the
+    whole shingle pipeline (split + transform + concat_ws per position
+    + array_distinct) was evaluated TWICE per surviving row (guide
+    §4.4's duplicated-evaluation shape, with built-in expressions):
+    once inside the pushed filter, once in the projection. Pre-filtering
+    on ``size(split(...)) >= k`` duplicates only the cheap split."""
+    pre = df.filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= k)
+    return with_shingles(pre, text_col, k)
+
+
 _DUCK_SHINGLES = """
   SELECT doc_id, list_distinct(
            CASE WHEN len(w) >= 3 THEN
@@ -297,9 +316,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncached subplans). At cluster scale this is a materialized
     # signatures table.
     sh = tracked_persist(
-        with_shingles(docs)
-        .select("doc_id", "shingles")
-        .filter(F.size("shingles") > 0)
+        nonempty_shingled(docs).select("doc_id", "shingles")
     )
     bands = lsh_band_keys(sh)
 

@@ -46,7 +46,7 @@ from data_pipeline_platform_spark.functions.dedup import (
     ORACLE_DEDUP_MINHASH_LSH,
     bands_from_signatures,
     minhash_signatures,
-    with_shingles,
+    nonempty_shingled,
 )
 from data_pipeline_platform_spark.sinks.acid import AcidTable
 
@@ -268,9 +268,7 @@ class IncrementalLshIndex:
         new-old near-dup pairs, append them, then append the batch's
         signatures to the index — each append marker-guarded."""
         prepared = minhash_signatures(
-            with_shingles(docs)
-            .select("doc_id", "shingles")
-            .filter(F.size("shingles") > 0),
+            nonempty_shingled(docs).select("doc_id", "shingles"),
             extra_cols=("shingles",),
         ).persist()
         try:
