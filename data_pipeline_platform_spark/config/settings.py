@@ -125,6 +125,23 @@ class Settings:
             "spark.driver.memory": self.driver_memory,
             "spark.ui.enabled": "false",
             "spark.sql.warehouse.dir": self.warehouse_dir,
+            # File-output commit cost (guide §6 / §1.2: the ACID fixture
+            # paths are commit-bound — 6+ staged parquet writes per
+            # maintained-view build, measured 0.3-0.7s each at sf0.1, and
+            # the v1 committer's job-commit pays one sequential driver-
+            # side rename per task file plus a _SUCCESS marker nothing
+            # reads). Algorithm v2 renames task output directly at task
+            # commit; the marker is skipped. Safe here BY CONSTRUCTION:
+            # every table write stages into a private uuid-named dir and
+            # only becomes visible via the ACID log's atomic version
+            # publish, so the committer's weaker job-commit atomicity is
+            # never load-bearing (readers glob the staged files, never
+            # _SUCCESS). Interleaved A/B on matview_percentile_census:
+            # 9.86 -> 9.03s median of 3 alternating pairs.
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+            "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": (
+                "false"
+            ),
         }
 
 

@@ -98,14 +98,23 @@ class _BucketedBandTable:
             fs.delete(part, True)
 
     def publish(self, rows: DataFrame, batch_id: int) -> None:
-        if self.ready():
-            self.spark.sql(
-                f"ALTER TABLE {self.table} DROP IF EXISTS "
-                f"PARTITION (batch_id={int(batch_id)})"
-            )
-        # unconditional: a crash during the very first publish can
-        # leave files on disk with no catalog entry yet
-        self._delete_partition_dir(batch_id)
+        # The replay sweep (catalog DROP PARTITION + dir delete) runs
+        # only when the partition's directory actually exists — the
+        # rare redelivery/crash-replay case. The normal ingest path
+        # used to pay a metastore round trip (ALTER TABLE ... DROP IF
+        # EXISTS PARTITION is a catalog op even when it drops nothing)
+        # on EVERY batch (r14, ~0.1-0.2s each at sf0.1). The directory
+        # listing is authoritative for data (saveAsTable publishes
+        # files before registering the partition, so a catalog entry
+        # without a directory cannot exist mid-crash, and a directory
+        # without a catalog entry is exactly what the sweep handles).
+        if batch_id in set(self.partition_ids()):
+            if self.ready():
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} DROP IF EXISTS "
+                    f"PARTITION (batch_id={int(batch_id)})"
+                )
+            self._delete_partition_dir(batch_id)
         (
             # repartition by the SAME hash the bucketing uses so each
             # task holds exactly one bucket's rows -> one file per

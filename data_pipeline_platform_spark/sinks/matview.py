@@ -164,23 +164,26 @@ class MaterializedAgg:
             touched = cur.alias("c").join(
                 part.select(*self.keys).alias("p"), cond, "left_semi"
             )
-            folded = self._fold(touched, part).persist()
-            try:
-                # assume_unique: folded is a full-outer join of two
-                # key-unique frames (state invariant x groupBy output)
-                # on null-safe keys — merge's last-wins dedup would be
-                # an identity bought with an extra shuffle+agg (r14)
-                stats = self.acid.merge(
-                    folded, keys=self.keys, extra_meta=commit_meta, txn=txn,
-                    commit_guard=commit_guard, assume_unique=True,
-                )
-                return {
-                    "groups_touched": folded.count(),
-                    "files_rewritten": stats["files_rewritten"],
-                    "version": stats.get("version"),
-                }
-            finally:
-                folded.unpersist(blocking=False)
+            folded = self._fold(touched, part)
+            # assume_unique: folded is a full-outer join of two
+            # key-unique frames (state invariant x groupBy output)
+            # on null-safe keys — merge's last-wins dedup would be
+            # an identity bought with an extra shuffle+agg (r14).
+            # folded is NOT persisted here: merge() persists its
+            # source itself (src_cached), so a persist here built the
+            # same census-sized cache twice (r14). groups_touched =
+            # |part|: touched ⊆ part keys, so the full-outer fold's
+            # key set IS part's key set — counted off part's hot cache
+            # instead of re-executing the fold.
+            stats = self.acid.merge(
+                folded, keys=self.keys, extra_meta=commit_meta, txn=txn,
+                commit_guard=commit_guard, assume_unique=True,
+            )
+            return {
+                "groups_touched": part.count(),
+                "files_rewritten": stats["files_rewritten"],
+                "version": stats.get("version"),
+            }
         finally:
             part.unpersist(blocking=False)
 
@@ -307,6 +310,42 @@ class MaterializedAgg:
             fold_specs.append((name, kind))
             if kind == "sum":
                 fold_specs.append((self._nn[name], "count"))
+        if not needs_snap:
+            # PURE-ADDITIVE FAST PATH (count/sum only — no min/max/
+            # count_distinct): no fold can ever need a snapshot
+            # recompute, so the __recompute bookkeeping is statically
+            # dead. Skipping it removes one whole Spark job per fold
+            # (the counts collect) AND a redundant cache layer: the
+            # folded frame used to be persisted here and then persisted
+            # AGAIN inside merge() (src_cached), materializing the same
+            # census-sized rows twice (r14, guide §1.2/§5 — don't
+            # compute or cache what you throw away). merge()'s own
+            # persist covers its multi-phase resolution; `part` stays
+            # persisted above for the semi-join + fold-join reuse.
+            fouts = list(outs)
+            for name, kind in fold_specs:
+                a, b = F.col(f"c.{name}"), F.col(f"p.{name}")
+                fouts.append(
+                    F.when(a.isNull(), b).when(b.isNull(), a)
+                    .otherwise(a + b).alias(name)
+                )
+            try:
+                stats = self.acid.merge(
+                    j.select(*fouts), keys=self.keys,
+                    extra_meta=commit_meta, assume_unique=True,
+                )
+            finally:
+                part.unpersist(blocking=False)
+            # groups_touched is None here, deliberately: reporting the
+            # exact number cost a dedicated count job per fold, for a
+            # statistic nothing consumes programmatically (the
+            # min/max path still reports it — its recompute decision
+            # needs the counts job anyway)
+            return {
+                "groups_touched": None,
+                "files_rewritten": stats["files_rewritten"],
+                "groups_recomputed": 0,
+            }
         for name, kind in fold_specs:
             a, b = F.col(f"c.{name}"), F.col(f"p.{name}")
             if kind in ("count", "sum"):
