@@ -564,7 +564,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         # plan DOUBLES every iteration — 2^rounds plan nodes OOMs the
         # driver during analysis near round ~12 even on a 12-edge graph.
         # Checkpointing materializes the round's result and cuts lineage,
-        # making plan size constant per round.
+        # making plan size constant per round. eager=False (r14): the
+        # convergence sum below is the round's first action and
+        # materializes the checkpoint as a side effect — one Spark job
+        # per round instead of two (checkpoint job + sum job).
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -573,7 +576,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Min-propagation labels are monotone non-increasing, so the
         # label multiset changed iff its exact sum decreased — one cheap

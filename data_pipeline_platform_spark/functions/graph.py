@@ -178,7 +178,11 @@ def bfs_hops(edges: DataFrame, seed_expr, max_hops: int = MAX_HOPS) -> DataFrame
     seed = und.agg(seed_expr.alias("part")).select(
         "part", F.lit(0).cast("int").alias("hops")
     )
-    visited = seed.localCheckpoint()
+    # eager=False (r14): the checkpoints only truncate lineage; nothing
+    # inspects per-round state driver-side, so materialization can ride
+    # the caller's single action instead of paying 2 blocking jobs per
+    # hop (the k_core / label_propagation posture)
+    visited = seed.localCheckpoint(eager=False)
     frontier = visited
     for h in range(1, max_hops + 1):
         neighbors = (
@@ -189,8 +193,8 @@ def bfs_hops(edges: DataFrame, seed_expr, max_hops: int = MAX_HOPS) -> DataFrame
         fresh = neighbors.join(visited, "part", "left_anti").select(
             "part", F.lit(h).cast("int").alias("hops")
         )
-        frontier = fresh.localCheckpoint()
-        visited = visited.unionByName(frontier).localCheckpoint()
+        frontier = fresh.localCheckpoint(eager=False)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
     return visited
 
 
@@ -597,10 +601,14 @@ def q_nation_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
         .agg(F.min("w").alias("w"))
     )
+    # eager=False (r14): fixed-round relaxation with no per-round driver
+    # inspection — the checkpoints are pure lineage truncation, so all
+    # rounds materialize inside the caller's one action instead of one
+    # blocking job per round (the k_core / label_propagation posture)
     dist = (
         edges.agg(F.min(F.least(F.col("src"), F.col("dst"))).alias("node"))
         .select("node", F.lit(0).cast("bigint").alias("dist_c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(SP_ROUNDS):
         relaxed = dist.join(edges, dist["node"] == edges["src"]).select(
@@ -610,7 +618,7 @@ def q_nation_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist_c").alias("dist_c"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist.select(F.col("node").cast("int").alias("node"), "dist_c")
 
