@@ -78,15 +78,23 @@ def pq_train(emb: DataFrame) -> DataFrame:
         "seed_id", "block", F.col("svec").alias("ssub")
     )
     sub = _subvectors(emb.select("vec_id", "vec"))
-    w = Window.partitionBy("vec_id", "block").orderBy(
-        F.col("dist"), F.col("seed_id")
-    )
+    # argmin as a partial-aggregable min over struct(dist, seed_id,
+    # svec) — identical winner to the former row_number window ((dist,
+    # seed_id) is unique per (vec_id, block) and svec is functionally
+    # determined by the group), with map-side combine collapsing the
+    # Ks candidates per sub-vector before the shuffle instead of
+    # sorting corpus x M x Ks sub-vector rows through a window
+    # exchange (r14; the pq_encode posture applied to training)
     a0 = (
         sub.join(F.broadcast(seed_sub), "block")
         .withColumn("dist", F.expr(_dist_fp_sql("svec", "ssub")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("block", "svec", F.col("seed_id").alias("cell0"))
+        .groupBy("vec_id", "block")
+        .agg(F.min(F.struct("dist", "seed_id", "svec")).alias("__w"))
+        .select(
+            "block",
+            F.col("__w.svec").alias("svec"),
+            F.col("__w.seed_id").alias("cell0"),
+        )
     )
     ex = a0.select("block", "cell0", F.posexplode("svec").alias("dim", "comp"))
     cents = ex.groupBy("block", "cell0", "dim").agg(

@@ -833,13 +833,24 @@ def ivfx_train(train):
         )
         .select("seed_id", F.col("vec").alias("svec"))
     )
-    w_v0 = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("seed_id"))
+    # argmin as a partial-aggregable min over struct(dist, seed_id, vec)
+    # — identical winner to the former row_number window ((dist,
+    # seed_id) is unique per vec_id, and `vec` is functionally
+    # determined by the group so the comparison never reaches it), but
+    # the map side combines the n_seeds candidate rows per vector down
+    # to ONE before the shuffle instead of sorting corpus x n_seeds
+    # full-vector rows through a window exchange (r14; the
+    # ivfx_assign/pq_encode posture applied to training)
     a0 = (
         train.crossJoin(F.broadcast(seeds))
         .withColumn("dist", F.expr(_dist_fp_sql("vec", "svec")))
-        .withColumn("__rn", F.row_number().over(w_v0))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "vec", F.col("seed_id").alias("cell0"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "seed_id", "vec")).alias("__w"))
+        .select(
+            "vec_id",
+            F.col("__w.vec").alias("vec"),
+            F.col("__w.seed_id").alias("cell0"),
+        )
     )
     ex = a0.select("cell0", F.posexplode("vec").alias("dim", "comp"))
     cents = ex.groupBy("cell0", "dim").agg(
