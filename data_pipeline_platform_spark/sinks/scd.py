@@ -67,16 +67,25 @@ class Scd2Table:
         batch = batch.select(*self.keys, *self.tracked)
         # duplicate business keys inside one batch are ambiguous (which
         # version opens?) — refuse loudly rather than pick one
-        # nondeterministically
-        dups = (
-            batch.groupBy(*self.keys)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1)
-            .limit(1)
-            .count()
-        )
-        if dups:
-            raise ValueError(f"batch {batch_id} has duplicate business keys")
+        # nondeterministically. IN-PLAN guard instead of an eager
+        # count job (r14; the AcidTable.changes() posture): each batch
+        # row carries its per-key count from a window and a FILTER
+        # re-raises through raise_error() at materialization — the
+        # first action of every apply() path (counts agg / first
+        # write) runs BEFORE anything commits, so the refuse-loudly
+        # contract holds with zero extra jobs.
+        from pyspark.sql.window import Window
+
+        w_dup = Window.partitionBy(*self.keys)
+        guard = F.when(
+            F.count(F.lit(1)).over(w_dup) > 1,
+            F.raise_error(
+                F.lit(f"batch {batch_id} has duplicate business keys")
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+        batch = batch.withColumn("__dup_ok", guard).filter(
+            F.col("__dup_ok")
+        ).drop("__dup_ok")
         last = self.last_applied_batch()
         if batch_id <= last:
             raise ValueError(
@@ -160,9 +169,16 @@ class Scd2Table:
         # ONE copy-on-write merge: (keys, valid_from) uniquely addresses a
         # version row — closed rows match and take the new valid_to /
         # is_current, opened rows miss and insert; footer stats prune
-        # untouched files
+        # untouched files. assume_unique (r14): the batch is key-unique
+        # (guard above) and each key contributes at most one closed row
+        # (valid_from = old version) plus one opened row (valid_from =
+        # batch_id, strictly newer than any prior batch), so source is
+        # unique on (keys, valid_from) by construction — merge's
+        # last-wins dedup would be an identity bought with an extra
+        # shuffle + aggregate per apply.
         stats = self.acid.merge(source, keys=self.keys + ["valid_from"],
-                                extra_meta={"scd_batch_id": batch_id})
+                                extra_meta={"scd_batch_id": batch_id},
+                                assume_unique=True)
         return {
             "opened": n_opened,
             "closed": n_closed,

@@ -60,8 +60,13 @@ def test_null_safe_change_detection(spark, dim):
 
 
 def test_duplicate_batch_keys_raise(spark, dim):
-    with pytest.raises(ValueError, match="duplicate business keys"):
+    # r14: the guard is in-plan (window count + raise_error filter, the
+    # AcidTable.changes() posture) — the error surfaces when apply()'s
+    # first action materializes the batch, wrapped in Spark's runtime
+    # exception chain, still BEFORE anything commits
+    with pytest.raises(Exception, match="duplicate business keys"):
         dim.apply(_b(spark, [(1, "a"), (1, "b")]), batch_id=1)
+    assert not dim.acid.exists()  # refused loudly, nothing committed
 
 
 def test_non_monotone_batch_id_raises(spark, dim):
