@@ -416,10 +416,25 @@ def test_no_global_window_over_fact_input_registry_wide(spark):
 
     offenders = []
     nl_offenders = []
-    for name, fn in entry.queries().items():
-        if name in EXEMPT:
-            continue
-        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan()
+    # Build the 347 plans with a small driver thread pool (guide §2.6):
+    # fixture queries execute their ACID ingest eagerly inside fn(), so
+    # the sequential loop serialized ~300s of independent Spark jobs on
+    # a mostly-idle local[4] session; 8 in flight overlap each build's
+    # commit/dispatch latency. Plan WALKS stay on this thread — only
+    # the fn() materialization is concurrent.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _plan(item):
+        name, fn = item
+        return name, fn(spark, SF)._jdf.queryExecution().optimizedPlan()
+
+    items = [
+        (name, fn) for name, fn in entry.queries().items()
+        if name not in EXEMPT
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        plans = list(pool.map(_plan, items))
+    for name, plan in plans:
         for node in walk(plan):
             if (
                 node.getClass().getSimpleName() == "Window"

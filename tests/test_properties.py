@@ -928,7 +928,12 @@ _EVO_OP = st.tuples(
     ops=[("upsert", [(6, "a", 0, 0)]), ("delete", [(6, "a", 0, 0)])],
 )
 @settings(
-    max_examples=prop_examples(50),
+    # 24 (default-scaled to 8) rather than 50: at ~12.5s per example —
+    # each example drives real multi-fold ACID churn through the
+    # count_distinct recompute path — this single property was ~10% of
+    # the whole suite's wall time (r14; the driver's verify window cut
+    # off at ~63% in r13). DPPS_PROPERTY_FULL=1 restores depth locally.
+    max_examples=prop_examples(24),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
