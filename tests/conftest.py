@@ -13,6 +13,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_pipeline_platform_spark.session import get_spark
 
+# Test-session shuffle parallelism: 4 (matching the local[4] master)
+# unless the caller overrides. The production default of 32 makes every
+# tiny test exchange schedule up to 32 map-side tasks across 4 cores —
+# pure task-dispatch waves over sf0.001 data (measured: the CDF fold
+# module 114s -> 99s). Env-driven, so the packaged default is untouched.
+os.environ.setdefault("SPARK_SHUFFLE_PARTITIONS", "4")
+
 SF_DIR = os.environ.get("DPPS_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
