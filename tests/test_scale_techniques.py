@@ -200,6 +200,11 @@ def test_salting_rebalances_hot_key_partitions(spark):
         "spark.sql.adaptive.skewJoin.enabled": "false",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the skew CONTRAST needs real reducer fan-out: at the test
+        # session's default of 4 partitions the unsalted hot key is
+        # only ~3x the median (one of four buckets), not a straggler —
+        # pin the partition count this test's contract is stated in
+        "spark.sql.shuffle.partitions": "32",
     }
     old = {k: spark.conf.get(k) for k in confs}
     for k, v in confs.items():
